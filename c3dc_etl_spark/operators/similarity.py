@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
+  set against the candidate table; one pass, no shuffle of candidates.
+- ``lsh_cosine_candidates``: sign-random-projection (SRP) bucketing — the
+  scale path: candidates are bucketed by sign bits, queries only compare
+  within matching buckets.
+
+Dot products are computed with zip_with + aggregate over doubles
+(sequential left-to-right fold => deterministic), similarities rounded to
+4dp so cross-engine float noise (<=1e-13) can't flip a value or a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries is broadcast (ANN query batches are small); candidates stream
+    through in one narrow pass, then a per-query window takes k. Rank key
+    is (rounded sim DESC, candidate id ASC) — fully deterministic."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("candidate_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp))
+        .select("query_id", "candidate_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def srp_bucket(vec: Column, planes: int = 8) -> Column:
+    """Sign-random-projection bucket key from the first ``planes``
+    dimension signs. A deterministic, engine-portable LSH family for
+    cosine similarity (proper random hyperplanes would use a broadcast
+    plane matrix; sign-of-dim is the dependency-free special case)."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(planes)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_cosine_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    min_sim: float = 0.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Near-duplicate embedding pairs within SRP buckets: the self-join is
+    hash-partitioned on the bucket key, so work scales with bucket
+    collision counts, not n^2."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    left = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    right = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_dp))
+        .filter(F.col("sim") >= min_sim)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,21 @@
+"""Correctness/benchmark query suite.
+
+Every registered query has (a) a PySpark implementation expressing one
+operator family from SURVEY.md §2 or a training-data-pipeline op, and
+(b) where SQL-expressible, a DuckDB oracle producing identical rows
+(same column names, comparable types, deterministic values).
+
+Importing this package populates the registry.
+"""
+
+from c3dc_etl_spark.suite.registry import REGISTRY, QuerySpec, query  # noqa: F401
+
+# Import side-effect: register all queries.
+from c3dc_etl_spark.suite import relational  # noqa: F401,E402
+from c3dc_etl_spark.suite import harmonization_ops  # noqa: F401,E402
+from c3dc_etl_spark.suite import windows_dedup  # noqa: F401,E402
+from c3dc_etl_spark.suite import restructuring  # noqa: F401,E402
+from c3dc_etl_spark.suite import text_ops  # noqa: F401,E402
+from c3dc_etl_spark.suite import dedup_ops  # noqa: F401,E402
+from c3dc_etl_spark.suite import similarity_ops  # noqa: F401,E402
+from c3dc_etl_spark.suite import multimodal_ops  # noqa: F401,E402

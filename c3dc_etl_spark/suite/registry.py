@@ -1,0 +1,117 @@
+"""Query registry + shared helpers for Spark<->DuckDB oracle parity.
+
+Cross-engine determinism rules applied throughout the suite (each one is a
+real divergence between Spark and DuckDB that breaks value-hash compares):
+
+1. Money/aggregate sums go through DECIMAL so the sum is exact and
+   engine-order-independent; the final cast to DOUBLE is correctly rounded
+   and therefore bit-identical in both engines.
+2. double->int conversions use floor(x + 0.5): DuckDB *rounds* on
+   CAST(double AS BIGINT) while Spark *truncates*.
+3. Sort keys are never nullable (coalesce to sentinels): Spark defaults to
+   NULLS FIRST on ASC, DuckDB to NULLS LAST.
+4. Every LIMIT/top-k is ordered by a key-extended deterministic ordering.
+5. Timestamps are emitted as formatted strings (wall-clock stable under
+   any session timezone).
+6. Cross-engine hashing uses md5 (identical hex in both); never
+   engine-native hash().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a suite query; ``oracle`` is DuckDB SQL over the
+    pre-registered table views, or None for non-SQL-expressible ops
+    (driver falls back to a rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tuple(tags)
+        )
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one test table. ``events.ts`` is TIMESTAMP(NANOS) parquet,
+    which Spark cannot read natively (PARQUET_TYPE_ILLEGAL): read it as
+    long nanos (legacy conf, runtime-settable) and expose ``ts_us``
+    (epoch microseconds, bigint) instead — arithmetic, engine- and
+    timezone-independent (DuckDB: EPOCH_US(ts))."""
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+        else:  # future-proof: already microseconds
+            df = df.withColumn("ts_us", F.unix_micros(F.col("ts"))).drop("ts")
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic cross-engine numeric helpers
+# ---------------------------------------------------------------------------
+
+def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
+    """Exact decimal view of a double column (values were generated at
+    2dp, so this round-trips exactly in both engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent exact sum of a money-like double column, emitted
+    as a (bit-identical) double."""
+    return F.sum(dec(col, scale)).cast("double")
+
+
+def davg(col: Column | str, scale: int = 2, out_dp: int = 6) -> Column:
+    """Deterministic average: exact decimal sum / count, rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(dec(c, scale)).cast("double") / F.count(c), out_dp)
+
+
+def int_round(col: Column | str) -> Column:
+    """Half-up rounding to integer that is identical in Spark and DuckDB
+    (Spark CAST truncates, DuckDB CAST rounds — so neither is used).
+    Mirrors reference integer conversion int(float(v)) + round()
+    (etl/ccdi/c3dc_etl.py:1134-1138)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c + F.lit(0.5)).cast("bigint")
+
+
+ORACLE_INT_ROUND = "CAST(FLOOR({x} + 0.5) AS BIGINT)"

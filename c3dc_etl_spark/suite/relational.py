@@ -1,0 +1,317 @@
+"""Core relational queries (scans, filters, projections, joins, aggs).
+
+These exercise the generic Spark primitives SURVEY.md §2 maps the
+reference's operators onto: predicate pushdown scans (S1-S2 analog),
+empty-row filters (P1/P2), mapping-driven projection (P4), broadcast
+lookup joins (J4/J5), equi joins (J1), group aggregation (A3/A6) and
+deterministic top-k (O4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.suite.registry import davg, dec, dsum, load, query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(
+            CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+            AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+            * CAST(1.0 + l_tax AS DECIMAL(18,2))
+            AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter -> hash agg with map-side
+    partials. Flagship scan+agg; at 100 TB this is a single shuffle on
+    (returnflag, linestatus) with ~6 groups — partial aggregation does
+    almost all the work map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice").cast("decimal(18,2)") * dec(
+        F.lit(1.0) - F.col("l_discount")
+    )
+    disc_price = disc_price.cast("decimal(18,4)")
+    charge = (disc_price * dec(F.lit(1.0) + F.col("l_tax"))).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(
+               CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "topk", "tpch"),
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dimension filter -> broadcast join ->
+    agg -> deterministic top-k (revenue DESC, unique key tiebreak).
+    customer is tiny relative to lineitem, so it is broadcast: the big
+    fact table never shuffles for the join."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = (
+        dec("l_extendedprice").cast("decimal(18,2)")
+        * dec(F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(
+               CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: all dimensions broadcast; the only
+    shuffle left is the final small groupBy(n_name)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = (
+        dec("l_extendedprice").cast("decimal(18,2)")
+        * dec(F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag AS flag
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_returnflag <> '' AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+    tags=("filter", "projection"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P4: pushdown-friendly filter + column-pruned projection
+    (reference drops blank-id rows, etl/ccdi/c3dc_etl.py:513, and
+    renames source->output fields, etl/ccdi/c3dc_etl.py:1018-1027).
+    Both predicate and 4-column ReadSchema reach the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_returnflag") != "")
+        & F.col("l_discount").between(0.02, 0.08)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+@query(
+    "broadcast_lookup_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name, p_brand,
+           CAST(FLOOR(l_quantity * p_retailprice + 0.5) AS BIGINT) AS line_value
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+    """,
+    tags=("join", "broadcast"),
+)
+def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5: small-dimension lookup as an explicit broadcast hash join —
+    the Spark answer to the reference's per-row dict lookups
+    (etl/mci/c3dc_etl.py:941,1540-1561). No shuffle of the fact side."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_name",
+        "p_brand",
+        F.floor(F.col("l_quantity") * F.col("p_retailprice") + F.lit(0.5))
+        .cast("bigint")
+        .alias("line_value"),
+    )
+
+
+@query(
+    "dupe_count_assertion",
+    oracle="""
+    SELECT o_custkey AS cust_id, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 1
+    """,
+    tags=("agg", "validation"),
+)
+def dupe_count_assertion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/D3/D4: duplicate-key frequency check (reference
+    etl/ccdi/c3dc_etl.py:1475-1485, etl/target/c3dc_etl.py:1719-1727)
+    as groupBy(id).count().filter(>1)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("cust_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+@query(
+    "anti_join_integrity",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    ANTI JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join", "validation"),
+)
+def anti_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X5: referential-integrity check as a left_anti join (reference
+    loops: every link id must resolve, etl/target/c3dc_etl.py:1663-1815;
+    treatment-response-without-treatment warning
+    etl/mci/c3dc_etl.py:2313-2347). Broadcast anti join — zero rows
+    expected on clean data."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+    ).select("o_orderkey", "o_custkey")
+
+
+@query(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    SEMI JOIN orders ON c_custkey = o_custkey AND o_totalprice > 200000
+    """,
+    tags=("join",),
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one big order — the
+    distributed form of the reference's 'participant has observations'
+    existence scans (etl/ccdi/c3dc_etl.py:1429-1432)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "theta_rule_join",
+    oracle="""
+    SELECT e.event_id, r.rule_name
+    FROM events e
+    JOIN (
+        SELECT 'big_error' AS rule_name, 'error' AS want_type, 150.0 AS min_value
+        UNION ALL
+        SELECT 'any_signup', 'signup', 0.0
+        UNION ALL
+        SELECT 'mid_click', 'click', 100.0
+    ) r
+      ON LOWER(TRIM(e.event_type)) = r.want_type AND e.value >= r.min_value
+    """,
+    tags=("join", "rules"),
+)
+def theta_rule_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/M3: row-mapped rule matching as a broadcast theta join — each
+    rule row whose predicates all match a record yields one output
+    (reference C3dcRowMappedBuilder.get_records,
+    etl/mci/c3dc_row_mapped_builder.py:195-252,312-387). Rules are tiny
+    -> broadcast; match predicate is case-insensitive like the
+    reference's casefold comparisons."""
+    events = load(spark, sf_dir, "events")
+    rules = spark.createDataFrame(
+        [
+            ("big_error", "error", 150.0),
+            ("any_signup", "signup", 0.0),
+            ("mid_click", "click", 100.0),
+        ],
+        "rule_name string, want_type string, min_value double",
+    )
+    return events.join(
+        F.broadcast(rules),
+        (F.lower(F.trim(events.event_type)) == rules.want_type)
+        & (events.value >= rules.min_value),
+    ).select("event_id", "rule_name")

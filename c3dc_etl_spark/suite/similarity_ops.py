@@ -1,0 +1,111 @@
+"""Similarity-search suite queries over the embeddings table, backed by
+c3dc_etl_spark.operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import similarity as S
+from c3dc_etl_spark.suite.registry import load, query
+
+N_QUERIES = 8
+TOP_K = 10
+SRP_PLANES = 8
+
+_COS = (
+    "LIST_DOT_PRODUCT(qv, cv) / "
+    "(SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv)))"
+)
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+    SELECT vec_id AS candidate_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+scored AS (
+    SELECT query_id, candidate_id, ROUND({_COS}, 4) AS sim
+    FROM c, q
+    WHERE candidate_id <> query_id
+)
+SELECT query_id, candidate_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, candidate_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_cosine_topk", oracle=_TOPK_ORACLE, tags=("similarity",))
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k: broadcast the query batch against
+    the candidate table (no candidate shuffle), per-query window for k.
+    Dot products via zip_with+aggregate in double precision; sims rounded
+    to 4dp so FP summation-order noise cannot flip a rank."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.cosine_topk(queries, emb, k=TOP_K)
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(SRP_PLANES)
+    )
+    return f"({bits})"
+
+
+_LSH_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+           {_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+)
+SELECT a.id AS id_a, c.id AS id_b,
+       ROUND(LIST_DOT_PRODUCT(a.vec, c.vec)
+             / (SQRT(LIST_DOT_PRODUCT(a.vec, a.vec))
+                * SQRT(LIST_DOT_PRODUCT(c.vec, c.vec))), 4) AS sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+"""
+
+
+@query("ann_lsh_bucketed", oracle=_LSH_ORACLE, tags=("similarity",))
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed (sign-random-projection) similarity pairs: self-join
+    restricted to matching sign-bit buckets — the scale path where
+    brute force would be n^2."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_candidates(emb, planes=SRP_PLANES, min_sim=-1.0)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS BIGINT) AS dim,
+           ROUND(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
+               AS l2_norm,
+           ROUND(LIST_AGGREGATE(embedding::DOUBLE[], 'sum'), 4) AS comp_sum
+    FROM embeddings
+    """,
+    tags=("similarity",),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene metrics (dim, L2 norm, component sum) — the
+    cheap full-scan validation pass run before any ANN work."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    comp_sum = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("bigint").alias("dim"),
+        F.round(S.l2_norm(v), 4).alias("l2_norm"),
+        F.round(comp_sum, 4).alias("comp_sum"),
+    )

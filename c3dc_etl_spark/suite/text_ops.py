@@ -1,0 +1,148 @@
+"""Text-analysis suite queries over the documents table, backed by
+c3dc_etl_spark.operators.text. Oracle SQL is generated from the same
+marker/stopword constants so both sides stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import text as T
+from c3dc_etl_spark.suite.registry import load, query
+
+
+def _sql_count_occ(marker: str) -> str:
+    """DuckDB mirror of text._count_occurrences (split-length count)."""
+    return (
+        f"CAST(LEN(STRING_SPLIT(' ' || LOWER(text) || ' ', ' {marker} ')) - 1 AS BIGINT)"
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    return " + ".join(_sql_count_occ(m) for m in T.LANG_MARKERS[lang])
+
+
+_LANG_SCORES_UNION = "\nUNION ALL\n".join(
+    f"SELECT doc_id, '{lang}' AS cand_lang, {_sql_lang_score(lang)} AS score FROM documents"
+    for lang in sorted(T.LANG_MARKERS)
+)
+
+_LANGID_ORACLE = f"""
+WITH scores AS (
+    {_LANG_SCORES_UNION}
+),
+best AS (
+    SELECT doc_id, cand_lang, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand_lang DESC) AS rn
+    FROM scores
+)
+SELECT d.doc_id,
+       CASE WHEN b.score > 0 THEN b.cand_lang ELSE 'und' END AS detected_lang,
+       d.lang AS labeled_lang
+FROM documents d
+JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+@query("text_language_id", oracle=_LANGID_ORACLE, tags=("text",))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via stopword-marker counts (n-gram
+    heuristic): argmax of per-language whole-word marker hits, 'und' when
+    nothing matches. Pure split/length arithmetic — codegen the whole
+    way; at 100 TB this is a single narrow pass."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.language_id("text").alias("detected_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+_STOP_SUM = " + ".join(_sql_count_occ(w) for w in T.STOPWORDS_EN)
+
+_QUALITY_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT)
+           END AS n_tokens,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+           {_STOP_SUM} AS stop_hits
+    FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       CAST(FLOOR(CAST(n_chars AS DOUBLE) / GREATEST(n_tokens, 1) * 10000 + 0.5) AS BIGINT)
+           AS mean_token_len_x1e4,
+       CAST(FLOOR(CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1) * 10000 + 0.5) AS BIGINT)
+           AS alpha_ratio_x1e4,
+       CAST(FLOOR(CAST(stop_hits AS DOUBLE) / GREATEST(n_tokens, 1) * 10000 + 0.5) AS BIGINT)
+           AS stopword_ratio_x1e4
+FROM feat
+"""
+
+
+@query("text_quality_features", oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features: length, token count, mean token length,
+    alphabetic density, stopword ratio (ratios emitted as x1e4 scaled
+    ints — deterministic across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    f = T.quality_features("text")
+
+    def scaled(c, name):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("bigint").alias(name)
+
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        scaled(f["mean_token_len"], "mean_token_len_x1e4"),
+        scaled(f["alpha_ratio"], "alpha_ratio_x1e4"),
+        scaled(f["stopword_ratio"], "stopword_ratio_x1e4"),
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT)
+           END AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+'))) AS BIGINT)
+               AS n_distinct_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + distinct (casefolded) token
+    vocabulary per document."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(SUBSTR(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), 1, 256))
+               AS fingerprint
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized 256-char prefix
+    (engine-portable rolling-hash stand-in)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
