@@ -15,6 +15,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The documents tables arrive as a single parquet file -> ONE input
+    partition, which would serialize the (expensive) per-row shingle and
+    signature hashing onto a single core. At cluster scale the input is
+    many files and this is a no-op cost-wise; locally it is the
+    difference between 1 and 32 cores on the hot map."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def content_digest(col: Column | str, *, normalize: bool = True) -> Column:
     """Digest for exact dedup; optionally whitespace/case-normalized."""
     c = F.col(col) if isinstance(col, str) else col
@@ -101,6 +112,7 @@ def minhash_lsh_candidates(
     100 TB add a collision cap per bucket (count + filter) before the
     pair join."""
     rows_per_band = num_hashes // bands
+    df = _spread(df)
     sig = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -148,7 +160,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs pre-bucketed by min-hash
     (docs sharing a min-shingle hash get compared). Inverted-index join on
     the bucket key, then exact |A∩B| / |A∪B| via array ops."""
-    docs = df.select(
+    docs = _spread(df).select(
         F.col(id_col).alias("doc"), char_shingles(text_col, shingle_k).alias("sh")
     )
     buckets = docs.select(
