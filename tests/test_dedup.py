@@ -1,0 +1,61 @@
+"""Unit tests for c3dc_etl_spark.operators.dedup on tiny literal frames."""
+
+from __future__ import annotations
+
+from c3dc_etl_spark.operators import dedup as D
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([(i, r) for i, r in enumerate(rows)], ["id", "txt"])
+
+
+def test_exact_dedup_groups_normalized_duplicates(spark):
+    df = _docs(spark, ["Hello   world", "hello world", "other text", "OTHER  TEXT"])
+    out = {r["keep_id"]: r["group_size"] for r in D.exact_dedup(df, "txt", "id").collect()}
+    assert out == {0: 2, 2: 2}
+
+
+def test_char_shingles_distinct_and_short_text(spark):
+    df = _docs(spark, ["abcde", "ab"])
+    rows = {r["id"]: r["sh"] for r in df.select("id", D.char_shingles("txt", 3).alias("sh")).collect()}
+    assert sorted(rows[0]) == ["abc", "bcd", "cde"]
+    assert rows[1] == ["ab"]  # shorter than k -> single truncated shingle
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [base, base, "completely unrelated content about spark engines"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_candidates(df, "txt", "id").collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # unrelated doc must not pair with est_jaccard 1.0
+    for (a, b), j in pairs.items():
+        if (a, b) != (0, 1):
+            assert j < 1.0
+
+
+def test_ngram_jaccard_exact_values(spark):
+    base = "spark structured streaming with watermarks"
+    df = _docs(spark, [base, base, "zzzz qqqq xxxx wwww ssss tttt uuuu vvvv"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, "txt", "id").collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert all(j < 0.2 for (a, b), j in pairs.items() if (a, b) != (0, 1))
+
+
+def test_simhash_identical_docs_equal_and_near_docs_close(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    far = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [base, base, near, far])
+    got = {r["doc"]: r["simhash"] for r in D.simhash(df, "txt", "id").collect()}
+    assert got[0] == got[1]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[0], got[2]) < hamming(got[0], got[3])

@@ -1,0 +1,39 @@
+"""Registry-wide smoke: every suite query analyzes (resolves its plan)
+against sf0.001, and the fast majority also execute. This is the local
+stand-in for the driver's t1; scripts/check_oracle.py is the full t2."""
+
+from __future__ import annotations
+
+import pytest
+
+from c3dc_etl_spark.suite import REGISTRY
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Heavier near-dup queries are covered by scripts/check_oracle.py and
+# tests/test_dedup.py; skip their full execution here to keep pytest fast.
+SLOW = {"dedup_minhash_lsh", "dedup_ngram_jaccard"}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_analyzes_and_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF0001)
+    assert df.columns, f"{name}: empty schema"
+    if name not in SLOW:
+        assert df.count() >= 0
+
+
+def test_every_query_has_doc_and_most_have_oracles():
+    missing_oracle = [n for n, s in REGISTRY.items() if s.oracle is None]
+    # only genuinely non-SQL-expressible ops may omit the oracle
+    assert set(missing_oracle) <= {"multimodal_features"}, missing_oracle
+
+
+def test_entry_contract():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40
