@@ -57,12 +57,16 @@ def main() -> int:
     # Warm-up: JVM + parquet footer caches, not counted.
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
+    missing = [name for name in HEADLINE if name not in qs]
+    if missing:
+        # a renamed/dropped query must fail the benchmark loudly, not
+        # silently shrink the reported suite wall
+        raise SystemExit(f"HEADLINE queries missing from registry: {missing}")
+
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
+        fn = qs[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         dt = round(time.perf_counter() - t0, 3)

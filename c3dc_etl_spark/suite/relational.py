@@ -135,8 +135,11 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "tpch"),
 )
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style star join: all dimensions broadcast; the only
-    shuffle left is the final small groupBy(n_name)."""
+    """TPC-H Q5-style star join. The two fact tables (lineitem, orders)
+    meet in a shuffle join on orderkey — broadcasting an orders-sized
+    intermediate would OOM the driver at 100x scale. True dimensions
+    (customer, supplier, nation, region) are broadcast, so the only wide
+    exchanges are the fact-fact join and the final small groupBy."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -148,7 +151,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         * dec(F.lit(1.0) - F.col("l_discount"))
     ).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp),
               (li.l_suppkey == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey))

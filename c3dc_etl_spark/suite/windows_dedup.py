@@ -121,15 +121,35 @@ def followup_primary_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def row_numbering_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: audit row numbering (petl.addrownumbers(start=2),
-    etl/ccdi/c3dc_etl.py:516) — explicit-order row_number as a lineage
-    column. Note: a global row_number is a single-partition sort; at
-    100 TB use monotonically_increasing_id or a per-file window keyed by
-    input_file_name instead (this form exists for reference parity on
-    per-study data, which is small)."""
-    cust = load(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_custkey").asc())
-    return cust.select(
-        "c_custkey", "c_name", (F.row_number().over(w) + F.lit(1)).alias("source_file_row_num")
+    etl/ccdi/c3dc_etl.py:516) — a global key-ordered row number WITHOUT a
+    single-partition sort. Two-phase: range-repartition on the key, number
+    within each range partition (distributed window), then add cumulative
+    partition offsets (a tiny per-partition count aggregate, broadcast
+    back). Output numbering is by key order regardless of where range
+    boundaries land, so the plan scales to any partition count while the
+    result stays byte-identical to ROW_NUMBER() OVER (ORDER BY key).
+
+    The offsets subtree reuses the same range exchange (ReuseExchange) —
+    the scan + shuffle run once."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ranged = cust.repartitionByRange(32, F.col("c_custkey")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(F.col("c_custkey").asc())
+    numbered = ranged.withColumn("__rn", F.row_number().over(w_in))
+    # cumulative offset of earlier range partitions: num_partitions rows,
+    # so the global window over it is trivially cheap
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return numbered.join(F.broadcast(offsets), "__pid").select(
+        "c_custkey",
+        "c_name",
+        (F.col("__rn") + F.col("__off") + F.lit(1)).cast("bigint").alias("source_file_row_num"),
     )
 
 
@@ -247,16 +267,27 @@ def drop_duplicates_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "validation"),
 )
 def except_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D6: merged-vs-unmerged reconciliation via exceptAll counts
-    (reference _validate_merged_harmonized_data,
-    etl/target/c3dc_etl.py:1817-1924 — set-equality checks)."""
+    """D6: merged-vs-unmerged reconciliation — EXCEPT ALL cardinalities in
+    both directions (reference _validate_merged_harmonized_data,
+    etl/target/c3dc_etl.py:1817-1924 — set-equality checks).
+
+    Computed as ONE lazy job instead of two eager exceptAll().count()
+    actions: signed-weight union (+1 for side a, -1 for side b), one
+    groupBy on the compared columns, then sum the positive and negative
+    remainders — multiset-difference counts in a single shuffle over one
+    scan of each side."""
     events = load(spark, sf_dir, "events")
     a = events.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type")
     b = events.select("user_id", "event_type")
-    missing_in_b = a.exceptAll(b).count()
-    missing_in_a = b.exceptAll(a).count()
-    return spark.createDataFrame(
-        [(missing_in_b, missing_in_a)], "missing_in_b bigint, missing_in_a bigint"
+    unioned = a.withColumn("__w", F.lit(1)).unionByName(b.withColumn("__w", F.lit(-1)))
+    diff = unioned.groupBy("user_id", "event_type").agg(F.sum("__w").alias("__d"))
+    return diff.agg(
+        F.coalesce(F.sum(F.when(F.col("__d") > 0, F.col("__d"))), F.lit(0))
+        .cast("bigint")
+        .alias("missing_in_b"),
+        F.coalesce(F.sum(F.when(F.col("__d") < 0, -F.col("__d"))), F.lit(0))
+        .cast("bigint")
+        .alias("missing_in_a"),
     )
 
 
