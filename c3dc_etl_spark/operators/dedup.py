@@ -5,14 +5,42 @@ Scale design:
   does the heavy lifting).
 - Near-dup = shingle -> minhash signature -> LSH band bucketing -> join
   within buckets only: candidate pairs are O(collisions), never O(n^2).
-- All hashing is md5-based (engine-portable, seed-parameterized) and every
-  step is a JVM-side expression — no Python in the hot path.
+  Oversized buckets (boilerplate text, skew) are capped BEFORE the pair
+  join so one hot band key cannot degenerate to n^2 within its bucket.
+- Hashing cost is ONE md5 per shingle/token; the per-permutation work is
+  integer arithmetic (affine permutations mod a Mersenne prime), not
+  repeated digests. Everything is a JVM-side codegen expression — no
+  Python in the hot path — and every formula is mirrored exactly in the
+  DuckDB oracle SQL (md5 / substr / ascii / integer ops are portable).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1. The hash value v is 32-bit (8 folded hex chars)
+# and the multiplier a is ~2^31, so a*v wraps the modulus ~2^31 times —
+# a genuinely mixing permutation (a small multiplier that never wraps
+# would be order-preserving: every "permutation" would then pick the
+# same min shingle and the signatures would be useless). The product
+# (2^31-2)*(2^32-1) + b stays just under 2^63: no bigint overflow in
+# either engine.
+MERSENNE_31 = (1 << 31) - 1
+
+
+def perm_constants(num_hashes: int, seed: str = "mh") -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (a_j, b_j), derived from
+    md5 so Spark and the oracle SQL can embed identical literals."""
+    out: list[tuple[int, int]] = []
+    for j in range(num_hashes):
+        d = hashlib.md5(f"{seed}:{j}".encode()).hexdigest()
+        a = (int(d[:8], 16) % ((1 << 31) - 2)) + 1  # 1 .. 2^31-2
+        b = int(d[8:16], 16) % MERSENNE_31  # 0 .. 2^31-2
+        out.append((a, b))
+    return out
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -58,24 +86,55 @@ def char_shingles(col: Column | str, k: int = 12) -> Column:
     )
 
 
-def _seeded_md5(prefix: str):
+def hash32(col: Column) -> Column:
+    """Portable 32-bit integer hash: fold the first 8 hex chars of
+    md5(x) with positional arithmetic. ONE digest per value; the fold is
+    8 ascii ops inside codegen. Identical formula in DuckDB
+    (list_reduce over the same substr/ascii mapping)."""
+    h = F.md5(col)
+    digit = (
+        lambda c: F.when(F.ascii(c) >= 97, F.ascii(c) - 87)
+        .otherwise(F.ascii(c) - 48)
+        .cast("long")
+    )
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(8)), lambda i: h.substr(i, F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * F.lit(16).cast("long") + digit(c),
+    )
+
+
+def _affine(a: int, b: int):
     """Single-arg lambda factory: pyspark higher-order functions infer
     lambda arity from the *signature* (defaults included), so a
-    ``lambda s, j=j`` would be called as (element, index) — the closure
-    must close over the seed, not default-arg it."""
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    ``lambda v, a=a, b=b`` would be treated as a 3-arg lambda — the
+    closure must capture the constants, not default-arg them."""
+    return lambda v: (v * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_31)
+
+
+def minhash_from_hashes(hashed: Column, num_hashes: int = 16, seed: str = "mh") -> Column:
+    """MinHash signature as an array<bigint> from a pre-hashed shingle
+    array: element j is min over values of (a_j * v + b_j) mod (2^31-1).
+
+    IMPORTANT: ``hashed`` should be a *materialized column* (its own
+    projection), not an inline ``transform(..., hash32)`` expression —
+    the 16 permutation expressions each embed a full copy of their input
+    tree, so an inline hash would be digested 16x per row. Spark's
+    CollapseProject keeps a non-cheap multiply-referenced projection
+    separate, so a two-step select evaluates the digests once."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hashed, _affine(a, b))).alias(f"h{j}")
+            for j, (a, b) in enumerate(perm_constants(num_hashes, seed))
+        ]
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16, seed: str = "mh") -> Column:
-    """MinHash signature as an array of hex-min values: element j is
-    min(md5(seed_j || shingle)). Lexicographic min over a uniform hash is
-    a valid min-hash; md5 hex compares identically in any engine."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, _seeded_md5(f"{seed}{j}:"))).alias(f"h{j}")
-            for j in range(num_hashes)
-        ]
-    )
+    """One-shot MinHash signature from a shingle array. Convenience form —
+    recomputes the shingle digests per permutation; prefer the two-step
+    hash column + :func:`minhash_from_hashes` in hot paths."""
+    return minhash_from_hashes(F.transform(shingles, hash32), num_hashes, seed)
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -86,7 +145,10 @@ def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
             F.md5(
                 F.concat_ws(
                     "|",
-                    *[F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
             )
             for b in range(bands)
@@ -102,38 +164,58 @@ def minhash_lsh_candidates(
     shingle_k: int = 12,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band,
     with estimated Jaccard = matching signature fraction.
 
     Plan shape: narrow map (shingle/signature) -> explode bands ->
-    self-join on band key -> distinct pairs. The join is hash-partitioned
-    on the band key, so cost tracks actual collisions. Skew guard: at
-    100 TB add a collision cap per bucket (count + filter) before the
-    pair join."""
+    bucket-size cap -> self-join on band key over bare (id, band) rows ->
+    distinct id pairs -> rejoin signatures for the estimate.
+
+    Scale properties:
+    - the pair join and its dropDuplicates shuffle ONLY (band, id) /
+      (id_a, id_b) rows — signatures are re-attached after the pair set
+      is already deduplicated, so the wide arrays never ride the
+      candidate-pair shuffle;
+    - ``max_bucket_size`` drops degenerate buckets (identical boilerplate
+      docs produce one band key with thousands of members -> n^2 pairs in
+      that bucket); the cap bounds per-bucket work at cap^2 and is the
+      skew guard for 100 TB runs. Capped buckets are near-exact-duplicate
+      clusters — exact_dedup handles those cheaply."""
     rows_per_band = num_hashes // bands
     df = _spread(df)
-    sig = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            minhash_signature(char_shingles(text_col, shingle_k), num_hashes).alias("sig"),
-        )
+    hv = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(char_shingles(text_col, shingle_k), hash32).alias("hv"),
     )
+    sig = hv.select("doc", minhash_from_hashes(F.col("hv"), num_hashes).alias("sig"))
+    # The sig subtree feeds three consumers (band explode + both rejoin
+    # sides). A hash exchange here makes all three reuse ONE computed
+    # copy (ReuseExchange) instead of re-digesting the corpus per
+    # consumer — the signature shuffle is ~140 bytes/doc, orders of
+    # magnitude cheaper than re-reading + re-hashing the text.
+    sig = sig.repartition(df.sparkSession.sparkContext.defaultParallelism, "doc")
     banded = sig.select(
-        "doc", "sig", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band")
+        "doc", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band")
     )
-    left = banded.select(
-        F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"), "band"
-    )
-    right = banded.select(
-        F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), "band"
-    )
+    if max_bucket_size:
+        w = Window.partitionBy("band")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    left = banded.select(F.col("doc").alias("id_a"), "band")
+    right = banded.select(F.col("doc").alias("id_b"), "band")
     pairs = (
         left.join(right, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
     match_frac = (
         F.size(
             F.filter(
@@ -141,10 +223,12 @@ def minhash_lsh_candidates(
                 lambda x: x,
             )
         ).cast("double")
-        / F.lit(float(len(range(num_hashes))))
+        / F.lit(float(num_hashes))
     )
-    return pairs.select(
-        "id_a", "id_b", F.round(match_frac, 4).alias("est_jaccard")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(match_frac, 4).alias("est_jaccard"))
     )
 
 
@@ -156,66 +240,148 @@ def ngram_jaccard_pairs(
     shingle_k: int = 12,
     min_jaccard: float = 0.0,
     bucket_hashes: int = 2,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs pre-bucketed by min-hash
-    (docs sharing a min-shingle hash get compared). Inverted-index join on
-    the bucket key, then exact |A∩B| / |A∪B| via array ops."""
-    docs = _spread(df).select(
-        F.col(id_col).alias("doc"), char_shingles(text_col, shingle_k).alias("sh")
+    """N-gram Jaccard over candidate pairs pre-bucketed by min-hash
+    (docs sharing a min-shingle permutation value get compared).
+    Inverted-index join on the bucket key over bare (id, bucket) rows.
+
+    The per-pair |A∩B| / |A∪B| is computed over the *hashed* shingle
+    sets (distinct 32-bit values), not the shingle strings: integer
+    arrays are 4-8x smaller through the rejoin shuffle and compare
+    word-at-a-time. Hash collisions (~n^2/2^33 per pair) can perturb a
+    count by 1 in rare cases — deterministic, and mirrored exactly in
+    the oracle."""
+    hashed = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(char_shingles(text_col, shingle_k), hash32)
+        ).alias("hv"),
     )
-    buckets = docs.select(
+    # shared exchange: hashed shingle sets feed bucketing and both rejoin
+    # sides; shuffle once instead of re-shingling per consumer
+    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism, "doc")
+    buckets = hashed.select(
         "doc",
-        "sh",
         F.explode(
             F.array(
                 *[
-                    F.array_min(F.transform(F.col("sh"), _seeded_md5(f"jb{j}:")))
-                    for j in range(bucket_hashes)
+                    F.array_min(F.transform(F.col("hv"), _affine(a, b))).cast("string")
+                    for (a, b) in perm_constants(bucket_hashes, "jb")
                 ]
             )
         ).alias("bucket"),
     )
-    left = buckets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
-    right = buckets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "bucket")
+    if max_bucket_size:
+        w = Window.partitionBy("bucket")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    left = buckets.select(F.col("doc").alias("id_a"), "bucket")
+    right = buckets.select(F.col("doc").alias("id_b"), "bucket")
     pairs = (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    da = hashed.select(F.col("doc").alias("id_a"), F.col("hv").alias("sh_a"))
+    db = hashed.select(F.col("doc").alias("id_b"), F.col("hv").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.round(inter / union, 4)
-    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= min_jaccard
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
     )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
-    """SimHash fingerprint: random hyperplanes simulated by md5(plane ||
-    token); plane bit = sign of the +-1 vote sum over tokens. Output is a
-    bigint fingerprint (sum of set-bit weights). explode tokens x planes
-    -> two-level aggregation; everything stays in codegen."""
+    """SimHash fingerprint from ONE md5 per token: hex digit j of
+    md5(token) supplies the +-1 vote for plane j (a uniform hash's hex
+    digits are independent uniform 4-bit values; digit < 8 => +1). Plane
+    sums are ``bits`` conditional aggregates over the token explode — no
+    token x plane row blowup, one shuffle on doc id. Output is a bigint
+    fingerprint (sum of set-bit weights)."""
+    assert bits <= 32, "md5 supplies 32 hex-digit votes"
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).select("doc", F.md5("tok").alias("th"))
+    plane_sums = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.col("th"), j + 1, 1) < F.lit("8"), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
     )
-    planes = toks.select(
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return plane_sums.select("doc", fingerprint.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, found via bit-band
+    LSH: two fingerprints within hamming distance (bits/band_bits - 1)
+    share at least one exact band, so bucketing each fingerprint by its
+    band values turns the all-pairs hamming search into an equi-join.
+    Pair distance is then computed exactly via bit_count(xor)."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    fp = simhash(df, text_col, id_col, bits=bits)
+    banded = fp.select(
         "doc",
-        "tok",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("plane"),
-    ).withColumn(
-        "vote",
-        F.when(
-            F.substring(F.md5(F.concat_ws(":", F.lit("sh"), F.col("plane"), F.col("tok"))), 1, 1)
-            < F.lit("8"),
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
-    )
-    bitsum = planes.groupBy("doc", "plane").agg(F.sum("vote").alias("s"))
-    return bitsum.groupBy("doc").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.expr("shiftleft(1L, plane)")).otherwise(
-                F.lit(0).cast("bigint")
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        (
+                            F.shiftright(F.col("simhash"), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).cast("string"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
-        ).alias("simhash")
+        ).alias("band"),
+    )
+    if max_bucket_size:
+        w = Window.partitionBy("band")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    left = banded.select(F.col("doc").alias("id_a"), F.col("simhash").alias("fp_a"), "band")
+    right = banded.select(F.col("doc").alias("id_b"), F.col("simhash").alias("fp_b"), "band")
+    pairs = (
+        left.join(right, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )

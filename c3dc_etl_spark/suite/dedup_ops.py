@@ -1,12 +1,13 @@
 """Deduplication suite queries over the documents table, backed by
 c3dc_etl_spark.operators.dedup. Oracle SQL is generated from the same
-constants (shingle size, hash seeds, band layout) as the Spark side.
+constants (shingle size, affine-permutation constants, band layout,
+bucket caps) as the Spark side, so both engines evaluate the identical
+formula end to end.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators import dedup as D
 from c3dc_etl_spark.suite.registry import load, query
@@ -15,6 +16,8 @@ SHINGLE_K = 12
 NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
+MAX_BUCKET = 200
+P31 = D.MERSENNE_31
 
 _NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
 _SHINGLES = (
@@ -22,6 +25,17 @@ _SHINGLES = (
     f"GENERATE_SERIES(1, GREATEST(LENGTH({_NORM}) - {SHINGLE_K - 1}, 1)),"
     f" i -> SUBSTR({_NORM}, i, {SHINGLE_K})))"
 )
+
+# hash32: fold the first 8 hex chars of an md5 into a bigint — the
+# DuckDB mirror of operators.dedup.hash32.
+_FOLD_H = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+    "LIST_TRANSFORM(RANGE(1, 9), fi -> CAST("
+    "CASE WHEN ASCII(SUBSTR(h, fi, 1)) >= 97 THEN ASCII(SUBSTR(h, fi, 1)) - 87 "
+    "ELSE ASCII(SUBSTR(h, fi, 1)) - 48 END AS BIGINT))), "
+    "(acc, x) -> acc * 16 + x)"
+)
+_HASHED = f"LIST_TRANSFORM(LIST_TRANSFORM(sh, s -> MD5(s)), h -> {_FOLD_H})"
 
 
 @query(
@@ -45,8 +59,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sig_sql() -> str:
     mins = ",\n           ".join(
-        f"LIST_AGGREGATE(LIST_TRANSFORM(sh, s -> MD5('mh{j}:' || s)), 'min')"
-        for j in range(NUM_HASHES)
+        f"LIST_MIN(LIST_TRANSFORM(hv, v -> (v * {a} + {b}) % {P31}))"
+        for a, b in D.perm_constants(NUM_HASHES, "mh")
     )
     return f"[{mins}]"
 
@@ -54,10 +68,10 @@ def _sig_sql() -> str:
 def _bands_sql() -> str:
     parts = []
     for b in range(BANDS):
-        elems = " || '|' || ".join(
+        elems = ", '|', ".join(
             f"sig[{b * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND)
         )
-        parts.append(f"MD5({elems})")
+        parts.append(f"MD5(CONCAT({elems}))")
     return "[" + ", ".join(parts) + "]"
 
 
@@ -65,15 +79,22 @@ _MINHASH_ORACLE = f"""
 WITH docs AS (
     SELECT doc_id, {_SHINGLES} AS sh FROM documents
 ),
+hashed AS (
+    SELECT doc_id, {_HASHED} AS hv FROM docs
+),
 sigs AS (
-    SELECT doc_id, {_sig_sql()} AS sig FROM docs
+    SELECT doc_id, {_sig_sql()} AS sig FROM hashed
 ),
 banded AS (
-    SELECT doc_id, sig, UNNEST({_bands_sql()}) AS band FROM sigs
+    SELECT doc_id, UNNEST({_bands_sql()}) AS band FROM sigs
+),
+capped AS (
+    SELECT doc_id, band FROM banded
+    QUALIFY COUNT(*) OVER (PARTITION BY band) <= {MAX_BUCKET}
 ),
 pairs AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
 )
 SELECT p.id_a, p.id_b,
        ROUND(CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, {NUM_HASHES}),
@@ -87,70 +108,148 @@ JOIN sigs sb ON sb.doc_id = p.id_b
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate candidates: char-shingle -> 16-hash
-    minhash signature -> 4 bands -> bucket self-join -> estimated
-    Jaccard. Candidate generation is O(collisions), not O(n^2)."""
+    """MinHash + LSH near-duplicate candidates: char-shingle -> one
+    md5-derived 32-bit hash per shingle -> 16 affine permutations mod
+    2^31-1 -> 4 bands -> capped-bucket self-join over bare (id, band)
+    rows -> estimated Jaccard from rejoined signatures. Candidate
+    generation is O(collisions) with per-bucket work bounded by the cap,
+    never O(n^2)."""
     docs = load(spark, sf_dir, "documents")
     return D.minhash_lsh_candidates(
-        docs, "text", "doc_id", shingle_k=SHINGLE_K, num_hashes=NUM_HASHES, bands=BANDS
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        max_bucket_size=MAX_BUCKET,
     )
+
+
+def _bucket_sql() -> str:
+    mins = ", ".join(
+        f"CAST(LIST_MIN(LIST_TRANSFORM(hv, v -> (v * {a} + {b}) % {P31})) AS VARCHAR)"
+        for a, b in D.perm_constants(2, "jb")
+    )
+    return f"[{mins}]"
 
 
 _JACCARD_ORACLE = f"""
 WITH docs AS (
     SELECT doc_id, {_SHINGLES} AS sh FROM documents
 ),
+hashed AS (
+    SELECT doc_id, LIST_DISTINCT({_HASHED}) AS hv FROM docs
+),
 buckets AS (
-    SELECT doc_id, sh, UNNEST([
-        LIST_AGGREGATE(LIST_TRANSFORM(sh, s -> MD5('jb0:' || s)), 'min'),
-        LIST_AGGREGATE(LIST_TRANSFORM(sh, s -> MD5('jb1:' || s)), 'min')
-    ]) AS bucket
-    FROM docs
+    SELECT doc_id, UNNEST({_bucket_sql()}) AS bucket FROM hashed
+),
+capped AS (
+    SELECT doc_id, bucket FROM buckets
+    QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= {MAX_BUCKET}
 ),
 pairs AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT p.id_a, p.id_b,
-       ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE)
-             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+       ROUND(CAST(LEN(LIST_INTERSECT(sa.hv, sb.hv)) AS DOUBLE)
+             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.hv, sb.hv))) AS DOUBLE), 4) AS jaccard
 FROM pairs p
-JOIN docs sa ON sa.doc_id = p.id_a
-JOIN docs sb ON sb.doc_id = p.id_b
+JOIN hashed sa ON sa.doc_id = p.id_a
+JOIN hashed sb ON sb.doc_id = p.id_b
 """
 
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity over min-hash-bucketed candidate
-    pairs (inverted-index join, then |A∩B|/|A∪B| via array ops)."""
+    pairs (inverted-index join on bare ids, then |A∩B|/|A∪B| via array
+    ops on rejoined shingle sets)."""
     docs = load(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=SHINGLE_K)
+    return D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=SHINGLE_K, max_bucket_size=MAX_BUCKET
+    )
 
 
-_SIMHASH_ORACLE = """
-WITH toks AS (
+def _simhash_sums_sql(bits: int) -> str:
+    return ",\n           ".join(
+        f"SUM(CASE WHEN SUBSTR(th, {j + 1}, 1) < '8' THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+
+
+def _simhash_pack_sql(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+
+
+def _simhash_cte(bits: int) -> str:
+    return f"""
+raw_toks AS (
     SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+')) AS tok
     FROM documents
 ),
-votes AS (
-    SELECT doc_id, plane,
-           SUM(CASE WHEN SUBSTR(MD5('sh:' || plane || ':' || tok), 1, 1) < '8'
-                    THEN 1 ELSE -1 END) AS s
-    FROM toks, (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS plane)
-    GROUP BY doc_id, plane
+toks AS (
+    SELECT doc_id, MD5(tok) AS th FROM raw_toks
+),
+sums AS (
+    SELECT doc_id,
+           {_simhash_sums_sql(bits)}
+    FROM toks
+    GROUP BY doc_id
+),
+fp AS (
+    SELECT doc_id AS doc, CAST({_simhash_pack_sql(bits)} AS BIGINT) AS simhash FROM sums
 )
-SELECT doc_id AS doc,
-       CAST(SUM(CASE WHEN s >= 0 THEN 1::BIGINT << plane ELSE 0 END) AS BIGINT) AS simhash
-FROM votes
-GROUP BY doc_id
+"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_simhash_cte(16)}
+SELECT doc, simhash FROM fp
 """
 
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (16 md5-simulated hyperplanes): token votes
-    aggregated per plane, sign bits packed into a bigint. Two-level
-    aggregation, all codegen."""
+    """SimHash fingerprints: ONE md5 per token; hex digit j votes +-1 for
+    plane j; 16 conditional sums per doc (no token x plane row blowup),
+    sign bits packed into a bigint."""
     docs = load(spark, sf_dir, "documents")
     return D.simhash(docs, "text", "doc_id", bits=16)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_simhash_cte(32)},
+banded AS (
+    SELECT doc, simhash,
+           UNNEST([{", ".join(f"CONCAT('{b}', ':', (simhash >> {b * 8}) & 255)" for b in range(4))}])
+               AS band
+    FROM fp
+),
+pairs AS (
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+           a.simhash AS fp_a, b.simhash AS fp_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc < b.doc
+)
+SELECT id_a, id_b, CAST(BIT_COUNT(XOR(fp_a, fp_b)) AS INT) AS hamming
+FROM pairs
+WHERE BIT_COUNT(XOR(fp_a, fp_b)) <= 3
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("dedup",))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pair search on 32-bit fingerprints: 8-bit
+    band LSH (any two fingerprints within hamming distance 3 share at
+    least one of 4 exact bands — pigeonhole), then exact hamming via
+    bit_count(xor). Turns the all-pairs hamming scan into a bucketed
+    equi-join; 16-bit/4-bit banding would give only 16 distinct keys per
+    band and degenerate to an n^2/16 self-join."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(
+        docs, "text", "doc_id", bits=32, band_bits=8, max_hamming=3, max_bucket_size=0
+    )
