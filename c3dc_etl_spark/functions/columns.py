@@ -75,8 +75,12 @@ def deterministic_uuid(*identity: Column | str, seed: str = "") -> Column:
 
     Replaces the reference's sequential seeded random.Random draws —
     order-dependent, unreproducible under parallel execution — with a
-    content-derived id that is stable on any cluster at any parallelism."""
-    h = F.md5(F.concat_ws("\x00", F.lit(seed), *[_c(c).cast("string") for c in identity]))
+    content-derived id that is stable on any cluster at any parallelism.
+
+    Separator is the ASCII unit separator 0x1f (cannot appear in field
+    values; NUL would be unrepresentable in DuckDB varchars, which the
+    oracle mirror needs)."""
+    h = F.md5(F.concat_ws("\x1f", F.lit(seed), *[_c(c).cast("string") for c in identity]))
     return F.concat(
         F.substring(h, 1, 8), F.lit("-"),
         F.substring(h, 9, 4), F.lit("-4"),

@@ -22,7 +22,11 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from c3dc_etl_spark.functions.columns import blankish, split_multi
+from c3dc_etl_spark.functions.columns import (
+    MULTIPLE_VALUE_DELIMITER,
+    blankish,
+    split_multi,
+)
 from c3dc_etl_spark.mapping.compiler import CompilerContext, compile_node_groups
 from c3dc_etl_spark.mapping.model import FieldMapping
 
@@ -34,10 +38,15 @@ def sub_record_explode(
     ';', emit one clone per distinct sorted value with `_1.._n` id
     suffixes. Chained posexplodes (a record multi-valued in two eligible
     fields fans out over both, matching the reference's recursive
-    sub-record build)."""
+    sub-record build).
+
+    The split triggers on the DELIMITER being present (reference
+    etl/ccdi/c3dc_etl.py:1240-1292), not on distinct-count > 1: a cell
+    like 'A;A' collapses to one distinct value but still yields a
+    suffixed `_1` sub-record."""
     for src_col, _ in fields:
         parts = split_multi(F.col(src_col))
-        multi = F.size(parts) > 1
+        multi = F.col(src_col).cast("string").contains(MULTIPLE_VALUE_DELIMITER)
         df = df.withColumn(
             "__parts", F.when(multi, parts).otherwise(F.array(F.col(src_col).cast("string")))
         ).withColumn("__is_multi", multi)
