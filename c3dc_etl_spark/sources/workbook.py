@@ -1,0 +1,72 @@
+"""XLSX workbook scan (S1) + per-node tab routing (S4).
+
+Reference: _get_petl_table_from_source_file (etl/ccdi/c3dc_etl.py:374-413,
+petl.fromxlsx read_only with data_only formula evaluation) and
+_load_source_data's node->worksheet routing derived from mapping
+source-field prefixes with a one-tab-per-node invariant (:466-522).
+
+The byte-level XLSX parse is driver-side pandas.read_excel (workbooks
+are per-study, megabytes not terabytes); this container ships no Excel
+codec (openpyxl), so ``read_worksheet`` raises ImportError with guidance
+when the gate fails — the routing and pruning logic around it is real
+and unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from c3dc_etl_spark.mapping.model import FieldMapping
+
+EXCEL_SHEET_NAME_LIMIT = 31  # xlsx hard limit (etl/mci/data_pivoter.py:150-156)
+
+
+def truncate_sheet_name(name: str) -> str:
+    return name[:EXCEL_SHEET_NAME_LIMIT]
+
+
+def route_tabs(mappings: list[FieldMapping]) -> dict[str, str]:
+    """S4: output node -> source worksheet, derived from the mapping
+    source-field prefixes ('sheet.column'). A node whose mappings name
+    two different sheets is a config error (reference raises,
+    etl/ccdi/c3dc_etl.py:493-503); prefix-less mappings are sheet-
+    agnostic and route with their node's prefixed siblings."""
+    routes: dict[str, str] = {}
+    for m in mappings:
+        sheet = m.source_sheet()
+        if sheet is None:
+            continue
+        prev = routes.get(m.output_node)
+        if prev is not None and prev != sheet:
+            raise ValueError(
+                f"node {m.output_node!r} maps to two worksheets: {prev!r} and {sheet!r}"
+            )
+        routes[m.output_node] = sheet
+    return routes
+
+
+def read_worksheet(
+    spark: SparkSession,
+    path: str,
+    sheet: str,
+    *,
+    prune_headerless: bool = True,
+) -> DataFrame:
+    """S1: one worksheet -> untyped string DataFrame. Driver-side pandas
+    parse (import-gated), snapshot into Spark immediately — everything
+    downstream is a normal DataFrame."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)  # needs openpyxl
+    except ImportError as e:  # pragma: no cover - no Excel codec in container
+        raise ImportError(
+            "XLSX parsing needs openpyxl (pandas.read_excel engine); not "
+            "available in this environment. Convert the workbook to CSV/TSV "
+            "and use sources.delimited.read_delimited, or install openpyxl."
+        ) from e
+    if prune_headerless:
+        keep = [c for c in pdf.columns if str(c).strip() and not str(c).startswith("Unnamed:")]
+        pdf = pdf[keep]
+    pdf = pdf.where(pdf.notna(), None)
+    return spark.createDataFrame(pdf)

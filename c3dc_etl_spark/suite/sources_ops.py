@@ -1,0 +1,139 @@
+"""Sources-layer suite queries (S2/S3/S5/S7, P1, P3).
+
+These read the COMMITTED fixtures under tests/fixtures/ through the
+c3dc_etl_spark.sources readers; the DuckDB oracles read the same files
+with read_csv/read_json and restate the semantics. Fixture inputs are
+identical at every scale factor — the queries verify reader behavior,
+not volume.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.sources import (
+    read_delimited,
+    read_manifest,
+    read_subject_documents,
+)
+from c3dc_etl_spark.suite.registry import query
+
+FIXTURES = pathlib.Path(__file__).resolve().parents[2] / "tests" / "fixtures"
+TSV = str(FIXTURES / "clinical.tsv")
+SUBJECTS = str(FIXTURES / "subjects")
+MANIFEST = str(FIXTURES / "manifest.csv")
+
+SUBJECT_FIELDS = ("DM_SEX", "DM_BRTHDAT", "FU_STATUS", "FU_AGE")
+
+_DELIMITED_ORACLE = f"""
+SELECT id, name, dose,
+       ROW_NUMBER() OVER (ORDER BY CAST(id AS BIGINT)) + 1 AS source_file_row_num
+FROM read_csv('{TSV}', delim='\t', header=true, all_varchar=true)
+WHERE id IS NOT NULL AND TRIM(id) <> ''
+"""
+
+
+@query("source_delimited_scan", oracle=_DELIMITED_ORACLE, tags=("source",))
+def source_delimited_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3+P1+P3 through sources.read_delimited: TSV scan with all
+    cells untyped, blank-header column pruned, blank-id rows dropped,
+    then scan-order row numbers starting at 2 (petl.addrownumbers
+    parity) assigned WITHOUT a global sort (monotonic-id + split-offset
+    two-phase). Fixture ids ascend in file order, so the oracle can
+    restate scan order as ORDER BY id."""
+    return read_delimited(
+        spark, TSV, sep="\t", prune_headerless=True, id_column="id", row_numbers=True
+    )
+
+
+# Subject-document pivot: resolution rules restated in SQL
+_JSONDIR_ORACLE = f"""
+WITH docs AS (
+    SELECT * FROM read_json('{SUBJECTS}/*.json')
+),
+subjects AS (
+    SELECT participant.usi AS usi FROM docs
+),
+f1 AS (
+    SELECT participant.usi AS usi,
+           UNNEST(forms) AS form,
+           GENERATE_SUBSCRIPTS(forms, 1) AS form_pos
+    FROM docs
+),
+kv AS (
+    SELECT usi, form_pos,
+           GENERATE_SUBSCRIPTS(form.data, 1) AS field_pos,
+           UNNEST(form.data) AS fld
+    FROM f1
+),
+flat AS (
+    SELECT usi, form_pos, field_pos,
+           fld.form_field_id AS key, fld.value AS value
+    FROM kv
+),
+resolved AS (
+    SELECT usi, key, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY usi, key
+               ORDER BY CASE WHEN key = 'DM_BRTHDAT'
+                             THEN TRY_CAST(value AS DOUBLE) END ASC NULLS LAST,
+                        form_pos ASC, field_pos ASC
+           ) AS rn
+    FROM flat
+)
+SELECT s.usi,
+       MIN(CASE WHEN r.key = 'DM_SEX' AND r.rn = 1 THEN r.value END) AS DM_SEX,
+       MIN(CASE WHEN r.key = 'DM_BRTHDAT' AND r.rn = 1 THEN r.value END) AS DM_BRTHDAT,
+       MIN(CASE WHEN r.key = 'FU_STATUS' AND r.rn = 1 THEN r.value END) AS FU_STATUS,
+       MIN(CASE WHEN r.key = 'FU_AGE' AND r.rn = 1 THEN r.value END) AS FU_AGE
+FROM subjects s
+LEFT JOIN resolved r ON s.usi = r.usi
+GROUP BY s.usi
+"""
+
+
+@query("source_jsondir_pivot", oracle=_JSONDIR_ORACLE, tags=("source",))
+def source_jsondir_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 through sources.read_subject_documents: a directory of
+    per-subject JSON docs becomes one wide row per subject in a single
+    distributed read — posexplode(forms) -> posexplode(data) ->
+    duplicate-field resolution window (DM_BRTHDAT most-negative rule;
+    first-in-document-order otherwise, made deterministic by the array
+    ordinals) -> explicit-values pivot (no distinct-values pre-job).
+    A subject with no forms still yields a row (outer explodes)."""
+    return read_subject_documents(
+        spark,
+        SUBJECTS,
+        fields=SUBJECT_FIELDS,
+        most_negative_fields=("DM_BRTHDAT",),
+    )
+
+
+_MANIFEST_ORACLE = f"""
+WITH subjects AS (
+    SELECT participant.usi AS usi FROM read_json('{SUBJECTS}/*.json')
+)
+SELECT s.usi, m.guid, m.md5, m.size, m.url
+FROM subjects s
+JOIN read_csv('{MANIFEST}', header=true, all_varchar=true) m
+  ON m.file_name = s.usi || '.json'
+"""
+
+
+@query("source_manifest_join", oracle=_MANIFEST_ORACLE, tags=("source",))
+def source_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/J4 through sources.read_manifest: the manifest is a small
+    keyed table (uniqueness asserted at read) broadcast-joined to the
+    subject scan on file_name — the reference's per-subject dict lookup
+    (etl/mci/c3dc_etl.py:941) as a plan-visible broadcast join."""
+    subjects = read_subject_documents(
+        spark, SUBJECTS, fields=SUBJECT_FIELDS, most_negative_fields=("DM_BRTHDAT",)
+    ).select("usi")
+    manifest = read_manifest(spark, MANIFEST, key_col="file_name")
+    return subjects.join(
+        F.broadcast(manifest),
+        manifest["file_name"] == F.concat(F.col("usi"), F.lit(".json")),
+    ).select("usi", "guid", "md5", "size", "url")
