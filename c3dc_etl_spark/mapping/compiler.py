@@ -151,25 +151,28 @@ def compile_field(mapping: FieldMapping, ctx: CompilerContext) -> CompiledField:
 
     if any_final:
         return CompiledField(mapping.output_prop, value, is_final=True)
+    return CompiledField(mapping.output_prop, schema_convert(value, prop))
 
-    # V17-V20 type conversion + V18/V19 enum discipline
+
+def schema_convert(value: Column, prop) -> Column:
+    """V17-V20 type conversion + V18/V19 enum discipline: raw value ->
+    the schema-typed, enum-case-restored Column. Shared by the mapping
+    compiler and the row-mapped builder."""
     if prop.type == "integer":
-        value = int_round(value)
-    elif prop.type == "number":
-        value = value.cast("string").try_cast("double")
-    elif prop.type == "array":
-        value = (
+        return int_round(value)
+    if prop.type == "number":
+        return value.cast("string").try_cast("double")
+    if prop.type == "array":
+        return (
             enum_case_normalize_array(value.cast("string"), prop.enum)
             if prop.enum
             else split_multi(value.cast("string"))
         )
-    else:  # string
-        value = (
-            enum_case_normalize_expr(value.cast("string"), prop.enum)
-            if prop.enum
-            else nullif_blank(value.cast("string"))
-        )
-    return CompiledField(mapping.output_prop, value)
+    return (
+        enum_case_normalize_expr(value.cast("string"), prop.enum)
+        if prop.enum
+        else nullif_blank(value.cast("string"))
+    )
 
 
 def type_groups(mappings: list[FieldMapping]) -> list[str]:
