@@ -69,15 +69,41 @@ def cosine_topk(
     )
 
 
-def srp_bucket(vec: Column, planes: int = 8) -> Column:
-    """Sign-random-projection bucket key from the first ``planes``
-    dimension signs. A deterministic, engine-portable LSH family for
-    cosine similarity (proper random hyperplanes would use a broadcast
-    plane matrix; sign-of-dim is the dependency-free special case)."""
-    bits = [
-        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(planes)
-    ]
+def srp_planes(planes: int, dim: int, seed: str = "srp") -> list[list[float]]:
+    """Seeded random hyperplane matrix for sign-random-projection LSH:
+    ``planes`` x ``dim`` Rademacher (+-1) entries derived from md5, so
+    Spark and the DuckDB oracle can embed identical literals. Random
+    signs are a valid SRP family (Achlioptas-style sparse projections);
+    +-1 entries keep every product exact in FP, which makes the
+    projection bit-identical across engines when both fold
+    sequentially."""
+    import hashlib
+
+    out: list[list[float]] = []
+    for p in range(planes):
+        row: list[float] = []
+        h = b""
+        for i in range(dim):
+            if i % 128 == 0:
+                h = hashlib.md5(f"{seed}:{p}:{i // 128}".encode()).digest()
+            bit = (h[(i % 128) // 8] >> (i % 8)) & 1
+            row.append(1.0 if bit else -1.0)
+        out.append(row)
+    return out
+
+
+def srp_bucket(vec: Column, plane_matrix: list[list[float]]) -> Column:
+    """Bucket key: one sign bit per hyperplane, from a SEQUENTIAL fold of
+    plane . vec (deterministic order => bit-identical across engines)."""
+    bits = []
+    for plane in plane_matrix:
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(lit_plane, vec, lambda p, x: p * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
@@ -87,16 +113,22 @@ def lsh_cosine_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
+    dim: int = 64,
+    seed: str = "srp",
     min_sim: float = 0.0,
     round_dp: int = 4,
 ) -> DataFrame:
     """Near-duplicate embedding pairs within SRP buckets: the self-join is
     hash-partitioned on the bucket key, so work scales with bucket
-    collision counts, not n^2."""
+    collision counts, not n^2. Buckets come from a seeded broadcast
+    hyperplane matrix (see srp_planes) — two vectors land in the same
+    bucket iff every hyperplane leaves them on the same side, with
+    P[bit match] = 1 - angle/pi per plane."""
+    matrix = srp_planes(planes, dim, seed)
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        srp_bucket(F.col(vec_col), matrix).alias("bucket"),
     )
     left = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     right = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")

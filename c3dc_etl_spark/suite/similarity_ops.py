@@ -53,17 +53,30 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(queries, emb, k=TOP_K)
 
 
+EMB_DIM = 64
+_PLANES = S.srp_planes(SRP_PLANES, EMB_DIM, "srp")
+
+
 def _bucket_sql(vec: str) -> str:
-    bits = " || ".join(
-        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(SRP_PLANES)
-    )
-    return f"({bits})"
+    """DuckDB mirror of srp_bucket: per plane, a SEQUENTIAL fold of
+    plane[i]*vec[i] (LIST_REDUCE over an index transform — identical
+    evaluation order to Spark's aggregate, so the double sums are
+    bit-identical), then the sign bit."""
+    bits = []
+    for plane in _PLANES:
+        lits = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+        proj = (
+            f"LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1, {EMB_DIM + 1}),"
+            f" i -> ({lits})[i] * {vec}[i])), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return "(" + " || ".join(bits) + ")"
 
 
 _LSH_ORACLE = f"""
 WITH b AS (
     SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
-           {_bucket_sql('embedding')} AS bucket
+           {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
     FROM embeddings
 )
 SELECT a.id AS id_a, c.id AS id_b,
@@ -76,11 +89,14 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
 
 @query("ann_lsh_bucketed", oracle=_LSH_ORACLE, tags=("similarity",))
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed (sign-random-projection) similarity pairs: self-join
-    restricted to matching sign-bit buckets — the scale path where
-    brute force would be n^2."""
+    """LSH-bucketed similarity pairs with REAL sign-random-projection:
+    buckets from a seeded broadcast Rademacher hyperplane matrix
+    (operators.similarity.srp_planes), self-join restricted to matching
+    sign-bit buckets — the scale path where brute force would be n^2."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.lsh_cosine_candidates(emb, planes=SRP_PLANES, min_sim=-1.0)
+    return S.lsh_cosine_candidates(
+        emb, planes=SRP_PLANES, dim=EMB_DIM, seed="srp", min_sim=-1.0
+    )
 
 
 @query(

@@ -34,9 +34,35 @@ def test_cosine_topk_exact_neighbors(spark):
     assert rows[3] == (-1.0, 3)
 
 
-def test_lsh_bucketing_only_pairs_same_sign_pattern(spark):
-    df = _vecs(spark, [[1, 1, 1, 1], [2, 3, 4, 5], [-1, 1, 1, 1]])
-    out = S.lsh_cosine_candidates(df, planes=4, min_sim=-1.0)
+def test_lsh_srp_invariants(spark):
+    # 0 and 1 identical -> every projection equal -> same bucket;
+    # 2 is the exact negation -> every projection negates -> different
+    # bucket (components chosen with odd sum so no +-1 combination of
+    # them is zero, i.e. no sign boundary)
+    df = _vecs(spark, [[2, 3, 5, 7], [2, 3, 5, 7], [-2, -3, -5, -7]])
+    out = S.lsh_cosine_candidates(df, planes=4, dim=4, min_sim=-1.0)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
-    assert (0, 1) in pairs  # same sign bucket "1111"
-    assert all(2 not in p for p in pairs)  # "0111" bucket differs
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_lsh_srp_recall_on_clustered_vectors(spark):
+    """Near-duplicate vectors (tiny perturbation) must mostly share
+    buckets under the seeded plane matrix — the LSH property the
+    round-1 sign-of-first-dims shortcut could not guarantee.
+    Deterministic: fixed vectors + fixed seed."""
+    base = [
+        [((i * 7 + j * 13) % 19) - 9.5 for j in range(8)] for i in range(20)
+    ]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [v[0] + 1e-3] + v[1:]))  # near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.lsh_cosine_candidates(df, planes=4, dim=8, min_sim=-1.0)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    hits = sum((2 * i, 2 * i + 1) in pairs for i in range(20))
+    assert hits >= 16  # near-dups overwhelmingly co-bucketed
