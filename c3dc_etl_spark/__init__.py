@@ -22,6 +22,9 @@ same code scales from a laptop to a 1000-executor cluster:
 - ``merge``      record fingerprinting + cross-file dedup + reports.
 - ``validate``   schema-derived column checks + referential integrity.
 - ``sink``       harmonized JSON document assembly + report sinks.
+- ``plans``      end-to-end study runs: sources + mappings -> wired,
+                 validated harmonized document.
+- ``tools``      plan-time tooling: mapping unpivoter, schema checks.
 - ``operators``  general-purpose large-scale ops: dedup (exact/minhash/
                  simhash/jaccard), ANN similarity, text analysis,
                  multimodal column plumbing.

@@ -94,9 +94,12 @@ def build_node(
     explode_subrecords: bool = True,
     id_source_col: str | None = None,
     extra_columns: dict[str, object] | None = None,
+    carry_columns: dict[str, str] | None = None,
 ) -> DataFrame:
     """Compile + run the full per-node pipeline. ``extra_columns`` adds
-    plan-time constants (e.g. the parent link id) to every record."""
+    plan-time constants to every record; ``carry_columns`` maps output
+    name -> source column carried through the projection per-row (e.g.
+    the parent link id, lineage columns)."""
     node_maps = [m for m in mappings if m.output_node == node]
     if not node_maps:
         raise ValueError(f"no mappings target node {node!r}")
@@ -114,6 +117,11 @@ def build_node(
         cols = [cf.column.alias(cf.prop) for cf in compiled]
         if extra_columns:
             cols += [F.lit(v).alias(k) for k, v in extra_columns.items()]
+        if carry_columns:
+            cols += [
+                F.col(src).cast("string").alias(out)
+                for out, src in carry_columns.items()
+            ]
         frames.append(source.select(*cols))
     df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
 

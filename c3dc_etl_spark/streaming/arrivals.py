@@ -1,0 +1,86 @@
+"""File-arrival-triggered harmonization + stateful streaming dedup.
+
+Key design point: the mapping compiler emits PURE PROJECTION plans
+(select / filter / posexplode / unionByName — no windows, no joins in
+the per-node build), so ``build_node`` works UNCHANGED on a streaming
+DataFrame: the same compiled study runs as a batch job today and as an
+incremental file-watcher tomorrow. Order-dependent operators (A1/A2
+window selections, merge first-wins) stay in the batch layer or run
+per-microbatch via foreachBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from c3dc_etl_spark.mapping.compiler import CompilerContext
+from c3dc_etl_spark.mapping.model import FieldMapping
+from c3dc_etl_spark.harmonize.builder import build_node
+from c3dc_etl_spark.operators.dedup import content_digest
+
+
+def subject_stream(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """JSON-lines file stream of subject records. Streaming file sources
+    need an explicit schema (no inference) — derive it once from a batch
+    read of existing files if needed."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def harmonized_node_stream(
+    stream: DataFrame,
+    node: str,
+    mappings: Sequence[FieldMapping],
+    ctx: CompilerContext,
+) -> DataFrame:
+    """The compiled per-node harmonization applied to a stream — narrow
+    operators only, so the incremental plan is identical to the batch
+    plan per input file."""
+    return build_node(stream, node, list(mappings), ctx, explode_subrecords=True)
+
+
+def start_file_triggered_run(
+    harmonized: DataFrame,
+    *,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start (and return) the streaming query writing harmonized
+    JSON-lines per node as source files arrive. ``available_now``
+    processes the current backlog then stops — the file-arrival batch
+    trigger; set False for a continuously-running watcher."""
+    writer = (
+        harmonized.writeStream.format("json")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    event_time_col: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stateful exact dedup on a stream: content-digest the text, keep
+    the first record per digest, expire state past the watermark (late
+    duplicates beyond ``watermark_delay`` would pass through — the
+    bounded-state trade every streaming dedup makes)."""
+    return (
+        stream.withColumn("content_hash", content_digest(text_col))
+        .withWatermark(event_time_col, watermark_delay)
+        .dropDuplicates(["content_hash"])
+        .select(id_col, "content_hash", event_time_col)
+    )

@@ -1,0 +1,172 @@
+"""Tools (R3/R4/X6) and streaming extension tests."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from c3dc_etl_spark.mapping.compiler import CompilerContext
+from c3dc_etl_spark.mapping.model import load_mappings
+from c3dc_etl_spark.schema.registry import SchemaRegistry
+from c3dc_etl_spark.streaming import (
+    harmonized_node_stream,
+    start_file_triggered_run,
+    streaming_exact_dedup,
+)
+from c3dc_etl_spark.streaming.arrivals import subject_stream
+from c3dc_etl_spark.tools import (
+    duplicate_pvs,
+    non_ascii_pvs,
+    reference_file_entries,
+    strip_section_headers,
+    unpivot_transformation_mappings,
+)
+
+REG = SchemaRegistry()
+
+
+# -- unpivoter (R3) --------------------------------------------------------
+
+def test_unpivot_groups_and_dedupes_pairs():
+    rows = [
+        {"Target Variable Name": "participant.sex_at_birth",
+         "Source Variable Name": "SEX",
+         "Source Permissible Values Term": "f",
+         "Target Permissible Values Term": "Female"},
+        {"Target Variable Name": "participant.sex_at_birth",
+         "Source Variable Name": "SEX",
+         "Source Permissible Values Term": "m",
+         "Target Permissible Values Term": "Male"},
+        # duplicate pair -> dropped (D5)
+        {"Target Variable Name": "participant.sex_at_birth",
+         "Source Variable Name": "SEX",
+         "Source Permissible Values Term": "f",
+         "Target Permissible Values Term": "Female"},
+        {"Target Variable Name": "diagnosis.age_at_diagnosis",
+         "Source Variable Name": "AGE",
+         "Default Value If Null/Blank": '"-999"'},
+    ]
+    maps = unpivot_transformation_mappings(rows)
+    assert len(maps) == 2
+    sex = maps[0]
+    assert sex["source_field"] == "SEX"
+    assert sex["replacement_values"] == [
+        {"old_value": "f", "new_value": "Female"},
+        {"old_value": "m", "new_value": "Male"},
+    ]
+    age = maps[1]
+    assert age["default_value"] == "-999"
+    # output feeds straight into the engine's loader
+    parsed = load_mappings(maps)
+    assert parsed[0].output_node == "participant"
+
+
+def test_unpivot_conflicting_defaults_raise():
+    rows = [
+        {"Target Variable Name": "diagnosis.age_at_diagnosis",
+         "Source Variable Name": "AGE", "Default Value If Null/Blank": "1"},
+        {"Target Variable Name": "diagnosis.age_at_diagnosis",
+         "Source Variable Name": "AGE", "Default Value If Null/Blank": "2"},
+    ]
+    with pytest.raises(ValueError, match="conflicting default"):
+        unpivot_transformation_mappings(rows)
+
+
+def test_reference_file_entries(tmp_path):
+    p = tmp_path / "config.json"
+    p.write_text('{"a": 1}')
+    [entry] = reference_file_entries([str(p)])
+    assert entry["file_name"] == "config.json"
+    assert entry["file_size"] == 8
+    assert len(entry["md5sum"]) == 32
+
+
+# -- schema checks (X6) ----------------------------------------------------
+
+def test_schema_pv_checks():
+    pvs = ["Alpha", "alpha", "Café", "[---- Section ----]", "Beta"]
+    assert duplicate_pvs(pvs) == ["Alpha"]
+    assert non_ascii_pvs(pvs) == [("Café", ["é"])]
+    assert strip_section_headers(pvs) == ["Alpha", "alpha", "Café", "Beta"]
+
+
+# -- streaming -------------------------------------------------------------
+
+PARTICIPANT_MAPS = load_mappings(
+    [
+        {"output_field": "participant.participant_id", "source_field": "usi"},
+        {"output_field": "participant.sex_at_birth", "source_field": "sex",
+         "replacement_values": [
+             {"old_value": "f", "new_value": "Female"},
+             {"old_value": "+", "new_value": "Unknown"},
+         ]},
+    ]
+)
+
+
+def test_streaming_harmonization_file_trigger(spark, tmp_path):
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    (src / "batch1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"usi": "P1", "sex": "F"},
+                {"usi": "P2", "sex": "x"},
+                {"usi": "", "sex": "f"},  # P6-dropped
+            ]
+        )
+    )
+    batch_schema = spark.read.json(str(src)).schema
+    stream = subject_stream(spark, str(src), batch_schema)
+    assert stream.isStreaming
+    ctx = CompilerContext(registry=REG, uuid_seed="s", row_identity=("usi",))
+    harmonized = harmonized_node_stream(stream, "participant", PARTICIPANT_MAPS, ctx)
+    q = start_file_triggered_run(
+        harmonized,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(60)
+    out = {r["participant_id"]: r for r in spark.read.json(str(tmp_path / "out")).collect()}
+    assert set(out) == {"P1", "P2"}
+    assert out["P1"]["sex_at_birth"] == "Female"
+    assert out["P2"]["sex_at_birth"] == "Unknown"
+
+
+def test_streaming_exact_dedup_memory_sink(spark, tmp_path):
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "d.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "same words", "ts": "2026-01-01T00:00:00"},
+                {"doc_id": 2, "text": "same  WORDS ", "ts": "2026-01-01T00:01:00"},
+                {"doc_id": 3, "text": "different", "ts": "2026-01-01T00:02:00"},
+            ]
+        )
+    )
+    schema = "doc_id long, text string, ts timestamp"
+    stream = spark.readStream.schema(schema).json(str(src))
+    deduped = streaming_exact_dedup(
+        stream, text_col="text", id_col="doc_id", event_time_col="ts"
+    )
+    name = f"dedup_sink_{int(time.time() * 1000)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # docs 1 and 2 normalize to the same digest -> one survivor
+    assert len(rows) == 2
+    assert {r["content_hash"] for r in rows} == {
+        rows[0]["content_hash"], rows[1]["content_hash"]
+    }
