@@ -30,6 +30,7 @@ def latest_survival(
     status_col: str = "last_known_survival_status",
     age_col: str = "age_at_last_known_survival_status",
     order_col: str = "source_file_row_num",
+    dead_value: str = DEAD,
     drop_inconsistent: bool = True,
 ) -> DataFrame:
     """A1: per participant keep ONE survival record — the first 'Dead'
@@ -41,7 +42,7 @@ def latest_survival(
     Sort keys are non-null sentinels (coalesce) so the plan is portable
     across engines and deterministic under any partitioning.
     """
-    is_dead = F.col(status_col) == DEAD
+    is_dead = F.col(status_col) == dead_value
     age = F.coalesce(F.col(age_col).cast("long"), F.lit(-(1 << 62)))
     w = Window.partitionBy(participant_col).orderBy(
         F.when(is_dead, 0).otherwise(1).asc(),
@@ -79,12 +80,14 @@ def primary_follow_up(
     status_col: str = "status",
     date_col: str = "begin_date",
     order_col: str = "source_file_row_num",
+    dead_value: str = DEAD,
+    alive_value: str = ALIVE,
 ) -> DataFrame:
     """A2: among duplicate follow-up form instances keep ONE — the
     earliest (min date) 'Dead', else the latest 'Alive', else the latest
     of any status (reference etl/mci/c3dc_etl.py:825-863)."""
-    is_dead = F.col(status_col) == DEAD
-    is_alive = F.col(status_col) == ALIVE
+    is_dead = F.col(status_col) == dead_value
+    is_alive = F.col(status_col) == alive_value
     prio = F.when(is_dead, 0).when(is_alive, 1).otherwise(2)
     dt = F.coalesce(F.col(date_col).cast("string"), F.lit(""))
     w = Window.partitionBy(participant_col).orderBy(

@@ -528,3 +528,110 @@ def engine_subrecord_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         explode_subrecords=True,
         id_source_col="src_id",
     )
+
+
+# --------------------------------------------------------------------------
+# Q6/Q7: order-sensitive record selection THROUGH harmonize.windows (A1/A2)
+# --------------------------------------------------------------------------
+
+_MIN_AGE_SENTINEL = -(1 << 62)
+
+_LATEST_SURVIVAL_ORACLE = f"""
+WITH flags AS (
+    SELECT user_id, event_id, event_type, EPOCH_US(ts) AS age,
+           (event_type = 'error') AS is_dead
+    FROM events
+),
+bad AS (
+    SELECT DISTINCT user_id FROM (
+        SELECT user_id, is_dead, age,
+               MAX(CASE WHEN is_dead THEN age END)
+                   OVER (PARTITION BY user_id) AS mda
+        FROM flags
+    )
+    WHERE NOT is_dead AND mda IS NOT NULL AND age > mda
+),
+picked AS (
+    SELECT user_id, event_id, event_type, age,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CASE WHEN is_dead THEN 0 ELSE 1 END ASC,
+                        CASE WHEN is_dead THEN event_id ELSE 0 END ASC,
+                        CASE WHEN is_dead THEN 0
+                             ELSE COALESCE(age, {_MIN_AGE_SENTINEL}) END DESC,
+                        CASE WHEN is_dead THEN 0 ELSE event_id END DESC
+           ) AS rn
+    FROM flags
+)
+SELECT user_id, event_id, event_type, age
+FROM picked
+WHERE rn = 1 AND user_id NOT IN (SELECT user_id FROM bad)
+"""
+
+
+@query("engine_latest_survival", oracle=_LATEST_SURVIVAL_ORACLE, tags=("engine", "window"))
+def engine_latest_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 THROUGH harmonize.windows.latest_survival: per participant the
+    first 'Dead' record in source order wins, else the max-age 'Alive'
+    (later record breaking ties); participants whose Alive age exceeds
+    their max Dead age are inconsistent and dropped entirely (reference
+    warns+drops, etl/ccdi/c3dc_etl.py:1199-1207). Mapped onto events:
+    'error' = Dead, ts = age, event_id = source order."""
+    events = load(spark, sf_dir, "events")
+    df = events.select("user_id", "event_id", "event_type", F.col("ts_us").alias("age"))
+    from c3dc_etl_spark.harmonize.windows import latest_survival
+
+    return latest_survival(
+        df,
+        participant_col="user_id",
+        status_col="event_type",
+        age_col="age",
+        order_col="event_id",
+        dead_value="error",
+        drop_inconsistent=True,
+    )
+
+
+_FOLLOW_UP_ORACLE = """
+WITH flags AS (
+    SELECT user_id, event_id, event_type,
+           COALESCE(CAST(EPOCH_US(ts) AS STRING), '') AS dt
+    FROM events
+)
+SELECT user_id, event_id, event_type
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY CASE event_type WHEN 'error' THEN 0
+                              WHEN 'purchase' THEN 1 ELSE 2 END ASC,
+                         CASE WHEN event_type = 'error' THEN dt ELSE '' END ASC,
+                         CASE WHEN event_type = 'error' THEN '' ELSE dt END DESC,
+                         event_id DESC
+              ) AS rn
+    FROM flags
+)
+WHERE rn = 1
+"""
+
+
+@query("engine_primary_follow_up", oracle=_FOLLOW_UP_ORACLE, tags=("engine", "window"))
+def engine_primary_follow_up(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 THROUGH harmonize.windows.primary_follow_up: earliest 'Dead'
+    (min date), else latest 'Alive', else latest-any, with the later
+    source record breaking remaining ties (reference
+    etl/mci/c3dc_etl.py:811-870). 'error' = Dead, 'purchase' = Alive."""
+    events = load(spark, sf_dir, "events")
+    df = events.select(
+        "user_id", "event_id", "event_type", F.col("ts_us").cast("string").alias("dt")
+    )
+    from c3dc_etl_spark.harmonize.windows import primary_follow_up
+
+    return primary_follow_up(
+        df,
+        participant_col="user_id",
+        status_col="event_type",
+        date_col="dt",
+        order_col="event_id",
+        dead_value="error",
+        alive_value="purchase",
+    ).select("user_id", "event_id", "event_type")

@@ -1,0 +1,116 @@
+"""harmonize.windows unit tests (A1/A2) — vectors from the reference's
+_get_latest_survival_record / _get_primary_follow_up semantics
+(etl/ccdi/c3dc_etl.py:1171-1211, etl/mci/c3dc_etl.py:811-870)."""
+
+from __future__ import annotations
+
+from c3dc_etl_spark.harmonize.windows import latest_survival, primary_follow_up
+
+SCHEMA = (
+    "participant_id string, survival_id string, "
+    "last_known_survival_status string, age_at_last_known_survival_status long, "
+    "source_file_row_num long"
+)
+
+
+def _pick(spark, rows, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {
+        r["participant_id"]: r["survival_id"]
+        for r in latest_survival(df, **kw).collect()
+    }
+
+
+def test_first_dead_in_source_order_wins(spark):
+    got = _pick(
+        spark,
+        [
+            ("p1", "s1", "Alive", 100, 1),
+            ("p1", "s2", "Dead", 200, 2),
+            ("p1", "s3", "Dead", 300, 3),
+        ],
+    )
+    assert got == {"p1": "s2"}
+
+
+def test_max_age_alive_later_record_breaks_tie(spark):
+    got = _pick(
+        spark,
+        [
+            ("p1", "s1", "Alive", 300, 1),
+            ("p1", "s2", "Alive", 300, 2),  # tie -> later source row
+            ("p1", "s3", "Alive", 100, 3),
+        ],
+    )
+    assert got == {"p1": "s2"}
+
+
+def test_inconsistent_alive_after_dead_drops_participant(spark):
+    got = _pick(
+        spark,
+        [
+            ("p1", "s1", "Dead", 200, 1),
+            ("p1", "s2", "Alive", 300, 2),  # alive age > max dead age
+            ("p2", "s3", "Dead", 200, 1),
+            ("p2", "s4", "Alive", 150, 2),  # consistent
+        ],
+    )
+    assert got == {"p2": "s3"}
+
+
+def test_inconsistent_kept_when_flag_off(spark):
+    got = _pick(
+        spark,
+        [("p1", "s1", "Dead", 200, 1), ("p1", "s2", "Alive", 300, 2)],
+        drop_inconsistent=False,
+    )
+    assert got == {"p1": "s1"}
+
+
+FU_SCHEMA = (
+    "participant_id string, form_id string, status string, "
+    "begin_date string, source_file_row_num long"
+)
+
+
+def _pick_fu(spark, rows):
+    df = spark.createDataFrame(rows, FU_SCHEMA)
+    return {
+        r["participant_id"]: r["form_id"]
+        for r in primary_follow_up(df).collect()
+    }
+
+
+def test_earliest_dead_wins(spark):
+    got = _pick_fu(
+        spark,
+        [
+            ("p1", "f1", "Dead", "2020-05", 1),
+            ("p1", "f2", "Dead", "2020-01", 2),  # earlier date
+            ("p1", "f3", "Alive", "2021-01", 3),
+        ],
+    )
+    assert got == {"p1": "f2"}
+
+
+def test_latest_alive_when_no_dead(spark):
+    got = _pick_fu(
+        spark,
+        [
+            ("p1", "f1", "Alive", "2020-01", 1),
+            ("p1", "f2", "Alive", "2020-06", 2),
+            ("p1", "f3", "Unknown", "2021-01", 3),  # later but not Alive
+        ],
+    )
+    assert got == {"p1": "f2"}
+
+
+def test_latest_any_fallback(spark):
+    got = _pick_fu(
+        spark,
+        [
+            ("p1", "f1", "Unknown", "2020-01", 1),
+            ("p1", "f2", "Lost", "2020-06", 2),
+        ],
+    )
+    assert got == {"p1": "f2"}
