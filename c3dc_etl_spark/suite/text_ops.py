@@ -132,6 +132,38 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_count",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT)
+               END AS n_words,
+               LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+                   LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                       w -> CAST(CASE WHEN LENGTH(w) > 4
+                                      THEN FLOOR((LENGTH(w) - 1) / 4)
+                                      ELSE 0 END AS BIGINT))),
+                   (acc, x) -> acc + x) AS extra
+        FROM documents
+    )
+    SELECT doc_id, n_words + extra AS n_bpe_tokens
+    FROM toks
+    """,
+    tags=("text",),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-token estimate: word tokens plus one extra token per
+    4 chars of long words — the cheap deterministic proxy for byte-pair
+    counts used when sizing training corpora (no tokenizer dependency;
+    pure codegen arithmetic, mirrored in the oracle fold)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -4,6 +4,7 @@ from c3dc_etl_spark.validate.runner import (
     document_errors,
     frame_violations,
     referential_violations,
+    responses_without_treatment,
     validate_document,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "document_errors",
     "frame_violations",
     "referential_violations",
+    "responses_without_treatment",
     "validate_document",
 ]

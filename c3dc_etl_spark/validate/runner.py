@@ -118,6 +118,31 @@ def referential_violations(
     return functools.reduce(lambda a, b: a.unionByName(b), out)
 
 
+def responses_without_treatment(
+    responses: DataFrame,
+    treatments: DataFrame,
+    *,
+    participant_col: str = "participant.participant_id",
+    response_col: str = "response",
+    complete_remission_value: str = "Complete Remission",
+) -> DataFrame:
+    """X5: participants with treatment responses but NO treatment
+    records — per-participant response counts with the Complete
+    Remission breakdown the reference reports
+    (etl/mci/c3dc_etl.py:2313-2347). left_anti join + one aggregate."""
+    pc = F.col(f"`{participant_col}`")
+    treated = treatments.select(pc.alias("__pid")).distinct()
+    orphans = responses.select(
+        pc.alias("participant_id"), F.col(response_col).alias("__resp")
+    ).join(treated, F.col("participant_id") == F.col("__pid"), "left_anti")
+    return orphans.groupBy("participant_id").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.count(F.when(F.col("__resp") == complete_remission_value, 1)).alias(
+            "n_complete_remission"
+        ),
+    )
+
+
 def document_errors(doc: dict, registry: SchemaRegistry | None = None) -> list[str]:
     """Driver-side X1 against the generated draft-2020-12 schema; returns
     '<json_path>: <message>' strings (empty = valid), like the

@@ -116,3 +116,23 @@ def test_referential_violations_detects_orphan(spark):
 def test_node_count_report(built_doc):
     frames, _ = built_doc
     assert node_count_report(frames) == [("diagnosis", 2), ("participant", 2)]
+
+
+def test_responses_without_treatment(spark):
+    from c3dc_etl_spark.validate import responses_without_treatment
+
+    responses = spark.createDataFrame(
+        [("r1", "p1", "Complete Remission"),
+         ("r2", "p1", "Stable Disease"),
+         ("r3", "p2", "Complete Remission")],
+        ["treatment_response_id", "participant.participant_id", "response"],
+    )
+    treatments = spark.createDataFrame(
+        [("t1", "p2")], ["treatment_id", "participant.participant_id"]
+    )
+    rows = {r["participant_id"]: r for r in responses_without_treatment(
+        responses, treatments
+    ).collect()}
+    assert set(rows) == {"p1"}  # p2 has a treatment
+    assert rows["p1"]["n_responses"] == 2
+    assert rows["p1"]["n_complete_remission"] == 1
