@@ -69,6 +69,103 @@ def cosine_topk(
     )
 
 
+def _cos_to_literal(vec: Column, vec_norm: Column, centroid: list[float]) -> Column:
+    """cosine(vec, literal centroid) with SEQUENTIAL folds only —
+    engine-portable bit-for-bit (see srp_bucket). ``vec_norm`` must be a
+    materialized column: it is referenced once per centroid, and an
+    inline norm fold would be re-evaluated per centroid."""
+    lit_c = F.array(*[F.lit(v) for v in centroid])
+    d = F.aggregate(
+        F.zip_with(lit_c, vec, lambda c, x: c * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform(lit_c, lambda c: c * c), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    return d / (nc * vec_norm)
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer (broadcast
+    centroid list) assigns every candidate to its nearest centroid in
+    ONE narrow pass (no shuffle); each query probes its ``nprobe``
+    nearest centroids and compares only against those clusters'
+    candidates — the inverted-file search pattern, with the cluster id
+    as the join key so work scales with probed-cluster sizes, not n^2.
+
+    ``centroids`` is the trained coarse quantizer ((cid, vector) pairs);
+    any trainer works — k-means offline, or a deterministic sample for
+    testing. Assignment argmax is a struct array_max (max sim, ties to
+    max cid) so the same record lands in the same cluster on any engine.
+    """
+
+    def sims_struct(vec: Column, norm: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    _cos_to_literal(vec, norm, cv).alias("s"), F.lit(cid).alias("c")
+                )
+                for cid, cv in centroids
+            ]
+        )
+
+    cand = candidates.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("__nv"),
+    ).select(
+        "candidate_id",
+        "c_vec",
+        F.array_max(sims_struct(F.col("c_vec"), F.col("__nv")))["c"].alias("cluster"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("__nv"),
+    ).select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(sims_struct(F.col("q_vec"), F.col("__nv"))),
+                    -nprobe,
+                    nprobe,
+                ),
+                lambda s: s["c"],
+            )
+        ).alias("cluster"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cluster")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "candidate_id", "sim", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
 def srp_planes(planes: int, dim: int, seed: str = "srp") -> list[list[float]]:
     """Seeded random hyperplane matrix for sign-random-projection LSH:
     ``planes`` x ``dim`` Rademacher (+-1) entries derived from md5, so

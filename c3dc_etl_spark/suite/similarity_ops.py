@@ -99,6 +99,87 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+NPROBE = 2
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """Sequential-fold dot product over 64 dims — mirrors Spark's
+    zip_with+aggregate evaluation order exactly."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1, {EMB_DIM + 1}),"
+        f" i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+sims AS (
+    SELECT e.vec_id AS candidate_id, e.embedding::DOUBLE[] AS c_vec, c.cid,
+           {_fold_dot('c.cv', '(e.embedding::DOUBLE[])')}
+             / (SQRT({_fold_dot('c.cv', 'c.cv')})
+                * SQRT({_fold_dot('(e.embedding::DOUBLE[])', '(e.embedding::DOUBLE[])')}))
+               AS s
+    FROM embeddings e CROSS JOIN cents c
+),
+cand_assign AS (
+    SELECT candidate_id, c_vec, cid AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY candidate_id
+                                     ORDER BY s DESC, cid DESC) AS rn
+        FROM sims
+    ) WHERE rn = 1
+),
+q_probe AS (
+    SELECT query_id, q_vec, cid AS cluster FROM (
+        SELECT candidate_id AS query_id, c_vec AS q_vec, cid,
+               ROW_NUMBER() OVER (PARTITION BY candidate_id
+                                  ORDER BY s DESC, cid DESC) AS rn
+        FROM sims WHERE candidate_id < {N_QUERIES}
+    ) WHERE rn <= {NPROBE}
+),
+scored AS (
+    SELECT q.query_id, a.candidate_id,
+           ROUND({_fold_dot('q.q_vec', 'a.c_vec')}
+                 / (SQRT({_fold_dot('q.q_vec', 'q.q_vec')})
+                    * SQRT({_fold_dot('a.c_vec', 'a.c_vec')})), 4) AS sim
+    FROM cand_assign a JOIN q_probe q
+      ON a.cluster = q.cluster AND a.candidate_id <> q.query_id
+)
+SELECT query_id, candidate_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, candidate_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: a broadcast coarse-quantizer
+    (centroids = the first {N_CENTROIDS} vectors, standing in for a
+    k-means codebook — the assignment/probe plumbing is what's under
+    test) assigns candidates narrowly, queries probe their nprobe
+    nearest clusters, and the candidate comparison is an equi-join on
+    cluster id — the inverted-file pattern whose work scales with
+    probed-cluster sizes, not n^2."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_cosine_topk(
+        queries, emb, centroids, nprobe=NPROBE, k=TOP_K
+    )
+
+
 @query(
     "embedding_norms",
     oracle="""

@@ -66,3 +66,29 @@ def test_lsh_srp_recall_on_clustered_vectors(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     hits = sum((2 * i, 2 * i + 1) in pairs for i in range(20))
     assert hits >= 16  # near-dups overwhelmingly co-bucketed
+
+
+def test_ivf_probes_only_nearest_clusters(spark):
+    # two clean clusters around e1 and e2; nprobe=1 must search only
+    # the query's own cluster
+    centroids = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    df = _vecs(
+        spark,
+        [
+            [10, 1, 0],   # 0: cluster-0 query
+            [9, 0.5, 0],  # 1: cluster 0
+            [8, -1, 0],   # 2: cluster 0
+            [0.5, 9, 0],  # 3: cluster 1
+            [0, 8, 1],    # 4: cluster 1
+        ],
+    )
+    out = S.ivf_cosine_topk(
+        df.filter("vec_id = 0"), df, centroids, nprobe=1, k=10
+    ).collect()
+    found = {r["candidate_id"] for r in out}
+    assert found == {1, 2}  # cluster-1 members never compared
+    ranks = {r["candidate_id"]: r["rank"] for r in out}
+    assert ranks[1] == 1  # nearest first
+    # nprobe=2 widens the probe to both clusters
+    out2 = S.ivf_cosine_topk(df.filter("vec_id = 0"), df, centroids, nprobe=2, k=10)
+    assert {r["candidate_id"] for r in out2.collect()} == {1, 2, 3, 4}
