@@ -170,3 +170,44 @@ def test_streaming_exact_dedup_memory_sink(spark, tmp_path):
     assert {r["content_hash"] for r in rows} == {
         rows[0]["content_hash"], rows[1]["content_hash"]
     }
+
+
+def test_stateful_running_stats_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-key state persists in the checkpointed
+    state store across two separate availableNow runs."""
+    from c3dc_etl_spark.streaming.stateful import running_key_stats
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "pid string, value double"
+
+    def run(tag):
+        stream = spark.readStream.schema(schema).json(str(src))
+        stats = running_key_stats(stream, key_col="pid", value_col="value")
+        out_dir = tmp_path / f"out_{tag}"
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").json(str(out_dir))
+
+        q = (
+            stats.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {r["key"]: r for r in spark.read.json(str(out_dir)).collect()}
+
+    (src / "b1.json").write_text(
+        '{"pid": "P1", "value": 1.0}\n{"pid": "P1", "value": 2.0}\n'
+        '{"pid": "P2", "value": 3.0}\n'
+    )
+    out1 = run("a")
+    assert out1["P1"]["n_records"] == 2 and out1["P1"]["value_total"] == 3.0
+    assert out1["P2"]["n_records"] == 1
+
+    (src / "b2.json").write_text('{"pid": "P1", "value": 4.0}\n')
+    out2 = run("b")
+    # only P1 had new input; its state accumulated across the restart
+    assert out2["P1"]["n_records"] == 3 and out2["P1"]["value_total"] == 7.0
+    assert "P2" not in out2
