@@ -211,3 +211,62 @@ def test_stateful_running_stats_survives_restart(spark, tmp_path):
     # only P1 had new input; its state accumulated across the restart
     assert out2["P1"]["n_records"] == 3 and out2["P1"]["value_total"] == 7.0
     assert "P2" not in out2
+
+
+# -- pivoter (R1/R2/J2/O5/K5) ------------------------------------------------
+
+def test_form_pivot_and_all_forms(spark, tmp_path):
+    from c3dc_etl_spark.tools.pivoter import (
+        all_forms_frame,
+        form_wide_frames,
+        write_csv_dir,
+    )
+
+    kv = spark.createDataFrame(
+        [
+            ("P1", "DEMO", "SEX", "F"),
+            ("P1", "FU", "STATUS", "Alive"),
+            ("P2", "DEMO", "SEX", "M"),
+            ("P2", "DEMO", "AGE", "12"),
+        ],
+        "usi string, form_id string, key string, value string",
+    )
+    frames = form_wide_frames(
+        kv, form_fields={"DEMO": ["SEX", "AGE"], "FU": ["STATUS"]}
+    )
+    assert set(frames) == {"DEMO", "FU"}
+    demo = {r["usi"]: r for r in frames["DEMO"].collect()}
+    assert demo["P2"]["AGE"] == "12" and demo["P1"]["AGE"] is None
+
+    wide = all_forms_frame(frames)
+    assert wide.columns == ["usi", "AGE", "SEX", "STATUS"]  # O5 ordering
+    rows = {r["usi"]: r for r in wide.collect()}
+    assert rows["P1"]["STATUS"] == "Alive" and rows["P2"]["STATUS"] is None
+
+    write_csv_dir({"DEMO": frames["DEMO"]}, str(tmp_path / "sheets"))
+    back = spark.read.option("header", True).csv(str(tmp_path / "sheets" / "DEMO"))
+    assert back.count() == 2
+
+
+def test_flatten_json_frame(spark):
+    from c3dc_etl_spark.tools.pivoter import flatten_json_frame
+
+    df = spark.createDataFrame(
+        [
+            (
+                "P1",
+                {"city": "x", "zip": "1"},
+                [{"dx": "a"}, {"dx": "b"}],
+                ["t1", "t2"],
+            )
+        ],
+        "usi string, addr struct<city:string, zip:string>, "
+        "dxs array<struct<dx:string>>, tags array<string>",
+    )
+    flat = flatten_json_frame(df)
+    rows = flat.collect()
+    assert len(rows) == 2  # list-of-structs explodes
+    cols = set(flat.columns)
+    assert {"addr.city", "addr.zip", "dxs.dx", "tags"} <= cols
+    assert rows[0]["tags"] == "t1\r\nt2"  # list-of-scalars joins
+    assert {r["dxs.dx"] for r in rows} == {"a", "b"}
