@@ -110,6 +110,64 @@ def extract_features(media: DataFrame, *, fake: bool = True, batch_hint: int = 1
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("content", BinaryType(), True),
+        StructField("content_md5", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("target_w", LongType(), True),
+        StructField("target_h", LongType(), True),
+    ]
+)
+
+
+def resize_kernel(content: bytes, w: int, h: int, *, fake: bool) -> bytes:
+    """Resize one image payload to (w, h). Real implementation needs
+    PIL — STUBBED: ``fake=True`` returns a deterministic byte payload of
+    the target 'pixel count' (truncate/cycle the source bytes);
+    ``fake=False`` raises NotImplementedError."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, not present in this "
+            "container; pass fake=True for the deterministic test kernel"
+        )
+    if not content:
+        return b"\x00" * (w * h)
+    reps = (w * h) // len(content) + 1
+    return (content * reps)[: w * h]
+
+
+def resize_images(
+    media: DataFrame, *, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Arrow-batched image resize plumbing: cardinality-preserving
+    mapInPandas over the binary column, emitting the resized payload
+    with refreshed metadata (md5/byte length recomputed on the new
+    bytes). The kernel is the stubbed part; the batch shape, schema, and
+    partition behavior are real and tested."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = [resize_kernel(c, width, height, fake=fake) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": out,
+                    "content_md5": [hashlib.md5(b).hexdigest() for b in out],
+                    "n_bytes": [len(b) for b in out],
+                    "target_w": width,
+                    "target_h": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: fan out one row per sampled frame
     index (the decode of the actual frame is the stubbed kernel). The

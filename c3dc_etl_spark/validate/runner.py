@@ -64,6 +64,15 @@ def frame_violations(df: DataFrame, node: str, registry: SchemaRegistry) -> Data
             checks.append((p.name, c.isNotNull() & (c > p.maximum), f"value above maximum {p.maximum}"))
         if p.minimum is not None:
             checks.append((p.name, c.isNotNull() & (c < p.minimum), f"value below minimum {p.minimum}"))
+        if p.type == "array":
+            # model arrays declare uniqueItems: true
+            checks.append(
+                (
+                    p.name,
+                    c.isNotNull() & (F.size(c) != F.size(F.array_distinct(c))),
+                    "array items not unique",
+                )
+            )
 
     frames = [
         df.filter(pred).select(

@@ -48,3 +48,44 @@ def test_frame_sample_plan_fanout(spark):
     counts = {r["media_id"]: r["count"] for r in out}
     # n_frames = max(floor(n_bytes/100), 1) -> tiny payloads give 1 frame
     assert counts == {1: 1, 2: 1}
+
+
+def test_resize_plumbing(spark):
+    from c3dc_etl_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, "payload-one"), (2, "")], "id long, payload string"
+    )
+    media = M.to_media_table(df, "id", "payload", "image")
+    out = {r["media_id"]: r for r in M.resize_images(media, width=8, height=4).collect()}
+    assert all(r["n_bytes"] == 32 for r in out.values())  # w*h bytes
+    assert out[1]["target_w"] == 8 and out[1]["target_h"] == 4
+    # deterministic: same input -> same checksum
+    again = {r["media_id"]: r["content_md5"]
+             for r in M.resize_images(media, width=8, height=4).collect()}
+    assert again == {k: v["content_md5"] for k, v in out.items()}
+
+
+def test_resize_real_kernel_is_honest_stub():
+    import pytest
+
+    from c3dc_etl_spark.operators.multimodal import resize_kernel
+
+    with pytest.raises(NotImplementedError):
+        resize_kernel(b"x", 2, 2, fake=False)
+
+
+def test_frame_violations_unique_items(spark):
+    from c3dc_etl_spark.schema.registry import SchemaRegistry
+    from c3dc_etl_spark.validate import frame_violations
+
+    df = spark.createDataFrame(
+        [("d1", ["C42.1 : Bone marrow", "C42.1 : Bone marrow"],
+          "8000/0 : Neoplasm, benign", "Primary"),
+         ("d2", ["C42.1 : Bone marrow"],
+          "8000/0 : Neoplasm, benign", "Primary")],
+        ["diagnosis_id", "anatomic_site", "diagnosis", "tumor_classification"],
+    )
+    viol = frame_violations(df, "diagnosis", SchemaRegistry()).collect()
+    assert [(v["record_id"], v["error"]) for v in viol
+            if v["property"] == "anatomic_site"] == [("d1", "array items not unique")]
