@@ -39,3 +39,28 @@ def test_salted_collect_matches_plain_collect(spark):
         for r in salted_collect_sorted(df, "key", "v", salt_factor=4).collect()
     }
     assert salted == plain
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    from c3dc_etl_spark.operators.bucketing import (
+        bucketed_join_is_shuffle_free,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bt_a", bucket_cols=["k"], buckets=8, sort_cols=["k"])
+    write_bucketed(b, "bt_b", bucket_cols=["k"], buckets=8, sort_cols=["k"])
+    try:
+        # co-located: the join plan contains no hash-partitioning exchange
+        assert bucketed_join_is_shuffle_free(spark, "bt_a", "bt_b", "k")
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        assert joined.count() == 1000
+        # contrast: the same sort-merge join over unbucketed frames
+        # DOES shuffle both sides
+        plain = a.hint("merge").join(b, "k")
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
