@@ -399,7 +399,7 @@ LOOKUP_MAPPINGS = [
 ]
 
 # {diagnosis}: direct 'CODE : TERM' PVs plus ICD-O code -> term -> PV
-_DIAG_LOOKUP_WHENS = _ENUM_CODE_WHENS.replace("src_code", "src_icdo") + " ".join(
+_DIAG_LOOKUP_WHENS = _ENUM_CODE_WHENS + " ".join(
     f" WHEN '{code.casefold()}' THEN '{pv}'"
     for code, term in ICDO_LOOKUP.items()
     for pv in _DIAG_PVS
