@@ -191,11 +191,11 @@ def minhash_lsh_candidates(
     )
     sig = hv.select("doc", minhash_from_hashes(F.col("hv"), num_hashes).alias("sig"))
     # The sig subtree feeds three consumers (band explode + both rejoin
-    # sides). A hash exchange here makes all three reuse ONE computed
-    # copy (ReuseExchange) instead of re-digesting the corpus per
-    # consumer — the signature shuffle is ~140 bytes/doc, orders of
-    # magnitude cheaper than re-reading + re-hashing the text.
-    sig = sig.repartition(df.sparkSession.sparkContext.defaultParallelism, "doc")
+    # sides): persist the ~140 byte/doc signature table so the corpus is
+    # read + digested ONCE (column pruning rewrites each consumer's
+    # subplan differently, which defeats plain exchange reuse —
+    # measured as a full signature recompute per consumer).
+    sig = sig.persist()
     banded = sig.select(
         "doc", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band")
     )
@@ -258,9 +258,14 @@ def ngram_jaccard_pairs(
             F.transform(char_shingles(text_col, shingle_k), hash32)
         ).alias("hv"),
     )
-    # shared exchange: hashed shingle sets feed bucketing and both rejoin
-    # sides; shuffle once instead of re-shingling per consumer
-    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism, "doc")
+    # The hashed-shingle sets feed THREE consumers (bucketing + both
+    # rejoin sides). Exchange reuse alone does not protect them: column
+    # pruning rewrites each consumer's exchange child differently, so
+    # the shingle+digest pass re-ran per consumer (~3x the query cost,
+    # measured). persist() (memory-and-disk) materializes the ~2 KB/doc
+    # projection once — the standard treatment for an expensive
+    # multi-consumer intermediate, and disk-spillable at corpus scale.
+    hashed = hashed.persist()
     buckets = hashed.select(
         "doc",
         F.explode(
@@ -287,10 +292,20 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    da = hashed.select(F.col("doc").alias("id_a"), F.col("hv").alias("sh_a"))
-    db = hashed.select(F.col("doc").alias("id_b"), F.col("hv").alias("sh_b"))
+    da = hashed.select(
+        F.col("doc").alias("id_a"),
+        F.col("hv").alias("sh_a"),
+        F.size("hv").alias("n_a"),
+    )
+    db = hashed.select(
+        F.col("doc").alias("id_b"),
+        F.col("hv").alias("sh_b"),
+        F.size("hv").alias("n_b"),
+    )
+    # |A∪B| = |A| + |B| - |A∩B| for distinct sets: one hash-set pass per
+    # pair instead of materializing the union array as well
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     jac = F.round(inter / union, 4)
     return (
         pairs.join(da, "id_a")

@@ -154,7 +154,8 @@ pairs AS (
 )
 SELECT p.id_a, p.id_b,
        ROUND(CAST(LEN(LIST_INTERSECT(sa.hv, sb.hv)) AS DOUBLE)
-             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(sa.hv, sb.hv))) AS DOUBLE), 4) AS jaccard
+             / (CAST(LEN(sa.hv) + LEN(sb.hv) AS DOUBLE)
+                - CAST(LEN(LIST_INTERSECT(sa.hv, sb.hv)) AS DOUBLE)), 4) AS jaccard
 FROM pairs p
 JOIN hashed sa ON sa.doc_id = p.id_a
 JOIN hashed sb ON sb.doc_id = p.id_b
