@@ -101,7 +101,7 @@ def enum_case_normalize_expr(col: Column | str, permissible_values: Iterable[str
     if not pvs:
         return nullif_blank(col)
     m = F.create_map(*[F.lit(x) for pv in pvs for x in (pv.casefold(), pv)])
-    return m.getItem(norm(col))
+    return m[norm(col)]
 
 
 def enum_case_normalize_array(col: Column | str, permissible_values: Iterable[str]) -> Column:
@@ -109,7 +109,7 @@ def enum_case_normalize_array(col: Column | str, permissible_values: Iterable[st
     dropped, distinct, sorted."""
     pvs = list(permissible_values)
     m = F.create_map(*[F.lit(x) for pv in pvs for x in (pv.casefold(), pv)])
-    matched = F.transform(split_multi(col), lambda v: m.getItem(F.lower(v)))
+    matched = F.transform(split_multi(col), lambda v: m[F.lower(v)])
     return F.array_sort(F.array_distinct(F.filter(matched, lambda v: v.isNotNull())))
 
 
@@ -131,7 +131,7 @@ def race_merge(
     m = F.create_map(*[F.lit(x) for pv in pvs for x in (pv.casefold(), pv)])
 
     def cased(c: Column | str) -> Column:
-        vals = F.transform(split_multi(c, sort=False), lambda v: m.getItem(F.lower(v)))
+        vals = F.transform(split_multi(c, sort=False), lambda v: m[F.lower(v)])
         return F.filter(vals, lambda v: v.isNotNull())
 
     races = cased(race_col)

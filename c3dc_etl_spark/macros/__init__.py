@@ -130,7 +130,7 @@ def _race(mapping, ctx, arg):
 def _find_enum_value(mapping, ctx, arg):
     code_map = ctx.registry.enum_code_map(mapping.output_node, mapping.output_prop)
     src = F.col(mapping.source_columns()[0])
-    return _lookup_map(code_map).getItem(norm(src)), True
+    return _lookup_map(code_map)[norm(src)], True
 
 
 # V14 {diagnosis} (MCI): ICD-O code -> term -> diagnosis PV via the
@@ -150,7 +150,7 @@ def _diagnosis(mapping, ctx, arg):
         if term.strip().casefold() in term_pv
     }
     src = F.col(mapping.source_columns()[0])
-    return _lookup_map({**derived, **code_pv}).getItem(norm(src)), True
+    return _lookup_map({**derived, **code_pv})[norm(src)], True
 
 
 # V15 {diagnosis_category} (MCI): {diagnosis} then diagnosis -> category
@@ -158,7 +158,7 @@ def _diagnosis(mapping, ctx, arg):
 def _diagnosis_category(mapping, ctx, arg):
     cat = {k.casefold(): v for k, v in ctx.lookups.get("diagnosis_category", {}).items()}
     src = F.col(mapping.source_columns()[0])
-    return _lookup_map(cat).getItem(norm(src)), True
+    return _lookup_map(cat)[norm(src)], True
 
 
 # V16 {laterality} (MCI): first non-empty of N source fields that
@@ -168,5 +168,5 @@ def _diagnosis_category(mapping, ctx, arg):
 def _laterality(mapping, ctx, arg):
     pvs = ctx.registry.enum_values(mapping.output_node, mapping.output_prop)
     pv_map = _lookup_map({pv.casefold(): pv for pv in pvs})
-    candidates = [pv_map.getItem(norm(F.col(c))) for c in mapping.source_columns()]
+    candidates = [pv_map[norm(F.col(c))] for c in mapping.source_columns()]
     return F.coalesce(*candidates) if len(candidates) > 1 else candidates[0], True
