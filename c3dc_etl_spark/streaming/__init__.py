@@ -11,10 +11,14 @@ from c3dc_etl_spark.streaming.arrivals import (
     harmonized_node_stream,
     start_file_triggered_run,
     streaming_exact_dedup,
+    windowed_event_counts,
 )
+from c3dc_etl_spark.streaming.stateful import running_key_stats
 
 __all__ = [
     "harmonized_node_stream",
     "start_file_triggered_run",
     "streaming_exact_dedup",
+    "windowed_event_counts",
+    "running_key_stats",
 ]

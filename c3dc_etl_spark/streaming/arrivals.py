@@ -66,6 +66,31 @@ def start_file_triggered_run(
     return writer.start()
 
 
+def windowed_event_counts(
+    stream: DataFrame,
+    *,
+    event_time_col: str,
+    key_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per key — the late-data-safe
+    streaming aggregate: events later than ``watermark_delay`` past the
+    window end are dropped and the window's state is released (bounded
+    state, exactly-once per window in append mode)."""
+    return (
+        stream.withWatermark(event_time_col, watermark_delay)
+        .groupBy(F.window(F.col(event_time_col), window_duration), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     *,

@@ -1,0 +1,73 @@
+"""Physical-plan assertions: lock in the scale properties the engine
+claims (pushdown, narrow node builds, no accidental shuffles)."""
+
+from __future__ import annotations
+
+from c3dc_etl_spark.harmonize.builder import build_node
+from c3dc_etl_spark.mapping.compiler import CompilerContext
+from c3dc_etl_spark.mapping.model import load_mappings
+from c3dc_etl_spark.rowmapped import build_rowmapped_node, parse_rule_rows
+from c3dc_etl_spark.schema.registry import SchemaRegistry
+from c3dc_etl_spark.suite.registry import REGISTRY
+
+REG = SchemaRegistry()
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_project_pushes_predicates_and_prunes_columns(spark):
+    df = REGISTRY["filter_project"].fn(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # only the referenced columns reach the scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_shipdate" not in read
+
+
+def test_build_node_is_shuffle_free(spark):
+    maps = load_mappings(
+        [
+            {"output_field": "participant.participant_id", "source_field": "pid"},
+            {"output_field": "participant.sex_at_birth", "source_field": "sex",
+             "replacement_values": [{"old_value": "+", "new_value": "Unknown"}]},
+        ]
+    )
+    src = spark.createDataFrame([("p1", "x")], "pid string, sex string")
+    ctx = CompilerContext(registry=REG, row_identity=("pid",))
+    out = build_node(src, "participant", maps, ctx)
+    assert "Exchange" not in _plan(out)  # narrow map over the source
+
+
+def test_rowmapped_build_is_shuffle_free(spark):
+    rules = parse_rule_rows(
+        [
+            {"Source Variable Name": "f", "Source Permissible Values Code": "y",
+             "treatment.treatment_id": "{uuid}",
+             "treatment.treatment_type": "Surgery"},
+            {"Source Variable Name": "f", "Source Permissible Values Code": "n",
+             "treatment.treatment_id": "{uuid}",
+             "treatment.treatment_type": "Chemotherapy"},
+        ],
+        "treatment",
+    )
+    src = spark.createDataFrame([("s1", "y")], "sid string, f string")
+    ctx = CompilerContext(registry=REG, row_identity=("sid",))
+    out = build_rowmapped_node(src, "treatment", rules, ctx)
+    assert "Exchange" not in _plan(out)  # union of filters over one scan
+
+
+def test_q1_aggregation_is_partial_then_final(spark):
+    plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, SF))
+    # exactly one exchange between partial and final hash aggregates
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_broadcast_lookup_join_broadcasts_the_dim(spark):
+    plan = _plan(REGISTRY["broadcast_lookup_join"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

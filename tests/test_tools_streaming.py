@@ -270,3 +270,54 @@ def test_flatten_json_frame(spark):
     assert {"addr.city", "addr.zip", "dxs.dx", "tags"} <= cols
     assert rows[0]["tags"] == "t1\r\nt2"  # list-of-scalars joins
     assert {r["dxs.dx"] for r in rows} == {"a", "b"}
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    from c3dc_etl_spark.streaming import windowed_event_counts
+
+    src = tmp_path / "evts"
+    src.mkdir()
+    (src / "e.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "a", "ts": "2026-01-01T00:10:00"},
+                {"k": "a", "ts": "2026-01-01T00:40:00"},
+                {"k": "b", "ts": "2026-01-01T00:50:00"},
+                {"k": "a", "ts": "2026-01-01T01:10:00"},
+            ]
+        )
+    )
+    ckpt = str(tmp_path / "winckpt")
+    out_dir = tmp_path / "winout"
+
+    def run():
+        stream = spark.readStream.schema("k string, ts timestamp").json(str(src))
+        counts = windowed_event_counts(
+            stream, event_time_col="ts", key_col="k", window_duration="1 hour"
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").json(str(out_dir))
+
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    # append mode emits a window only once the watermark passes its end;
+    # a later batch advances event time far enough to close all three
+    (src / "late.json").write_text(json.dumps({"k": "z", "ts": "2026-01-01T05:00:00"}))
+    run()
+    rows = {
+        (str(r["window_start"])[:16].replace("T", " "), r["k"]): r["n_events"]
+        for r in spark.read.json(str(out_dir)).collect()
+    }
+    assert rows == {
+        ("2026-01-01 00:00", "a"): 2,
+        ("2026-01-01 00:00", "b"): 1,
+        ("2026-01-01 01:00", "a"): 1,
+    }
