@@ -34,11 +34,37 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "media_type", "content_md5", "n_bytes")
 
 
-@query("multimodal_features", oracle=None, tags=("multimodal", "udf"))
+# The fake decode kernel's features are pure byte arithmetic over the
+# UTF-8 payload; the corpus is ASCII, so byte == character and the
+# kernel is restatable in SQL — giving the mapInPandas PATH (batch
+# boundaries, Arrow conversion, schema) a real value-hash check even
+# though the real codec kernel stays stubbed.
+_FEATURES_ORACLE = """
+WITH f AS (
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+               LIST_TRANSFORM(RANGE(1, LEAST(LENGTH(text), 64) + 1),
+                   i -> CAST(ASCII(SUBSTR(text, i, 1)) AS BIGINT))),
+               (a, x) -> a + x) AS s,
+           CASE WHEN LENGTH(text) > 0 THEN ASCII(SUBSTR(text, 1, 1)) ELSE 0 END AS fb
+    FROM documents
+)
+SELECT media_id, media_type, n_bytes, CAST(4 AS BIGINT) AS feat_dim,
+       MD5(printf('%.1f', CAST(n_bytes AS DOUBLE)) || ','
+           || printf('%.1f', CAST(n_bytes % 251 AS DOUBLE)) || ','
+           || printf('%.1f', CAST(s % 509 AS DOUBLE)) || ','
+           || printf('%.1f', CAST(fb AS DOUBLE))) AS feat_checksum
+FROM f
+"""
+
+
+@query("multimodal_features", oracle=_FEATURES_ORACLE, tags=("multimodal", "udf"))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction via mapInPandas over the binary
-    column (deterministic fake kernel — real decode is stubbed behind
-    NotImplementedError). Not SQL-expressible -> rows-only check."""
+    column. The real codec decode is stubbed (NotImplementedError); the
+    deterministic fake kernel's byte arithmetic is mirrored in the
+    oracle, so the Python-batch plumbing itself is value-hash checked."""
     docs = load(spark, sf_dir, "documents")
     media = M.to_media_table(docs, "doc_id", "text", "image")
     return M.extract_features(media, fake=True)
