@@ -71,3 +71,15 @@ def test_broadcast_lookup_join_broadcasts_the_dim(spark):
     plan = _plan(REGISTRY["broadcast_lookup_join"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q3_topk_avoids_global_sort(spark):
+    # ordered limit compiles to TakeOrderedAndProject (per-partition
+    # top-k + merge), never a full global Sort
+    plan = _plan(REGISTRY["q3_top_orders"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_link_wiring_collect_is_two_phase(spark):
+    plan = _plan(REGISTRY["link_wiring_collect"].fn(spark, SF))
+    assert "partial_collect_list" in plan  # map-side partial lists
