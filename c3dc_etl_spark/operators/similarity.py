@@ -56,7 +56,7 @@ def cosine_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("candidate_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp) + F.lit(0.0))
         .select("query_id", "candidate_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -152,7 +152,7 @@ def ivf_cosine_topk(
     scored = (
         cand.join(F.broadcast(q), "cluster")
         .filter(F.col("candidate_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp) + F.lit(0.0))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("candidate_id").asc()
@@ -232,7 +232,7 @@ def lsh_cosine_candidates(
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_dp))
+        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_dp) + F.lit(0.0))
         .filter(F.col("sim") >= min_sim)
         .select("id_a", "id_b", "sim")
     )

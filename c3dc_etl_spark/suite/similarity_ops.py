@@ -13,10 +13,25 @@ from c3dc_etl_spark.suite.registry import load, query
 N_QUERIES = 8
 TOP_K = 10
 SRP_PLANES = 8
+EMB_DIM = 64
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """Sequential-fold dot product over the embedding dims — mirrors
+    Spark's zip_with+aggregate evaluation order EXACTLY. DuckDB's
+    LIST_DOT_PRODUCT sums in an unspecified order; the last-ulp
+    difference can flip a 4dp-rounded similarity right at a rounding
+    boundary (observed at sf0.1), so every oracle dot goes through this
+    fold."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1, {EMB_DIM + 1}),"
+        f" i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+    )
+
 
 _COS = (
-    "LIST_DOT_PRODUCT(qv, cv) / "
-    "(SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv)))"
+    f"{_fold_dot('qv', 'cv')} / "
+    f"(SQRT({_fold_dot('qv', 'qv')}) * SQRT({_fold_dot('cv', 'cv')}))"
 )
 
 _TOPK_ORACLE = f"""
@@ -28,7 +43,7 @@ c AS (
     SELECT vec_id AS candidate_id, embedding::DOUBLE[] AS cv FROM embeddings
 ),
 scored AS (
-    SELECT query_id, candidate_id, ROUND({_COS}, 4) AS sim
+    SELECT query_id, candidate_id, ROUND({_COS}, 4) + 0.0 AS sim
     FROM c, q
     WHERE candidate_id <> query_id
 )
@@ -53,7 +68,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(queries, emb, k=TOP_K)
 
 
-EMB_DIM = 64
 _PLANES = S.srp_planes(SRP_PLANES, EMB_DIM, "srp")
 
 
@@ -80,9 +94,9 @@ WITH b AS (
     FROM embeddings
 )
 SELECT a.id AS id_a, c.id AS id_b,
-       ROUND(LIST_DOT_PRODUCT(a.vec, c.vec)
-             / (SQRT(LIST_DOT_PRODUCT(a.vec, a.vec))
-                * SQRT(LIST_DOT_PRODUCT(c.vec, c.vec))), 4) AS sim
+       ROUND({_fold_dot('a.vec', 'c.vec')}
+             / (SQRT({_fold_dot('a.vec', 'a.vec')})
+                * SQRT({_fold_dot('c.vec', 'c.vec')})), 4) + 0.0 AS sim
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
 """
 
@@ -101,16 +115,6 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 16
 NPROBE = 2
-
-
-def _fold_dot(a: str, b: str) -> str:
-    """Sequential-fold dot product over 64 dims — mirrors Spark's
-    zip_with+aggregate evaluation order exactly."""
-    return (
-        f"LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1, {EMB_DIM + 1}),"
-        f" i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
-    )
-
 
 _IVF_ORACLE = f"""
 WITH cents AS (
@@ -144,7 +148,7 @@ scored AS (
     SELECT q.query_id, a.candidate_id,
            ROUND({_fold_dot('q.q_vec', 'a.c_vec')}
                  / (SQRT({_fold_dot('q.q_vec', 'q.q_vec')})
-                    * SQRT({_fold_dot('a.c_vec', 'a.c_vec')})), 4) AS sim
+                    * SQRT({_fold_dot('a.c_vec', 'a.c_vec')})), 4) + 0.0 AS sim
     FROM cand_assign a JOIN q_probe q
       ON a.cluster = q.cluster AND a.candidate_id <> q.query_id
 )
@@ -182,13 +186,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_norms",
-    oracle="""
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT vec_id,
-           CAST(LEN(embedding) AS BIGINT) AS dim,
-           ROUND(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
-               AS l2_norm,
-           ROUND(LIST_AGGREGATE(embedding::DOUBLE[], 'sum'), 4) AS comp_sum
-    FROM embeddings
+           CAST(LEN(v) AS BIGINT) AS dim,
+           ROUND(SQRT({_fold_dot('v', 'v')}), 4) AS l2_norm,
+           ROUND(LIST_REDUCE(LIST_PREPEND(0.0,
+                 LIST_TRANSFORM(RANGE(1, {EMB_DIM + 1}), i -> v[i])),
+                 (acc, x) -> acc + x), 4) AS comp_sum
+    FROM e
     """,
     tags=("similarity",),
 )

@@ -129,12 +129,15 @@ def row_numbering_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries land, so the plan scales to any partition count while the
     result stays byte-identical to ROW_NUMBER() OVER (ORDER BY key).
 
-    The offsets subtree reuses the same range exchange (ReuseExchange) —
-    the scan + shuffle run once."""
+    The ranged frame is persisted: the numbering and offset subtrees
+    must observe the SAME range boundaries, and an independent
+    recomputation re-samples them (different RDD id -> different
+    sampling seed), which mis-aligns offsets with partition contents —
+    observed as wrong numbering at sf0.1."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     ranged = cust.repartitionByRange(32, F.col("c_custkey")).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).persist()
     w_in = Window.partitionBy("__pid").orderBy(F.col("c_custkey").asc())
     numbered = ranged.withColumn("__rn", F.row_number().over(w_in))
     # cumulative offset of earlier range partitions: num_partitions rows,
