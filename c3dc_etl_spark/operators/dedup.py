@@ -241,30 +241,48 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.0,
     bucket_hashes: int = 2,
     max_bucket_size: int = 200,
+    max_shingle_df: int = 0,
 ) -> DataFrame:
     """N-gram Jaccard over candidate pairs pre-bucketed by min-hash
     (docs sharing a min-shingle permutation value get compared).
-    Inverted-index join on the bucket key over bare (id, bucket) rows.
 
-    The per-pair |A∩B| / |A∪B| is computed over the *hashed* shingle
-    sets (distinct 32-bit values), not the shingle strings: integer
-    arrays are 4-8x smaller through the rejoin shuffle and compare
-    word-at-a-time. Hash collisions (~n^2/2^33 per pair) can perturb a
-    count by 1 in rare cases — deterministic, and mirrored exactly in
-    the oracle."""
+    |A∩B| is counted by an inverted-index co-occurrence join: explode
+    the hashed shingle sets to bare (doc, h) rows, self-join on the
+    32-bit shingle hash, and count rows per (id_a, id_b). Only narrow
+    integer rows ever ride a shuffle — the shingle arrays themselves
+    stay in the persisted projection and never travel through the pair
+    joins (the previous array-rejoin design shipped both ~KB arrays per
+    candidate pair and was ~3x slower at sf0.1, worse with pair count).
+    |A∪B| = |A| + |B| - |A∩B| from a tiny per-doc size table.
+
+    Scale guards:
+    - ``max_bucket_size`` caps LSH candidate buckets (as in minhash);
+    - ``max_shingle_df`` (0 = off) drops shingles whose document
+      frequency exceeds the cap before the co-occurrence join — a
+      boilerplate 12-gram shared by d docs contributes C(d,2) joined
+      rows, so ubiquitous shingles are the skew/blow-up risk. Dropping
+      them only shrinks the intersection count (sizes are unchanged),
+      so capped Jaccard is a deterministic lower bound.
+
+    Hash collisions (~n^2/2^33 per pair) can perturb a count by 1 in
+    rare cases — deterministic, and mirrored exactly in the oracle.
+    Candidate pairs whose bucket collision came from an affine-map
+    collision rather than a shared shingle keep jaccard 0.0 via the
+    left join."""
     hashed = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(
             F.transform(char_shingles(text_col, shingle_k), hash32)
         ).alias("hv"),
     )
-    # The hashed-shingle sets feed THREE consumers (bucketing + both
-    # rejoin sides). Exchange reuse alone does not protect them: column
-    # pruning rewrites each consumer's exchange child differently, so
-    # the shingle+digest pass re-ran per consumer (~3x the query cost,
-    # measured). persist() (memory-and-disk) materializes the ~2 KB/doc
-    # projection once — the standard treatment for an expensive
-    # multi-consumer intermediate, and disk-spillable at corpus scale.
+    # The hashed-shingle sets feed THREE consumers (bucketing, the
+    # co-occurrence explode, the size table). Exchange reuse alone does
+    # not protect them: column pruning rewrites each consumer's
+    # exchange child differently, so the shingle+digest pass re-ran per
+    # consumer (~3x the query cost, measured). persist()
+    # (memory-and-disk) materializes the ~2 KB/doc projection once —
+    # the standard treatment for an expensive multi-consumer
+    # intermediate, and disk-spillable at corpus scale.
     hashed = hashed.persist()
     buckets = hashed.select(
         "doc",
@@ -292,24 +310,34 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    da = hashed.select(
-        F.col("doc").alias("id_a"),
-        F.col("hv").alias("sh_a"),
-        F.size("hv").alias("n_a"),
+    exploded = hashed.select("doc", F.explode("hv").alias("h"))
+    if max_shingle_df:
+        wdf = Window.partitionBy("h")
+        exploded = (
+            exploded.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    ea = exploded.select(F.col("doc").alias("id_a"), "h")
+    eb = exploded.select(F.col("doc").alias("id_b"), "h")
+    co = (
+        ea.join(eb, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    db = hashed.select(
-        F.col("doc").alias("id_b"),
-        F.col("hv").alias("sh_b"),
-        F.size("hv").alias("n_b"),
-    )
-    # |A∪B| = |A| + |B| - |A∩B| for distinct sets: one hash-set pass per
-    # pair instead of materializing the union array as well
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    sizes = hashed.select(F.col("doc").alias("id"), F.size("hv").alias("n"))
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("double")
     union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     jac = F.round(inter / union, 4)
     return (
-        pairs.join(da, "id_a")
-        .join(db, "id_b")
+        pairs.join(co, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b"
+        )
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -82,7 +82,7 @@ WITH docs AS (
 hashed AS (
     SELECT doc_id, {_HASHED} AS hv FROM docs
 ),
-sigs AS (
+sigs AS MATERIALIZED (
     SELECT doc_id, {_sig_sql()} AS sig FROM hashed
 ),
 banded AS (
@@ -134,11 +134,15 @@ def _bucket_sql() -> str:
     return f"[{mins}]"
 
 
+# hashed is MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+# this one (the expensive md5-fold shingle hashing) is referenced by
+# three consumers — inlined it was evaluated three times (measured ~3x
+# the oracle wall).
 _JACCARD_ORACLE = f"""
 WITH docs AS (
     SELECT doc_id, {_SHINGLES} AS sh FROM documents
 ),
-hashed AS (
+hashed AS MATERIALIZED (
     SELECT doc_id, LIST_DISTINCT({_HASHED}) AS hv FROM docs
 ),
 buckets AS (
@@ -151,12 +155,21 @@ capped AS (
 pairs AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+exploded AS (
+    SELECT doc_id, UNNEST(hv) AS h FROM hashed
+),
+co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
 )
 SELECT p.id_a, p.id_b,
-       ROUND(CAST(LEN(LIST_INTERSECT(sa.hv, sb.hv)) AS DOUBLE)
+       ROUND(CAST(COALESCE(co.inter, 0) AS DOUBLE)
              / (CAST(LEN(sa.hv) + LEN(sb.hv) AS DOUBLE)
-                - CAST(LEN(LIST_INTERSECT(sa.hv, sb.hv)) AS DOUBLE)), 4) AS jaccard
+                - CAST(COALESCE(co.inter, 0) AS DOUBLE)), 4) AS jaccard
 FROM pairs p
+LEFT JOIN co ON co.id_a = p.id_a AND co.id_b = p.id_b
 JOIN hashed sa ON sa.doc_id = p.id_a
 JOIN hashed sb ON sb.doc_id = p.id_b
 """
@@ -165,8 +178,9 @@ JOIN hashed sb ON sb.doc_id = p.id_b
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity over min-hash-bucketed candidate
-    pairs (inverted-index join on bare ids, then |A∩B|/|A∪B| via array
-    ops on rejoined shingle sets)."""
+    pairs: |A∩B| from an inverted-index co-occurrence join on the
+    32-bit shingle hashes (narrow rows only through every shuffle),
+    |A∪B| = |A|+|B|-|A∩B| from the per-doc size table."""
     docs = load(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
         docs, "text", "doc_id", shingle_k=SHINGLE_K, max_bucket_size=MAX_BUCKET

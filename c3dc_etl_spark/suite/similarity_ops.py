@@ -88,7 +88,7 @@ def _bucket_sql(vec: str) -> str:
 
 
 _LSH_ORACLE = f"""
-WITH b AS (
+WITH b AS MATERIALIZED (
     SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
            {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
     FROM embeddings
@@ -121,7 +121,7 @@ WITH cents AS (
     SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
     FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ),
-sims AS (
+sims AS MATERIALIZED (
     SELECT e.vec_id AS candidate_id, e.embedding::DOUBLE[] AS c_vec, c.cid,
            {_fold_dot('c.cv', '(e.embedding::DOUBLE[])')}
              / (SQRT({_fold_dot('c.cv', 'c.cv')})

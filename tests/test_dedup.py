@@ -47,6 +47,27 @@ def test_ngram_jaccard_exact_values(spark):
     assert all(j < 0.2 for (a, b), j in pairs.items() if (a, b) != (0, 1))
 
 
+def test_ngram_jaccard_shingle_df_cap_lowers_intersection(spark):
+    # Three near-identical docs: every shingle has document frequency 3
+    # except the ones spanning the distinct suffix. With the df cap
+    # below 3 the shared shingles are dropped from the co-occurrence
+    # join, so the capped jaccard must be strictly lower than the exact
+    # one while sizes (the union denominator) stay unchanged.
+    rows = [f"the quick brown fox jumps over the lazy dog number {i}" for i in range(3)]
+    df = _docs(spark, rows)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, "txt", "id").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, "txt", "id", max_shingle_df=2).collect()
+    }
+    assert set(capped) == set(exact) and exact
+    for k in exact:
+        assert capped[k] < exact[k]
+
+
 def test_simhash_identical_docs_equal_and_near_docs_close(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
