@@ -9,7 +9,10 @@ and tested); config fetch/merge is driver-side plan-time work.
 
 from c3dc_etl_spark.sources.config import fetch_json, load_transformations
 from c3dc_etl_spark.sources.delimited import read_delimited
-from c3dc_etl_spark.sources.jsondir import read_subject_documents
+from c3dc_etl_spark.sources.jsondir import (
+    read_subject_documents,
+    read_subject_documents_collated,
+)
 from c3dc_etl_spark.sources.lookups import (
     duplicate_keys,
     read_lookup_map,
@@ -24,6 +27,7 @@ __all__ = [
     "load_transformations",
     "read_delimited",
     "read_subject_documents",
+    "read_subject_documents_collated",
     "duplicate_keys",
     "read_lookup_map",
     "read_manifest",

@@ -18,12 +18,14 @@ from c3dc_etl_spark.sources import (
     read_delimited,
     read_manifest,
     read_subject_documents,
+    read_subject_documents_collated,
 )
 from c3dc_etl_spark.suite.registry import query
 
 FIXTURES = pathlib.Path(__file__).resolve().parents[2] / "tests" / "fixtures"
 TSV = str(FIXTURES / "clinical.tsv")
 SUBJECTS = str(FIXTURES / "subjects")
+SUBJECTS_DUP = str(FIXTURES / "subjects_dup")
 MANIFEST = str(FIXTURES / "manifest.csv")
 
 SUBJECT_FIELDS = ("DM_SEX", "DM_BRTHDAT", "FU_STATUS", "FU_AGE")
@@ -107,6 +109,40 @@ def source_jsondir_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_subject_documents(
         spark,
         SUBJECTS,
+        fields=SUBJECT_FIELDS,
+        most_negative_fields=("DM_BRTHDAT",),
+    )
+
+
+# Golden vector, not a restatement: JSON permits DUPLICATE keys within
+# one object, and every declarative reader (DuckDB read_json included)
+# keeps exactly one occurrence — the semantics under test (collate all
+# duplicate `data` lists, reference etl/mci/c3dc_etl.py:264-279) cannot
+# be expressed in SQL over the raw files. The fixture is tiny and
+# committed, so the expected pivot is enumerable: Q001 proves fields
+# split across duplicate data keys both land; Q002 proves order (DM_SEX
+# first-wins picks the FIRST data list's value — a last-wins dict parse
+# would answer 'F') and the DM_BRTHDAT most-negative rule across
+# duplicates; Q003 proves a formless subject still yields a row.
+_JSONDUP_ORACLE = """
+SELECT * FROM (VALUES
+    ('Q001', 'F', '-150', 'Alive', '4100'),
+    ('Q002', 'M', '-400', 'Dead',  CAST(NULL AS VARCHAR)),
+    ('Q003', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+) AS t(usi, DM_SEX, DM_BRTHDAT, FU_STATUS, FU_AGE)
+"""
+
+
+@query("source_jsondir_dupkeys", oracle=_JSONDUP_ORACLE, tags=("source",))
+def source_jsondir_dupkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 through sources.read_subject_documents_collated: whole-text
+    file read + Arrow-batched collating JSON decode (object_pairs_hook
+    keeps duplicate `data` keys), then the SAME resolution window +
+    pivot as the declarative S5 path."""
+    return read_subject_documents_collated(
+        spark,
+        SUBJECTS_DUP,
         fields=SUBJECT_FIELDS,
         most_negative_fields=("DM_BRTHDAT",),
     )

@@ -15,6 +15,7 @@ from c3dc_etl_spark.sources import (
     read_lookup_map,
     read_manifest,
     read_subject_documents,
+    read_subject_documents_collated,
     route_tabs,
 )
 from c3dc_etl_spark.sources.workbook import truncate_sheet_name
@@ -46,6 +47,22 @@ def test_jsondir_duplicate_resolution(spark):
     assert rows["P001"]["DM_BRTHDAT"] == "-350"  # most-negative wins (S5)
     assert rows["P002"]["DM_SEX"] == "M"         # first instance wins
     assert rows["P003"]["DM_SEX"] is None        # no forms -> row kept, nulls
+
+
+def test_jsondir_collated_duplicate_data_keys(spark):
+    # Q002's DEMOGRAPHICS form has TWO `data` keys in one JSON object; a
+    # plain dict parse keeps only the last (DM_SEX would be 'F'), the
+    # collating reader sees both in order.
+    df = read_subject_documents_collated(
+        spark, str(FIXTURES / "subjects_dup"),
+        fields=("DM_SEX", "DM_BRTHDAT", "FU_STATUS", "FU_AGE"),
+        most_negative_fields=("DM_BRTHDAT",),
+    )
+    rows = {r["usi"]: r for r in df.collect()}
+    assert rows["Q001"]["DM_SEX"] == "F" and rows["Q001"]["DM_BRTHDAT"] == "-150"
+    assert rows["Q002"]["DM_SEX"] == "M"        # first-wins across dup data keys
+    assert rows["Q002"]["DM_BRTHDAT"] == "-400" # most-negative across dup data keys
+    assert rows["Q003"]["DM_SEX"] is None       # no forms -> row kept, nulls
 
 
 def test_manifest_uniqueness_enforced(spark):
