@@ -418,13 +418,15 @@ def simhash_hamming_pairs(
         )
     left = banded.select(F.col("doc").alias("id_a"), F.col("simhash").alias("fp_a"), "band")
     right = banded.select(F.col("doc").alias("id_b"), F.col("simhash").alias("fp_b"), "band")
-    pairs = (
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # hamming filter BEFORE the pair distinct: the predicate is
+    # deterministic per pair, so filtering early is semantics-preserving
+    # and the dedup shuffle only carries pairs that already passed.
+    return (
         left.join(right, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )

@@ -239,7 +239,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_PAIRS_ORACLE = f"""
 WITH {_simhash_cte(32)},
-banded AS (
+banded AS MATERIALIZED (
     SELECT doc, simhash,
            UNNEST([{", ".join(f"CONCAT('{b}', ':', (simhash >> {b * 8}) & 255)" for b in range(4))}])
                AS band
