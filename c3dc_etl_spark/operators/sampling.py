@@ -1,0 +1,106 @@
+"""Deterministic sampling and mixture construction for training-data
+pipelines.
+
+``df.sample()`` draws from a per-partition RNG: the kept set changes
+with partitioning, retries, and Spark version — useless for
+reproducible corpus builds. Everything here derives the keep/repeat
+decision from a HASH of a stable key instead:
+
+- the sample is identical on every run, any partitioning, any engine
+  (the md5-fold hash is portable to the DuckDB oracles);
+- co-sampling is consistent: any table keyed by the same id draws the
+  same decision, so features/embeddings/labels sampled separately stay
+  aligned with their documents;
+- mixture weights > 1 oversample by emitting deterministic copies
+  (epoch-style repetition), weights < 1 downsample by thresholding.
+
+All expressions are JVM-side codegen (hash32 = one md5 + an 8-char
+fold); the only shuffle any of these introduce is none at all — they
+are narrow maps/filters that preserve the input partitioning, which is
+exactly what a 100 TB corpus pass needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators.dedup import hash32
+
+_DENOM = float(1 << 32)
+
+
+def hash_uniform(key: Column | str, seed: str = "hs") -> Column:
+    """Deterministic uniform draw in [0, 1) from a stable key: the
+    32-bit md5-fold hash of ``seed:key`` scaled by 2^-32. Changing the
+    seed re-draws the whole sample independently."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hash32(F.concat(F.lit(seed + ":"), c.cast("string"))) / F.lit(_DENOM)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, *, seed: str = "hs"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash. A narrow
+    filter: no shuffle, partitioning preserved, reproducible anywhere."""
+    return df.filter(hash_uniform(key_col, seed) < F.lit(fraction))
+
+
+def _fraction_for(strata_col: str, fractions: Mapping[str, float], default: float) -> Column:
+    expr: Column = F.lit(float(default))
+    for value, frac in sorted(fractions.items()):
+        expr = F.when(F.col(strata_col) == F.lit(value), F.lit(float(frac))).otherwise(
+            expr
+        )
+    return expr
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    *,
+    default: float = 0.0,
+    seed: str = "hs",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own keep-fraction (unlisted strata get ``default``). The language /
+    source rebalancing step of a corpus mix, as one codegen filter."""
+    return df.filter(hash_uniform(key_col, seed) < _fraction_for(strata_col, fractions, default))
+
+
+def weighted_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: Mapping[str, float],
+    *,
+    default: float = 1.0,
+    seed: str = "hs",
+) -> DataFrame:
+    """Mixture construction with weights on BOTH sides of 1.0: weight
+    2.5 emits 2 full copies of every row plus a deterministic 50%
+    chance of a third; weight 0.25 keeps a quarter. Output carries
+    ``copy_num`` (0-based) so downstream shuffles can decorrelate
+    repeated epochs.
+
+    copies(row) = floor(w) + (hash_uniform < frac(w)), emitted via
+    explode(sequence(...)) — JVM-side, no Python, and the row blowup is
+    exactly the corpus designer's chosen epoch factor."""
+    w = _fraction_for(strata_col, weights, default)
+    u = hash_uniform(F.col(key_col), seed)
+    n_copies = F.floor(w).cast("long") + F.when(u < w - F.floor(w), 1).otherwise(0).cast(
+        "long"
+    )
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "copy_num",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - F.lit(1).cast("long"))),
+        )
+        .drop("__n")
+    )

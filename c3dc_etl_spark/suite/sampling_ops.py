@@ -1,0 +1,96 @@
+"""Sampling / mixture suite queries over the documents table, backed by
+c3dc_etl_spark.operators.sampling. The md5-fold hash and the threshold
+arithmetic are mirrored exactly in the DuckDB oracles, so the kept row
+sets are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from c3dc_etl_spark.operators import sampling as SA
+from c3dc_etl_spark.suite.registry import load, query
+
+SEED = "hs"
+
+# Per-stratum keep fractions (rebalancing a language mix) and mixture
+# weights (epoch-style oversampling). Constants are shared by the Spark
+# plan and the generated oracle SQL.
+FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1}
+WEIGHTS = {"zh": 2.5, "en": 0.3}
+
+
+def _fold_h(h: str) -> str:
+    """DuckDB mirror of operators.dedup.hash32 over an md5-hex column."""
+    return (
+        "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+        "LIST_TRANSFORM(RANGE(1, 9), fi -> CAST("
+        f"CASE WHEN ASCII(SUBSTR({h}, fi, 1)) >= 97 THEN ASCII(SUBSTR({h}, fi, 1)) - 87 "
+        f"ELSE ASCII(SUBSTR({h}, fi, 1)) - 48 END AS BIGINT))), "
+        "(acc, x) -> acc * 16 + x)"
+    )
+
+
+def _frac_case(mapping: dict[str, float], default: float) -> str:
+    arms = " ".join(
+        f"WHEN lang = '{v}' THEN {f!r}" for v, f in sorted(mapping.items())
+    )
+    return f"(CASE {arms} ELSE {default!r} END)"
+
+
+_U = f"({_fold_h('h')}) / 4294967296.0"
+
+_STRAT_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id, lang, source,
+           MD5('{SEED}:' || CAST(doc_id AS STRING)) AS h
+    FROM documents
+)
+SELECT doc_id, lang, source
+FROM k
+WHERE {_U} < {_frac_case(FRACTIONS, 0.0)}
+"""
+
+
+@query("sample_stratified_hash", oracle=_STRAT_ORACLE, tags=("sampling",))
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep-fraction by language via
+    a key-hash threshold — a narrow codegen filter (no shuffle, no RNG),
+    so the kept set is identical on any partitioning or engine. Strata
+    not listed get fraction 0 (zh is dropped)."""
+    docs = load(spark, sf_dir, "documents")
+    return SA.stratified_hash_sample(
+        docs, "doc_id", "lang", FRACTIONS, default=0.0, seed=SEED
+    ).select("doc_id", "lang", "source")
+
+
+_MIX_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id, lang,
+           {_frac_case(WEIGHTS, 1.0)} AS w,
+           MD5('{SEED}:' || CAST(doc_id AS STRING)) AS h
+    FROM documents
+),
+n AS (
+    SELECT doc_id, lang,
+           CAST(FLOOR(w) AS BIGINT)
+           + (CASE WHEN {_U} < w - FLOOR(w) THEN 1 ELSE 0 END) AS n_copies
+    FROM k
+)
+SELECT doc_id, lang, UNNEST(RANGE(0, n_copies)) AS copy_num
+FROM n
+WHERE n_copies > 0
+"""
+
+
+@query("sample_weighted_mixture", oracle=_MIX_ORACLE, tags=("sampling",))
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction with weights on both sides of 1.0: zh is
+    oversampled 2.5x (2 copies + a deterministic 50% third), en kept at
+    0.3, everything else passes through once. copies = floor(w) +
+    (hash-uniform < frac(w)), emitted via explode(sequence(...)) —
+    JVM-side, narrow, reproducible."""
+    docs = load(spark, sf_dir, "documents")
+    return SA.weighted_mixture(
+        docs, "doc_id", "lang", WEIGHTS, default=1.0, seed=SEED
+    ).select("doc_id", "lang", "copy_num")

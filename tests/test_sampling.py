@@ -1,0 +1,71 @@
+"""Unit tests for c3dc_etl_spark.operators.sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import sampling as SA
+
+
+def _keyed(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("stratum"),
+    )
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = _keyed(spark)
+    a = {r["k"] for r in SA.hash_sample(df, "k", 0.3).collect()}
+    b = {r["k"] for r in SA.hash_sample(df.repartition(7), "k", 0.3).collect()}
+    assert a == b  # kept set independent of partitioning
+    assert 0.15 < len(a) / 400 < 0.45  # fraction roughly respected
+
+
+def test_hash_sample_co_samples_joined_tables(spark):
+    docs = _keyed(spark)
+    feats = docs.select("k", (F.col("k") * 10).alias("feature"))
+    kept_docs = {r["k"] for r in SA.hash_sample(docs, "k", 0.5).collect()}
+    kept_feats = {r["k"] for r in SA.hash_sample(feats, "k", 0.5).collect()}
+    assert kept_docs == kept_feats  # same key -> same decision, any table
+
+
+def test_seed_redraws_sample(spark):
+    df = _keyed(spark)
+    a = {r["k"] for r in SA.hash_sample(df, "k", 0.5, seed="s1").collect()}
+    b = {r["k"] for r in SA.hash_sample(df, "k", 0.5, seed="s2").collect()}
+    assert a != b
+
+
+def test_stratified_fractions_and_default_drop(spark):
+    df = _keyed(spark)
+    out = SA.stratified_hash_sample(
+        df, "k", "stratum", {"0": 1.0, "1": 0.5}, default=0.0
+    )
+    by = {s: c for s, c in out.groupBy("stratum").count().collect()}
+    assert by["0"] == 100  # fraction 1.0 keeps everything
+    assert 25 < by.get("1", 0) < 75
+    assert "2" not in by and "3" not in by  # default 0.0 drops
+
+
+def test_weighted_mixture_copies(spark):
+    df = _keyed(spark)
+    out = SA.weighted_mixture(df, "k", "stratum", {"0": 3.0, "1": 2.5, "2": 0.4})
+    counts = {
+        (r["stratum"], r["k"]): r["n"]
+        for r in out.groupBy("stratum", "k").agg(F.count("*").alias("n")).collect()
+    }
+    s0 = [n for (s, _), n in counts.items() if s == "0"]
+    s1 = [n for (s, _), n in counts.items() if s == "1"]
+    s3 = [n for (s, _), n in counts.items() if s == "3"]
+    assert set(s0) == {3}  # integer weight -> exact copies
+    assert set(s1) <= {2, 3} and len(s0) == len(s1) == 100
+    assert set(s3) == {1} and len(s3) == 100  # default weight 1.0 passes through
+    # fractional-below-one weight keeps a subset, single copies
+    s2 = [n for (s, _), n in counts.items() if s == "2"]
+    assert set(s2) == {1} and 10 < len(s2) < 75
+    # copy_num is 0-based and dense per row
+    copies = out.filter((F.col("stratum") == "0")).groupBy("k").agg(
+        F.sort_array(F.collect_list("copy_num")).alias("cs")
+    )
+    assert all(r["cs"] == [0, 1, 2] for r in copies.collect())
