@@ -83,3 +83,15 @@ def test_q3_topk_avoids_global_sort(spark):
 def test_link_wiring_collect_is_two_phase(spark):
     plan = _plan(REGISTRY["link_wiring_collect"].fn(spark, SF))
     assert "partial_collect_list" in plan  # map-side partial lists
+
+
+def test_sampling_is_shuffle_free_and_codegen(spark):
+    # hash sampling / mixture weighting must stay narrow: a single
+    # filter (or filter+explode) over the scan, no exchange anywhere,
+    # no Python evaluation
+    strat = _plan(REGISTRY["sample_stratified_hash"].fn(spark, SF))
+    mix = _plan(REGISTRY["sample_weighted_mixture"].fn(spark, SF))
+    for plan in (strat, mix):
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no UDF fallback
+    assert "Generate" in mix  # explode supplies the oversample copies
