@@ -236,3 +236,40 @@ def lsh_cosine_candidates(
         .filter(F.col("sim") >= min_sim)
         .select("id_a", "id_b", "sim")
     )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    planes: int = 8,
+    dim: int = 64,
+    seed: str = "srp",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP DECISIONS (not just
+    candidate pairs): every vector that shares an SRP bucket with a
+    lower-id vector at cosine >= ``threshold`` is marked dropped, keyed
+    to its lowest-id qualifying partner.
+
+    keep_id = min(id_a) per dropped id_b makes the decision
+    deterministic without iterative connected components: chains
+    resolve because the lowest member of any near-dup cluster is never
+    dropped (it has no lower-id partner), so every cluster keeps >= 1
+    representative. min_by picks the similarity of the kept pair.
+    Work is bounded by the bucketed candidate join (lsh_cosine_candidates)
+    — one extra hash aggregation on id_b, no new wide shuffles."""
+    pairs = lsh_cosine_candidates(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        planes=planes,
+        dim=dim,
+        seed=seed,
+        min_sim=threshold,
+    )
+    return pairs.groupBy("id_b").agg(
+        F.min("id_a").alias("keep_id"),
+        F.min_by("sim", "id_a").alias("sim"),
+    ).select(F.col("id_b").alias("drop_id"), "keep_id", "sim")

@@ -113,6 +113,42 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_SIM = 0.2
+
+_NEAR_DUP_ORACLE = f"""
+WITH b AS MATERIALIZED (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+           {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.id AS id_a, c.id AS id_b,
+           ROUND({_fold_dot('a.vec', 'c.vec')}
+                 / (SQRT({_fold_dot('a.vec', 'a.vec')})
+                    * SQRT({_fold_dot('c.vec', 'c.vec')})), 4) + 0.0 AS sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+)
+SELECT id_b AS drop_id, MIN(id_a) AS keep_id, ARG_MIN(sim, id_a) AS sim
+FROM pairs
+WHERE sim >= {NEAR_DUP_SIM}
+GROUP BY id_b
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_NEAR_DUP_ORACLE, tags=("dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup decisions: SRP-bucketed
+    candidate pairs above the similarity threshold reduced to
+    (drop_id, keep_id) — keep_id = lowest-id qualifying partner, so the
+    lowest member of every near-dup cluster survives without iterative
+    connected components. (Threshold tuned low for the synthetic
+    uniform embeddings; real corpora use ~0.95+.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup(
+        emb, planes=SRP_PLANES, dim=EMB_DIM, seed="srp", threshold=NEAR_DUP_SIM
+    )
+
+
 N_CENTROIDS = 16
 NPROBE = 2
 

@@ -92,3 +92,27 @@ def test_ivf_probes_only_nearest_clusters(spark):
     # nprobe=2 widens the probe to both clusters
     out2 = S.ivf_cosine_topk(df.filter("vec_id = 0"), df, centroids, nprobe=2, k=10)
     assert {r["candidate_id"] for r in out2.collect()} == {1, 2, 3, 4}
+
+
+def test_embedding_near_dup_keeps_cluster_representative(spark):
+    # two tight clusters (0,1,2) and (3,4) plus an outlier 5: every
+    # non-minimal cluster member is dropped against the cluster minimum,
+    # the minima and the outlier survive
+    # chosen so no vector projects to exactly 0 on any of the 4 seeded
+    # planes (a boundary projection makes the sign bit float-noise
+    # sensitive under scaling)
+    base_a = [1.0, 0.2, -0.3, 0.7]
+    base_b = [-0.8, 0.5, 0.2, -0.4]
+    rows = [
+        base_a,
+        [x * 1.001 for x in base_a],
+        [x * 0.999 for x in base_a],
+        base_b,
+        [x * 1.002 for x in base_b],
+        [0.3, -1.0, 1.0, 0.1],
+    ]
+    out = S.embedding_near_dup(
+        _vecs(spark, rows), planes=4, dim=4, threshold=0.999
+    )
+    got = {r["drop_id"]: r["keep_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 4: 3}
