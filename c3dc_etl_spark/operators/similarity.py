@@ -48,15 +48,24 @@ def cosine_topk(
     queries is broadcast (ANN query batches are small); candidates stream
     through in one narrow pass, then a per-query window takes k. Rank key
     is (rounded sim DESC, candidate id ASC) — fully deterministic."""
+    # norms are materialized per ROW, not per pair: q·q would otherwise
+    # be re-folded once per candidate (and c·c once per query). The
+    # division consumes the same doubles either way, so results are
+    # bit-identical — this is an O(pairs·dim) -> O(n·dim) cost cut.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = candidates.select(
-        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         c.join(F.broadcast(q), F.col("candidate_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp) + F.lit(0.0))
+        .withColumn("sim", F.round(sim, round_dp) + F.lit(0.0))
         .select("query_id", "candidate_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -129,6 +138,7 @@ def ivf_cosine_topk(
     ).select(
         "candidate_id",
         "c_vec",
+        F.col("__nv").alias("c_norm"),
         F.array_max(sims_struct(F.col("c_vec"), F.col("__nv")))["c"].alias("cluster"),
     )
     q = queries.select(
@@ -138,6 +148,7 @@ def ivf_cosine_topk(
     ).select(
         "query_id",
         "q_vec",
+        F.col("__nv").alias("q_norm"),
         F.explode(
             F.transform(
                 F.slice(
@@ -149,10 +160,12 @@ def ivf_cosine_topk(
             )
         ).alias("cluster"),
     )
+    # per-row norms reused for pair scoring (bit-identical, O(n) folds)
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         cand.join(F.broadcast(q), "cluster")
         .filter(F.col("candidate_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_dp) + F.lit(0.0))
+        .withColumn("sim", F.round(sim, round_dp) + F.lit(0.0))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("candidate_id").asc()
@@ -225,14 +238,24 @@ def lsh_cosine_candidates(
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),
         srp_bucket(F.col(vec_col), matrix).alias("bucket"),
     )
-    left = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    right = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    left = b.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"), "bucket",
+    )
+    right = b.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"), "bucket",
+    )
+    # per-row norms: each vector's self-fold runs once, not once per
+    # bucket collision (bit-identical division operands)
+    sim = dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_dp) + F.lit(0.0))
+        .withColumn("sim", F.round(sim, round_dp) + F.lit(0.0))
         .filter(F.col("sim") >= min_sim)
         .select("id_a", "id_b", "sim")
     )

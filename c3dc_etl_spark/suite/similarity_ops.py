@@ -29,18 +29,20 @@ def _fold_dot(a: str, b: str) -> str:
     )
 
 
-_COS = (
-    f"{_fold_dot('qv', 'cv')} / "
-    f"(SQRT({_fold_dot('qv', 'qv')}) * SQRT({_fold_dot('cv', 'cv')}))"
-)
+# per-row norms in the CTEs (not per pair) — mirrors the Spark plans;
+# the division consumes the same doubles, so values are identical
+_COS = f"{_fold_dot('qv', 'cv')} / (qn * cn)"
 
 _TOPK_ORACLE = f"""
-WITH q AS (
-    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+WITH q AS MATERIALIZED (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+           SQRT({_fold_dot('(embedding::DOUBLE[])', '(embedding::DOUBLE[])')}) AS qn
     FROM embeddings WHERE vec_id < {N_QUERIES}
 ),
-c AS (
-    SELECT vec_id AS candidate_id, embedding::DOUBLE[] AS cv FROM embeddings
+c AS MATERIALIZED (
+    SELECT vec_id AS candidate_id, embedding::DOUBLE[] AS cv,
+           SQRT({_fold_dot('(embedding::DOUBLE[])', '(embedding::DOUBLE[])')}) AS cn
+    FROM embeddings
 ),
 scored AS (
     SELECT query_id, candidate_id, ROUND({_COS}, 4) + 0.0 AS sim
@@ -90,13 +92,12 @@ def _bucket_sql(vec: str) -> str:
 _LSH_ORACLE = f"""
 WITH b AS MATERIALIZED (
     SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+           SQRT({_fold_dot('(embedding::DOUBLE[])', '(embedding::DOUBLE[])')}) AS nrm,
            {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
     FROM embeddings
 )
 SELECT a.id AS id_a, c.id AS id_b,
-       ROUND({_fold_dot('a.vec', 'c.vec')}
-             / (SQRT({_fold_dot('a.vec', 'a.vec')})
-                * SQRT({_fold_dot('c.vec', 'c.vec')})), 4) + 0.0 AS sim
+       ROUND({_fold_dot('a.vec', 'c.vec')} / (a.nrm * c.nrm), 4) + 0.0 AS sim
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
 """
 
@@ -118,14 +119,13 @@ NEAR_DUP_SIM = 0.2
 _NEAR_DUP_ORACLE = f"""
 WITH b AS MATERIALIZED (
     SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+           SQRT({_fold_dot('(embedding::DOUBLE[])', '(embedding::DOUBLE[])')}) AS nrm,
            {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
     FROM embeddings
 ),
 pairs AS (
     SELECT a.id AS id_a, c.id AS id_b,
-           ROUND({_fold_dot('a.vec', 'c.vec')}
-                 / (SQRT({_fold_dot('a.vec', 'a.vec')})
-                    * SQRT({_fold_dot('c.vec', 'c.vec')})), 4) + 0.0 AS sim
+           ROUND({_fold_dot('a.vec', 'c.vec')} / (a.nrm * c.nrm), 4) + 0.0 AS sim
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
 )
 SELECT id_b AS drop_id, MIN(id_a) AS keep_id, ARG_MIN(sim, id_a) AS sim
@@ -165,6 +165,11 @@ sims AS MATERIALIZED (
                AS s
     FROM embeddings e CROSS JOIN cents c
 ),
+norms AS MATERIALIZED (
+    SELECT vec_id,
+           SQRT({_fold_dot('(embedding::DOUBLE[])', '(embedding::DOUBLE[])')}) AS nrm
+    FROM embeddings
+),
 cand_assign AS (
     SELECT candidate_id, c_vec, cid AS cluster FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY candidate_id
@@ -182,11 +187,11 @@ q_probe AS (
 ),
 scored AS (
     SELECT q.query_id, a.candidate_id,
-           ROUND({_fold_dot('q.q_vec', 'a.c_vec')}
-                 / (SQRT({_fold_dot('q.q_vec', 'q.q_vec')})
-                    * SQRT({_fold_dot('a.c_vec', 'a.c_vec')})), 4) + 0.0 AS sim
-    FROM cand_assign a JOIN q_probe q
-      ON a.cluster = q.cluster AND a.candidate_id <> q.query_id
+           ROUND({_fold_dot('q.q_vec', 'a.c_vec')} / (qn.nrm * cn.nrm), 4) + 0.0 AS sim
+    FROM cand_assign a
+    JOIN q_probe q ON a.cluster = q.cluster AND a.candidate_id <> q.query_id
+    JOIN norms qn ON qn.vec_id = q.query_id
+    JOIN norms cn ON cn.vec_id = a.candidate_id
 )
 SELECT query_id, candidate_id, sim, CAST(rank AS BIGINT) AS rank
 FROM (
