@@ -68,11 +68,31 @@ def cosine_topk(
         .withColumn("sim", F.round(sim, round_dp) + F.lit(0.0))
         .select("query_id", "candidate_id", "sim")
     )
-    w = Window.partitionBy("query_id").orderBy(
+    # Two-phase salted top-k: a single Window.partitionBy(query_id)
+    # would sort ALL n x |q| scored rows on |q| reducers — a handful of
+    # hot partitions when the query batch is small. Phase 1 ranks
+    # within (query_id, salt) buckets (parallelism |q| x n_salt) and
+    # keeps k per bucket; phase 2 ranks the surviving n_salt*k rows per
+    # query. The global top-k is a subset of the per-salt top-ks, and
+    # the (sim DESC, candidate_id ASC) tiebreak makes both rankings
+    # deterministic, so the result is identical to the one-shot window.
+    n_salt = 32
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.hash(F.col("candidate_id")), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("sim").desc(), F.col("candidate_id").asc()
+    )
+    pre = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("candidate_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "sim", F.col("rank").cast("bigint").alias("rank"))
     )

@@ -95,3 +95,10 @@ def test_sampling_is_shuffle_free_and_codegen(spark):
         assert "Exchange" not in plan
         assert "Python" not in plan  # no UDF fallback
     assert "Generate" in mix  # explode supplies the oversample copies
+
+
+def test_cosine_topk_is_two_phase_salted(spark):
+    # phase 1 ranks within (query, salt) buckets, phase 2 ranks the
+    # survivors — never a per-query sort over the full scored set
+    plan = _plan(REGISTRY["ann_cosine_topk"].fn(spark, SF))
+    assert plan.count("Window") == 2
