@@ -68,13 +68,15 @@ def cosine_topk(
         .withColumn("sim", F.round(sim, round_dp) + F.lit(0.0))
         .select("query_id", "candidate_id", "sim")
     )
-    # Two-phase salted top-k: a single Window.partitionBy(query_id)
-    # would sort ALL n x |q| scored rows on |q| reducers — a handful of
-    # hot partitions when the query batch is small. Phase 1 ranks
-    # within (query_id, salt) buckets (parallelism |q| x n_salt) and
-    # keeps k per bucket; phase 2 ranks the surviving n_salt*k rows per
-    # query. The global top-k is a subset of the per-salt top-ks, and
-    # the (sim DESC, candidate_id ASC) tiebreak makes both rankings
+    # Two-phase salted top-k. Spark's WindowGroupLimit already prunes
+    # rank<=k rows per group per TASK before each exchange, so even a
+    # single window ships only tasks*k rows per query — but those all
+    # land on |q| reducers, and tasks*k grows with cluster size (100k
+    # tasks x k = 1M-row sorts per query). Phase 1 ranks within
+    # (query_id, salt) buckets (parallelism |q| x n_salt); phase 2
+    # ranks the surviving n_salt*k rows per query — constant-bounded.
+    # The global top-k is a subset of the per-salt top-ks, and the
+    # (sim DESC, candidate_id ASC) tiebreak makes both rankings
     # deterministic, so the result is identical to the one-shot window.
     n_salt = 32
     salted = scored.withColumn(

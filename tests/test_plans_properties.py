@@ -99,6 +99,9 @@ def test_sampling_is_shuffle_free_and_codegen(spark):
 
 def test_cosine_topk_is_two_phase_salted(spark):
     # phase 1 ranks within (query, salt) buckets, phase 2 ranks the
-    # survivors — never a per-query sort over the full scored set
+    # survivors — never a per-query sort over the full scored set; and
+    # Spark's WindowGroupLimit must prune to k rows per group BEFORE
+    # each exchange (map-side partial top-k)
     plan = _plan(REGISTRY["ann_cosine_topk"].fn(spark, SF))
-    assert plan.count("Window") == 2
+    assert plan.count("Window [row_number()") == 2
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
