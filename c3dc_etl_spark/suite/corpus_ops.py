@@ -1,0 +1,116 @@
+"""End-to-end corpus-build composition: quality filter -> exact dedup
+-> stratified sample, as ONE declarative plan. Demonstrates that the
+training-data operators compose without materialization barriers —
+Catalyst fuses the quality expressions, the dedup window, and the
+sampling filter into a single pipeline (the sampling filter even
+applies before the dedup shuffle where legal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import sampling as SA
+from c3dc_etl_spark.operators import text as T
+from c3dc_etl_spark.operators.dedup import content_digest
+from c3dc_etl_spark.suite.registry import load, query
+from c3dc_etl_spark.suite.text_ops import _sql_count_occ
+
+QUALITY_MIN = 0.5
+SAMPLE_FRACS = {"en": 0.6, "zh": 0.9}
+SAMPLE_DEFAULT = 0.8
+SEED = "corpus"
+
+_STOP_SUM = " + ".join(_sql_count_occ(w) for w in T.STOPWORDS_EN)
+
+# quality_score mirror (operators/text.py quality_score): identical
+# expression order so the IEEE arithmetic is bit-identical
+_SCORE = """
+ROUND(
+    LEAST(stopword_ratio * 2, 1.0) * 0.4
+    + (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12
+            THEN 1.0 ELSE 0.0 END) * 0.3
+    + LEAST(alpha_ratio * 1.25, 1.0) * 0.3, 4)
+"""
+
+_FRAC_CASE = (
+    "(CASE "
+    + " ".join(f"WHEN lang = '{v}' THEN {f!r}" for v, f in sorted(SAMPLE_FRACS.items()))
+    + f" ELSE {SAMPLE_DEFAULT!r} END)"
+)
+
+_FOLD_U = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+    "LIST_TRANSFORM(RANGE(1, 9), fi -> CAST("
+    "CASE WHEN ASCII(SUBSTR(h, fi, 1)) >= 97 THEN ASCII(SUBSTR(h, fi, 1)) - 87 "
+    "ELSE ASCII(SUBSTR(h, fi, 1)) - 48 END AS BIGINT))), "
+    "(acc, x) -> acc * 16 + x) / 4294967296.0"
+)
+
+_CORPUS_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id, lang, text,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT)
+           END AS n_tokens,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+           {_STOP_SUM} AS stop_hits
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, lang, text, {_SCORE.strip()} AS score
+    FROM (
+        SELECT doc_id, lang, text,
+               CAST(n_chars AS DOUBLE) / GREATEST(n_tokens, 1) AS mean_token_len,
+               CAST(n_alpha AS DOUBLE) / GREATEST(n_chars, 1) AS alpha_ratio,
+               CAST(stop_hits AS DOUBLE) / GREATEST(n_tokens, 1) AS stopword_ratio
+        FROM feat
+    )
+),
+filtered AS (
+    SELECT doc_id, lang, score FROM scored
+    WHERE score >= {QUALITY_MIN}
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')))
+        ORDER BY doc_id ASC
+    ) = 1
+),
+keyed AS (
+    SELECT doc_id, lang, score,
+           MD5('{SEED}:' || CAST(doc_id AS STRING)) AS h
+    FROM filtered
+)
+SELECT doc_id, lang,
+       CAST(FLOOR(score * 10000 + 0.5) AS BIGINT) AS quality_x1e4
+FROM keyed
+WHERE {_FOLD_U} < {_FRAC_CASE}
+"""
+
+
+@query("corpus_build_pipeline", oracle=_CORPUS_ORACLE, tags=("text", "sampling"))
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus pass as one plan: Gopher-style quality
+    filter -> exact-content dedup (first-wins window over the
+    normalized digest) -> per-language stratified hash sample. One
+    shuffle total (the dedup window); scoring and sampling are narrow
+    codegen expressions fused around it."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text", T.quality_score("text").alias("score")
+    ).filter(F.col("score") >= QUALITY_MIN)
+    w = Window.partitionBy(content_digest("text")).orderBy(F.col("doc_id").asc())
+    deduped = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "text")
+    )
+    sampled = SA.stratified_hash_sample(
+        deduped, "doc_id", "lang", SAMPLE_FRACS, default=SAMPLE_DEFAULT, seed=SEED
+    )
+    return sampled.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("bigint").alias("quality_x1e4"),
+    )

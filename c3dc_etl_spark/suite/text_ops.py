@@ -178,3 +178,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine-portable rolling-hash stand-in)."""
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
+
+
+TOP_K_TOKENS = 50
+
+_TOP_TOKENS_ORACLE = f"""
+WITH toks AS (
+    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+')) AS token
+    FROM documents WHERE TRIM(text) <> ''
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {TOP_K_TOKENS}
+"""
+
+
+@query("text_top_tokens", oracle=_TOP_TOKENS_ORACLE, tags=("text",))
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token heavy hitters: explode lowercased tokens,
+    hash-aggregate counts (map-side partial combine collapses each
+    task's token multiset before the single exchange), deterministic
+    ordered limit (count DESC, token ASC) -> TakeOrderedAndProject —
+    per-partition top-k merged on the driver, never a global sort."""
+    docs = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(TOP_K_TOKENS)
+    )
