@@ -11,7 +11,11 @@ Scale design:
   integer arithmetic (affine permutations mod a Mersenne prime), not
   repeated digests. Everything is a JVM-side codegen expression — no
   Python in the hot path — and every formula is mirrored exactly in the
-  DuckDB oracle SQL (md5 / substr / ascii / integer ops are portable).
+  DuckDB oracle SQL (md5 / substr / hex-cast / integer ops are portable).
+- Text normalization is projected to its OWN column before shingling:
+  higher-order array lambdas are evaluated interpreted per element, so
+  any non-trivial expression inside the lambda body is re-computed per
+  shingle unless it is a bound column reference.
 """
 
 from __future__ import annotations
@@ -54,11 +58,18 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed text — the shared
+    normalization for every content-based dedup operator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
 def content_digest(col: Column | str, *, normalize: bool = True) -> Column:
     """Digest for exact dedup; optionally whitespace/case-normalized."""
     c = F.col(col) if isinstance(col, str) else col
     if normalize:
-        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+        c = normalize_text(c)
     return F.md5(c)
 
 
@@ -75,33 +86,39 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def char_shingles(col: Column | str, k: int = 12) -> Column:
-    """Array of character k-shingles of the normalized text (distinct).
-    sequence+transform keeps generation inside codegen."""
-    c = F.col(col) if isinstance(col, str) else col
-    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+def shingles_of_norm(norm: Column, k: int = 12) -> Column:
+    """Array of character k-shingles (distinct) of an ALREADY-NORMALIZED
+    text column.
+
+    ``norm`` must be a materialized column reference (e.g. a
+    ``withColumn("__norm", normalize_text(...))`` output), never an
+    inline expression: Spark's higher-order array functions evaluate
+    their lambda interpreted, per element, and the lambda body
+    ``norm.substr(i, k)`` embeds the whole ``norm`` expression tree —
+    an inline ``lower(regexp_replace(...))`` would re-run the regex
+    once PER SHINGLE (measured 7x the stage cost at sf0.1)."""
     n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
     )
 
 
+def char_shingles(col: Column | str, k: int = 12) -> Column:
+    """One-shot shingle array from raw text. Convenience form for tests
+    and small inputs — inlines the normalization into the per-element
+    lambda; hot paths must project :func:`normalize_text` to its own
+    column first and use :func:`shingles_of_norm`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return shingles_of_norm(normalize_text(c), k)
+
+
 def hash32(col: Column) -> Column:
-    """Portable 32-bit integer hash: fold the first 8 hex chars of
-    md5(x) with positional arithmetic. ONE digest per value; the fold is
-    8 ascii ops inside codegen. Identical formula in DuckDB
-    (list_reduce over the same substr/ascii mapping)."""
-    h = F.md5(col)
-    digit = (
-        lambda c: F.when(F.ascii(c) >= 97, F.ascii(c) - 87)
-        .otherwise(F.ascii(c) - 48)
-        .cast("long")
-    )
-    return F.aggregate(
-        F.transform(F.sequence(F.lit(1), F.lit(8)), lambda i: h.substr(i, F.lit(1))),
-        F.lit(0).cast("long"),
-        lambda acc, c: acc * F.lit(16).cast("long") + digit(c),
-    )
+    """Portable 32-bit integer hash: the first 8 hex chars of md5(x)
+    parsed as an integer. ONE digest per value and a single native
+    ``conv(hex, 16, 10)`` — no per-character work (the previous
+    8-step ascii fold cost 3.4x as much; same value). DuckDB mirror:
+    ``CAST(CONCAT('0x', SUBSTR(MD5(x), 1, 8)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def _affine(a: int, b: int):
@@ -185,9 +202,15 @@ def minhash_lsh_candidates(
       clusters — exact_dedup handles those cheaply."""
     rows_per_band = num_hashes // bands
     df = _spread(df)
-    hv = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(char_shingles(text_col, shingle_k), hash32).alias("hv"),
+    # normalize -> shingle in TWO projections: the shingle lambda must
+    # reference a bound column, not the normalization expression (see
+    # shingles_of_norm).
+    normed = df.select(
+        F.col(id_col).alias("doc"), normalize_text(text_col).alias("__norm")
+    )
+    hv = normed.select(
+        "doc",
+        F.transform(shingles_of_norm(F.col("__norm"), shingle_k), hash32).alias("hv"),
     )
     sig = hv.select("doc", minhash_from_hashes(F.col("hv"), num_hashes).alias("sig"))
     # The sig subtree feeds three consumers (band explode + both rejoin
@@ -269,10 +292,13 @@ def ngram_jaccard_pairs(
     Candidate pairs whose bucket collision came from an affine-map
     collision rather than a shared shingle keep jaccard 0.0 via the
     left join."""
-    hashed = _spread(df).select(
-        F.col(id_col).alias("doc"),
+    normed = _spread(df).select(
+        F.col(id_col).alias("doc"), normalize_text(text_col).alias("__norm")
+    )
+    hashed = normed.select(
+        "doc",
         F.array_distinct(
-            F.transform(char_shingles(text_col, shingle_k), hash32)
+            F.transform(shingles_of_norm(F.col("__norm"), shingle_k), hash32)
         ).alias("hv"),
     )
     # The hashed-shingle sets feed THREE consumers (bucketing, the

@@ -40,13 +40,9 @@ _FRAC_CASE = (
     + f" ELSE {SAMPLE_DEFAULT!r} END)"
 )
 
-_FOLD_U = (
-    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
-    "LIST_TRANSFORM(RANGE(1, 9), fi -> CAST("
-    "CASE WHEN ASCII(SUBSTR(h, fi, 1)) >= 97 THEN ASCII(SUBSTR(h, fi, 1)) - 87 "
-    "ELSE ASCII(SUBSTR(h, fi, 1)) - 48 END AS BIGINT))), "
-    "(acc, x) -> acc * 16 + x) / 4294967296.0"
-)
+# DuckDB mirror of operators.dedup.hash32 scaled to [0,1) — same value
+# as Spark's CONV(SUBSTR(md5,1,8),16,10) / 2^32.
+_FOLD_U = "CAST(CONCAT('0x', SUBSTR(h, 1, 8)) AS BIGINT) / 4294967296.0"
 
 _CORPUS_ORACLE = f"""
 WITH feat AS (

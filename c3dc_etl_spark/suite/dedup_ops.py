@@ -26,16 +26,11 @@ _SHINGLES = (
     f" i -> SUBSTR({_NORM}, i, {SHINGLE_K})))"
 )
 
-# hash32: fold the first 8 hex chars of an md5 into a bigint — the
-# DuckDB mirror of operators.dedup.hash32.
-_FOLD_H = (
-    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
-    "LIST_TRANSFORM(RANGE(1, 9), fi -> CAST("
-    "CASE WHEN ASCII(SUBSTR(h, fi, 1)) >= 97 THEN ASCII(SUBSTR(h, fi, 1)) - 87 "
-    "ELSE ASCII(SUBSTR(h, fi, 1)) - 48 END AS BIGINT))), "
-    "(acc, x) -> acc * 16 + x)"
+# hash32: first 8 hex chars of an md5 parsed as a bigint — the DuckDB
+# mirror of operators.dedup.hash32 (Spark: CONV(SUBSTR(MD5(s),1,8),16,10)).
+_HASHED = (
+    "LIST_TRANSFORM(sh, s -> CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 8)) AS BIGINT))"
 )
-_HASHED = f"LIST_TRANSFORM(LIST_TRANSFORM(sh, s -> MD5(s)), h -> {_FOLD_H})"
 
 
 @query(

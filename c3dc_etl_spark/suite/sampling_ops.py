@@ -21,14 +21,9 @@ WEIGHTS = {"zh": 2.5, "en": 0.3}
 
 
 def _fold_h(h: str) -> str:
-    """DuckDB mirror of operators.dedup.hash32 over an md5-hex column."""
-    return (
-        "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
-        "LIST_TRANSFORM(RANGE(1, 9), fi -> CAST("
-        f"CASE WHEN ASCII(SUBSTR({h}, fi, 1)) >= 97 THEN ASCII(SUBSTR({h}, fi, 1)) - 87 "
-        f"ELSE ASCII(SUBSTR({h}, fi, 1)) - 48 END AS BIGINT))), "
-        "(acc, x) -> acc * 16 + x)"
-    )
+    """DuckDB mirror of operators.dedup.hash32 over an md5-hex column
+    (Spark: CONV(SUBSTR(md5, 1, 8), 16, 10) — same value)."""
+    return f"CAST(CONCAT('0x', SUBSTR({h}, 1, 8)) AS BIGINT)"
 
 
 def _frac_case(mapping: dict[str, float], default: float) -> str:
