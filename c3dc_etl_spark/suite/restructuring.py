@@ -29,23 +29,25 @@ def explode_subrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2: sub-source-record split — a ';'-delimited scalar cell fans out
     into one cloned record per distinct sorted value, id suffixed _1.._n
     (reference _build_sub_source_records,
-    etl/ccdi/c3dc_etl.py:1240-1292, values sorted :1262-1275). explode +
-    per-id window; ordinal assigned by value order exactly like the
-    reference's sorted iteration."""
+    etl/ccdi/c3dc_etl.py:1240-1292, values sorted :1262-1275).
+
+    Fully NARROW plan: the ordinal is the position of the value in the
+    per-row sorted-distinct array (posexplode), which is exactly the
+    reference's sorted iteration — no window, no shuffle. (A previous
+    formulation ranked with row_number over a per-id window: two
+    exchanges for a value that was already computable per row.)"""
     orders = load(spark, sf_dir, "orders")
     multi = F.concat_ws(
         ";", F.col("o_orderpriority"), F.col("o_orderstatus"), F.col("o_orderpriority")
     )
-    exploded = (
-        orders.select("o_orderkey", F.explode(F.array_distinct(F.split(multi, ";"))).alias("val"))
-        .dropDuplicates(["o_orderkey", "val"])
-    )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("val").asc())
-    return exploded.select(
+    vals = F.array_sort(F.array_distinct(F.split(multi, ";")))
+    return orders.select(
+        "o_orderkey", F.posexplode(vals).alias("pos", "val")
+    ).select(
         F.concat(
             F.col("o_orderkey").cast("string"),
             F.lit("_"),
-            F.row_number().over(w).cast("string"),
+            (F.col("pos") + 1).cast("string"),
         ).alias("sub_id"),
         "o_orderkey",
         "val",

@@ -85,6 +85,16 @@ def test_link_wiring_collect_is_two_phase(spark):
     assert "partial_collect_list" in plan  # map-side partial lists
 
 
+def test_subrecord_explode_is_narrow(spark):
+    # the sub-record ordinal comes from posexplode over a per-row
+    # sorted array — the fan-out must not introduce a window or any
+    # exchange
+    plan = _plan(REGISTRY["explode_subrecords"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
 def test_sampling_is_shuffle_free_and_codegen(spark):
     # hash sampling / mixture weighting must stay narrow: a single
     # filter (or filter+explode) over the scan, no exchange anywhere,
