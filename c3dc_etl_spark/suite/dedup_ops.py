@@ -70,8 +70,9 @@ def _bands_sql() -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-_MINHASH_ORACLE = f"""
-WITH docs AS (
+# Shared CTE chain: documents -> shingles -> signatures -> LSH bands ->
+# capped buckets -> candidate pairs. Reused by the components oracle.
+_MINHASH_PAIR_CTES = f"""docs AS (
     SELECT doc_id, {_SHINGLES} AS sh FROM documents
 ),
 hashed AS (
@@ -90,7 +91,10 @@ capped AS (
 pairs AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_PAIR_CTES}
 SELECT p.id_a, p.id_b,
        ROUND(CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, {NUM_HASHES}),
                                   i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
@@ -275,3 +279,49 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", bits=32, band_bits=8, max_hamming=3,
         max_bucket_size=SIMHASH_MAX_BUCKET,
     )
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+comp AS (
+    SELECT doc_id AS u, doc_id AS r FROM documents
+    UNION
+    SELECT s.u, c.r FROM sym s JOIN comp c ON c.u = s.v
+)
+SELECT u AS doc_id,
+       MIN(r) AS component,
+       u = MIN(r) AS is_representative
+FROM comp
+GROUP BY u
+"""
+
+
+@query("dedup_cluster_components", oracle=_COMPONENTS_ORACLE, tags=("dedup", "graph"))
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash+LSH candidate pairs -> connected
+    components (min-label propagation with pointer jumping,
+    localCheckpoint per round) -> every document assigned its cluster
+    representative (component min; itself for singletons) plus the keep
+    flag. This is the transitive-closure step real corpus dedup needs
+    after pair generation: A~B, B~C must collapse to ONE survivor even
+    when (A, C) was never a candidate pair. The oracle computes the
+    same fixpoint as a recursive CTE — tractable at oracle scale,
+    while the Spark side is the O(log n)-round distributed algorithm."""
+    from c3dc_etl_spark.operators.graph import dedup_assignment
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        max_bucket_size=MAX_BUCKET,
+    )
+    return dedup_assignment(docs, pairs, node_col="doc_id")

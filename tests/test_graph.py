@@ -1,0 +1,58 @@
+"""Connected-components operator: correctness on known graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators.graph import connected_components, dedup_assignment
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: one component rooted at 1. A chain is the
+    # worst case for plain propagation; pointer jumping must still
+    # converge quickly.
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components_and_duplicate_edges(spark):
+    e = _edges(spark, [(10, 11), (11, 10), (11, 12), (20, 21), (21, 20)])
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_self_loops_ignored(spark):
+    e = _edges(spark, [(1, 1), (2, 3)])
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    # node 1 only had a self-loop: it is not part of the pair graph
+    assert got == {2: 2, 3: 2}
+
+
+def test_long_chain_converges_within_log_rounds(spark):
+    n = 64
+    e = _edges(spark, [(i, i + 1) for i in range(1, n)])
+    got = {r["node"]: r["component"] for r in connected_components(e, max_iter=10).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == n
+
+
+def test_dedup_assignment_singletons_and_flag(spark):
+    nodes = spark.range(1, 7).select(F.col("id").alias("doc_id"))
+    e = _edges(spark, [(2, 4), (4, 6)])
+    rows = {
+        r["doc_id"]: (r["component"], r["is_representative"])
+        for r in dedup_assignment(nodes, e, node_col="doc_id").collect()
+    }
+    assert rows == {
+        1: (1, True),
+        2: (2, True),
+        3: (3, True),
+        4: (2, False),
+        5: (5, True),
+        6: (2, False),
+    }
