@@ -211,3 +211,44 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(TOP_K_TOKENS)
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks
+    FROM documents
+    WHERE TRIM(text) <> ''
+),
+wins AS (
+    SELECT doc_id, toks,
+           UNNEST(LIST_FILTER(
+               GENERATE_SERIES(0, GREATEST(LEN(toks) - 1, 0), {_STRIDE}),
+               s -> s = 0 OR s + {CHUNK_OVERLAP} < LEN(toks))) AS start
+    FROM toked
+)
+SELECT CONCAT(CAST(doc_id AS STRING), '_', CAST(start // {_STRIDE} AS STRING)) AS chunk_id,
+       doc_id,
+       CAST(start // {_STRIDE} AS INT) AS chunk_index,
+       CAST(LEN(toks[start + 1 : start + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
+       ARRAY_TO_STRING(toks[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM wins
+"""
+
+
+@query("doc_chunk_windows", oracle=_CHUNK_ORACLE, tags=("text", "chunking"))
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: every document split into sliding
+    {CHUNK}-token windows advancing by stride (overlap for
+    continuity), no window wholly contained in its predecessor.
+    Entirely narrow — tokenize, per-row start-offset generation,
+    posexplode, slice — zero shuffles at any corpus size."""
+    from c3dc_etl_spark.operators.chunking import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )

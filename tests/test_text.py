@@ -70,3 +70,33 @@ def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
     got = [r["fp"] for r in df.select(T.doc_fingerprint("txt").alias("fp")).collect()]
     assert got[0] == got[1]
     assert got[0] != got[2]
+
+
+def test_chunking_windows_cover_all_tokens_with_overlap(spark):
+    from c3dc_etl_spark.operators.chunking import chunk_documents
+
+    txt = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, txt)], "doc_id long, txt string")
+    rows = sorted(
+        chunk_documents(df, "txt", "doc_id", chunk_tokens=8, overlap=4).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    # stride 4, n=10: starts 0, 4 (start 8 dropped: previous window
+    # already reached the end)
+    assert [r["chunk_index"] for r in rows] == [0, 1]
+    assert rows[0]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+    assert rows[1]["chunk_text"].split() == [f"t{i}" for i in range(4, 10)]
+    assert rows[1]["n_tokens"] == 6
+    assert rows[0]["chunk_id"] == "1_0"
+
+
+def test_chunking_short_and_blank_docs(spark):
+    from c3dc_etl_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "   "), (3, None)],
+        "doc_id long, txt string",
+    )
+    rows = chunk_documents(df, "txt", "doc_id", chunk_tokens=8, overlap=4).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["n_tokens"] == 3
