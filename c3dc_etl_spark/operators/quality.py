@@ -1,0 +1,89 @@
+"""Repetition-based quality signals and PII redaction for training data.
+
+Repetition signals follow the Gopher/MassiveText filtering rules
+(Rae et al. 2021, "Scaling Language Models", §A.1.1): documents whose
+content is dominated by a few repeated n-grams or duplicated tokens are
+low-quality (boilerplate, scraped navigation, generation loops) and are
+dropped before training. The signals here are the token-level family —
+the corpus has no line structure, so the line-level variants degenerate;
+the same code path applies to any delimiter.
+
+PII redaction is the standard pre-training scrub: regex families for
+emails / phone numbers / IPv4 addresses replaced with typed placeholder
+tokens, with per-document match counts kept for audit. All patterns are
+written in the common subset of Java regex (Spark) and RE2 (DuckDB) so
+the oracle can mirror them verbatim.
+
+Everything in this module is whole-stage-codegen expression work — no
+UDFs, no shuffles beyond the per-document n-gram aggregation (keyed by
+doc_id, so partial aggregation collapses each task's grams before the
+exchange and no key can be hotter than the longest single document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Token n-grams
+# --------------------------------------------------------------------------
+
+
+def token_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined ``n``-grams of a token array (empty when the
+    document has fewer than ``n`` tokens). Narrow: sequence + slice per
+    row, no explode here — callers explode only when they aggregate."""
+    if n < 1:
+        raise ValueError("n >= 1 required")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_token_fraction(toks: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    (n - n_distinct) / n. 0.0 for empty documents."""
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return F.when(n > 0, (n - nd).cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Java-regex / RE2 common-subset patterns, applied in this order. Order
+# matters only for audit counts (they are counted before any rewrite);
+# the three families cannot overlap textually (an email contains '@', an
+# IPv4 octet list is never 3-3-4 digits with separators).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-family match counts (pre-redaction) — JVM regexp_count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("bigint")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII family match with its placeholder token, in the
+    fixed ``PII_PATTERNS`` order. Chained regexp_replace — one codegen
+    projection, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

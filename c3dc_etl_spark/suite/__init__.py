@@ -26,3 +26,4 @@ from c3dc_etl_spark.suite import merge_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import rowmapped_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import sampling_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import corpus_ops  # noqa: F401,E402
+from c3dc_etl_spark.suite import quality_ops  # noqa: F401,E402

@@ -1,0 +1,424 @@
+"""Training-data quality / curation suite queries: Gopher-style
+repetition signals, PII redaction, benchmark decontamination, sequence
+packing, and per-domain corpus stats. Spark plans come from
+c3dc_etl_spark.operators.{quality,decontam,packing}; every constant
+(regexes, n-gram sizes, budgets, hash seeds) is shared with the
+generated DuckDB oracle so both engines compute bit-identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import quality as Q
+from c3dc_etl_spark.operators import text as T
+from c3dc_etl_spark.operators.chunking import chunk_documents
+from c3dc_etl_spark.operators.decontam import contamination
+from c3dc_etl_spark.operators.packing import pack_chunks, sequence_manifest
+from c3dc_etl_spark.suite.registry import load, query
+
+_X1E4 = "CAST(FLOOR(({x}) * 10000 + 0.5) AS BIGINT)"
+
+
+def _x1e4(c):
+    return F.floor(c * 10000 + F.lit(0.5)).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher §A.1.1 token family)
+# --------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks
+    FROM documents
+    WHERE TRIM(text) <> ''
+),
+base AS (
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(toks) - LEN(LIST_DISTINCT(toks)) AS DOUBLE)
+               / CAST(LEN(toks) AS DOUBLE) AS dup_frac
+    FROM toked
+),
+g AS (
+    SELECT doc_id,
+           UNNEST(LIST_CONCAT(
+               CASE WHEN LEN(toks) >= 2
+                    THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END,
+               CASE WHEN LEN(toks) >= 3
+                    THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+                                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                    ELSE [] END)) AS gram
+    FROM toked
+),
+gc AS (
+    SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+),
+agg AS (
+    SELECT doc_id,
+           MAX(CASE WHEN LEN(STRING_SPLIT(gram, ' ')) = 2 THEN cnt END) AS top2,
+           SUM(CASE WHEN LEN(STRING_SPLIT(gram, ' ')) = 2 THEN cnt END) AS tot2,
+           MAX(CASE WHEN LEN(STRING_SPLIT(gram, ' ')) = 3 THEN cnt END) AS top3,
+           SUM(CASE WHEN LEN(STRING_SPLIT(gram, ' ')) = 3 THEN cnt END) AS tot3
+    FROM gc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       {_X1E4.format(x='b.dup_frac')} AS dup_token_x1e4,
+       {_X1E4.format(x='COALESCE(CAST(a.top2 AS DOUBLE) / CAST(a.tot2 AS DOUBLE), 0.0)')}
+           AS top2gram_x1e4,
+       {_X1E4.format(x='COALESCE(CAST(a.top3 AS DOUBLE) / CAST(a.tot3 AS DOUBLE), 0.0)')}
+           AS top3gram_x1e4
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("text_repetition_stats", oracle=_REP_ORACLE, tags=("text", "quality"))
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    -token fraction plus the fraction of all 2-grams / 3-grams taken by
+    the single most frequent one (boilerplate and generation loops
+    score high and get dropped). The 2- and 3-gram mode is computed in
+    ONE explode + two-level hash aggregation keyed by doc_id — partial
+    aggregation collapses each task's grams before the single exchange,
+    and no key is hotter than the longest document, so the plan is
+    skew-proof at any corpus size."""
+    docs = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toked = docs.select("doc_id", T.tokens("text").alias("toks"))
+    base = toked.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        _x1e4(Q.dup_token_fraction(F.col("toks"))).alias("dup_token_x1e4"),
+    )
+    g = toked.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                Q.token_ngrams(F.col("toks"), 2), Q.token_ngrams(F.col("toks"), 3)
+            )
+        ).alias("gram"),
+    )
+    gc = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    gram_n = F.size(F.split(F.col("gram"), " "))
+    agg = gc.groupBy("doc_id").agg(
+        F.max(F.when(gram_n == 2, F.col("cnt"))).alias("top2"),
+        F.sum(F.when(gram_n == 2, F.col("cnt"))).alias("tot2"),
+        F.max(F.when(gram_n == 3, F.col("cnt"))).alias("top3"),
+        F.sum(F.when(gram_n == 3, F.col("cnt"))).alias("tot3"),
+    )
+    frac2 = F.coalesce(
+        F.col("top2").cast("double") / F.col("tot2").cast("double"), F.lit(0.0)
+    )
+    frac3 = F.coalesce(
+        F.col("top3").cast("double") / F.col("tot3").cast("double"), F.lit(0.0)
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_x1e4",
+        _x1e4(frac2).alias("top2gram_x1e4"),
+        _x1e4(frac3).alias("top3gram_x1e4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# The synthetic corpus contains no PII, so deterministic PII is spliced
+# in (keyed on doc_id, mirrored verbatim in the oracle) to give the
+# redaction regexes real matches to count and rewrite.
+_AUG_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' call 415-555-' || LPAD(CAST(doc_id % 10000 AS STRING), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' host 10.0.' || CAST(doc_id % 256 AS STRING)
+                        || '.' || CAST((doc_id * 7) % 256 AS STRING)
+                   ELSE '' END AS text
+    FROM documents
+"""
+
+_EMAIL_RE, _IP_RE, _PHONE_RE = (p for _, p, _ in Q.PII_PATTERNS)
+
+_PII_ORACLE = f"""
+WITH aug AS ({_AUG_SQL}),
+red AS (
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_IP_RE}')) AS BIGINT) AS n_ips,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_IP_RE}', '<IP>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       CAST(LENGTH(redacted) AS BIGINT) AS redacted_len,
+       MD5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+@query("pii_redaction", oracle=_PII_ORACLE, tags=("text", "quality"))
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: count + redact emails, IPv4
+    addresses and phone numbers with placeholder tokens. One codegen
+    projection (chained JVM regexp_replace / regexp_count) — narrow, no
+    shuffle, scales linearly with corpus bytes."""
+    d = F.col("doc_id")
+    aug = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    ((d * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = Q.pii_counts("text")
+    red = Q.redact_pii("text")
+    return aug.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+DECONTAM_N = 8
+EVAL_MOD = 97
+FLAG_THRESHOLD = 0.05
+
+_DECON_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           ARRAY_TO_STRING(toks[i : i + {DECONTAM_N - 1}], ' ') AS gram
+    FROM toked, UNNEST(GENERATE_SERIES(1, LEN(toks) - {DECONTAM_N - 1})) AS t(i)
+    WHERE LEN(toks) >= {DECONTAM_N}
+),
+eval_g AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+train AS (
+    SELECT doc_id, gram FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+),
+agg AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(e.gram) AS BIGINT) AS n_overlap
+    FROM train t LEFT JOIN eval_g e USING (gram)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_shingles, 0) AS n_shingles,
+       COALESCE(a.n_overlap, 0) AS n_overlap,
+       {_X1E4.format(x='CAST(COALESCE(a.n_overlap, 0) AS DOUBLE) / GREATEST(COALESCE(a.n_shingles, 0), 1)')}
+           AS contam_x1e4,
+       CASE WHEN {_X1E4.format(x='CAST(COALESCE(a.n_overlap, 0) AS DOUBLE) / GREATEST(COALESCE(a.n_shingles, 0), 1)')}
+                 >= {int(round(FLAG_THRESHOLD * 10000))} THEN 1 ELSE 0 END AS flagged
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} <> 0
+"""
+
+
+@query(
+    "contamination_ngram_overlap", oracle=_DECON_ORACLE, tags=("dedup", "quality")
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3/PaLM recipe): every training
+    document's distinct {DECONTAM_N}-gram set is checked against the
+    union of eval-document n-grams; documents over the overlap threshold
+    are flagged for dropping. The eval n-gram set (benchmarks are MBs)
+    is broadcast; the corpus side never shuffles more than its own
+    distinct (doc, gram) pairs, with map-side partial aggregation on
+    both the distinct and the per-doc counts."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    eval_df = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    return contamination(
+        train,
+        eval_df,
+        text_col="text",
+        id_col="doc_id",
+        n=DECONTAM_N,
+        flag_threshold=FLAG_THRESHOLD,
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+PACK_CHUNK_TOKENS = 32
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+PACK_SEED = "pk"
+
+_PACK_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks
+    FROM documents
+    WHERE TRIM(text) <> ''
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(start // {PACK_CHUNK_TOKENS} AS INT) AS chunk_index,
+           CAST(LEN(toks[start + 1 : start + {PACK_CHUNK_TOKENS}]) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT doc_id, toks,
+               UNNEST(GENERATE_SERIES(0, GREATEST(LEN(toks) - 1, 0),
+                                      {PACK_CHUNK_TOKENS})) AS start
+        FROM toked
+    )
+),
+sharded AS (
+    SELECT doc_id, chunk_index, n_tokens,
+           CAST(CONCAT('0x', SUBSTR(MD5('{PACK_SEED}:' || CAST(doc_id AS STRING)), 1, 8))
+                AS BIGINT) % {PACK_SHARDS} AS shard
+    FROM chunks
+),
+packed AS (
+    SELECT shard, doc_id, chunk_index, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id, chunk_index
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+    FROM sharded
+)
+SELECT shard,
+       CAST(FLOOR(CAST(tokens_before AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY shard, seq_id
+"""
+
+
+@query("sequence_packing", oracle=_PACK_ORACLE, tags=("chunking", "packing"))
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: non-overlapping {PACK_CHUNK_TOKENS}
+    -token chunks are filled into {PACK_BUDGET}-token sequences by a
+    cumulative-sum window inside md5-balanced shards (see
+    operators.packing for the slack/determinism trade-off). Exactly two
+    shuffles at any scale: the shard hash exchange for the window, and
+    the per-(shard, seq) manifest aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=PACK_CHUNK_TOKENS, overlap=0
+    )
+    packed = pack_chunks(
+        chunks,
+        budget=PACK_BUDGET,
+        num_shards=PACK_SHARDS,
+        seed=PACK_SEED,
+    )
+    return sequence_manifest(packed)
+
+
+# --------------------------------------------------------------------------
+# Per-domain corpus stats
+# --------------------------------------------------------------------------
+
+_DOMAIN_ORACLE = f"""
+WITH f AS (
+    SELECT source, lang, n_chars,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT)
+           END AS n_toks,
+           MD5(SUBSTR(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), 1, 256))
+               AS fp
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       {_X1E4.format(x='CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)')}
+           AS exact_dup_x1e4,
+       CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 10000 + 0.5) AS BIGINT)
+           AS mean_chars_x1e4
+FROM f
+GROUP BY source
+"""
+
+
+@query("domain_stats", oracle=_DOMAIN_ORACLE, tags=("quality", "agg"))
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain (source) corpus accounting: document/token volumes,
+    language spread, exact-duplicate rate (via the normalized-prefix
+    fingerprint), mean document length. The mix report that drives
+    mixture-weight decisions. One hash aggregation keyed by source with
+    map-side partials; the two COUNT(DISTINCT)s expand rows 2x before
+    the exchange — still one shuffle, and domain cardinality is tiny."""
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        T.token_count("text").alias("n_toks"),
+        T.doc_fingerprint("text").alias("fp"),
+    )
+    agg = f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    dup_frac = (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col(
+        "n_docs"
+    ).cast("double")
+    mean_chars = F.col("total_chars").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        _x1e4(dup_frac).alias("exact_dup_x1e4"),
+        F.floor(mean_chars * 10000 + F.lit(0.5)).cast("bigint").alias(
+            "mean_chars_x1e4"
+        ),
+    )

@@ -1,0 +1,165 @@
+"""Unit tests for operators.quality / packing / decontam."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import quality as Q
+from c3dc_etl_spark.operators.decontam import contamination
+from c3dc_etl_spark.operators.packing import pack_chunks, sequence_manifest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# --------------------------------------------------------------------------
+# n-grams / repetition
+# --------------------------------------------------------------------------
+
+
+def test_token_ngrams_basic_and_short(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b"), (3, "a")])
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id",
+            Q.token_ngrams(F.split(F.col("text"), " "), 3).alias("g"),
+        ).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n
+    assert out[3] == []
+
+
+def test_dup_token_fraction(spark):
+    df = _docs(spark, [(1, "x x x x"), (2, "a b c d"), (3, "a a b b")])
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            Q.dup_token_fraction(F.split(F.col("text"), " ")).alias("f"),
+        ).collect()
+    }
+    assert out[1] == 0.75  # 4 tokens, 1 distinct
+    assert out[2] == 0.0
+    assert out[3] == 0.5
+
+
+# --------------------------------------------------------------------------
+# PII
+# --------------------------------------------------------------------------
+
+
+def test_pii_redact_and_count(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 415-555-1234 or 415.555.9999"),
+            (3, "server 10.0.3.25 up"),
+            (4, "clean text only"),
+        ],
+    )
+    counts = Q.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["phone"].alias("p"),
+            counts["ip"].alias("i"),
+            Q.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["red"]) == (1, "mail <EMAIL> now")
+    assert (out[2]["p"], out[2]["red"]) == (2, "call <PHONE> or <PHONE>")
+    assert (out[3]["i"], out[3]["red"]) == (1, "server <IP> up")
+    assert out[4]["red"] == "clean text only"
+    assert (out[4]["e"], out[4]["p"], out[4]["i"]) == (0, 0, 0)
+
+
+def test_pii_families_do_not_cross_match(spark):
+    # an IP is not a phone; a phone is not an IP; digits in an email
+    # local part match neither
+    df = _docs(spark, [(1, "a 10.0.3.25 b 415-555-1234 c u123@ex.io")])
+    counts = Q.pii_counts("text")
+    row = df.select(
+        counts["email"].alias("e"), counts["phone"].alias("p"), counts["ip"].alias("i")
+    ).collect()[0]
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+
+
+# --------------------------------------------------------------------------
+# packing
+# --------------------------------------------------------------------------
+
+
+def _chunks(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "chunk_index", "n_tokens"])
+
+
+def test_pack_chunks_sequential_fill_and_manifest(spark):
+    # one shard (num_shards=1): pure sequential fill check
+    rows = [(1, 0, 30), (1, 1, 30), (2, 0, 30), (3, 0, 10), (4, 0, 30)]
+    packed = pack_chunks(
+        _chunks(spark, rows), budget=64, num_shards=1
+    ).orderBy("doc_id", "chunk_index")
+    got = [(r["seq_id"], r["tokens_before"]) for r in packed.collect()]
+    # cum before: 0,30,60,90,100 -> seq 0,0,0,1,1
+    assert got == [(0, 0), (0, 30), (0, 60), (1, 90), (1, 100)]
+    man = {
+        r["seq_id"]: (r["n_chunks"], r["seq_tokens"], r["n_docs"])
+        for r in sequence_manifest(packed).collect()
+    }
+    assert man[0] == (3, 90, 2)
+    assert man[1] == (2, 40, 2)
+
+
+def test_pack_chunks_partition_invariant(spark):
+    rows = [(d, i, 20 + (d * 7 + i) % 15) for d in range(40) for i in range(3)]
+    df = _chunks(spark, rows)
+    a = pack_chunks(df, budget=128, num_shards=4)
+    b = pack_chunks(df.repartition(13), budget=128, num_shards=4)
+    key = lambda r: (r["doc_id"], r["chunk_index"])  # noqa: E731
+    got_a = {key(r): (r["shard"], r["seq_id"]) for r in a.collect()}
+    got_b = {key(r): (r["shard"], r["seq_id"]) for r in b.collect()}
+    assert got_a == got_b
+
+
+def test_pack_budget_overflow_bounded(spark):
+    rows = [(d, 0, 30) for d in range(50)]
+    man = sequence_manifest(
+        pack_chunks(_chunks(spark, rows), budget=64, num_shards=2)
+    )
+    for r in man.collect():
+        assert r["seq_tokens"] < 64 + 30  # budget + max chunk - 1 bound
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+
+def test_contamination_flags_overlapping_doc(spark):
+    eval_df = _docs(spark, [(100, "e1 e2 e3 e4")])
+    train = _docs(
+        spark,
+        [
+            (1, "e1 e2 e3 e4 x1"),  # shares grams with eval
+            (2, "z1 z2 z3 z4 z5"),  # disjoint
+            (3, "q1 q2"),  # too short for n=3
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination(
+            train, eval_df, text_col="text", id_col="doc_id", n=3,
+            flag_threshold=0.5,
+        ).collect()
+    }
+    # doc 1: grams e1e2e3, e2e3e4, e3e4x1 -> 2/3 overlap
+    assert (out[1]["n_shingles"], out[1]["n_overlap"]) == (3, 2)
+    assert out[1]["flagged"] == 1
+    assert (out[2]["n_shingles"], out[2]["n_overlap"], out[2]["flagged"]) == (3, 0, 0)
+    assert (out[3]["n_shingles"], out[3]["flagged"]) == (0, 0)
