@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from c3dc_etl_spark.operators.dedup import spread
 from c3dc_etl_spark.operators.quality import token_ngrams
 from c3dc_etl_spark.operators.text import tokens
 
@@ -29,8 +30,10 @@ from c3dc_etl_spark.operators.text import tokens
 def doc_ngram_set(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(doc, gram) rows, one per DISTINCT n-gram per document."""
-    toked = df.select(
+    """(doc, gram) rows, one per DISTINCT n-gram per document. The input
+    is spread across the session's parallelism first: single-file local
+    inputs otherwise tokenize+explode on one core."""
+    toked = spread(df).select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("toks")
     )
     grams = toked.select(

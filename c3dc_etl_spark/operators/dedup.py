@@ -47,7 +47,7 @@ def perm_constants(num_hashes: int, seed: str = "mh") -> list[tuple[int, int]]:
     return out
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism.
 
     The documents tables arrive as a single parquet file -> ONE input
@@ -201,7 +201,7 @@ def minhash_lsh_candidates(
       skew guard for 100 TB runs. Capped buckets are near-exact-duplicate
       clusters — exact_dedup handles those cheaply."""
     rows_per_band = num_hashes // bands
-    df = _spread(df)
+    df = spread(df)
     # normalize -> shingle in TWO projections: the shingle lambda must
     # reference a bound column, not the normalization expression (see
     # shingles_of_norm).
@@ -292,7 +292,7 @@ def ngram_jaccard_pairs(
     Candidate pairs whose bucket collision came from an affine-map
     collision rather than a shared shingle keep jaccard 0.0 via the
     left join."""
-    normed = _spread(df).select(
+    normed = spread(df).select(
         F.col(id_col).alias("doc"), normalize_text(text_col).alias("__norm")
     )
     hashed = normed.select(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from c3dc_etl_spark.operators import quality as Q
 from c3dc_etl_spark.operators import text as T
 from c3dc_etl_spark.operators.chunking import chunk_documents
+from c3dc_etl_spark.operators.dedup import spread
 from c3dc_etl_spark.operators.decontam import contamination
 from c3dc_etl_spark.operators.packing import pack_chunks, sequence_manifest
 from c3dc_etl_spark.suite.registry import load, query
@@ -86,7 +87,9 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation collapses each task's grams before the single exchange,
     and no key is hotter than the longest document, so the plan is
     skew-proof at any corpus size."""
-    docs = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    docs = spread(
+        load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    )
     toked = docs.select("doc_id", T.tokens("text").alias("toks"))
     base = toked.select(
         "doc_id",
@@ -176,7 +179,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (chained JVM regexp_replace / regexp_count) — narrow, no
     shuffle, scales linearly with corpus bytes."""
     d = F.col("doc_id")
-    aug = load(spark, sf_dir, "documents").select(
+    aug = spread(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -343,7 +346,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.packing for the slack/determinism trade-off). Exactly two
     shuffles at any scale: the shard hash exchange for the window, and
     the per-(shard, seq) manifest aggregation."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     chunks = chunk_documents(
         docs, "text", "doc_id", chunk_tokens=PACK_CHUNK_TOKENS, overlap=0
     )
@@ -391,7 +394,7 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture-weight decisions. One hash aggregation keyed by source with
     map-side partials; the two COUNT(DISTINCT)s expand rows 2x before
     the exchange — still one shuffle, and domain cardinality is tiny."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     f = docs.select(
         "source",
         "lang",
