@@ -343,9 +343,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: non-overlapping {PACK_CHUNK_TOKENS}
     -token chunks are filled into {PACK_BUDGET}-token sequences by a
     cumulative-sum window inside md5-balanced shards (see
-    operators.packing for the slack/determinism trade-off). Exactly two
-    shuffles at any scale: the shard hash exchange for the window, and
-    the per-(shard, seq) manifest aggregation."""
+    operators.packing for the slack/determinism trade-off). Exactly ONE
+    hash shuffle at any scale: the shard exchange for the window — the
+    per-(shard, seq) manifest aggregation reuses it, because hash
+    partitioning on a prefix of the grouping keys already satisfies the
+    aggregation's clustered distribution."""
     docs = spread(load(spark, sf_dir, "documents"))
     chunks = chunk_documents(
         docs, "text", "doc_id", chunk_tokens=PACK_CHUNK_TOKENS, overlap=0

@@ -115,3 +115,48 @@ def test_cosine_topk_is_two_phase_salted(spark):
     plan = _plan(REGISTRY["ann_cosine_topk"].fn(spark, SF))
     assert plan.count("Window [row_number()") == 2
     assert "WindowGroupLimit" in plan and ", Partial" in plan
+
+
+def test_pii_redaction_is_one_narrow_projection(spark):
+    # chained regexp count/replace must fuse into a single codegen
+    # projection: no hash shuffle, no join, no Python
+    plan = _plan(REGISTRY["pii_redaction"].fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1  # only the single-file spread
+    assert "Python" not in plan
+
+
+def test_contamination_broadcasts_only_the_eval_set(spark):
+    # the eval n-gram set broadcasts; the corpus side must stay
+    # partitioned (shuffled on its own keys), never broadcast wholesale
+    plan = _plan(REGISTRY["contamination_ngram_overlap"].fn(spark, SF))
+    assert "BroadcastHashJoin [gram" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_single_hash_shuffle(spark):
+    # the manifest aggregation must reuse the window's shard
+    # partitioning (prefix of the grouping keys) instead of adding a
+    # second exchange
+    plan = _plan(REGISTRY["sequence_packing"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "Python" not in plan
+
+
+def test_repetition_mode_aggregates_partially(spark):
+    # the per-(doc, gram) count and the per-doc mode must both partial
+    # -aggregate map-side; the base-stats join stays broadcast
+    plan = _plan(REGISTRY["text_repetition_stats"].fn(spark, SF))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_domain_stats_multi_distinct_via_expand(spark):
+    # two COUNT(DISTINCT)s compile to the expand rewrite (one scan),
+    # not a self-join of two aggregations
+    plan = _plan(REGISTRY["domain_stats"].fn(spark, SF))
+    assert "Expand" in plan
+    assert "Join" not in plan
