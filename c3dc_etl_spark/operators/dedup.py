@@ -456,3 +456,84 @@ def simhash_hamming_pairs(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def incremental_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    new_pred: Column,
+    *,
+    shingle_k: int = 12,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Incremental near-dup candidates: NEW-snapshot docs vs the
+    EXISTING corpus, never base-vs-base.
+
+    The 100 TB ingestion pattern: each crawl/delta is deduplicated
+    against the accumulated corpus without re-pairing the corpus with
+    itself. ``new_pred`` marks the new side (a snapshot/date column in
+    production). One digest pass computes signatures for both sides
+    (single scan, single persist); the band join emits only cross-side
+    (new, base) pairs, so candidate volume scales with |new| x
+    collision rate, not |corpus|^2. Bucket caps apply PER SIDE per
+    band — a boilerplate band hot on the base side is dropped before
+    it can fan out against every new doc.
+
+    Output: id_new, id_base, est_jaccard (matching-minhash fraction).
+    """
+    rows_per_band = num_hashes // bands
+    marked = spread(df).select(
+        F.col(id_col).alias("doc"),
+        new_pred.cast("boolean").alias("__new"),
+        normalize_text(text_col).alias("__norm"),
+    )
+    hv = marked.select(
+        "doc",
+        "__new",
+        F.transform(shingles_of_norm(F.col("__norm"), shingle_k), hash32).alias("hv"),
+    )
+    sig = hv.select(
+        "doc", "__new", minhash_from_hashes(F.col("hv"), num_hashes).alias("sig")
+    ).persist()
+    banded = sig.select(
+        "doc",
+        "__new",
+        F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band"),
+    )
+    if max_bucket_size:
+        w = Window.partitionBy("band", "__new")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    new_side = banded.filter(F.col("__new")).select(
+        F.col("doc").alias("id_new"), "band"
+    )
+    base_side = banded.filter(~F.col("__new")).select(
+        F.col("doc").alias("id_base"), "band"
+    )
+    pairs = (
+        new_side.join(base_side, "band")
+        .select("id_new", "id_base")
+        .dropDuplicates(["id_new", "id_base"])
+    )
+    sa = sig.select(F.col("doc").alias("id_new"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("id_base"), F.col("sig").alias("sig_b"))
+    match_frac = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.join(sa, "id_new")
+        .join(sb, "id_base")
+        .select("id_new", "id_base", F.round(match_frac, 4).alias("est_jaccard"))
+    )

@@ -8,6 +8,7 @@ formula end to end.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators import dedup as D
 from c3dc_etl_spark.suite.registry import load, query
@@ -325,3 +326,65 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=MAX_BUCKET,
     )
     return dedup_assignment(docs, pairs, node_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-snapshot vs existing-corpus) LSH dedup
+# ---------------------------------------------------------------------------
+
+NEW_MOD = 10
+NEW_MIN = 8  # doc_id % NEW_MOD >= NEW_MIN -> "new snapshot" (20%)
+
+_INCR_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, doc_id % {NEW_MOD} >= {NEW_MIN} AS is_new, {_SHINGLES} AS sh
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, is_new, {_HASHED} AS hv FROM docs
+),
+sigs AS MATERIALIZED (
+    SELECT doc_id, is_new, {_sig_sql()} AS sig FROM hashed
+),
+banded AS (
+    SELECT doc_id, is_new, UNNEST({_bands_sql()}) AS band FROM sigs
+),
+capped AS (
+    SELECT doc_id, is_new, band FROM banded
+    QUALIFY COUNT(*) OVER (PARTITION BY band, is_new) <= {MAX_BUCKET}
+),
+pairs AS (
+    SELECT DISTINCT n.doc_id AS id_new, b.doc_id AS id_base
+    FROM capped n JOIN capped b
+      ON n.band = b.band AND n.is_new AND NOT b.is_new
+)
+SELECT p.id_new, p.id_base,
+       ROUND(CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, {NUM_HASHES}),
+                                  i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+             / {NUM_HASHES}.0, 4) AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_new
+JOIN sigs sb ON sb.doc_id = p.id_base
+"""
+
+
+@query("dedup_incremental_lsh", oracle=_INCR_ORACLE, tags=("dedup",))
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the 20% 'new snapshot' slice of the
+    corpus is LSH-matched against the 80% existing base — cross-side
+    pairs only, never base-vs-base. One digest pass covers both sides;
+    per-side bucket caps stop a hot boilerplate band on the base side
+    from fanning out against every new document. This is the shape a
+    recurring crawl runs at 100 TB: cost scales with the delta, not the
+    corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return D.incremental_lsh_candidates(
+        docs,
+        "text",
+        "doc_id",
+        (F.col("doc_id") % NEW_MOD) >= NEW_MIN,
+        shingle_k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        max_bucket_size=MAX_BUCKET,
+    )

@@ -80,3 +80,42 @@ def test_simhash_identical_docs_equal_and_near_docs_close(spark):
         return bin(a ^ b).count("1")
 
     assert hamming(got[0], got[2]) < hamming(got[0], got[3])
+
+
+def test_incremental_lsh_cross_side_only(spark):
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # ids 0,1: identical docs in the BASE side (must NOT pair);
+    # id 10: the same doc on the NEW side (must pair with both base copies);
+    # id 11: unrelated new doc (no pairs).
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (10, base), (11, "entirely different words here xyz")],
+        ["id", "txt"],
+    )
+    out = D.incremental_lsh_candidates(
+        df, "txt", "id", F.col("id") >= 10, shingle_k=5, num_hashes=8, bands=4
+    )
+    pairs = {(r["id_new"], r["id_base"]): r["est_jaccard"] for r in out.collect()}
+    assert set(pairs) == {(10, 0), (10, 1)}
+    assert all(j == 1.0 for j in pairs.values())
+
+
+def test_incremental_lsh_per_side_bucket_cap(spark):
+    from pyspark.sql import functions as F
+
+    base = "same boilerplate text repeated across the whole base corpus okay"
+    rows = [(i, base) for i in range(10)] + [(100, base)]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    # cap 5 < 10 base members per band -> the hot base bucket is dropped
+    out = D.incremental_lsh_candidates(
+        df, "txt", "id", F.col("id") >= 100, shingle_k=5, num_hashes=8,
+        bands=4, max_bucket_size=5,
+    )
+    assert out.count() == 0
+    # without the cap the new doc pairs with every base copy
+    out2 = D.incremental_lsh_candidates(
+        df, "txt", "id", F.col("id") >= 100, shingle_k=5, num_hashes=8,
+        bands=4, max_bucket_size=0,
+    )
+    assert out2.count() == 10
