@@ -1,0 +1,159 @@
+"""Event-stream temporal operators over the events table: as-of join
+and gap sessionization. Neither exists as a Spark builtin — both are
+expressed as single-shuffle window compositions (the scale-correct
+form; an inequality range join would be O(n^2) per user), mirrored
+exactly in DuckDB window SQL.
+
+ts semantics: the events table stores TIMESTAMP(NANOS); both engines
+work on epoch microseconds (``ts_us`` / EPOCH_US) — integer arithmetic,
+timezone- and engine-independent (see suite.registry.load).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.suite.registry import dsum, load, query
+
+# --------------------------------------------------------------------------
+# As-of join: each purchase -> most recent strictly-prior click, per user
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH ev AS (
+    SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type
+    FROM events
+),
+attached AS (
+    SELECT event_id, user_id, ts_us, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+               OVER w AS click_ts_us,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS click_event_id
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_us, click_event_id, click_ts_us,
+       ts_us - click_ts_us AS gap_us
+FROM attached
+WHERE event_type = 'purchase'
+"""
+
+
+@query("asof_join_events", oracle=_ASOF_ORACLE, tags=("temporal", "join"))
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup): every purchase event gets the
+    most recent strictly-earlier click by the same user. Implemented as
+    ONE window pass over the union of both event kinds — last-non-null
+    over (user, time) ordering — instead of an inequality join: a range
+    join is O(clicks x purchases) per user and unshippable at scale,
+    while this form is one hash exchange on user_id plus an in-partition
+    sort, immune to per-user volume (ties broken by event_id for
+    determinism; both attached columns come from the same window row
+    because they null out on exactly the same rows)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    attached = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.last(F.when(is_click, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts_us"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_event_id"),
+    )
+    return attached.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "click_event_id",
+        "click_ts_us",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap sessionization
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 hours
+
+_SESSION_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type, value
+    FROM events
+),
+marked AS (
+    SELECT *,
+           CASE WHEN ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US}
+                  OR LAG(ts_us) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessioned AS (
+    SELECT *,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_ord
+    FROM marked
+)
+SELECT user_id,
+       CAST(session_ord AS BIGINT) AS session_ord,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS start_ts_us,
+       MAX(ts_us) AS end_ts_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessioned
+GROUP BY user_id, session_ord
+"""
+
+
+@query("sessionize_events", oracle=_SESSION_ORACLE, tags=("temporal", "window"))
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >4h of
+    user inactivity; sessions are summarized (event count, span,
+    purchases, exact-decimal value sum). The classic two-window
+    composition — lag to mark boundaries, running sum to number
+    sessions — followed by a groupBy that REUSES the window's
+    hash(user_id) partitioning (grouping keys extend the partition
+    key), so the whole operator is one exchange at any scale."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us", "event_type", "value"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lag_ts = F.lag("ts_us").over(wo)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_ts.isNull() | ((F.col("ts_us") - lag_ts) > SESSION_GAP_US), 1
+        ).otherwise(0),
+    )
+    sessioned = marked.withColumn(
+        "session_ord",
+        F.sum("new_session")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return sessioned.groupBy("user_id", "session_ord").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_ts_us"),
+        F.max("ts_us").alias("end_ts_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        dsum("value").alias("total_value"),
+    )

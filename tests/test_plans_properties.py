@@ -160,3 +160,20 @@ def test_domain_stats_multi_distinct_via_expand(spark):
     plan = _plan(REGISTRY["domain_stats"].fn(spark, SF))
     assert "Expand" in plan
     assert "Join" not in plan
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    # the as-of lookup must compile to one window pass (single user_id
+    # exchange), never an inequality join
+    plan = _plan(REGISTRY["asof_join_events"].fn(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_sessionize_single_exchange(spark):
+    # lag + running-sum windows and the session aggregation all share
+    # the hash(user_id) partitioning: one exchange total
+    plan = _plan(REGISTRY["sessionize_events"].fn(spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
