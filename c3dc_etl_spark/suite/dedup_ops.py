@@ -388,3 +388,64 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         max_bucket_size=MAX_BUCKET,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative selection (keep-best policy)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_BEST_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+comp AS (
+    SELECT doc_id AS u, doc_id AS r FROM documents
+    UNION
+    SELECT s.u, c.r FROM sym s JOIN comp c ON c.u = s.v
+),
+assigned AS (
+    SELECT u AS doc_id, MIN(r) AS component FROM comp GROUP BY u
+)
+SELECT a.doc_id, a.component, d.n_chars,
+       (ROW_NUMBER() OVER (PARTITION BY a.component
+                           ORDER BY d.n_chars DESC, a.doc_id ASC) = 1) AS keep
+FROM assigned a JOIN documents d USING (doc_id)
+"""
+
+
+@query("dedup_cluster_best", oracle=_CLUSTER_BEST_ORACLE, tags=("dedup", "graph"))
+def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection with a KEEP-BEST policy: after
+    transitive closure of the near-dup pairs, each cluster keeps its
+    longest member (ties -> lowest id) instead of the arbitrary min-id
+    doc — the curation rule that preserves the most complete variant of
+    boilerplate-mutated duplicates. One window over (component) on top
+    of the component assignment; singleton clusters trivially keep
+    themselves."""
+    from c3dc_etl_spark.operators.graph import dedup_assignment
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        max_bucket_size=MAX_BUCKET,
+    )
+    assigned = dedup_assignment(docs, pairs, node_col="doc_id")
+    sized = assigned.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return sized.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -427,3 +427,42 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_chars_x1e4"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-domain length distribution
+# --------------------------------------------------------------------------
+
+_QUANTILE_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       ROUND(quantile_cont(n_chars, 0.99), 4) AS p99_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@query("domain_length_quantiles", oracle=_QUANTILE_ORACLE, tags=("quality", "agg"))
+def domain_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document-length distribution (p50/p90/p99): the
+    outlier report behind max-length truncation choices. Uses EXACT
+    percentile for cross-engine oracle parity (Spark percentile ==
+    DuckDB quantile_cont linear interpolation, verified elementwise;
+    results rounded to 4dp to absorb any last-ulp libm divergence).
+    Exact percentile materializes each group's values — fine for
+    per-domain group counts; at 100 TB swap in approx_percentile
+    (t-digest sketch, mergeable map-side) and accept the documented
+    rank error."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
