@@ -37,6 +37,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_features",
     "pivot_long_to_wide",
+    "pii_redaction",
+    "sequence_packing",
+    "sessionize_events",
 ]
 
 
