@@ -109,3 +109,52 @@ def streaming_exact_dedup(
         .dropDuplicates(["content_hash"])
         .select(id_col, "content_hash", event_time_col)
     )
+
+
+def start_incremental_dedup_run(
+    stream: DataFrame,
+    base_df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    sink,
+    checkpoint_dir: str,
+    **lsh_kwargs,
+):
+    """Streaming ingestion dedup: every micro-batch (a crawl delta) is
+    LSH-matched against the STATIC accumulated corpus via
+    operators.dedup.incremental_lsh_candidates — cross-side pairs only,
+    so per-batch cost scales with the delta. ``sink(pairs_df, epoch_id)``
+    receives the candidate pairs (id_new, id_base, est_jaccard) for each
+    batch; the batch's persisted signature intermediate is dropped by
+    the context cleaner once the batch's refs are released.
+
+    foreachBatch is the right harness here (not a stateful streaming
+    op): the base side is a batch table, and LSH banding needs no
+    cross-batch state — each delta is independent given the base.
+    """
+    from c3dc_etl_spark.operators.dedup import incremental_lsh_candidates
+
+    base = base_df.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("__is_new")
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marked = base.unionByName(
+            batch_df.select(
+                F.col(id_col), F.col(text_col), F.lit(True).alias("__is_new")
+            )
+        )
+        pairs = incremental_lsh_candidates(
+            marked, text_col, id_col, F.col("__is_new"), **lsh_kwargs
+        )
+        sink(pairs, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -321,3 +321,50 @@ def test_windowed_event_counts(spark, tmp_path):
         ("2026-01-01 00:00", "b"): 1,
         ("2026-01-01 01:00", "a"): 1,
     }
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    import json as _json
+
+    from c3dc_etl_spark.streaming.arrivals import start_incremental_dedup_run
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    base = spark.createDataFrame(
+        [(0, base_text), (1, "some other established corpus document here")],
+        ["id", "txt"],
+    )
+    src = tmp_path / "deltas"
+    src.mkdir()
+    (src / "batch0.json").write_text(
+        "\n".join(
+            _json.dumps(d)
+            for d in [
+                {"id": 100, "txt": base_text},  # dup of base doc 0
+                {"id": 101, "txt": "entirely novel words never seen before xyz"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema("id long, txt string").json(str(src))
+    got: list[tuple] = []
+
+    def sink(pairs, epoch_id):
+        got.extend(
+            (r["id_new"], r["id_base"], r["est_jaccard"]) for r in pairs.collect()
+        )
+
+    q = start_incremental_dedup_run(
+        stream,
+        base,
+        text_col="txt",
+        id_col="id",
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        shingle_k=5,
+        num_hashes=8,
+        bands=4,
+    )
+    q.awaitTermination(120)
+    assert (100, 0, 1.0) in got  # the delta dup pairs with its base twin
+    new_ids = {p[0] for p in got}
+    assert 101 not in new_ids  # novel doc produces no candidates
+    assert all(p[0] >= 100 for p in got)  # never base-vs-base
