@@ -22,14 +22,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q1_pricing_summary"].fn(spark, SF0001)
 
 
+# Driver-gate priority: the correctness gate verifies queries in dict
+# order (with a bounded per-round window), so the entries least recently
+# oracle-verified — the harmonization-engine, sources, merge, rowmapped,
+# validate, sink, corpus-curation and temporal families — are emitted
+# first, followed by the flagship relational/dedup/ANN queries.  The
+# long-stable single-op harmonization queries (green since round 1)
+# close the list.  Every REGISTRY entry is always included exactly once.
+PRIORITY = [
+    # families never inside the driver's verification window (rounds 1-3)
+    "engine_participant_node",
+    "engine_typegroup_fanout",
+    "engine_sum_macros",
+    "engine_lookup_macros",
+    "engine_subrecord_explode",
+    "engine_latest_survival",
+    "engine_primary_follow_up",
+    "source_delimited_scan",
+    "source_jsondir_pivot",
+    "source_jsondir_dupkeys",
+    "source_manifest_join",
+    "validate_column_checks",
+    "sink_duplicate_report",
+    "merge_fingerprint_invariance",
+    "merge_first_wins_engine",
+    "rowmapped_rule_build",
+    "sample_stratified_hash",
+    "sample_weighted_mixture",
+    "corpus_build_pipeline",
+    "text_repetition_stats",
+    "pii_redaction",
+    "contamination_ngram_overlap",
+    "sequence_packing",
+    "domain_stats",
+    "domain_length_quantiles",
+    "asof_join_events",
+    "sessionize_events",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "embedding_norms",
+    "multimodal_metadata",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # flagship relational / dedup / ANN / text queries
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_cluster_components",
+    "dedup_incremental_lsh",
+    "dedup_cluster_best",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_language_id",
+    "text_quality_features",
+    "doc_chunk_windows",
+    "theta_rule_join",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2, emitted in
+    verification-priority order (see PRIORITY)."""
+    ordered = {name: REGISTRY[name].fn for name in PRIORITY if name in REGISTRY}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec.fn
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query; entries without SQL-expressible
     semantics (mapInPandas kernels) are omitted -> rows-only check."""
+    names = list(queries())
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in names
+        if REGISTRY[name].oracle is not None
     }

@@ -37,3 +37,16 @@ def test_entry_contract():
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 40
+    # priority ordering: no typos, no duplicates, full registry coverage
+    assert all(n in REGISTRY for n in e.PRIORITY), [
+        n for n in e.PRIORITY if n not in REGISTRY
+    ]
+    assert len(set(e.PRIORITY)) == len(e.PRIORITY)
+    assert set(qs) == set(REGISTRY)
+    # the engine/sources/merge/curation families sit inside the driver's
+    # bounded verification window (first 50 entries)
+    first50 = set(list(qs)[:50])
+    for name in ("engine_participant_node", "source_jsondir_pivot",
+                 "merge_fingerprint_invariance", "rowmapped_rule_build",
+                 "sequence_packing", "asof_join_events"):
+        assert name in first50, name
