@@ -58,6 +58,8 @@ PRIORITY = [
     "domain_length_quantiles",
     "asof_join_events",
     "sessionize_events",
+    "streaming_windowed_counts",
+    "streaming_dedup_digests",
     "dedup_embedding_cosine",
     "ann_ivf_topk",
     "embedding_norms",

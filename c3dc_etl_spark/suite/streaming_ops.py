@@ -1,0 +1,156 @@
+"""Structured Streaming suite queries — oracle-checked.
+
+These run the ACTUAL streaming engine path (``readStream`` -> watermarked
+transformation -> memory sink, availableNow trigger) over the test
+parquet, then return the sink table, so the oracle hash proves the
+streaming operators — not a batch re-implementation — produce the right
+rows. Mirrors the reference's file-arrival incremental model
+(etl/ccdi/c3dc_etl.py:1506-1513 re-runs the whole harmonization per
+source-file change; here arrival processing is incremental).
+
+Determinism notes:
+- ``availableNow`` processes the existing backlog then stops, so the
+  result is a pure function of the input files.
+- The windowed aggregate runs in COMPLETE output mode: every window is
+  emitted regardless of the final watermark, so the sink equals the
+  batch GROUP BY (append mode would hold back windows newer than the
+  watermark delay at stream end).
+- The stateful dedup emits exactly one row per new key in append mode;
+  only the deterministic columns (digest, count) are returned — which
+  physical row won a within-batch race is not part of the contract.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.streaming.arrivals import (
+    streaming_exact_dedup,
+    windowed_event_counts,
+)
+from c3dc_etl_spark.suite.registry import query
+
+_DAY_US = 86_400_000_000
+
+
+def _table_stream(spark: SparkSession, sf_dir: str, table: str):
+    """File-source stream over ONE test table. The file source requires
+    a directory path, so stream the sf directory with a glob filter
+    pinned to the table's file; schema comes from a batch metadata read
+    (streaming sources cannot infer)."""
+    path = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+    return stream, schema
+
+
+def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion into an in-memory
+    sink table (availableNow: drain the backlog, then stop)."""
+    spark = result.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    sq = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name)
+
+
+_WINCOUNT_ORACLE = f"""
+SELECT (EPOCH_US(ts) // {_DAY_US}) * {_DAY_US} AS win_start_us,
+       (EPOCH_US(ts) // {_DAY_US}) * {_DAY_US} + {_DAY_US} AS win_end_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_windowed_counts", oracle=_WINCOUNT_ORACLE, tags=("streaming",))
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregate, end to end
+    through the streaming engine: file-source ``readStream`` over the
+    events parquet -> 1-day event-time windows per event_type (30 min
+    watermark bounds state at scale) -> complete-mode memory sink.
+    Because the session timezone is pinned UTC, window boundaries are
+    epoch-aligned and the sink table equals the batch/oracle GROUP BY.
+    At scale this is the continuous-ingest shape: state is one row per
+    (open window x key), eviction driven by the watermark."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream, schema = _table_stream(spark, sf_dir, "events")
+    if dict((f.name, f.dataType.simpleString()) for f in schema)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:  # future-proof: already a timestamp
+        stream = stream.withColumn("event_ts", F.col("ts"))
+    windowed = windowed_event_counts(
+        stream,
+        event_time_col="event_ts",
+        key_col="event_type",
+        window_duration="1 day",
+        watermark_delay="30 minutes",
+    )
+    sink = _run_to_memory(windowed, "stream_wincounts", "complete")
+    return sink.select(
+        F.unix_micros("window_start").alias("win_start_us"),
+        F.unix_micros("window_end").alias("win_end_us"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("streaming_dedup_digests", oracle=_STREAM_DEDUP_ORACLE, tags=("streaming",))
+def streaming_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup through the engine's state store:
+    ``readStream`` over the documents parquet -> content digest ->
+    watermarked ``dropDuplicates`` (streaming.arrivals.streaming_exact_dedup)
+    -> append-mode memory sink; joined back against the batch table for
+    per-digest duplicate counts. One emitted row per distinct digest is
+    the streaming-dedup contract; the digest set and the dupe counts are
+    deterministic (which physical duplicate won the within-batch race is
+    not, so id columns stay out of the result)."""
+    stream, _ = _table_stream(spark, sf_dir, "documents")
+    stream = stream.withColumn(
+        "arrival_ts", F.lit("2026-01-01 00:00:00").cast("timestamp")
+    )
+    deduped = streaming_exact_dedup(
+        stream,
+        text_col="text",
+        id_col="doc_id",
+        event_time_col="arrival_ts",
+        watermark_delay="1 hour",
+    )
+    sink = _run_to_memory(deduped, "stream_dedup", "append")
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("content_hash")
+    )
+    counts = batch.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dupes")
+    )
+    return sink.select("content_hash").join(counts, "content_hash")
