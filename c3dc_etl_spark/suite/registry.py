@@ -74,10 +74,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
-        else:  # future-proof: already microseconds
-            df = df.withColumn("ts_us", F.unix_micros(F.col("ts"))).drop("ts")
+        else:
+            # timestamp or timestamp_ntz: with session tz pinned to UTC the
+            # NTZ->TZ cast is epoch-identical to DuckDB's EPOCH_US(ts) on the
+            # naive wall-clock value.
+            df = df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            ).drop("ts")
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
