@@ -10,6 +10,13 @@ settings are cluster-safe. Every knob here is a scale decision:
   etl/target/c3dc_etl.py:1330-1344). Query code still uses try_* variants
   so it stays correct under a foreign ANSI-on session.
 - Arrow on: every Python<->JVM handoff (pandas UDFs, toPandas) is batched.
+
+Note on ``spark.sql.legacy.parquet.nanosAsLong``: the suite's events
+loader (suite/registry.py ``load``) sets it at runtime and it stays set
+for the session (it is read at scan planning, so per-read scoping is not
+possible). All suite tables store micros/NTZ timestamps, which the conf
+does not affect; a session that must read genuine nanos-timestamp parquet
+as timestamps should build a separate session.
 """
 
 from __future__ import annotations

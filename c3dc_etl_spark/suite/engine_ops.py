@@ -154,7 +154,7 @@ SELECT CAST(c_custkey AS VARCHAR) AS participant_id,
          CASE WHEN LOWER(TRIM(src_sex)) = 'machinery' THEN 'Intersex' END,
          CASE WHEN TRIM(src_sex) <> '' THEN 'Unknown' END
        ) AS sex_at_birth,
-       {_race_sql("src_race", "src_eth")} AS race
+       ARRAY_TO_STRING({_race_sql("src_race", "src_eth")}, ';') AS race
 FROM src
 WHERE TRIM(CAST(c_custkey AS VARCHAR)) <> ''
 """
@@ -176,12 +176,21 @@ def engine_participant_node(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SRC_ETH_SQL).alias("src_eth"),
     )
     ctx = CompilerContext(registry=REG, uuid_seed=UUID_SEED, row_identity=("c_custkey",))
-    return build_node(
+    node = build_node(
         src,
         "participant",
         load_mappings(PARTICIPANT_MAPPINGS),
         ctx,
         explode_subrecords=False,
+    )
+    # Query-layer serialization only: the driver's pandas canonicalizer
+    # cannot sort array cells, so join the (already sorted-distinct)
+    # race array to a ';' string. Empty arrays map to NULL to match
+    # DuckDB's ARRAY_TO_STRING([], ';') = NULL. Engine array semantics
+    # are unchanged and unit-tested in tests/test_engine.py.
+    return node.withColumn(
+        "race",
+        F.when(F.size("race") > 0, F.array_join(F.col("race"), ";")),
     )
 
 

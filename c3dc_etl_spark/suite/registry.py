@@ -72,6 +72,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     (epoch microseconds, bigint) instead — arithmetic, engine- and
     timezone-independent (DuckDB: EPOCH_US(ts))."""
     if table == "events":
+        # Self-contained determinism: ts_us (and every events oracle
+        # compare) assumes epoch math on the naive wall-clock value, so
+        # pin the session tz here rather than relying on the session
+        # factory having done it. nanosAsLong is session-sticky by
+        # design (documented in session.py); all suite tables are
+        # micros/NTZ so the sticky conf cannot misread them.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         ts_type = dict(df.dtypes).get("ts")

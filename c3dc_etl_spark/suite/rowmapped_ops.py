@@ -68,12 +68,12 @@ WITH src AS (
 SELECT CAST(FLOOR(ABS(TRY_CAST(age1 AS DOUBLE)) + TRY_CAST(age2 AS DOUBLE) + 0.5)
             AS BIGINT) AS age_at_treatment_start,
        {_uuid_sql("rule0")} AS treatment_id,
-       ['Chemotherapy'] AS treatment_type
+       ARRAY_TO_STRING(['Chemotherapy'], ';') AS treatment_type
 FROM src WHERE LOWER(TRIM(f_chemo)) = 'yes'
 UNION ALL
 SELECT CAST(FLOOR(ABS(TRY_CAST(age1 AS DOUBLE)) + 100.0 + 0.5) AS BIGINT),
        {_uuid_sql("rule1")},
-       ['Surgery']
+       ARRAY_TO_STRING(['Surgery'], ';')
 FROM src WHERE LOWER(TRIM(f_surgery)) = '1' AND TRIM(f_chemo) <> ''
 """
 
@@ -101,4 +101,10 @@ def rowmapped_rule_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = parse_rule_rows(RULE_ROWS, "treatment")
     assert not rule_errors(rules, "treatment", REG)
     ctx = CompilerContext(registry=REG, uuid_seed=UUID_SEED, row_identity=("c_custkey",))
-    return build_rowmapped_node(src, "treatment", rules, ctx)
+    node = build_rowmapped_node(src, "treatment", rules, ctx)
+    # Query-layer serialization only: the driver's pandas canonicalizer
+    # cannot sort array cells; the engine's array typing stays intact
+    # (tests/test_rowmapped.py).
+    return node.withColumn(
+        "treatment_type", F.array_join(F.col("treatment_type"), ";")
+    )

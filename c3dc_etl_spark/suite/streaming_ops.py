@@ -97,8 +97,11 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    else:  # future-proof: already a timestamp
-        stream = stream.withColumn("event_ts", F.col("ts"))
+    else:
+        # testdata ts is TIMESTAMP_NTZ; withWatermark requires TIMESTAMP.
+        # Session tz is pinned UTC so the cast preserves the epoch value
+        # and the oracle's EPOCH_US math is unchanged.
+        stream = stream.withColumn("event_ts", F.col("ts").cast("timestamp"))
     windowed = windowed_event_counts(
         stream,
         event_time_col="event_ts",

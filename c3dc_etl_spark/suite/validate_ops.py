@@ -99,7 +99,8 @@ dupes AS (
 )
 SELECT participant_id,
        {", ".join(
-           f"COALESCE(SUM(CASE WHEN node = '{n}' THEN n - 1 END), 0) AS {n}"
+           f"CAST(COALESCE(SUM(CASE WHEN node = '{n}' THEN n - 1 END), 0)"
+           f" AS BIGINT) AS {n}"
            for n in _EVENT_NODES
        )}
 FROM dupes
