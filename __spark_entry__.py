@@ -23,15 +23,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate priority: the correctness gate verifies queries in dict
-# order (with a bounded per-round window), so the entries least recently
-# oracle-verified — the harmonization-engine, sources, merge, rowmapped,
-# validate, sink, corpus-curation and temporal families — are emitted
-# first, followed by the flagship relational/dedup/ANN queries.  The
-# long-stable single-op harmonization queries (green since round 1)
-# close the list.  Every REGISTRY entry is always included exactly once.
+# order (with a bounded ~50-query per-round window), so emit first the
+# entries with NO driver-green row yet (new this round), then the four
+# fixed-this-round queries (red in r2 — their fixes need driver
+# confirmation), then the 35 queries whose last driver check was round 1
+# (re-verification rotation, row_numbering_lineage especially since its
+# implementation changed after its last check).  The r2-green flagship
+# queries close the list.  Every REGISTRY entry is included exactly once.
 PRIORITY = [
-    # families never inside the driver's verification window (rounds 1-3)
+    # --- new this round: never driver-checked ---
+    "doc_chunk_windows",
+    "text_bpe_token_count",
+    "text_top_tokens",
+    # --- fixed this round: red in r2, need driver confirmation ---
     "engine_participant_node",
+    "rowmapped_rule_build",
+    "sink_duplicate_report",
+    "streaming_windowed_counts",
+    # --- stale: last driver-green row is round 1 ---
+    "row_numbering_lineage",
+    "theta_rule_join",
+    "filter_project",
+    "broadcast_lookup_join",
+    "dupe_count_assertion",
+    "anti_join_integrity",
+    "semi_join_exists",
+    "replace_chain",
+    "default_coalesce",
+    "horizontal_sum_null",
+    "multivalue_normalize",
+    "enum_case_normalize",
+    "int_round_cast",
+    "numeric_guard",
+    "allowed_values_filter",
+    "required_fields_filter",
+    "constant_injection",
+    "uuid_content_derived",
+    "survival_latest_window",
+    "followup_primary_window",
+    "fingerprint_dedup_first_wins",
+    "drop_duplicates_pairs",
+    "except_reconciliation",
+    "distinct_count_per_node",
+    "explode_subrecords",
+    "typegroup_fanout_union",
+    "pivot_long_to_wide",
+    "json_flatten",
+    "link_wiring_collect",
+    "unpivot_wide_to_long",
+    "text_token_counts",
+    "text_fingerprint",
+    # --- r2-green: rotate back through as window space allows ---
     "engine_typegroup_fanout",
     "engine_sum_macros",
     "engine_lookup_macros",
@@ -43,10 +85,8 @@ PRIORITY = [
     "source_jsondir_dupkeys",
     "source_manifest_join",
     "validate_column_checks",
-    "sink_duplicate_report",
     "merge_fingerprint_invariance",
     "merge_first_wins_engine",
-    "rowmapped_rule_build",
     "sample_stratified_hash",
     "sample_weighted_mixture",
     "corpus_build_pipeline",
@@ -58,7 +98,6 @@ PRIORITY = [
     "domain_length_quantiles",
     "asof_join_events",
     "sessionize_events",
-    "streaming_windowed_counts",
     "streaming_dedup_digests",
     "dedup_embedding_cosine",
     "ann_ivf_topk",
@@ -66,7 +105,6 @@ PRIORITY = [
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_frame_sample",
-    # flagship relational / dedup / ANN / text queries
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_volume",
@@ -82,8 +120,6 @@ PRIORITY = [
     "ann_lsh_bucketed",
     "text_language_id",
     "text_quality_features",
-    "doc_chunk_windows",
-    "theta_rule_join",
 ]
 
 
