@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries close the list.  Every REGISTRY entry is included exactly once.
 PRIORITY = [
     # --- new this round: never driver-checked ---
+    "engine_field_splice",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

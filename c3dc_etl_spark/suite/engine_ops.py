@@ -644,3 +644,68 @@ def engine_primary_follow_up(spark: SparkSession, sf_dir: str) -> DataFrame:
         dead_value="error",
         alive_value="purchase",
     ).select("user_id", "event_id", "event_type")
+
+# --------------------------------------------------------------------------
+# Q7: study node — {field:NAME} template splice (V9) through the engine
+# --------------------------------------------------------------------------
+
+_SRC_ACC_SQL = "'phs' || LPAD(CAST(n_nationkey AS STRING), 6, '0')"
+_SRC_VER_SQL = "CAST(n_nationkey % 3 + 1 AS STRING)"
+
+STUDY_SPLICE_MAPPINGS = [
+    {
+        "output_field": "study.study_id",
+        "source_field": "acc",
+        "replacement_values": [
+            {"old_value": "*", "new_value": "{field:acc}.v{field:ver}"}
+        ],
+    },
+    {"output_field": "study.dbgap_accession", "source_field": "acc"},
+    {
+        "output_field": "study.study_name",
+        "source_field": "n_name",
+        "replacement_values": [
+            {"old_value": "*", "new_value": "Study {field:n_name} ({field:acc}.v{field:ver})"}
+        ],
+    },
+]
+
+_STUDY_SPLICE_ORACLE = """
+WITH src AS (
+    SELECT n_name,
+           'phs' || LPAD(CAST(n_nationkey AS VARCHAR), 6, '0') AS acc,
+           CAST(n_nationkey % 3 + 1 AS VARCHAR) AS ver
+    FROM nation
+)
+SELECT acc || '.v' || ver AS study_id,
+       acc AS dbgap_accession,
+       'Study ' || n_name || ' (' || acc || '.v' || ver || ')' AS study_name
+FROM src
+WHERE TRIM(acc || '.v' || ver) <> '' AND TRIM(acc) <> ''
+"""
+
+
+@query("engine_field_splice", oracle=_STUDY_SPLICE_ORACLE, tags=("engine", "harmonize"))
+def engine_field_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{field:NAME} template splicing (V9) THROUGH the engine: a
+    replacement whose new_value interleaves literal text with values of
+    OTHER source columns, compiled to a concat of literals and coalesced
+    casts (mapping/compiler.py). The reference substitutes these
+    templates while applying replacement values
+    (etl/ccdi/c3dc_etl.py:897-904) — the study_id 'phsXXXXXX.vN' accession
+    pattern is its canonical use. Required-property filter (P6) applies
+    to study_id and dbgap_accession."""
+    nation = load(spark, sf_dir, "nation")
+    src = nation.select(
+        "n_name",
+        F.expr(_SRC_ACC_SQL).alias("acc"),
+        F.expr(_SRC_VER_SQL).alias("ver"),
+    )
+    ctx = CompilerContext(registry=REG, uuid_seed=UUID_SEED, row_identity=("acc",))
+    return build_node(
+        src,
+        "study",
+        load_mappings(STUDY_SPLICE_MAPPINGS),
+        ctx,
+        explode_subrecords=False,
+    )
