@@ -33,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 PRIORITY = [
     # --- new this round: never driver-checked ---
     "engine_field_splice",
+    "source_workbook_scan",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

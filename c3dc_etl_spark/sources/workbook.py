@@ -5,18 +5,19 @@ petl.fromxlsx read_only with data_only formula evaluation) and
 _load_source_data's node->worksheet routing derived from mapping
 source-field prefixes with a one-tab-per-node invariant (:466-522).
 
-The byte-level XLSX parse is driver-side pandas.read_excel (workbooks
-are per-study, megabytes not terabytes); this container ships no Excel
-codec (openpyxl), so ``read_worksheet`` raises ImportError with guidance
-when the gate fails — the routing and pruning logic around it is real
-and unit-tested.
+The byte-level XLSX parse is driver-side (workbooks are per-study,
+megabytes not terabytes): pandas.read_excel when an Excel engine
+(openpyxl) is installed, else the vendored pure-stdlib codec
+(sources/xlsx_lite.py) — same untyped-string output either way.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
 
 from c3dc_etl_spark.mapping.model import FieldMapping
+from c3dc_etl_spark.sources import xlsx_lite
 
 EXCEL_SHEET_NAME_LIMIT = 31  # xlsx hard limit (etl/mci/data_pivoter.py:150-156)
 
@@ -52,21 +53,34 @@ def read_worksheet(
     *,
     prune_headerless: bool = True,
 ) -> DataFrame:
-    """S1: one worksheet -> untyped string DataFrame. Driver-side pandas
-    parse (import-gated), snapshot into Spark immediately — everything
-    downstream is a normal DataFrame."""
+    """S1: one worksheet -> untyped string DataFrame. Driver-side parse
+    (pandas when openpyxl is installed, vendored xlsx_lite otherwise),
+    snapshot into Spark immediately — everything downstream is a normal
+    DataFrame."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)  # needs openpyxl
-    except ImportError as e:  # pragma: no cover - no Excel codec in container
-        raise ImportError(
-            "XLSX parsing needs openpyxl (pandas.read_excel engine); not "
-            "available in this environment. Convert the workbook to CSV/TSV "
-            "and use sources.delimited.read_delimited, or install openpyxl."
-        ) from e
-    if prune_headerless:
-        keep = [c for c in pdf.columns if str(c).strip() and not str(c).startswith("Unnamed:")]
-        pdf = pdf[keep]
-    pdf = pdf.where(pdf.notna(), None)
-    return spark.createDataFrame(pdf)
+        if prune_headerless:
+            keep = [
+                c
+                for c in pdf.columns
+                if str(c).strip() and not str(c).startswith("Unnamed:")
+            ]
+            pdf = pdf[keep]
+        pdf = pdf.where(pdf.notna(), None)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        grid = xlsx_lite.read_rows(path, sheet)
+        if not grid:
+            return spark.createDataFrame([], StructType([]))
+        header, data = grid[0], grid[1:]
+        cols = [
+            (i, str(h)) for i, h in enumerate(header)
+            if not prune_headerless or (h is not None and str(h).strip())
+        ]
+        schema = StructType(
+            [StructField(name, StringType(), True) for _, name in cols]
+        )
+        rows = [tuple(r[i] if i < len(r) else None for i, _ in cols) for r in data]
+        return spark.createDataFrame(rows, schema)

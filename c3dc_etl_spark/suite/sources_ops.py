@@ -173,3 +173,52 @@ def source_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(manifest),
         manifest["file_name"] == F.concat(F.col("usi"), F.lit(".json")),
     ).select("usi", "guid", "md5", "size", "url")
+
+
+# Golden vector: the fixture workbook is committed and tiny, so the
+# expected scan is enumerable (same style as source_jsondir_dupkeys).
+# Covers untyped numeric cells (raw text '-150', '12.5' — no float
+# round-trip), XML escapes, unicode, sparse/omitted cells -> NULL,
+# boolean cells -> 'TRUE'/'FALSE', and the blank-header column prune.
+_WORKBOOK_ORACLE = """
+SELECT * FROM (VALUES
+    ('Q001', 'F', '-150', 'first enrolled', 'Alive', '4100', 'TRUE'),
+    ('Q002', 'M', '-400', 'transferred <&> ok', 'Dead',
+     CAST(NULL AS VARCHAR), 'FALSE'),
+    ('Q003', '', '0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+    ('Q004', 'F', '12.5', 'décimal age', 'Alive', '5000', 'TRUE')
+) AS t(upi, DM_SEX, DM_BRTHDAT, Notes, FU_STATUS, FU_AGE, FU_ACTIVE)
+"""
+
+WORKBOOK = str(FIXTURES / "study_workbook.xlsx")
+
+_WORKBOOK_MAPPINGS = [
+    {"output_field": "participant.participant_id", "source_field": "Demographics.upi"},
+    {"output_field": "participant.sex_at_birth", "source_field": "Demographics.DM_SEX"},
+    {"output_field": "survival.survival_id", "source_field": "FollowUp.upi"},
+    {"output_field": "survival.last_known_survival_status",
+     "source_field": "FollowUp.FU_STATUS"},
+]
+
+
+@query("source_workbook_scan", oracle=_WORKBOOK_ORACLE, tags=("source",))
+def source_workbook_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S4+S3 through sources.workbook: per-node worksheet routing
+    derived from mapping source-field prefixes (route_tabs), each routed
+    worksheet scanned to an untyped string frame by the vendored
+    pure-stdlib XLSX codec (sources/xlsx_lite.py — zip + SpreadsheetML;
+    reference uses petl.fromxlsx, etl/ccdi/c3dc_etl.py:374-413), blank-
+    header columns pruned, then the per-node tabs joined on the subject
+    id (broadcast: workbooks are per-study, driver-sized)."""
+    from c3dc_etl_spark.mapping.model import load_mappings
+    from c3dc_etl_spark.sources.workbook import read_worksheet, route_tabs
+
+    routes = route_tabs(load_mappings(_WORKBOOK_MAPPINGS))
+    assert routes == {"participant": "Demographics", "survival": "FollowUp"}
+    demo = read_worksheet(spark, WORKBOOK, routes["participant"])
+    fu = read_worksheet(spark, WORKBOOK, routes["survival"])
+    return demo.join(F.broadcast(fu), "upi", "left").select(
+        "upi", "DM_SEX", "DM_BRTHDAT", "Notes",
+        "FU_STATUS", "FU_AGE", "FU_ACTIVE",
+    )

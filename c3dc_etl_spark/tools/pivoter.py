@@ -9,8 +9,9 @@ list-of-scalars -> '\\r\\n'-joined cell, list-of-dicts -> one row per
 element (R2, :58-112).
 
 Engine forms below are DataFrame-native; the XLSX write is a driver-side
-pandas step behind an import gate (no Excel codec in this container)
-with a CSV-directory fallback.
+step — pandas.ExcelWriter when an Excel engine is installed, else the
+vendored pure-stdlib codec (sources/xlsx_lite.py) — with a CSV-directory
+fallback for data-scale outputs.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StructType
 
+from c3dc_etl_spark.sources import xlsx_lite
 from c3dc_etl_spark.sources.workbook import truncate_sheet_name
 
 
@@ -105,8 +107,10 @@ def flatten_json_frame(df: DataFrame, *, list_sep: str = "\r\n") -> DataFrame:
 
 
 def write_workbook(frames: dict[str, DataFrame], path: str) -> None:
-    """K5: one sheet per form, 31-char sheet names. Driver-side pandas
-    write behind an import gate."""
+    """K5: one sheet per form, 31-char sheet names. Driver-side write
+    (these are per-study inspection workbooks, megabytes not terabytes):
+    pandas.ExcelWriter when an Excel engine is installed, else the
+    vendored xlsx_lite writer."""
     try:
         import pandas as pd
 
@@ -115,11 +119,15 @@ def write_workbook(frames: dict[str, DataFrame], path: str) -> None:
                 df.toPandas().to_excel(
                     writer, sheet_name=truncate_sheet_name(name), index=False
                 )
-    except ImportError as e:  # pragma: no cover - no Excel codec here
-        raise ImportError(
-            "XLSX output needs an Excel writer engine (openpyxl/xlsxwriter); "
-            "not available in this environment — use write_csv_dir instead."
-        ) from e
+    except ImportError:
+        sheets = {
+            truncate_sheet_name(name): (
+                list(df.columns),
+                [list(r) for r in df.collect()],
+            )
+            for name, df in frames.items()
+        }
+        xlsx_lite.write_workbook(path, sheets)
 
 
 def write_csv_dir(frames: dict[str, DataFrame], out_dir: str) -> None:

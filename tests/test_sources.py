@@ -128,3 +128,106 @@ def test_normalize_path_schemes():
 
 def test_truncate_sheet_name():
     assert truncate_sheet_name("x" * 40) == "x" * 31
+
+
+# ---------------------------------------------------------------------------
+# xlsx_lite codec (S1/K5)
+# ---------------------------------------------------------------------------
+
+def test_xlsx_lite_roundtrip(tmp_path):
+    from c3dc_etl_spark.sources import xlsx_lite
+
+    path = str(tmp_path / "wb.xlsx")
+    xlsx_lite.write_workbook(
+        path,
+        {
+            "S1": (["a", "b"], [["x<&>", 1], [None, 2.5], ["é", True]]),
+            "S2": (["only"], []),
+        },
+    )
+    assert xlsx_lite.sheet_names(path) == ["S1", "S2"]
+    rows = xlsx_lite.read_rows(path, "S1")
+    assert rows == [
+        ["a", "b"],
+        ["x<&>", "1"],
+        [None, "2.5"],
+        ["é", "TRUE"],
+    ]
+    assert xlsx_lite.read_rows(path, "S2") == [["only"]]
+
+
+def test_xlsx_lite_shared_strings_and_sparse(tmp_path):
+    """Reader handles sharedStrings-table workbooks (what real Excel
+    writes — our writer uses inline strings) and sparse cell refs."""
+    import zipfile
+
+    from c3dc_etl_spark.sources import xlsx_lite
+
+    path = str(tmp_path / "shared.xlsx")
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    p = "http://schemas.openxmlformats.org/package/2006/relationships"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'content-types"/>',
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{m}" xmlns:r="{r}"><sheets>'
+            '<sheet name="Data" sheetId="1" r:id="rId9"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{p}"><Relationship Id="rId9" Type="t" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{m}"><si><t>hd</t></si>'
+            "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>",
+        )
+        # row 2 skipped entirely; C3 present with A3/B3 omitted
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{m}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+            '<c r="C1" t="s"><v>1</v></c></row>'
+            '<row r="3"><c r="C3"><v>7</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    rows = xlsx_lite.read_rows(path, "Data")
+    assert rows == [
+        ["hd", None, "rich"],
+        [None, None, None],
+        [None, None, "7"],
+    ]
+
+
+def test_read_worksheet_lite_prunes_headerless(spark):
+    from c3dc_etl_spark.sources.workbook import read_worksheet
+
+    fixtures = pathlib.Path(__file__).resolve().parent / "fixtures"
+    df = read_worksheet(spark, str(fixtures / "study_workbook.xlsx"), "Demographics")
+    assert df.columns == ["upi", "DM_SEX", "DM_BRTHDAT", "Notes"]
+    rows = {r["upi"]: r for r in df.collect()}
+    assert rows["Q001"]["DM_BRTHDAT"] == "-150"
+    assert rows["Q004"]["DM_BRTHDAT"] == "12.5"
+    assert rows["Q003"]["Notes"] is None
+
+
+def test_pivoter_write_workbook_lite(spark, tmp_path):
+    from c3dc_etl_spark.sources import xlsx_lite
+    from c3dc_etl_spark.tools.pivoter import write_workbook
+
+    path = str(tmp_path / "out.xlsx")
+    frames = {
+        "a_very_long_form_name_that_exceeds_31_chars": spark.createDataFrame(
+            [("Q1", "v")], ["upi", "val"]
+        )
+    }
+    write_workbook(frames, path)
+    names = xlsx_lite.sheet_names(path)
+    assert names == ["a_very_long_form_name_that_exce"]
+    assert xlsx_lite.read_rows(path, names[0]) == [["upi", "val"], ["Q1", "v"]]
