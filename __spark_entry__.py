@@ -34,6 +34,7 @@ PRIORITY = [
     # --- new this round: never driver-checked ---
     "engine_field_splice",
     "source_workbook_scan",
+    "source_jsondir_fileorder",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

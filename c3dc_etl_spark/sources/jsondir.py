@@ -53,14 +53,21 @@ def read_subject_documents(
     docs = spark.read.option("multiLine", True).json(f"{path}/*.json")
     base = docs.select(
         F.col(id_field).alias("usi"),
+        # O7: the reference sorts its source-file list before processing
+        # (etl/mci/c3dc_etl.py:925-927), so "first instance wins" across
+        # files means lexicographically-first file. input_file_name()
+        # carries the provenance into the resolution window's ordering.
+        F.input_file_name().alias("src_file"),
         F.posexplode_outer(forms_col).alias("form_pos", "form"),
     )
     kv = base.select(
         "usi",
+        "src_file",
         "form_pos",
         F.posexplode_outer("form.data").alias("field_pos", "fld"),
     ).select(
         "usi",
+        "src_file",
         "form_pos",
         "field_pos",
         F.col("fld.form_field_id").alias("key"),
@@ -72,10 +79,10 @@ def read_subject_documents(
 def _resolve_and_pivot(
     kv: DataFrame, fields: Sequence[str], most_negative_fields: Sequence[str]
 ) -> DataFrame:
-    """(usi, form_pos, field_pos, key, value) rows -> one wide row per
-    usi: per-(usi, key) resolution window (most-negative rule for the
-    configured fields, document order otherwise), then an
-    explicit-values pivot (no distinct-values pre-job)."""
+    """(usi, src_file, form_pos, field_pos, key, value) rows -> one wide
+    row per usi: per-(usi, key) resolution window (most-negative rule
+    for the configured fields, sorted-file-then-document order otherwise
+    — O7), then an explicit-values pivot (no distinct-values pre-job)."""
     neg = list(most_negative_fields)
     num = (
         F.when(F.col("key").isin(neg), F.col("value").cast("double"))
@@ -83,7 +90,10 @@ def _resolve_and_pivot(
         else F.lit(None).cast("double")
     )
     w = Window.partitionBy("usi", "key").orderBy(
-        num.asc_nulls_last(), F.col("form_pos").asc(), F.col("field_pos").asc()
+        num.asc_nulls_last(),
+        F.col("src_file").asc(),
+        F.col("form_pos").asc(),
+        F.col("field_pos").asc(),
     )
     resolved = kv.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     return (
@@ -145,7 +155,9 @@ def read_subject_documents_collated(
     import pandas as pd
 
     path = normalize_path(path)
-    raw = spark.read.text(f"{path}/*.json", wholetext=True)
+    raw = spark.read.text(f"{path}/*.json", wholetext=True).withColumn(
+        "src_file", F.input_file_name()
+    )
     id_keys = id_field.split(".")
     collate = _collate_pairs_factory(forms_col)
 
@@ -154,17 +166,19 @@ def read_subject_documents_collated(
 
         for pdf in batches:
             out: dict[str, list] = {
-                "usi": [], "form_pos": [], "field_pos": [], "key": [], "value": []
+                "usi": [], "src_file": [], "form_pos": [], "field_pos": [],
+                "key": [], "value": [],
             }
 
-            def emit(usi, fp, pp, key, value):
+            def emit(usi, src, fp, pp, key, value):
                 out["usi"].append(usi)
+                out["src_file"].append(src)
                 out["form_pos"].append(fp)
                 out["field_pos"].append(pp)
                 out["key"].append(key)
                 out["value"].append(value)
 
-            for text in pdf["value"]:
+            for text, src in zip(pdf["value"], pdf["src_file"]):
                 doc = json.loads(text, object_pairs_hook=collate)
                 node = doc
                 for k in id_keys:
@@ -178,6 +192,7 @@ def read_subject_documents_collated(
                         val = item.get("value")
                         emit(
                             usi,
+                            src,
                             fpos,
                             ppos,
                             item.get("form_field_id"),
@@ -187,10 +202,14 @@ def read_subject_documents_collated(
                 if not emitted:
                     # subject with no form data still yields a row after
                     # the pivot (parity with posexplode_outer)
-                    emit(usi, None, None, None, None)
+                    emit(usi, src, None, None, None, None)
             yield pd.DataFrame(out)
 
     kv = raw.mapInPandas(
-        parse, schema="usi string, form_pos int, field_pos int, key string, value string"
+        parse,
+        schema=(
+            "usi string, src_file string, form_pos int, field_pos int, "
+            "key string, value string"
+        ),
     )
     return _resolve_and_pivot(kv, fields, most_negative_fields)

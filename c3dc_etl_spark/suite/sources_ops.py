@@ -222,3 +222,35 @@ def source_workbook_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "upi", "DM_SEX", "DM_BRTHDAT", "Notes",
         "FU_STATUS", "FU_AGE", "FU_ACTIVE",
     )
+
+
+SUBJECTS_SPLIT = str(FIXTURES / "subjects_split")
+
+# Golden vector (enumerable committed fixture): subject S001 is split
+# across two files whose basenames sort a_alpha < z_beta. DM_SEX proves
+# O7 — first-wins resolves to the lexicographically-first FILE ('F'),
+# matching the reference's sorted source-file list
+# (etl/mci/c3dc_etl.py:925-927); an unsorted glob order could answer
+# 'M'. DM_BRTHDAT proves the most-negative rule still overrides file
+# order (-500 lives in the LATER file); FU_STATUS proves a field only
+# present in a later file still lands.
+_JSONSPLIT_ORACLE = """
+SELECT * FROM (VALUES
+    ('S001', 'F', '-500', 'Alive', CAST(NULL AS VARCHAR)),
+    ('S002', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'Dead', '900')
+) AS t(usi, DM_SEX, DM_BRTHDAT, FU_STATUS, FU_AGE)
+"""
+
+
+@query("source_jsondir_fileorder", oracle=_JSONSPLIT_ORACLE, tags=("source",))
+def source_jsondir_fileorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 through sources.read_subject_documents: cross-file duplicate
+    resolution is pinned to sorted-file order by carrying
+    input_file_name() into the resolution window — deterministic at any
+    parallelism / split assignment, no driver-side file listing."""
+    return read_subject_documents(
+        spark,
+        SUBJECTS_SPLIT,
+        fields=SUBJECT_FIELDS,
+        most_negative_fields=("DM_BRTHDAT",),
+    )
