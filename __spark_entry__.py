@@ -35,6 +35,7 @@ PRIORITY = [
     "engine_field_splice",
     "source_workbook_scan",
     "source_jsondir_fileorder",
+    "study_end_to_end",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

@@ -29,3 +29,4 @@ from c3dc_etl_spark.suite import corpus_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import quality_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import temporal_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import streaming_ops  # noqa: F401,E402
+from c3dc_etl_spark.suite import study_ops  # noqa: F401,E402
