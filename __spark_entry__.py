@@ -36,6 +36,10 @@ PRIORITY = [
     "source_workbook_scan",
     "source_jsondir_fileorder",
     "study_end_to_end",
+    "config_merge_transformations",
+    "mapping_static_validation",
+    "reference_file_hashes",
+    "document_assembly",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

@@ -1,0 +1,194 @@
+"""Driver-side tool/plan surfaces under the oracle gate: S11 config
+merge, X2 static mapping validation, R4 reference-file hashing, K1
+document assembly.
+
+These operators are driver-side BY DESIGN (configs, rule sheets, and
+per-study documents are kilobytes — the reference handles them in plain
+Python too); the queries snapshot their outputs into tiny DataFrames so
+the driver's value-hash gate pins the semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.mapping.model import load_mappings, mapping_errors
+from c3dc_etl_spark.schema.registry import SchemaRegistry
+from c3dc_etl_spark.sink import assemble_document
+from c3dc_etl_spark.sources.config import load_transformations
+from c3dc_etl_spark.sources.workbook import read_worksheet
+from c3dc_etl_spark.suite.registry import query
+from c3dc_etl_spark.tools.unpivoter import reference_file_entries
+
+REG = SchemaRegistry()
+FIXTURES = pathlib.Path(__file__).resolve().parents[2] / "tests" / "fixtures"
+
+
+# --------------------------------------------------------------------------
+# S11: transformation-config fetch & merge
+# --------------------------------------------------------------------------
+
+_LOCAL_CONFIG = [
+    {"name": "study_a", "active": True, "url": "local://a", "version": "1"},
+    {"name": "study_b", "active": True, "url": "local://b", "version": "1"},
+    {"name": "study_c", "active": False, "url": "local://c", "version": "1"},
+]
+_REMOTE_CONFIG = [
+    {"name": "study_b", "url": "remote://b", "version": "2"},
+    {"name": "study_d", "active": True, "url": "remote://d", "version": "1"},
+    {"name": "study_e", "active": False, "url": "remote://e", "version": "1"},
+]
+
+# study_a untouched; study_b remote-overridden per-key; study_c and
+# study_e inactive -> dropped; study_d remote-only kept.
+_CONFIG_ORACLE = """
+SELECT * FROM (VALUES
+    ('study_a', 'local://a', '1'),
+    ('study_b', 'remote://b', '2'),
+    ('study_d', 'remote://d', '1')
+) AS t(name, url, version)
+"""
+
+
+@query("config_merge_transformations", oracle=_CONFIG_ORACLE, tags=("source", "tools"))
+def config_merge_transformations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 through sources.config.load_transformations: remote
+    transformation entries merge into local study config by name
+    (remote wins per key), inactive entries dropped
+    (etl/ccdi/c3dc_etl.py:243-267)."""
+    merged = load_transformations(_LOCAL_CONFIG, _REMOTE_CONFIG)
+    return spark.createDataFrame(
+        [(t["name"], t["url"], t["version"]) for t in merged],
+        "name string, url string, version string",
+    )
+
+
+# --------------------------------------------------------------------------
+# X2: static mapping validation
+# --------------------------------------------------------------------------
+
+_BROKEN_MAPPINGS = [
+    {"output_field": "participant.nonexistent_prop", "source_field": "x"},
+    {"output_field": "bogus_node.field", "source_field": "x"},
+    {
+        "output_field": "participant.race",
+        "source_field": "x",
+        "replacement_values": [{"old_value": "*", "new_value": "{made_up_macro}"}],
+    },
+    {
+        "output_field": "participant.sex_at_birth",
+        "source_field": "[a, b]",
+        "replacement_values": [{"old_value": "1;2;3", "new_value": "Female"}],
+    },
+    {
+        "output_field": "participant.sex_at_birth",
+        "source_field": "x",
+        "type_group_index": "x9",
+    },
+]
+
+_X2_ORACLE = """
+SELECT * FROM (VALUES
+    ('participant.nonexistent_prop: unknown output property'),
+    ('bogus_node.field: unknown output node'),
+    ('participant.race: unknown macro {made_up_macro}'),
+    ('participant.sex_at_birth: compound old_value arity ''1;2;3'' != 2 source fields'),
+    ('participant.sex_at_birth: bad type_group_index ''x9''')
+) AS t(error)
+"""
+
+
+@query("mapping_static_validation", oracle=_X2_ORACLE, tags=("validate", "tools"))
+def mapping_static_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 through mapping.model.mapping_errors: every static-validation
+    rule fires on a deliberately-broken program — unknown output
+    node/property, unknown macro, compound old_value arity mismatch,
+    malformed type_group_index (reference
+    _get_transformation_mapping_errors, etl/ccdi/c3dc_etl.py:678-762).
+    plans.study.run_study aborts on exactly this list."""
+    schema_props = {n: {p.name for p in REG.node(n).props} for n in REG.node_names}
+    errors = mapping_errors(load_mappings(_BROKEN_MAPPINGS), schema_props=schema_props)
+    return spark.createDataFrame([(e,) for e in errors], "error string")
+
+
+# --------------------------------------------------------------------------
+# R4: reference-file size/md5 entries
+# --------------------------------------------------------------------------
+
+_R4_FILES = ("clinical.tsv", "manifest.csv")
+
+_R4_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT parse_filename(filename) AS file_name,
+       CAST(size AS BIGINT) AS file_size,
+       md5(decode(content)) AS md5sum
+FROM read_blob('{FIXTURES / name}')"""
+    for name in _R4_FILES
+)
+
+
+@query("reference_file_hashes", oracle=_R4_ORACLE, tags=("tools",))
+def reference_file_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 through tools.unpivoter.reference_file_entries: streamed
+    size+md5 per config artifact (reference
+    mapping_unpivoter.py:307-427); the oracle re-hashes the same
+    committed fixtures with DuckDB read_blob. The self-referential
+    zeroed-field variant is unit-tested in
+    tests/test_reference_files.py."""
+    entries = reference_file_entries([str(FIXTURES / name) for name in _R4_FILES])
+    return spark.createDataFrame(
+        [(e["file_name"], e["file_size"], e["md5sum"]) for e in entries],
+        "file_name string, file_size bigint, md5sum string",
+    )
+
+
+# --------------------------------------------------------------------------
+# K1: harmonized-document assembly
+# --------------------------------------------------------------------------
+
+# Golden vector over the committed workbook fixture: canonical JSON of
+# every assembled record. Proves id-ordered assembly, null-property
+# OMISSION (Q002's survival has no age key), empty-string retention
+# (Q003's sex stays), typed integers, and plural node naming.
+_K1_ORACLE = """
+SELECT * FROM (VALUES
+    ('participants', '{"participant_id":"Q001","sex_at_birth":"F"}'),
+    ('participants', '{"participant_id":"Q002","sex_at_birth":"M"}'),
+    ('participants', '{"participant_id":"Q003","sex_at_birth":""}'),
+    ('participants', '{"participant_id":"Q004","sex_at_birth":"F"}'),
+    ('survivals', '{"age_at_last_known_survival_status":4100,"last_known_survival_status":"Alive","survival_id":"Q001"}'),
+    ('survivals', '{"last_known_survival_status":"Dead","survival_id":"Q002"}'),
+    ('survivals', '{"age_at_last_known_survival_status":5000,"last_known_survival_status":"Alive","survival_id":"Q004"}')
+) AS t(node, record_json)
+"""
+
+
+@query("document_assembly", oracle=_K1_ORACLE, tags=("sink", "tools"))
+def document_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 through sink.assemble_document: two node frames (scanned from
+    the committed workbook fixture via the vendored XLSX codec) collect
+    into the reference's ``{plural_node: [records]}`` document shape —
+    records id-ordered, null properties omitted
+    (etl/ccdi/c3dc_etl.py:1439-1455) — re-emitted one row per record as
+    canonical sorted-key JSON."""
+    wb = str(FIXTURES / "study_workbook.xlsx")
+    demo = read_worksheet(spark, wb, "Demographics").select(
+        F.col("upi").alias("participant_id"),
+        F.col("DM_SEX").alias("sex_at_birth"),
+    )
+    fu = read_worksheet(spark, wb, "FollowUp").select(
+        F.col("upi").alias("survival_id"),
+        F.col("FU_STATUS").alias("last_known_survival_status"),
+        F.col("FU_AGE").cast("long").alias("age_at_last_known_survival_status"),
+    )
+    doc = assemble_document({"participant": demo, "survival": fu}, REG)
+    rows = [
+        (plural, json.dumps(rec, sort_keys=True, separators=(",", ":")))
+        for plural, records in doc.items()
+        for rec in records
+    ]
+    return spark.createDataFrame(rows, "node string, record_json string")
