@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1. The hash value v is 32-bit (8 folded hex chars)
@@ -45,6 +45,24 @@ def perm_constants(num_hashes: int, seed: str = "mh") -> list[tuple[int, int]]:
         b = int(d[8:16], 16) % MERSENNE_31  # 0 .. 2^31-2
         out.append((a, b))
     return out
+
+
+def drop_oversized_groups(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Skew guard: drop every row whose ``keys`` group holds more than
+    ``cap`` rows, WITHOUT a ``Window.partitionBy(keys)`` count — the
+    window form shuffles a hot key's entire row set to one task just to
+    count-and-discard it (an O(n) straggler at 100 TB). Here the counts
+    come from a groupBy with map-side combine, only the OVER-cap keys
+    are kept (at most N/cap of them by construction — a bounded, tiny
+    set), and a broadcast anti-join removes their rows with no extra
+    shuffle of the big side."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -223,12 +241,7 @@ def minhash_lsh_candidates(
         "doc", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band")
     )
     if max_bucket_size:
-        w = Window.partitionBy("band")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        banded = drop_oversized_groups(banded, ["band"], max_bucket_size)
     left = banded.select(F.col("doc").alias("id_a"), "band")
     right = banded.select(F.col("doc").alias("id_b"), "band")
     pairs = (
@@ -322,12 +335,7 @@ def ngram_jaccard_pairs(
         ).alias("bucket"),
     )
     if max_bucket_size:
-        w = Window.partitionBy("bucket")
-        buckets = (
-            buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        buckets = drop_oversized_groups(buckets, ["bucket"], max_bucket_size)
     left = buckets.select(F.col("doc").alias("id_a"), "bucket")
     right = buckets.select(F.col("doc").alias("id_b"), "bucket")
     pairs = (
@@ -338,12 +346,7 @@ def ngram_jaccard_pairs(
     )
     exploded = hashed.select("doc", F.explode("hv").alias("h"))
     if max_shingle_df:
-        wdf = Window.partitionBy("h")
-        exploded = (
-            exploded.withColumn("__df", F.count(F.lit(1)).over(wdf))
-            .filter(F.col("__df") <= max_shingle_df)
-            .drop("__df")
-        )
+        exploded = drop_oversized_groups(exploded, ["h"], max_shingle_df)
     ea = exploded.select(F.col("doc").alias("id_a"), "h")
     eb = exploded.select(F.col("doc").alias("id_b"), "h")
     co = (
@@ -436,12 +439,7 @@ def simhash_hamming_pairs(
         ).alias("band"),
     )
     if max_bucket_size:
-        w = Window.partitionBy("band")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        banded = drop_oversized_groups(banded, ["band"], max_bucket_size)
     left = banded.select(F.col("doc").alias("id_a"), F.col("simhash").alias("fp_a"), "band")
     right = banded.select(F.col("doc").alias("id_b"), F.col("simhash").alias("fp_b"), "band")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -504,12 +502,7 @@ def incremental_lsh_candidates(
         F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band"),
     )
     if max_bucket_size:
-        w = Window.partitionBy("band", "__new")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        banded = drop_oversized_groups(banded, ["band", "__new"], max_bucket_size)
     new_side = banded.filter(F.col("__new")).select(
         F.col("doc").alias("id_new"), "band"
     )
