@@ -43,10 +43,22 @@ def test_entry_contract():
     ]
     assert len(set(e.PRIORITY)) == len(e.PRIORITY)
     assert set(qs) == set(REGISTRY)
-    # the engine/sources/merge/curation families sit inside the driver's
-    # bounded verification window (first 50 entries)
+    # rotation policy: the driver's bounded verification window (first
+    # 50 entries) must hold every query with no driver-green row yet
+    # (new this round), every query fixed this round, and the stale
+    # round-1-only set — r2-green flagships may rotate out.
     first50 = set(list(qs)[:50])
-    for name in ("engine_participant_node", "source_jsondir_pivot",
-                 "merge_fingerprint_invariance", "rowmapped_rule_build",
-                 "sequence_packing", "asof_join_events"):
+    for name in (
+        # new this round
+        "engine_field_splice", "source_workbook_scan",
+        "source_jsondir_fileorder", "study_end_to_end",
+        "config_merge_transformations", "mapping_static_validation",
+        "reference_file_hashes", "document_assembly",
+        "doc_chunk_windows", "text_bpe_token_count", "text_top_tokens",
+        # fixed this round
+        "engine_participant_node", "rowmapped_rule_build",
+        "sink_duplicate_report", "streaming_windowed_counts",
+        # stale round-1-only examples (rewritten since last check)
+        "row_numbering_lineage", "theta_rule_join",
+    ):
         assert name in first50, name
