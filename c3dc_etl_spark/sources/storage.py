@@ -9,6 +9,13 @@ just normalizes URL schemes to what a Spark reader accepts.
 from __future__ import annotations
 
 from urllib.parse import urlparse
+from urllib.request import urlopen
+
+# Config artifacts (mappings, schemas, workbooks) are megabytes; a
+# download this large is a mis-pointed URL, not a config file. Mirrors
+# the reference's download-size guard
+# (file_manager/c3dc_file_manager.py:245-246).
+DEFAULT_MAX_FETCH_BYTES = 256 * 1024 * 1024
 
 
 def normalize_path(path: str) -> str:
@@ -28,7 +35,40 @@ def normalize_path(path: str) -> str:
     if scheme in ("http", "https"):
         raise ValueError(
             "HTTP(S) sources must be staged to a local/S3 path first "
-            "(Spark readers cannot scan HTTP); see sources.config.fetch_json "
-            "for driver-side config fetches."
+            "(Spark readers cannot scan HTTP); see sources.storage."
+            "stage_to_local / sources.config.fetch_json for driver-side "
+            "fetches."
         )
     return path
+
+
+def stage_to_local(
+    url: str,
+    dest_path: str,
+    *,
+    max_bytes: int = DEFAULT_MAX_FETCH_BYTES,
+    timeout: float = 60.0,
+) -> int:
+    """Stage an http(s):// / file:// config artifact to a local path so
+    a Spark reader (or the workbook codec) can scan it — the reference's
+    temp-copy pattern (etl/ccdi/c3dc_etl.py:374-413) with its download
+    size guard: the declared Content-Length is checked up front and the
+    stream is re-checked while copying (a server may omit or understate
+    the header). Returns bytes written; raises ValueError when the
+    artifact exceeds ``max_bytes``."""
+    with urlopen(url, timeout=timeout) as resp:  # noqa: S310
+        declared = resp.headers.get("Content-Length") if resp.headers else None
+        if declared and int(declared) > max_bytes:
+            raise ValueError(
+                f"{url}: declared size {declared} exceeds limit {max_bytes}"
+            )
+        written = 0
+        with open(dest_path, "wb") as out:
+            while chunk := resp.read(1 << 20):
+                written += len(chunk)
+                if written > max_bytes:
+                    raise ValueError(
+                        f"{url}: download exceeded limit {max_bytes} bytes"
+                    )
+                out.write(chunk)
+    return written

@@ -231,3 +231,16 @@ def test_pivoter_write_workbook_lite(spark, tmp_path):
     names = xlsx_lite.sheet_names(path)
     assert names == ["a_very_long_form_name_that_exce"]
     assert xlsx_lite.read_rows(path, names[0]) == [["upi", "val"], ["Q1", "v"]]
+
+
+def test_stage_to_local_size_guard(tmp_path):
+    from c3dc_etl_spark.sources.storage import stage_to_local
+
+    src = tmp_path / "artifact.json"
+    src.write_bytes(b"x" * 1000)
+    dest = tmp_path / "staged.json"
+    n = stage_to_local(src.as_uri(), str(dest))
+    assert n == 1000 and dest.read_bytes() == b"x" * 1000
+    # file:// declares Content-Length, so the up-front check fires
+    with pytest.raises(ValueError, match="limit"):
+        stage_to_local(src.as_uri(), str(tmp_path / "d2"), max_bytes=100)
