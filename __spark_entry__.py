@@ -40,6 +40,7 @@ PRIORITY = [
     "mapping_static_validation",
     "reference_file_hashes",
     "document_assembly",
+    "streaming_session_windows",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

@@ -91,6 +91,36 @@ def windowed_event_counts(
     )
 
 
+def session_window_stats(
+    stream: DataFrame,
+    *,
+    event_time_col: str,
+    key_col: str,
+    gap: str = "4 hours",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessions on a stream via the native session_window
+    aggregate: per key, events closer than ``gap`` merge into one
+    session ([first_event, last_event + gap)); state is one open
+    session per key, merged incrementally across micro-batches and
+    evicted once the watermark passes the session end — the streaming
+    analogue of the batch lag/running-sum sessionization
+    (suite/temporal_ops.py), with bounded state at ingest scale."""
+    return (
+        stream.withWatermark(event_time_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(event_time_col), gap), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     *,

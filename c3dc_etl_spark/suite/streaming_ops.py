@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c3dc_etl_spark.streaming.arrivals import (
+    session_window_stats,
     streaming_exact_dedup,
     windowed_event_counts,
 )
@@ -157,3 +158,69 @@ def streaming_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_dupes")
     )
     return sink.select("content_hash").join(counts, "content_hash")
+
+
+_SESSION_GAP_US = 4 * 3600 * 1_000_000
+
+# Boundary semantics: session_window treats [ts, ts+gap) as the event's
+# window and merges overlaps, so a gap of EXACTLY 4h starts a new
+# session — hence >= (the batch sessionize_events query uses a strict >
+# lag rule; both are valid gap conventions, each matching its oracle).
+_STREAM_SESSION_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, EPOCH_US(ts) AS ts_us FROM events
+),
+marked AS (
+    SELECT user_id, ts_us,
+           CASE WHEN ts_us - LAG(ts_us) OVER w >= {_SESSION_GAP_US}
+                  OR LAG(ts_us) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sessioned AS (
+    SELECT user_id, ts_us,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {_SESSION_GAP_US} AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessioned
+GROUP BY user_id, sid
+"""
+
+
+@query("streaming_session_windows", oracle=_STREAM_SESSION_ORACLE, tags=("streaming",))
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming gap-sessionization end to end through the
+    engine: file-source readStream over events -> watermarked
+    session_window aggregate per user (state = one open session per
+    user, merged across micro-batches, watermark-evicted) ->
+    complete-mode memory sink. The oracle restates merged-session
+    semantics with the batch lag/running-sum construction; a session's
+    end is last_event + gap by definition of the merge."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream, schema = _table_stream(spark, sf_dir, "events")
+    if dict((f.name, f.dataType.simpleString()) for f in schema)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("event_ts", F.col("ts").cast("timestamp"))
+    sessions = session_window_stats(
+        stream,
+        event_time_col="event_ts",
+        key_col="user_id",
+        gap="4 hours",
+        watermark_delay="30 minutes",
+    )
+    sink = _run_to_memory(sessions, "stream_sessions", "complete")
+    return sink.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
