@@ -41,6 +41,7 @@ PRIORITY = [
     "reference_file_hashes",
     "document_assembly",
     "streaming_session_windows",
+    "merged_document_assembly",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

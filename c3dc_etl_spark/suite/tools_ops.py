@@ -192,3 +192,44 @@ def document_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rec in records
     ]
     return spark.createDataFrame(rows, "node string, record_json string")
+
+
+# --------------------------------------------------------------------------
+# K2: merged-document sink (merge first-wins -> document assembly)
+# --------------------------------------------------------------------------
+
+_K2_ORACLE = """
+SELECT * FROM (VALUES
+    ('participants', '{"participant_id":"P1","sex_at_birth":"Female","won_ord":1}'),
+    ('participants', '{"participant_id":"P2","sex_at_birth":"Male","won_ord":1}'),
+    ('participants', '{"participant_id":"P3","sex_at_birth":"Intersex","won_ord":2}')
+) AS t(node, record_json)
+"""
+
+
+@query("merged_document_assembly", oracle=_K2_ORACLE, tags=("sink", "merge", "tools"))
+def merged_document_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 through merge.first_wins_merge + sink.assemble_document: two
+    per-transformation participant frames union, first-wins dedup on the
+    (id-blanked) canonical fingerprint + participant key (P1 appears in
+    both transformations with identical content -> transformation 1
+    wins; P3 only in transformation 2 -> kept), then the merged frame
+    collects into the document shape (reference
+    _create_merged_json_etl_file, etl/target/c3dc_etl.py:2126-2227).
+    ``won_ord`` is kept in the records to pin the first-wins provenance
+    in the hash."""
+    from c3dc_etl_spark.merge.dedup import first_wins_merge
+
+    schema = "participant_id string, sex_at_birth string"
+    t1 = spark.createDataFrame([("P1", "Female"), ("P2", "Male")], schema)
+    t2 = spark.createDataFrame([("P1", "Female"), ("P3", "Intersex")], schema)
+    merged = first_wins_merge(
+        [t1, t2], "participant", REG, key_cols=("participant_id",)
+    ).drop("fingerprint")
+    doc = assemble_document({"participant": merged}, REG)
+    rows = [
+        (plural, json.dumps(rec, sort_keys=True, separators=(",", ":")))
+        for plural, records in doc.items()
+        for rec in records
+    ]
+    return spark.createDataFrame(rows, "node string, record_json string")
