@@ -64,3 +64,40 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_drop_oversized_groups_semantics_and_plan(spark):
+    from c3dc_etl_spark.operators.dedup import drop_oversized_groups
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 90 else f"cold{i % 5}") for i in range(100)],
+        "id long, band string",
+    )
+    capped = drop_oversized_groups(df, ["band"], cap=10)
+    rows = capped.collect()
+    # the 90-row hot band is gone; each cold band (2 rows) survives intact
+    assert {r["band"] for r in rows} == {f"cold{j}" for j in range(5)}
+    assert len(rows) == 10
+    # scale property: the cap must NOT be a Window.partitionBy count
+    # (single-task hot partition) — it should plan as an aggregate +
+    # broadcast anti-join
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_minhash_plan_has_no_window(spark):
+    """The LSH band cap (and every other bucket cap) must stay
+    window-free — a regression here reintroduces the hot-band
+    straggler."""
+    from c3dc_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 7} repeated tokens") for i in range(50)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=2, max_bucket_size=10
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
