@@ -42,6 +42,7 @@ PRIORITY = [
     "document_assembly",
     "streaming_session_windows",
     "merged_document_assembly",
+    "embedding_quantize_int8",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

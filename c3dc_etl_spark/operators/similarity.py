@@ -318,3 +318,54 @@ def embedding_near_dup(
         F.min("id_a").alias("keep_id"),
         F.min_by("sim", "id_a").alias("sim"),
     ).select(F.col("id_b").alias("drop_id"), "keep_id", "sim")
+
+
+def quantize_int8(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the standard
+    vector-compression step before ANN indexing at corpus scale (4x
+    smaller than float32, SIMD-friendly dot products downstream):
+    ``scale = max(|x|)/127``, ``q_i = clamp(round(x_i/scale), ±127)``.
+
+    Pure narrow projection, zero shuffles, zero UDFs — elementwise
+    transform + array_max per row. Rounding is half-up (floor(x+0.5),
+    the engine-wide convention) and the all-zero vector quantizes to
+    zeros with a NULL scale. Returns (id, qvec array<int>, scale_code =
+    round(max|x| * 1e6) as an exact integer — float columns are kept
+    out of hashed outputs)."""
+    xd = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__v"),
+    )
+    withmax = xd.select(
+        id_col,
+        "__v",
+        F.array_max(F.transform(F.col("__v"), F.abs)).alias("__max_abs"),
+    )
+    scale = F.when(F.col("__max_abs") > 0, F.col("__max_abs") / F.lit(127.0))
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.when(
+            F.col("__max_abs") > 0,
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x / (F.col("__max_abs") / F.lit(127.0)) + F.lit(0.5)),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return withmax.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        F.floor(F.col("__max_abs") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("scale_code"),
+    )

@@ -253,3 +253,51 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(S.l2_norm(v), 4).alias("l2_norm"),
         F.round(comp_sum, 4).alias("comp_sum"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+        SELECT vec_id, v,
+               LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS max_abs
+        FROM e
+    )
+    SELECT vec_id,
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(v, x -> CAST(
+               CASE WHEN max_abs > 0
+                    THEN GREATEST(-127, LEAST(127,
+                         FLOOR(x / (max_abs / 127.0) + 0.5)))
+                    ELSE 0 END AS BIGINT)),
+             ';') AS qvec,
+           CAST(FLOOR(max_abs * 1e6 + 0.5) AS BIGINT) AS scale_code,
+           CAST(LIST_SUM(LIST_TRANSFORM(v, x -> CAST(
+               CASE WHEN max_abs > 0
+                    THEN ABS(GREATEST(-127, LEAST(127,
+                         FLOOR(x / (max_abs / 127.0) + 0.5))))
+                    ELSE 0 END AS BIGINT))) AS BIGINT) AS q_l1
+    FROM m
+    """,
+    tags=("similarity",),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization through
+    operators.similarity.quantize_int8 — the 4x vector-compression step
+    a corpus-scale ANN index runs before storage. Quantized values are
+    exact integers (identical in both engines: the scale division and
+    half-up floor are IEEE-double deterministic), so the hash pins every
+    element; qvec is serialized for the driver canonicalizer and q_l1
+    adds an order-independent integer checksum."""
+    q = S.quantize_int8(load(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.array_join(F.col("qvec"), ";").alias("qvec"),
+        "scale_code",
+        F.aggregate(
+            F.col("qvec"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.abs(x).cast("bigint"),
+        ).alias("q_l1"),
+    )

@@ -116,3 +116,22 @@ def test_embedding_near_dup_keeps_cluster_representative(spark):
     )
     got = {r["drop_id"]: r["keep_id"] for r in out.collect()}
     assert got == {1: 0, 2: 0, 4: 3}
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from c3dc_etl_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector -> zeros, NULL scale
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert rows[1]["qvec"] == [127, -63, 32, 0]   # half-up: -63.5 -> -63, 31.75 -> 32
+    assert rows[1]["scale_code"] == 1_000_000
+    assert rows[2]["qvec"] == [0, 0, 0, 0] and rows[2]["scale_code"] == 0
+    assert rows[3]["qvec"] == [-127, 127, 64, -63]
+    assert all(-127 <= v <= 127 for r in rows.values() for v in r["qvec"])
