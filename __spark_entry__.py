@@ -43,6 +43,7 @@ PRIORITY = [
     "streaming_session_windows",
     "merged_document_assembly",
     "embedding_quantize_int8",
+    "streaming_stateful_running_stats",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

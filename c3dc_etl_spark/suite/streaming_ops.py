@@ -24,9 +24,10 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from c3dc_etl_spark.streaming.stateful import running_key_stats
 from c3dc_etl_spark.streaming.arrivals import (
     session_window_stats,
     streaming_exact_dedup,
@@ -223,4 +224,43 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_start").alias("session_start_us"),
         F.unix_micros("session_end").alias("session_end_us"),
         F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+_STATEFUL_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(FLOOR(value)) AS DOUBLE) AS value_total
+FROM events
+GROUP BY 1
+"""
+
+
+@query("streaming_stateful_running_stats", oracle=_STATEFUL_ORACLE, tags=("streaming",))
+def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end to end:
+    applyInPandasWithState (streaming/stateful.py running_key_stats)
+    keeps per-user (count, total) in the checkpointed state store and
+    emits the updated row each micro-batch; the update-mode memory sink
+    accumulates one row per (key, batch), so the FINAL state per key is
+    the row with the max running count — which must equal the batch
+    GROUP BY. The summed value is pre-floored to integers so the
+    running float total is exact regardless of batch/partition
+    arrival order (integer sums in double are associative below 2^53)."""
+    stream, schema = _table_stream(spark, sf_dir, "events")
+    stream = stream.select(
+        F.col("user_id").cast("string").alias("user_key"),
+        F.floor(F.col("value")).cast("double").alias("val_int"),
+    )
+    stats = running_key_stats(stream, key_col="user_key", value_col="val_int")
+    sink = _run_to_memory(stats, "stream_stateful", "update")
+    w = Window.partitionBy("key").orderBy(F.col("n_records").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "key",
+            F.col("n_records").cast("bigint").alias("n_records"),
+            F.col("value_total").cast("double").alias("value_total"),
+        )
     )
