@@ -44,6 +44,9 @@ PRIORITY = [
     "merged_document_assembly",
     "embedding_quantize_int8",
     "streaming_stateful_running_stats",
+    "workbook_sink_roundtrip",
+    "schema_pv_checks",
+    "reference_file_plan",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

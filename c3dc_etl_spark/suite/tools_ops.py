@@ -233,3 +233,151 @@ def merged_document_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rec in records
     ]
     return spark.createDataFrame(rows, "node string, record_json string")
+
+
+# --------------------------------------------------------------------------
+# K5/O5/J2: workbook sink roundtrip
+# --------------------------------------------------------------------------
+
+# Golden vector: per-form frames fold through all_forms_frame (full-outer
+# on the subject id, columns subject-first-then-sorted — O5), write to a
+# real .xlsx via the vendored codec (K5), read back cell-by-cell. Null
+# cells are omitted on write and resurface as None -> ''.
+_K5_ORACLE = """
+SELECT * FROM (VALUES
+    ('upi;a_val;b_val'),
+    ('Q1;1;x'),
+    ('Q2;2;'),
+    ('Q3;;y')
+) AS t(line)
+"""
+
+
+@query("workbook_sink_roundtrip", oracle=_K5_ORACLE, tags=("sink", "tools"))
+def workbook_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 through tools.pivoter.write_workbook + the vendored XLSX
+    writer, proven by reading the produced workbook back with the
+    reader: two form frames fold into the all-forms sheet (J2 full-outer
+    join chain; O5 subject-first-then-sorted column order, visible in
+    the header line), each written row round-trips cell-exact
+    (reference data_pivoter.py:150-170)."""
+    import tempfile
+
+    from c3dc_etl_spark.sources import xlsx_lite
+    from c3dc_etl_spark.tools.pivoter import all_forms_frame, write_workbook
+
+    fa = spark.createDataFrame([("Q1", "1"), ("Q2", "2")], "upi string, a_val string")
+    fb = spark.createDataFrame([("Q1", "x"), ("Q3", "y")], "upi string, b_val string")
+    allf = all_forms_frame({"A": fa, "B": fb}, subject_col="upi").orderBy("upi")
+    path = tempfile.mktemp(suffix=".xlsx", prefix="k5_roundtrip_")
+    write_workbook({"all_forms": allf}, path)
+    lines = [
+        (";".join("" if c is None else str(c) for c in row),)
+        for row in xlsx_lite.read_rows(path, "all_forms")
+    ]
+    return spark.createDataFrame(lines, "line string")
+
+
+# --------------------------------------------------------------------------
+# X6: schema-creator PV checks
+# --------------------------------------------------------------------------
+
+_X6_PVS = [
+    "[---- Demographics ----]",
+    "Café au lait spots",
+    "Neuroblastoma",
+    "neuroblastoma",
+    "Not Reported",
+]
+
+_X6_ORACLE = """
+SELECT * FROM (VALUES
+    ('non_ascii', 'Café au lait spots'),
+    ('duplicate', 'Neuroblastoma'),
+    ('kept', 'Café au lait spots'),
+    ('kept', 'Neuroblastoma'),
+    ('kept', 'neuroblastoma'),
+    ('kept', 'Not Reported')
+) AS t(check_name, pv)
+"""
+
+
+@query("schema_pv_checks", oracle=_X6_ORACLE, tags=("validate", "tools"))
+def schema_pv_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 through tools.schema_checks: non-ASCII PV detection,
+    case-insensitive duplicate detection (first casing reported), and
+    '[---- section ----]' header stripping (reference
+    schema/schema_creator.py:467-489,548-559,106-107)."""
+    from c3dc_etl_spark.tools.schema_checks import (
+        duplicate_pvs,
+        non_ascii_pvs,
+        strip_section_headers,
+    )
+
+    kept = strip_section_headers(_X6_PVS)
+    rows = (
+        [("non_ascii", pv) for pv, _bad in non_ascii_pvs(kept)]
+        + [("duplicate", pv) for pv in duplicate_pvs(kept)]
+        + [("kept", pv) for pv in kept]
+    )
+    return spark.createDataFrame(rows, "check_name string, pv string")
+
+
+# --------------------------------------------------------------------------
+# M4: reference-file synthesis (direct frame path)
+# --------------------------------------------------------------------------
+
+_RF_SEED = "rf42"
+_RF_UUID_SQL = (
+    "MD5(CONCAT_WS(CHR(31), '" + _RF_SEED + "', 'reference_file', file_name))"
+)
+_M4_ORACLE = f"""
+WITH participants AS (
+    SELECT participant.usi AS participant_id
+    FROM read_json('{FIXTURES / "subjects"}/*.json')
+),
+files AS (
+    SELECT DISTINCT participant_id || '.json' AS file_name FROM participants
+),
+j AS (
+    SELECT f.file_name, m.guid, m.md5, m.size, m.url
+    FROM files f
+    JOIN read_csv('{FIXTURES / "manifest.csv"}', header=true,
+                  all_varchar=true) m USING (file_name)
+)
+SELECT (SUBSTR({_RF_UUID_SQL},1,8) || '-' || SUBSTR({_RF_UUID_SQL},9,4)
+        || '-4' || SUBSTR({_RF_UUID_SQL},14,3) || '-8'
+        || SUBSTR({_RF_UUID_SQL},18,3) || '-' || SUBSTR({_RF_UUID_SQL},21,12))
+           AS reference_file_id,
+       file_name,
+       'input source data' AS file_type,
+       CAST(TRY_CAST(size AS DOUBLE) AS BIGINT) AS file_size,
+       md5 AS md5sum,
+       guid AS dcf_indexd_guid,
+       url AS file_url
+FROM j
+"""
+
+
+@query("reference_file_plan", oracle=_M4_ORACLE, tags=("plan", "tools"))
+def reference_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 through plans.reference_files.reference_file_frame: one
+    reference_file record per surviving subject's source file, metadata
+    from the broadcast manifest, content-derived deterministic uuid
+    (reference etl/mci/c3dc_etl.py:1357-1538; the generated-mappings
+    2-pass parity path is unit-tested in
+    tests/test_reference_files.py)."""
+    from c3dc_etl_spark.mapping.compiler import CompilerContext
+    from c3dc_etl_spark.plans.reference_files import reference_file_frame
+    from c3dc_etl_spark.sources import read_manifest, read_subject_documents
+
+    participants = read_subject_documents(
+        spark,
+        str(FIXTURES / "subjects"),
+        fields=("DM_SEX",),
+    ).select(F.col("usi").alias("participant_id"))
+    manifest = read_manifest(
+        spark, str(FIXTURES / "manifest.csv"), key_col="file_name"
+    )
+    ctx = CompilerContext(registry=REG, uuid_seed=_RF_SEED, row_identity=())
+    return reference_file_frame(participants, manifest, ctx)
