@@ -66,14 +66,21 @@ def drop_oversized_groups(df: DataFrame, keys: list[str], cap: int) -> DataFrame
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+    """Round-robin repartition to the session's default parallelism —
+    ONLY when the input is under-partitioned.
 
-    The documents tables arrive as a single parquet file -> ONE input
-    partition, which would serialize the (expensive) per-row shingle and
-    signature hashing onto a single core. At cluster scale the input is
-    many files and this is a no-op cost-wise; locally it is the
-    difference between 1 and 32 cores on the hot map."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    The documents tables arrive locally as a single parquet file -> ONE
+    input partition, which would serialize the (expensive) per-row
+    shingle and signature hashing onto one core; spreading there is the
+    difference between 1 and 32 cores on the hot map. At cluster scale
+    the input already has >= parallelism partitions and an unconditional
+    ``repartition(parallelism)`` would be a full shuffle of the corpus
+    DOWN to fewer partitions — so a well-partitioned input passes
+    through untouched (no exchange in the plan)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def normalize_text(col: Column | str) -> Column:

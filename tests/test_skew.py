@@ -101,3 +101,16 @@ def test_minhash_plan_has_no_window(spark):
     )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_spread_is_conditional(spark):
+    """spread() must not shuffle an already-well-partitioned input —
+    at corpus scale an unconditional repartition(parallelism) is a full
+    shuffle DOWN."""
+    from c3dc_etl_spark.operators.dedup import spread
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == target
+    wide = spark.range(1000).repartition(target * 2)
+    assert spread(wide) is wide  # untouched, no exchange added
