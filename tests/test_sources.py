@@ -244,3 +244,59 @@ def test_stage_to_local_size_guard(tmp_path):
     # file:// declares Content-Length, so the up-front check fires
     with pytest.raises(ValueError, match="limit"):
         stage_to_local(src.as_uri(), str(tmp_path / "d2"), max_bytes=100)
+
+
+def test_xlsx_lite_roundtrip_property(tmp_path):
+    """Property: any grid of str/int/float/bool/None cells survives a
+    write+read roundtrip with values stringified by the documented
+    rules (numbers via repr, booleans TRUE/FALSE, None omitted)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from c3dc_etl_spark.sources import xlsx_lite
+
+    cell = st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs", "Cc", "Cn")
+            ),
+            max_size=20,
+        ),
+        st.integers(min_value=-10**12, max_value=10**12),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.booleans(),
+    )
+
+    def expected(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return v
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rows=st.lists(st.lists(cell, min_size=1, max_size=6), max_size=5),
+        ncols=st.integers(min_value=1, max_value=6),
+    )
+    def check(rows, ncols):
+        headers = [f"c{i}" for i in range(ncols)]
+        norm_rows = [(r + [None] * ncols)[:ncols] for r in rows]
+        path = str(tmp_path / "prop.xlsx")
+        xlsx_lite.write_workbook(path, {"S": (headers, norm_rows)})
+        grid = xlsx_lite.read_rows(path, "S")
+        assert grid[0] == headers
+        body = grid[1:]
+        # rows that are entirely None write no cells; trailing all-None
+        # columns narrow the grid — compare against the padded expectation
+        width = len(grid[0]) if grid else 0
+        for got, src in zip(body, norm_rows):
+            want = [expected(v) for v in src][:width]
+            want += [None] * (width - len(want))
+            got = got + [None] * (len(want) - len(got))
+            assert got == want
+
+    check()
