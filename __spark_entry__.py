@@ -47,6 +47,7 @@ PRIORITY = [
     "workbook_sink_roundtrip",
     "schema_pv_checks",
     "reference_file_plan",
+    "amended_mapping_sink",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

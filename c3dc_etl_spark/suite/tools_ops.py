@@ -381,3 +381,79 @@ def reference_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctx = CompilerContext(registry=REG, uuid_seed=_RF_SEED, row_identity=())
     return reference_file_frame(participants, manifest, ctx)
+
+
+# --------------------------------------------------------------------------
+# K6: amended-mapping sink (generated reference_file mappings)
+# --------------------------------------------------------------------------
+
+# Golden vector: the generated program is file-name-sorted, numbered
+# after the existing max type_group_index (A5), and appended without
+# touching the original mappings — every mapping emitted as canonical
+# JSON with its position, so ordering is part of the hash.
+_K6_ORACLE = """
+SELECT * FROM (VALUES
+    (0, '{"output_field":"participant.participant_id","source_field":"pid","type_group_index":"2"}'),
+    (1, '{"output_field":"reference_file.reference_file_id","replacement_values":[{"new_value":"{uuid}","old_value":"*"}],"source_field":"[uuid]","type_group_index":"3"}'),
+    (2, '{"output_field":"reference_file.file_name","source_field":"[P001.json]","type_group_index":"3"}'),
+    (3, '{"output_field":"reference_file.file_type","source_field":"[input source data]","type_group_index":"3"}'),
+    (4, '{"output_field":"reference_file.file_size","source_field":"[412]","type_group_index":"3"}'),
+    (5, '{"output_field":"reference_file.md5sum","source_field":"[0123456789abcdef0123456789abcdef]","type_group_index":"3"}'),
+    (6, '{"output_field":"reference_file.dcf_indexd_guid","source_field":"[dg.1/aaa]","type_group_index":"3"}'),
+    (7, '{"output_field":"reference_file.file_url","source_field":"[s3://bucket/P001.json]","type_group_index":"3"}'),
+    (8, '{"output_field":"reference_file.reference_file_id","replacement_values":[{"new_value":"{uuid}","old_value":"*"}],"source_field":"[uuid]","type_group_index":"4"}'),
+    (9, '{"output_field":"reference_file.file_name","source_field":"[P002.json]","type_group_index":"4"}'),
+    (10, '{"output_field":"reference_file.file_type","source_field":"[input source data]","type_group_index":"4"}'),
+    (11, '{"output_field":"reference_file.file_size","source_field":"[398]","type_group_index":"4"}'),
+    (12, '{"output_field":"reference_file.md5sum","source_field":"[fedcba9876543210fedcba9876543210]","type_group_index":"4"}'),
+    (13, '{"output_field":"reference_file.dcf_indexd_guid","source_field":"[dg.1/bbb]","type_group_index":"4"}'),
+    (14, '{"output_field":"reference_file.file_url","source_field":"[s3://bucket/P002.json]","type_group_index":"4"}')
+) AS t(pos, mapping_json)
+"""
+
+
+@query("amended_mapping_sink", oracle=_K6_ORACLE, tags=("sink", "plan", "tools"))
+def amended_mapping_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 through plans.reference_files: reference_file mappings are
+    GENERATED from the manifest (file-name-sorted, type-group numbers
+    allocated after the existing program's max — A5), appended to the
+    transformation config (existing mappings untouched), and the
+    amended program re-parses through load_mappings with zero static
+    errors — the reference's 2-pass `.ref_files.json` flow
+    (etl/mci/c3dc_etl.py:1357-1538, README.md:31-46)."""
+    from c3dc_etl_spark.plans.reference_files import (
+        amend_transformation,
+        max_type_group_index,
+        reference_file_mappings,
+    )
+
+    manifest_rows = [
+        {"file_name": "P002.json", "guid": "dg.1/bbb",
+         "md5": "fedcba9876543210fedcba9876543210", "size": "398",
+         "url": "s3://bucket/P002.json"},
+        {"file_name": "P001.json", "guid": "dg.1/aaa",
+         "md5": "0123456789abcdef0123456789abcdef", "size": "412",
+         "url": "s3://bucket/P001.json"},
+    ]
+    config = {
+        "name": "studyX",
+        "mappings": [
+            {"output_field": "participant.participant_id",
+             "source_field": "pid", "type_group_index": "2"},
+        ],
+    }
+    existing = load_mappings(config["mappings"])
+    generated = reference_file_mappings(
+        manifest_rows, start_tgi=max_type_group_index(existing)
+    )
+    amended = amend_transformation(config, generated)
+    # the amended program must re-parse cleanly (2-pass invariant)
+    schema_props = {n: {p.name for p in REG.node(n).props} for n in REG.node_names}
+    assert not mapping_errors(
+        load_mappings(amended["mappings"]), schema_props=schema_props
+    )
+    rows = [
+        (i, json.dumps(m, sort_keys=True, separators=(",", ":")))
+        for i, m in enumerate(amended["mappings"])
+    ]
+    return spark.createDataFrame(rows, "pos int, mapping_json string")
