@@ -48,6 +48,7 @@ PRIORITY = [
     "schema_pv_checks",
     "reference_file_plan",
     "amended_mapping_sink",
+    "range_join_events",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

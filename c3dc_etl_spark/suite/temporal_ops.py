@@ -157,3 +157,56 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
         dsum("value").alias("total_value"),
     )
+
+
+_RANGE_WINDOW_US = 2 * 3600 * 1_000_000  # 2 hours
+_RANGE_BUCKET_US = 3600 * 1_000_000      # 1 hour quantum
+
+_RANGE_JOIN_ORACLE = f"""
+WITH sign AS (
+    SELECT event_id AS signup_id, EPOCH_US(ts) AS s_us,
+           EPOCH_US(ts) + {_RANGE_WINDOW_US} AS e_us
+    FROM events WHERE event_type = 'signup'
+),
+buy AS (
+    SELECT event_id AS purchase_id, EPOCH_US(ts) AS p_us
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, b.purchase_id,
+       b.p_us - s.s_us AS delta_us
+FROM sign s JOIN buy b ON b.p_us BETWEEN s.s_us AND s.e_us
+"""
+
+
+@query("range_join_events", oracle=_RANGE_JOIN_ORACLE, tags=("temporal", "join"))
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO equality key (every purchase
+    inside the 2h window after ANY signup) through
+    operators.ranges.range_join: intervals explode to their covered
+    1h buckets, probes tag their single bucket, and the bucket
+    equi-join + exact range filter replaces the
+    BroadcastNestedLoopJoin Spark would otherwise plan — candidate
+    cost O(n * span/bucket), shuffle-joinable at any scale. The oracle
+    is the plain inequality join (DuckDB IEJoin)."""
+    from c3dc_etl_spark.operators.ranges import range_join
+
+    ev = load(spark, sf_dir, "events")
+    sign = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts_us").alias("s_us"),
+        (F.col("ts_us") + F.lit(_RANGE_WINDOW_US)).alias("e_us"),
+    )
+    buy = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_us"),
+    )
+    joined = range_join(
+        sign, buy,
+        start_col="s_us", end_col="e_us", ts_col="p_us",
+        bucket=_RANGE_BUCKET_US,
+    )
+    return joined.select(
+        "signup_id",
+        "purchase_id",
+        (F.col("p_us") - F.col("s_us")).alias("delta_us"),
+    )

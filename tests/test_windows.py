@@ -114,3 +114,46 @@ def test_latest_any_fallback(spark):
         ],
     )
     assert got == {"p1": "f2"}
+
+
+def test_range_join_matches_nested_loop_and_guards(spark):
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.operators.ranges import range_join
+
+    intervals = spark.createDataFrame(
+        [(1, 100, 250), (2, 240, 260), (3, 900, 900)],
+        "iid long, s long, e long",
+    )
+    probes = spark.createDataFrame(
+        [(10, 100), (11, 250), (12, 255), (13, 899), (14, 900), (15, 901)],
+        "pid long, ts long",
+    )
+    got = {
+        (r["iid"], r["pid"])
+        for r in range_join(
+            intervals, probes, start_col="s", end_col="e", ts_col="ts", bucket=50
+        ).collect()
+    }
+    want = {
+        (r["iid"], r["pid"])
+        for r in intervals.join(
+            probes, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))
+        ).collect()
+    }
+    assert got == want
+    assert (1, 10) in got and (1, 11) in got and (3, 14) in got  # inclusive ends
+    # duplicate-free even when interval and probe share several buckets
+    rows = range_join(
+        intervals, probes, start_col="s", end_col="e", ts_col="ts", bucket=7
+    ).collect()
+    assert len(rows) == len({(r["iid"], r["pid"]) for r in rows})
+    # the fan-out guard trips on a pathological interval
+    import pytest
+
+    wide = spark.createDataFrame([(9, 0, 10**9)], "iid long, s long, e long")
+    with pytest.raises(Exception, match="spans more than"):
+        range_join(
+            wide, probes, start_col="s", end_col="e", ts_col="ts", bucket=10,
+            max_buckets_per_interval=100,
+        ).collect()
