@@ -49,6 +49,8 @@ PRIORITY = [
     "reference_file_plan",
     "amended_mapping_sink",
     "range_join_events",
+    "rollup_hypertable",
+    "sketch_kmv_distinct",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

@@ -31,3 +31,4 @@ from c3dc_etl_spark.suite import temporal_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import streaming_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import study_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import tools_ops  # noqa: F401,E402
+from c3dc_etl_spark.suite import sketch_ops  # noqa: F401,E402

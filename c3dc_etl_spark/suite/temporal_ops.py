@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from c3dc_etl_spark.suite.registry import dsum, load, query
+from c3dc_etl_spark.suite.registry import dec, dsum, load, query
 
 # --------------------------------------------------------------------------
 # As-of join: each purchase -> most recent strictly-prior click, per user
@@ -210,3 +210,58 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.col("p_us") - F.col("s_us")).alias("delta_us"),
     )
+
+
+_HOUR_US = 3600 * 1_000_000
+_DAY_HOURS = 24
+
+_ROLLUP_ORACLE = f"""
+SELECT event_type,
+       (EPOCH_US(ts) // {_HOUR_US}) // {_DAY_HOURS} AS day_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(EPOCH_US(ts)) AS first_ts_us,
+       MAX(EPOCH_US(ts)) AS last_ts_us
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("rollup_hypertable", oracle=_ROLLUP_ORACLE, tags=("temporal", "rollup"))
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: raw events aggregate to
+    HOURLY partials (count / exact-decimal sum / min / max), and the
+    DAILY level re-aggregates the hourly partials — never rescanning
+    raw data. The oracle computes the daily level directly from raw, so
+    the hash proves the re-aggregation algebra (sum-of-sums,
+    min-of-mins) is lossless. This is the continuous-aggregate shape a
+    100 TB time-series store maintains: each level is ~1/N the size of
+    the one below, and late data touches one hourly bucket, not a day.
+    Integer epoch division makes hour->day nesting exact (hour // 24 ==
+    day for positive epochs)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts_us") / _HOUR_US).alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("sv"),  # stays exact DECIMAL
+            F.min("ts_us").alias("mn"),
+            F.max("ts_us").alias("mx"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            "event_type",
+            F.floor(F.col("hour_bucket") / _DAY_HOURS).alias("day_bucket"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.min("mn").alias("first_ts_us"),
+            F.max("mx").alias("last_ts_us"),
+        )
+    )
+    return daily

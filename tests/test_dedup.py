@@ -119,3 +119,23 @@ def test_incremental_lsh_per_side_bucket_cap(spark):
         bands=4, max_bucket_size=0,
     )
     assert out2.count() == 10
+
+
+def test_kmv_sketch_estimate_accuracy(spark):
+    """The KMV estimate must land near the true cardinality (the whole
+    point of the sketch: a testable accuracy contract, std err ~
+    1/sqrt(k) ≈ 12.5% at k=64)."""
+    from c3dc_etl_spark.suite.sketch_ops import sketch_kmv_distinct
+
+    rows = {
+        r["event_type"]: r
+        for r in sketch_kmv_distinct(spark, "/root/testdata/sf0.001").collect()
+    }
+    for r in rows.values():
+        exact = r["n_distinct_exact"]
+        est = r["est_centi"] / 100.0
+        assert exact > 0
+        if exact <= 64:
+            assert est == exact
+        else:
+            assert 0.6 * exact <= est <= 1.4 * exact, (exact, est)
