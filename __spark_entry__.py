@@ -51,6 +51,7 @@ PRIORITY = [
     "range_join_events",
     "rollup_hypertable",
     "sketch_kmv_distinct",
+    "dedup_boilerplate_spans",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

@@ -87,3 +87,74 @@ def redact_pii(col: Column | str) -> Column:
     for _, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def remove_duplicate_spans(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    span_words: int = 10,
+    max_docs_per_span: int = 1,
+):
+    """Cross-document span-level dedup (the Dolma/FineWeb
+    duplicate-paragraph rule, over fixed word windows since the corpus
+    has no paragraph breaks): chop each doc into non-overlapping
+    ``span_words``-word chunks, count each chunk's DISTINCT-document
+    frequency across the corpus, and drop every occurrence of chunks
+    seen in more than ``max_docs_per_span`` documents, reassembling the
+    surviving chunks in order. Boilerplate (headers, footers, license
+    blocks) disappears from every document at once.
+
+    Scale shape: the frequency table aggregates narrow (md5, doc) pairs
+    with map-side combine; the hot-span set (bounded by
+    corpus_spans / max_docs_per_span) broadcast-anti-joins away —
+    the same skew-safe cap pattern as drop_oversized_groups. Rebuild is
+    one groupBy over (doc, pos, chunk) rows. Docs whose every span was
+    boilerplate survive with empty text (left join back to the corpus).
+    """
+    from pyspark.sql import DataFrame  # local: keep module header lean
+
+    assert isinstance(df, DataFrame)
+    words = df.select(
+        F.col(id_col).alias("__doc"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__w"),
+    )
+    n_chunks = F.ceil(F.size("__w") / F.lit(span_words)).cast("int")
+    chunks = words.select(
+        "__doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__w"), i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("__pos", "__chunk"),
+    ).withColumn("__h", F.md5("__chunk"))
+    hot = (
+        chunks.select("__h", "__doc")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") > max_docs_per_span)
+        .select("__h")
+    )
+    kept = chunks.join(F.broadcast(hot), "__h", "left_anti")
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__chunk"))),
+                lambda s: s["__chunk"],
+            ),
+            " ",
+        ).alias("__text")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -466,3 +466,50 @@ def domain_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+_SPAN_W = 10
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, STRING_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS words
+    FROM documents
+),
+c AS (
+    SELECT doc_id, i AS pos,
+           ARRAY_TO_STRING(words[(i*{_SPAN_W}+1):(i*{_SPAN_W}+{_SPAN_W})], ' ') AS chunk
+    FROM w, UNNEST(RANGE(0, CAST(CEIL(LEN(words)/{_SPAN_W}.0) AS INT))) AS t(i)
+),
+hot AS (
+    SELECT MD5(chunk) AS h
+    FROM (SELECT DISTINCT MD5(chunk) AS h2, doc_id, chunk FROM c)
+    GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+),
+kept AS (
+    SELECT doc_id, pos, chunk FROM c WHERE MD5(chunk) NOT IN (SELECT h FROM hot)
+),
+rebuilt AS (
+    SELECT doc_id, ARRAY_TO_STRING(LIST(chunk ORDER BY pos), ' ') AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query("dedup_boilerplate_spans", oracle=_SPAN_DEDUP_ORACLE, tags=("dedup", "quality"))
+def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup through
+    operators.quality.remove_duplicate_spans: every 10-word span seen
+    in more than one document is removed from ALL documents and the
+    survivors reassemble in order — the duplicate-paragraph /
+    boilerplate-removal rule of public corpus pipelines, applied over
+    fixed word windows. ~130 of the corpus's spans repeat across
+    documents at sf0.01, so the hash pins real removals plus the
+    empty-doc edge."""
+    from c3dc_etl_spark.operators.quality import remove_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(
+        docs, "text", "doc_id", span_words=_SPAN_W, max_docs_per_span=1
+    )

@@ -163,3 +163,27 @@ def test_contamination_flags_overlapping_doc(spark):
     assert out[1]["flagged"] == 1
     assert (out[2]["n_shingles"], out[2]["n_overlap"], out[2]["flagged"]) == (3, 0, 0)
     assert (out[3]["n_shingles"], out[3]["flagged"]) == (0, 0)
+
+
+def test_remove_duplicate_spans_drops_shared_and_keeps_order(spark):
+    from c3dc_etl_spark.operators.quality import remove_duplicate_spans
+
+    boiler = "copyright footer all rights reserved forever and ever amen ok"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one two three four five six seven eight nine {boiler}"),
+            (2, f"{boiler} beta one two three four five six seven eight nine"),
+            (3, boiler),  # entirely boilerplate -> empty survivor
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", span_words=10, max_docs_per_span=1
+        ).collect()
+    }
+    assert rows[1] == "alpha one two three four five six seven eight nine"
+    assert rows[2] == "beta one two three four five six seven eight nine"
+    assert rows[3] == ""
+    assert len(rows) == 3  # empty doc still present
