@@ -40,6 +40,8 @@ HEADLINE = [
     "pii_redaction",
     "sequence_packing",
     "sessionize_events",
+    "rollup_hypertable",
+    "sketch_kmv_distinct",
 ]
 
 
