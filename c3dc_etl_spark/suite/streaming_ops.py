@@ -43,6 +43,10 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str):
     a directory path, so stream the sf directory with a glob filter
     pinned to the table's file; schema comes from a batch metadata read
     (streaming sources cannot infer)."""
+    # Self-contained tz determinism, like registry.load: the NTZ ->
+    # TIMESTAMP casts and unix_micros outputs below assume UTC epoch
+    # math regardless of the harness session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
     stream = (
