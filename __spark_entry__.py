@@ -52,6 +52,7 @@ PRIORITY = [
     "rollup_hypertable",
     "sketch_kmv_distinct",
     "dedup_boilerplate_spans",
+    "sample_domain_cap",
     "doc_chunk_windows",
     "text_bpe_token_count",
     "text_top_tokens",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators.dedup import hash32
@@ -103,4 +103,43 @@ def weighted_mixture(
             F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - F.lit(1).cast("long"))),
         )
         .drop("__n")
+    )
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    seed: str = "dc",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, chosen by deterministic
+    hash order — the domain-dominance guard of corpus mixing: one giant
+    domain (a crawler-heavy site) cannot swamp the mixture, and the
+    per-domain subsample is uniform and reproducible on any
+    partitioning (the selection key is md5(seed, id), not row order).
+
+    Scale shape: two-phase salted ranking (the cosine_topk pattern) —
+    a per-(domain, salt) local window keeps ``cap`` candidates, the
+    global per-domain window ranks at most ``salt_buckets * cap``
+    survivor rows; a hot domain never sends its full row set to one
+    task."""
+    rank_key = F.md5(
+        F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    keyed = df.withColumn("__rk", rank_key)
+    salt = F.pmod(F.conv(F.substring(F.col("__rk"), 1, 8), 16, 10), F.lit(salt_buckets))
+    local_w = Window.partitionBy(F.col(domain_col), salt).orderBy("__rk", id_col)
+    survivors = (
+        keyed.withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= cap)
+        .drop("__lrn")
+    )
+    global_w = Window.partitionBy(domain_col).orderBy("__rk", id_col)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(global_w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__rk")
     )

@@ -89,3 +89,34 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.weighted_mixture(
         docs, "doc_id", "lang", WEIGHTS, default=1.0, seed=SEED
     ).select("doc_id", "lang", "copy_num")
+
+
+_CAP = 20
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, source,
+           MD5(CONCAT_WS(CHR(31), 'dc', CAST(doc_id AS VARCHAR))) AS rk
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn
+    FROM keyed
+)
+SELECT doc_id, source FROM ranked WHERE rn <= {_CAP}
+"""
+
+
+@query("sample_domain_cap", oracle=_DOMAIN_CAP_ORACLE, tags=("sampling",))
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap through operators.sampling.domain_cap_sample: at
+    most N docs survive per source, selected by deterministic hash
+    order (reproducible uniform subsample, independent of
+    partitioning) — the domain-dominance guard of corpus mixing. The
+    Spark side runs the salted two-phase ranking; the oracle is the
+    plain one-window statement of the same selection."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return SA.domain_cap_sample(
+        docs, domain_col="source", id_col="doc_id", cap=_CAP, seed="dc"
+    )

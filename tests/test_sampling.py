@@ -69,3 +69,28 @@ def test_weighted_mixture_copies(spark):
         F.sort_array(F.collect_list("copy_num")).alias("cs")
     )
     assert all(r["cs"] == [0, 1, 2] for r in copies.collect())
+
+
+def test_domain_cap_sample_deterministic_and_capped(spark):
+    from c3dc_etl_spark.operators.sampling import domain_cap_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else f"s{i % 3}") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = domain_cap_sample(df, domain_col="source", id_col="doc_id", cap=5)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(per["big"]) == 5                   # hot domain capped
+    assert all(len(v) <= 5 for v in per.values())
+    # the three small domains (~7 docs each) also cap at 5
+    assert sum(len(v) for k, v in per.items() if k != "big") == 15
+    # deterministic on a different partitioning
+    again = domain_cap_sample(
+        df.repartition(7), domain_col="source", id_col="doc_id", cap=5
+    ).collect()
+    assert {(r["doc_id"], r["source"]) for r in again} == {
+        (r["doc_id"], r["source"]) for r in rows
+    }
