@@ -346,7 +346,6 @@ def quantize_int8(
         "__v",
         F.array_max(F.transform(F.col("__v"), F.abs)).alias("__max_abs"),
     )
-    scale = F.when(F.col("__max_abs") > 0, F.col("__max_abs") / F.lit(127.0))
     q = F.transform(
         F.col("__v"),
         lambda x: F.when(
