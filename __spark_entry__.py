@@ -26,10 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # order (with a bounded ~50-query per-round window), so emit first the
 # entries with NO driver-green row yet (new this round), then the four
 # fixed-this-round queries (red in r2 — their fixes need driver
-# confirmation), then the 35 queries whose last driver check was round 1
-# (re-verification rotation, row_numbering_lineage especially since its
-# implementation changed after its last check).  The r2-green flagship
-# queries close the list.  Every REGISTRY entry is included exactly once.
+# confirmation), then the round-1-only stale set, most-at-risk first
+# (row_numbering_lineage was rewritten after its last check). With this
+# round's new queries the ~50 window covers all new + fixed entries and
+# the head of the stale block; stale entries past the window keep their
+# r1-green row (unchanged code) and rotate into the next round's
+# window. The r2-green flagship queries close the list. Every REGISTRY
+# entry is included exactly once (asserted in tests/test_registry.py).
 PRIORITY = [
     # --- new this round: never driver-checked ---
     "engine_field_splice",

@@ -47,22 +47,33 @@ def perm_constants(num_hashes: int, seed: str = "mh") -> list[tuple[int, int]]:
     return out
 
 
-def drop_oversized_groups(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+def drop_oversized_groups(
+    df: DataFrame, keys: list[str], cap: int, *, broadcast_hot: bool = True
+) -> DataFrame:
     """Skew guard: drop every row whose ``keys`` group holds more than
     ``cap`` rows, WITHOUT a ``Window.partitionBy(keys)`` count — the
     window form shuffles a hot key's entire row set to one task just to
     count-and-discard it (an O(n) straggler at 100 TB). Here the counts
     come from a groupBy with map-side combine, only the OVER-cap keys
-    are kept (at most N/cap of them by construction — a bounded, tiny
-    set), and a broadcast anti-join removes their rows with no extra
-    shuffle of the big side."""
+    are kept (at most N/cap of them by construction), and an anti-join
+    removes their rows.
+
+    ``broadcast_hot=True`` suits LARGE caps (band/bucket sizes in the
+    hundreds: the over-cap set is N/cap, genuinely tiny) — no extra
+    shuffle of the big side. Pass False for SMALL caps over huge key
+    spaces (e.g. a document-frequency cap of ~100 over trillions of
+    shingle hashes), where N/cap is not driver-collectable: the
+    anti-join then runs as a plain shuffle join, still with no hot-key
+    single-task count."""
     hot = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > cap)
         .select(*keys)
     )
-    return df.join(F.broadcast(hot), keys, "left_anti")
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    return df.join(hot, keys, "left_anti")
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -353,7 +364,11 @@ def ngram_jaccard_pairs(
     )
     exploded = hashed.select("doc", F.explode("hv").alias("h"))
     if max_shingle_df:
-        exploded = drop_oversized_groups(exploded, ["h"], max_shingle_df)
+        # small cap over the full shingle-hash space: the over-cap set
+        # is not driver-collectable at corpus scale — shuffle anti-join
+        exploded = drop_oversized_groups(
+            exploded, ["h"], max_shingle_df, broadcast_hot=False
+        )
     ea = exploded.select(F.col("doc").alias("id_a"), "h")
     eb = exploded.select(F.col("doc").alias("id_b"), "h")
     co = (

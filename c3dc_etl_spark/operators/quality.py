@@ -107,11 +107,13 @@ def remove_duplicate_spans(
     blocks) disappears from every document at once.
 
     Scale shape: the frequency table aggregates narrow (md5, doc) pairs
-    with map-side combine; the hot-span set (bounded by
-    corpus_spans / max_docs_per_span) broadcast-anti-joins away —
-    the same skew-safe cap pattern as drop_oversized_groups. Rebuild is
-    one groupBy over (doc, pos, chunk) rows. Docs whose every span was
-    boilerplate survive with empty text (left join back to the corpus).
+    with map-side combine; duplicated spans anti-join away via a plain
+    shuffle join — with a threshold this low the duplicated-span set
+    scales with the corpus (every near-dup contributes), so it is NOT
+    broadcast (contrast drop_oversized_groups' broadcast_hot mode,
+    which suits large caps). Rebuild is one groupBy over
+    (doc, pos, chunk) rows. Docs whose every span was boilerplate
+    survive with empty text (left join back to the corpus).
     """
     from pyspark.sql import DataFrame  # local: keep module header lean
 
@@ -140,7 +142,7 @@ def remove_duplicate_spans(
         .filter(F.col("__nd") > max_docs_per_span)
         .select("__h")
     )
-    kept = chunks.join(F.broadcast(hot), "__h", "left_anti")
+    kept = chunks.join(hot, "__h", "left_anti")
     rebuilt = kept.groupBy("__doc").agg(
         F.array_join(
             F.transform(

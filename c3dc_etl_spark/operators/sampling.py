@@ -126,20 +126,18 @@ def domain_cap_sample(
     global per-domain window ranks at most ``salt_buckets * cap``
     survivor rows; a hot domain never sends its full row set to one
     task."""
+    from c3dc_etl_spark.operators.skew import salted_topk
+
     rank_key = F.md5(
         F.concat_ws("\x1f", F.lit(seed), F.col(id_col).cast("string"))
     )
     keyed = df.withColumn("__rk", rank_key)
-    salt = F.pmod(F.conv(F.substring(F.col("__rk"), 1, 8), 16, 10), F.lit(salt_buckets))
-    local_w = Window.partitionBy(F.col(domain_col), salt).orderBy("__rk", id_col)
-    survivors = (
-        keyed.withColumn("__lrn", F.row_number().over(local_w))
-        .filter(F.col("__lrn") <= cap)
-        .drop("__lrn")
+    capped = salted_topk(
+        keyed,
+        [domain_col],
+        [F.col("__rk").asc(), F.col(id_col).asc()],
+        cap,
+        salt=F.conv(F.substring(F.col("__rk"), 1, 8), 16, 10),
+        n_salt=salt_buckets,
     )
-    global_w = Window.partitionBy(domain_col).orderBy("__rk", id_col)
-    return (
-        survivors.withColumn("__rn", F.row_number().over(global_w))
-        .filter(F.col("__rn") <= cap)
-        .drop("__rn", "__rk")
-    )
+    return capped.drop("__rk")

@@ -68,35 +68,27 @@ def cosine_topk(
         .withColumn("sim", F.round(sim, round_dp) + F.lit(0.0))
         .select("query_id", "candidate_id", "sim")
     )
-    # Two-phase salted top-k. Spark's WindowGroupLimit already prunes
-    # rank<=k rows per group per TASK before each exchange, so even a
-    # single window ships only tasks*k rows per query — but those all
-    # land on |q| reducers, and tasks*k grows with cluster size (100k
-    # tasks x k = 1M-row sorts per query). Phase 1 ranks within
-    # (query_id, salt) buckets (parallelism |q| x n_salt); phase 2
-    # ranks the surviving n_salt*k rows per query — constant-bounded.
-    # The global top-k is a subset of the per-salt top-ks, and the
-    # (sim DESC, candidate_id ASC) tiebreak makes both rankings
-    # deterministic, so the result is identical to the one-shot window.
-    n_salt = 32
-    salted = scored.withColumn(
-        "__salt", F.pmod(F.hash(F.col("candidate_id")), F.lit(n_salt))
+    # Two-phase salted top-k (operators.skew.salted_topk). Spark's
+    # WindowGroupLimit already prunes rank<=k rows per group per TASK
+    # before each exchange, so even a single window ships only tasks*k
+    # rows per query — but those all land on |q| reducers, and tasks*k
+    # grows with cluster size (100k tasks x k = 1M-row sorts per
+    # query). The salted form bounds each query's reducer input at
+    # n_salt*k rows; the (sim DESC, candidate_id ASC) tiebreak is a
+    # total order so the result is identical to the one-shot window.
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    ranked = salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("sim").desc(), F.col("candidate_id").asc()],
+        k,
+        salt=F.hash(F.col("candidate_id")),
+        n_salt=32,
+        rank_col="rank",
     )
-    w1 = Window.partitionBy("query_id", "__salt").orderBy(
-        F.col("sim").desc(), F.col("candidate_id").asc()
-    )
-    pre = (
-        salted.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= k)
-        .drop("__salt", "__r1")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("candidate_id").asc()
-    )
-    return (
-        pre.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "candidate_id", "sim", F.col("rank").cast("bigint").alias("rank"))
+    return ranked.select(
+        "query_id", "candidate_id", "sim", F.col("rank").cast("bigint").alias("rank")
     )
 
 
@@ -334,9 +326,10 @@ def quantize_int8(
     Pure narrow projection, zero shuffles, zero UDFs — elementwise
     transform + array_max per row. Rounding is half-up (floor(x+0.5),
     the engine-wide convention) and the all-zero vector quantizes to
-    zeros with a NULL scale. Returns (id, qvec array<int>, scale_code =
-    round(max|x| * 1e6) as an exact integer — float columns are kept
-    out of hashed outputs)."""
+    zeros with scale_code 0 (a dequantizer must treat scale_code 0 as
+    scale 0, i.e. all-zero reconstruction). Returns (id, qvec
+    array<int>, scale_code = round(max|x| * 1e6) as an exact integer —
+    float columns are kept out of hashed outputs)."""
     xd = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__v"),

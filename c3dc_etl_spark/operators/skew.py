@@ -17,7 +17,7 @@ engine-portable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,3 +74,35 @@ def salted_collect_sorted(
         .agg(F.flatten(F.collect_list("__part")).alias("__all"))
         .select(key, F.array_sort("__all").alias(f"{value}s"))
     )
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    k: int,
+    *,
+    salt: Column,
+    n_salt: int = 16,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Two-phase ranked top-k per key group, reducer-bounded: phase 1
+    ranks within (keys, salt mod n_salt) and keeps k per bucket, phase
+    2 ranks the <= n_salt * k survivors per key. When ``order_by`` is a
+    total order within each group the result is identical to the
+    single-window top-k — but no key ever sends more than n_salt * k
+    rows to one task, where the one-window form concentrates a hot
+    key's whole row set on a single reducer. Pass ``rank_col`` to keep
+    the final 1-based rank in the output."""
+    w1 = Window.partitionBy(*keys, F.pmod(salt, F.lit(n_salt))).orderBy(*order_by)
+    pre = (
+        df.withColumn("__sr1", F.row_number().over(w1))
+        .filter(F.col("__sr1") <= k)
+        .drop("__sr1")
+    )
+    out_col = rank_col or "__sr2"
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    ranked = pre.withColumn(out_col, F.row_number().over(w2)).filter(
+        F.col(out_col) <= k
+    )
+    return ranked if rank_col else ranked.drop("__sr2")

@@ -63,12 +63,23 @@ def stage_to_local(
                 f"{url}: declared size {declared} exceeds limit {max_bytes}"
             )
         written = 0
-        with open(dest_path, "wb") as out:
-            while chunk := resp.read(1 << 20):
-                written += len(chunk)
-                if written > max_bytes:
-                    raise ValueError(
-                        f"{url}: download exceeded limit {max_bytes} bytes"
-                    )
-                out.write(chunk)
+        try:
+            with open(dest_path, "wb") as out:
+                while chunk := resp.read(1 << 20):
+                    written += len(chunk)
+                    if written > max_bytes:
+                        raise ValueError(
+                            f"{url}: download exceeded limit {max_bytes} bytes"
+                        )
+                    out.write(chunk)
+        except BaseException:
+            # never leave a truncated artifact for a later glob to feed
+            # to a reader
+            import os
+
+            try:
+                os.unlink(dest_path)
+            except OSError:
+                pass
+            raise
     return written

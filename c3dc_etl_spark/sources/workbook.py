@@ -6,9 +6,9 @@ _load_source_data's node->worksheet routing derived from mapping
 source-field prefixes with a one-tab-per-node invariant (:466-522).
 
 The byte-level XLSX parse is driver-side (workbooks are per-study,
-megabytes not terabytes): pandas.read_excel when an Excel engine
-(openpyxl) is installed, else the vendored pure-stdlib codec
-(sources/xlsx_lite.py) — same untyped-string output either way.
+megabytes not terabytes), always via the vendored pure-stdlib codec
+(sources/xlsx_lite.py) so the untyped-string contract is identical in
+every environment.
 """
 
 from __future__ import annotations
@@ -53,34 +53,25 @@ def read_worksheet(
     *,
     prune_headerless: bool = True,
 ) -> DataFrame:
-    """S1: one worksheet -> untyped string DataFrame. Driver-side parse
-    (pandas when openpyxl is installed, vendored xlsx_lite otherwise),
-    snapshot into Spark immediately — everything downstream is a normal
-    DataFrame."""
-    try:
-        import pandas as pd
+    """S1: one worksheet -> untyped string DataFrame, snapshot into
+    Spark immediately — everything downstream is a normal DataFrame.
 
-        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)  # needs openpyxl
-        if prune_headerless:
-            keep = [
-                c
-                for c in pdf.columns
-                if str(c).strip() and not str(c).startswith("Unnamed:")
-            ]
-            pdf = pdf[keep]
-        pdf = pdf.where(pdf.notna(), None)
-        return spark.createDataFrame(pdf)
-    except ImportError:
-        grid = xlsx_lite.read_rows(path, sheet)
-        if not grid:
-            return spark.createDataFrame([], StructType([]))
-        header, data = grid[0], grid[1:]
-        cols = [
-            (i, str(h)) for i, h in enumerate(header)
-            if not prune_headerless or (h is not None and str(h).strip())
-        ]
-        schema = StructType(
-            [StructField(name, StringType(), True) for _, name in cols]
-        )
-        rows = [tuple(r[i] if i < len(r) else None for i, _ in cols) for r in data]
-        return spark.createDataFrame(rows, schema)
+    Always parsed by the vendored codec (sources/xlsx_lite.py), never
+    pandas.read_excel, so the cell-to-string contract (booleans ->
+    'TRUE'/'FALSE', empty string preserved, numerics as raw text) is
+    identical in every environment — an openpyxl-equipped image must
+    not change scan results (pandas would yield 'True'/NaN instead and
+    silently flip the golden oracles)."""
+    grid = xlsx_lite.read_rows(path, sheet)
+    if not grid:
+        return spark.createDataFrame([], StructType([]))
+    header, data = grid[0], grid[1:]
+    cols = [
+        (i, str(h)) for i, h in enumerate(header)
+        if not prune_headerless or (h is not None and str(h).strip())
+    ]
+    schema = StructType(
+        [StructField(name, StringType(), True) for _, name in cols]
+    )
+    rows = [tuple(r[i] if i < len(r) else None for i, _ in cols) for r in data]
+    return spark.createDataFrame(rows, schema)

@@ -273,11 +273,11 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 0 END AS BIGINT)),
              ';') AS qvec,
            CAST(FLOOR(max_abs * 1e6 + 0.5) AS BIGINT) AS scale_code,
-           CAST(LIST_SUM(LIST_TRANSFORM(v, x -> CAST(
-               CASE WHEN max_abs > 0
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(v, x -> CAST(
+               COALESCE(CASE WHEN max_abs > 0
                     THEN ABS(GREATEST(-127, LEAST(127,
                          FLOOR(x / (max_abs / 127.0) + 0.5))))
-                    ELSE 0 END AS BIGINT))) AS BIGINT) AS q_l1
+                    ELSE 0 END, 0) AS BIGINT))), 0) AS BIGINT) AS q_l1
     FROM m
     """,
     tags=("similarity",),
@@ -295,9 +295,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.array_join(F.col("qvec"), ";").alias("qvec"),
         "scale_code",
+        # NULL elements count as 0 and the empty array sums to 0 —
+        # matching COALESCE(LIST_SUM(...), 0) since DuckDB's LIST_SUM
+        # skips NULL elements and returns NULL on [].
         F.aggregate(
             F.col("qvec"),
             F.lit(0).cast("bigint"),
-            lambda acc, x: acc + F.abs(x).cast("bigint"),
+            lambda acc, x: acc + F.coalesce(F.abs(x).cast("bigint"), F.lit(0)),
         ).alias("q_l1"),
     )

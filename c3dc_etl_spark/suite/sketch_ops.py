@@ -20,10 +20,11 @@ carries narrow (key, int) pairs only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators.dedup import hash32
+from c3dc_etl_spark.operators.skew import salted_topk
 from c3dc_etl_spark.suite.registry import load, query
 
 K = 64
@@ -71,18 +72,13 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.select(
         "event_type", hash32(F.col("user_id").cast("string")).alias("h")
     ).distinct()
-    local_w = Window.partitionBy(
-        "event_type", F.pmod(F.col("h"), F.lit(SALT_BUCKETS))
-    ).orderBy("h")
-    survivors = (
-        pairs.withColumn("__lrn", F.row_number().over(local_w))
-        .filter(F.col("__lrn") <= K)
-        .drop("__lrn")
-    )
-    global_w = Window.partitionBy("event_type").orderBy("h")
-    topk = (
-        survivors.withColumn("__rn", F.row_number().over(global_w))
-        .filter(F.col("__rn") <= K)
+    topk = salted_topk(
+        pairs,
+        ["event_type"],
+        [F.col("h").asc()],
+        K,
+        salt=F.col("h"),
+        n_salt=SALT_BUCKETS,
     )
     kth = topk.groupBy("event_type").agg(F.max("h").alias("kth_min"))
     nd = pairs.groupBy("event_type").agg(

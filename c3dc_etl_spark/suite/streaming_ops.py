@@ -57,6 +57,17 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str):
     return stream, schema
 
 
+def _with_event_ts(stream: DataFrame, schema) -> DataFrame:
+    """Normalize the events ``ts`` column to a watermarkable TIMESTAMP
+    ``event_ts``: testdata parquet is TIMESTAMP(NANOS) read as long
+    nanos under the legacy conf, a future regeneration may carry
+    TIMESTAMP_NTZ; with the session tz pinned UTC both convert
+    epoch-identically (withWatermark rejects NTZ)."""
+    if dict((f.name, f.dataType.simpleString()) for f in schema)["ts"] == "bigint":
+        return stream.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("event_ts", F.col("ts").cast("timestamp"))
+
+
 def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion into an in-memory
     sink table (availableNow: drain the backlog, then stop)."""
@@ -99,15 +110,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (open window x key), eviction driven by the watermark."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream, schema = _table_stream(spark, sf_dir, "events")
-    if dict((f.name, f.dataType.simpleString()) for f in schema)["ts"] == "bigint":
-        stream = stream.withColumn(
-            "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        # testdata ts is TIMESTAMP_NTZ; withWatermark requires TIMESTAMP.
-        # Session tz is pinned UTC so the cast preserves the epoch value
-        # and the oracle's EPOCH_US math is unchanged.
-        stream = stream.withColumn("event_ts", F.col("ts").cast("timestamp"))
+    stream = _with_event_ts(stream, schema)
     windowed = windowed_event_counts(
         stream,
         event_time_col="event_ts",
@@ -209,12 +212,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     end is last_event + gap by definition of the merge."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream, schema = _table_stream(spark, sf_dir, "events")
-    if dict((f.name, f.dataType.simpleString()) for f in schema)["ts"] == "bigint":
-        stream = stream.withColumn(
-            "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        stream = stream.withColumn("event_ts", F.col("ts").cast("timestamp"))
+    stream = _with_event_ts(stream, schema)
     sessions = session_window_stats(
         stream,
         event_time_col="event_ts",

@@ -108,26 +108,18 @@ def flatten_json_frame(df: DataFrame, *, list_sep: str = "\r\n") -> DataFrame:
 
 def write_workbook(frames: dict[str, DataFrame], path: str) -> None:
     """K5: one sheet per form, 31-char sheet names. Driver-side write
-    (these are per-study inspection workbooks, megabytes not terabytes):
-    pandas.ExcelWriter when an Excel engine is installed, else the
-    vendored xlsx_lite writer."""
-    try:
-        import pandas as pd
-
-        with pd.ExcelWriter(path) as writer:  # needs openpyxl/xlsxwriter
-            for name, df in frames.items():
-                df.toPandas().to_excel(
-                    writer, sheet_name=truncate_sheet_name(name), index=False
-                )
-    except ImportError:
-        sheets = {
-            truncate_sheet_name(name): (
-                list(df.columns),
-                [list(r) for r in df.collect()],
-            )
-            for name, df in frames.items()
-        }
-        xlsx_lite.write_workbook(path, sheets)
+    (these are per-study inspection workbooks, megabytes not
+    terabytes), always via the vendored xlsx_lite writer so output
+    bytes do not depend on which Excel library the environment
+    happens to carry."""
+    sheets = {
+        truncate_sheet_name(name): (
+            list(df.columns),
+            [list(r) for r in df.collect()],
+        )
+        for name, df in frames.items()
+    }
+    xlsx_lite.write_workbook(path, sheets)
 
 
 def write_csv_dir(frames: dict[str, DataFrame], out_dir: str) -> None:
