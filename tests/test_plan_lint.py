@@ -1,0 +1,52 @@
+"""Plan lint: every registry query's physical plan is swept for the
+constructs that do not survive scale — CartesianProduct anywhere, and
+BroadcastNestedLoopJoin outside the documented bounded-broadcast cases.
+A regression that slips a cartesian or an accidental BNLJ into any suite
+query fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from c3dc_etl_spark.suite import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose RESULT is produced driver-side (golden tool surfaces,
+# streaming sinks): their returned frame is a local snapshot, so plan
+# shape says nothing about scale. The streaming queries execute their
+# real plan inside the streaming engine (covered by the oracle gate).
+_DRIVER_SIDE = {
+    "config_merge_transformations",
+    "mapping_static_validation",
+    "reference_file_hashes",
+    "document_assembly",
+    "merged_document_assembly",
+    "workbook_sink_roundtrip",
+    "schema_pv_checks",
+    "amended_mapping_sink",
+    "source_workbook_scan",
+    "streaming_windowed_counts",
+    "streaming_dedup_digests",
+    "streaming_session_windows",
+    "streaming_stateful_running_stats",
+    "link_wiring_collect",
+}
+
+# cosine_topk intentionally BNLJs: the QUERY batch is broadcast (small
+# by contract) against streaming candidates with a non-equi predicate.
+_BNLJ_ALLOWED = {"ann_cosine_topk", "dedup_embedding_cosine"}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(REGISTRY) if n not in _DRIVER_SIDE]
+)
+def test_no_cartesian_or_stray_bnlj(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin"
+        )
