@@ -23,70 +23,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate priority: the correctness gate verifies queries in dict
-# order (with a bounded ~50-query per-round window), so emit first the
-# entries with NO driver-green row yet (new this round), then the four
-# fixed-this-round queries (red in r2 — their fixes need driver
-# confirmation), then the round-1-only stale set, most-at-risk first
-# (row_numbering_lineage was rewritten after its last check). With this
-# round's new queries the ~50 window covers all new + fixed entries and
-# the head of the stale block; stale entries past the window keep their
-# r1-green row (unchanged code) and rotate into the next round's
-# window. The r2-green flagship queries close the list. Every REGISTRY
-# entry is included exactly once (asserted in tests/test_registry.py).
+# order (with a bounded ~50-query per-round window). Round-4 order per
+# VERDICT r3 ask #1: new never-driver-checked queries first, then the 10
+# queries whose only green row is round-1-dated, then the r2-dated
+# engine/merge/validate block (its tail rotates into round 5's window),
+# and the 50 r3-green queries close the list — their code is unchanged
+# since the r3 check. Every REGISTRY entry is included exactly once
+# (asserted in tests/test_registry.py).
 PRIORITY = [
     # --- new this round: never driver-checked ---
-    "engine_field_splice",
-    "source_workbook_scan",
-    "source_jsondir_fileorder",
-    "study_end_to_end",
-    "config_merge_transformations",
-    "mapping_static_validation",
-    "reference_file_hashes",
-    "document_assembly",
-    "streaming_session_windows",
-    "merged_document_assembly",
-    "embedding_quantize_int8",
-    "streaming_stateful_running_stats",
-    "workbook_sink_roundtrip",
-    "schema_pv_checks",
-    "reference_file_plan",
-    "amended_mapping_sink",
-    "range_join_events",
-    "rollup_hypertable",
-    "sketch_kmv_distinct",
-    "dedup_boilerplate_spans",
-    "sample_domain_cap",
-    "doc_chunk_windows",
-    "text_bpe_token_count",
-    "text_top_tokens",
-    # --- fixed this round: red in r2, need driver confirmation ---
-    "engine_participant_node",
-    "rowmapped_rule_build",
-    "sink_duplicate_report",
-    "streaming_windowed_counts",
+    "storage_staged_scan",
+    "ann_ivf_recall",
+    "streaming_session_late_data",
+    "multimodal_decode_real",
     # --- stale: last driver-green row is round 1 ---
-    "row_numbering_lineage",
-    "theta_rule_join",
-    "filter_project",
-    "broadcast_lookup_join",
-    "dupe_count_assertion",
-    "anti_join_integrity",
-    "semi_join_exists",
-    "replace_chain",
-    "default_coalesce",
-    "horizontal_sum_null",
-    "multivalue_normalize",
-    "enum_case_normalize",
-    "int_round_cast",
-    "numeric_guard",
-    "allowed_values_filter",
-    "required_fields_filter",
-    "constant_injection",
-    "uuid_content_derived",
-    "survival_latest_window",
-    "followup_primary_window",
-    "fingerprint_dedup_first_wins",
-    "drop_duplicates_pairs",
     "except_reconciliation",
     "distinct_count_per_node",
     "explode_subrecords",
@@ -97,7 +47,7 @@ PRIORITY = [
     "unpivot_wide_to_long",
     "text_token_counts",
     "text_fingerprint",
-    # --- r2-green: rotate back through as window space allows ---
+    # --- r2-green: refresh within this round's window ---
     "engine_typegroup_fanout",
     "engine_sum_macros",
     "engine_lookup_macros",
@@ -144,6 +94,57 @@ PRIORITY = [
     "ann_lsh_bucketed",
     "text_language_id",
     "text_quality_features",
+    # --- r3-green: code unchanged since the r3 driver check ---
+    "engine_field_splice",
+    "source_workbook_scan",
+    "source_jsondir_fileorder",
+    "study_end_to_end",
+    "config_merge_transformations",
+    "mapping_static_validation",
+    "reference_file_hashes",
+    "document_assembly",
+    "streaming_session_windows",
+    "merged_document_assembly",
+    "embedding_quantize_int8",
+    "streaming_stateful_running_stats",
+    "workbook_sink_roundtrip",
+    "schema_pv_checks",
+    "reference_file_plan",
+    "amended_mapping_sink",
+    "range_join_events",
+    "rollup_hypertable",
+    "sketch_kmv_distinct",
+    "dedup_boilerplate_spans",
+    "sample_domain_cap",
+    "doc_chunk_windows",
+    "text_bpe_token_count",
+    "text_top_tokens",
+    "engine_participant_node",
+    "rowmapped_rule_build",
+    "sink_duplicate_report",
+    "streaming_windowed_counts",
+    "row_numbering_lineage",
+    "theta_rule_join",
+    "filter_project",
+    "broadcast_lookup_join",
+    "dupe_count_assertion",
+    "anti_join_integrity",
+    "semi_join_exists",
+    "replace_chain",
+    "default_coalesce",
+    "horizontal_sum_null",
+    "multivalue_normalize",
+    "enum_case_normalize",
+    "int_round_cast",
+    "numeric_guard",
+    "allowed_values_filter",
+    "required_fields_filter",
+    "constant_injection",
+    "uuid_content_derived",
+    "survival_latest_window",
+    "followup_primary_window",
+    "fingerprint_dedup_first_wins",
+    "drop_duplicates_pairs",
 ]
 
 

@@ -4,11 +4,22 @@ suite at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "suite_wall", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+     "scale_check": {...}}
 
 Each query is executed via a full ``collect()`` (materializes the whole
 result, same as the driver's correctness gate) after one warm-up pass of
 the flagship query to amortize JVM/session startup out of per-query time.
+
+``scale_check`` is the above-sf0.1 linearity measurement (suite wall and
+per-query times stay sf0.1, so rounds remain comparable): the heavy
+operator families (near-dup, range join, rollup) re-run on a
+deterministic 5x scale-up of documents/events (sf0.5-equivalent) built
+once under .scale_bench/ — each copy gets rotated text (independent
+shingle space: candidate structure scales linearly, not quadratically)
+and a disjoint time range. ``linearity`` is t_scaled / (factor *
+t_sf0.1); ~1.0 means linear scaling, >1 flags a super-linear operator.
+Disable with SPARK_GRAFT_SCALE_CHECK=0.
 """
 
 from __future__ import annotations
@@ -42,7 +53,60 @@ HEADLINE = [
     "sessionize_events",
     "rollup_hypertable",
     "sketch_kmv_distinct",
+    "range_join_events",
 ]
+
+# Above-sf0.1 linearity check: the families whose scale behavior is
+# non-obvious (candidate generation, interval explode, two-level agg).
+SCALE_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "range_join_events",
+    "rollup_hypertable",
+]
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    """Build the scaled documents/events tables once (idempotent marker).
+    Copies are made genuinely independent — per-copy alphabet rotation
+    for text (disjoint shingle space) and per-copy time/id offsets for
+    events (disjoint sessions, windows, buckets) — so the scaled corpus
+    behaves like a larger crawl, not 5 identical replicas whose
+    near-dup pairs would blow up quadratically."""
+    import functools
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(out_dir, "_BUILT")
+    if os.path.exists(marker):
+        return
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_parts = []
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_parts = []
+    for c in range(factor):
+        rot = _ALPHA[c:] + _ALPHA[:c]
+        doc_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * 100_000_000))
+            .withColumn("text", F.translate(F.col("text"), _ALPHA, rot))
+        )
+        ev_parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(c * 1_000_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(c * 10_000_000))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {c * 400} DAYS"))
+        )
+    union = lambda parts: functools.reduce(DataFrame.unionByName, parts)  # noqa: E731
+    union(doc_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    union(ev_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+    with open(marker, "w") as fh:
+        fh.write(f"factor={factor} base={sf_dir}\n")
 
 
 def main() -> int:
@@ -68,28 +132,56 @@ def main() -> int:
         # silently shrink the reported suite wall
         raise SystemExit(f"HEADLINE queries missing from registry: {missing}")
 
+    from c3dc_etl_spark.pinning import release_pinned
+
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
+        # persist hygiene: drop the query's pinned intermediates now that
+        # the result is materialized — nothing lingers across queries
+        release_pinned()
         dt = round(time.perf_counter() - t0, 3)
         times[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
+    result = {
+        "metric": "suite_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
+        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "5"))
+        scale_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scale_bench", f"x{factor}"
         )
-    )
+        os.makedirs(scale_dir, exist_ok=True)
+        _ensure_scaled(spark, sf_dir, scale_dir, factor)
+        s_times: dict[str, float] = {}
+        linearity: dict[str, float] = {}
+        for name in SCALE_QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, scale_dir).collect()
+            release_pinned()
+            dt = round(time.perf_counter() - t0, 3)
+            s_times[name] = dt
+            if times.get(name):
+                linearity[name] = round(dt / (factor * times[name]), 3)
+            print(f"# scale x{factor} {name}: {dt:.3f}s", file=sys.stderr)
+        result["scale_check"] = {
+            "factor": factor,
+            "base_sf": sf,
+            "queries": s_times,
+            "linearity": linearity,
+        }
+
+    print(json.dumps(result))
     return 0
 
 

@@ -25,6 +25,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from c3dc_etl_spark.pinning import pin
+
 # Mersenne prime 2^31-1. The hash value v is 32-bit (8 folded hex chars)
 # and the multiplier a is ~2^31, so a*v wraps the modulus ~2^31 times —
 # a genuinely mixing permutation (a small multiplier that never wraps
@@ -253,8 +255,10 @@ def minhash_lsh_candidates(
     # sides): persist the ~140 byte/doc signature table so the corpus is
     # read + digested ONCE (column pruning rewrites each consumer's
     # subplan differently, which defeats plain exchange reuse —
-    # measured as a full signature recompute per consumer).
-    sig = sig.persist()
+    # measured as a full signature recompute per consumer). pin()
+    # registers the block for release_pinned() once the caller has
+    # materialized the result (persist hygiene in long-lived sessions).
+    sig = pin(sig)
     banded = sig.select(
         "doc", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band")
     )
@@ -339,8 +343,9 @@ def ngram_jaccard_pairs(
     # consumer (~3x the query cost, measured). persist()
     # (memory-and-disk) materializes the ~2 KB/doc projection once —
     # the standard treatment for an expensive multi-consumer
-    # intermediate, and disk-spillable at corpus scale.
-    hashed = hashed.persist()
+    # intermediate, and disk-spillable at corpus scale. pin() registers
+    # the block for release_pinned() after the caller materializes.
+    hashed = pin(hashed)
     buckets = hashed.select(
         "doc",
         F.explode(
@@ -515,9 +520,11 @@ def incremental_lsh_candidates(
         "__new",
         F.transform(shingles_of_norm(F.col("__norm"), shingle_k), hash32).alias("hv"),
     )
-    sig = hv.select(
-        "doc", "__new", minhash_from_hashes(F.col("hv"), num_hashes).alias("sig")
-    ).persist()
+    sig = pin(
+        hv.select(
+            "doc", "__new", minhash_from_hashes(F.col("hv"), num_hashes).alias("sig")
+        )
+    )
     banded = sig.select(
         "doc",
         "__new",

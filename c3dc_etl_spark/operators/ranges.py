@@ -46,14 +46,19 @@ def range_join(
     # The guard is woven INTO the sequence's end bound: a free-standing
     # guard column would be pruned away by the optimizer (unused
     # columns never evaluate), silently disarming it.
+    # Gate on BOTH sides of the span: a reversed interval (end < start)
+    # would make end_b - start_b negative — passing a `< max` check while
+    # F.sequence(start_b, end_b) generates a DESCENDING run of |span|+1
+    # bucket rows that only the final range filter discards.
+    span_b = end_b - start_b
     safe_end_b = F.when(
-        end_b - start_b < max_buckets_per_interval, end_b
+        (span_b >= 0) & (span_b < max_buckets_per_interval), end_b
     ).otherwise(
         F.raise_error(
             F.lit(
-                f"range_join: interval spans more than "
-                f"{max_buckets_per_interval} buckets; raise `bucket` or "
-                f"split the interval"
+                f"range_join: interval is reversed (end < start) or spans "
+                f"more than {max_buckets_per_interval} buckets; fix the "
+                f"interval, raise `bucket`, or split it"
             )
         )
     )

@@ -137,7 +137,10 @@ def domain_cap_sample(
         [domain_col],
         [F.col("__rk").asc(), F.col(id_col).asc()],
         cap,
-        salt=F.conv(F.substring(F.col("__rk"), 1, 8), 16, 10),
+        # conv() returns StringType; cast explicitly so the pmod
+        # partition key never rides implicit string→double coercion
+        # (fragile under ANSI-mode changes).
+        salt=F.conv(F.substring(F.col("__rk"), 1, 8), 16, 10).cast("long"),
         n_salt=salt_buckets,
     )
     return capped.drop("__rk")

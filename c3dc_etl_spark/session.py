@@ -12,11 +12,12 @@ settings are cluster-safe. Every knob here is a scale decision:
 - Arrow on: every Python<->JVM handoff (pandas UDFs, toPandas) is batched.
 
 Note on ``spark.sql.legacy.parquet.nanosAsLong``: the suite's events
-loader (suite/registry.py ``load``) sets it at runtime and it stays set
-for the session (it is read at scan planning, so per-read scoping is not
-possible). All suite tables store micros/NTZ timestamps, which the conf
-does not affect; a session that must read genuine nanos-timestamp parquet
-as timestamps should build a separate session.
+loader (suite/registry.py ``read_events_parquet``) sets it ONLY when a
+plain read fails with the nanos-timestamp incompatibility — and then it
+stays set for the session (the conf is consulted again at scan
+execution, so it cannot be restored before the caller collects). A
+session that never touches nanos parquet keeps a pristine conf; one
+that does would want the conf anyway.
 """
 
 from __future__ import annotations

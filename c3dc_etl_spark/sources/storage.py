@@ -55,7 +55,16 @@ def stage_to_local(
     size guard: the declared Content-Length is checked up front and the
     stream is re-checked while copying (a server may omit or understate
     the header). Returns bytes written; raises ValueError when the
-    artifact exceeds ``max_bytes``."""
+    artifact exceeds ``max_bytes``.
+
+    The download lands in a temp file beside ``dest_path`` and is
+    ``os.replace``d onto it only after the size-checked copy completes:
+    a pre-existing artifact is never truncated up front, a concurrent
+    glob can never observe a partial file at ``dest_path``, and on any
+    failure the original (possibly valid) artifact survives."""
+    import os
+    import tempfile
+
     with urlopen(url, timeout=timeout) as resp:  # noqa: S310
         declared = resp.headers.get("Content-Length") if resp.headers else None
         if declared and int(declared) > max_bytes:
@@ -63,8 +72,13 @@ def stage_to_local(
                 f"{url}: declared size {declared} exceeds limit {max_bytes}"
             )
         written = 0
+        fd, tmp_path = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(dest_path)),
+            prefix=os.path.basename(dest_path) + ".",
+            suffix=".staging",
+        )
         try:
-            with open(dest_path, "wb") as out:
+            with os.fdopen(fd, "wb") as out:
                 while chunk := resp.read(1 << 20):
                     written += len(chunk)
                     if written > max_bytes:
@@ -72,13 +86,11 @@ def stage_to_local(
                             f"{url}: download exceeded limit {max_bytes} bytes"
                         )
                     out.write(chunk)
+            os.replace(tmp_path, dest_path)
         except BaseException:
-            # never leave a truncated artifact for a later glob to feed
-            # to a reader
-            import os
-
+            # never leave a staging file behind; dest_path is untouched
             try:
-                os.unlink(dest_path)
+                os.unlink(tmp_path)
             except OSError:
                 pass
             raise

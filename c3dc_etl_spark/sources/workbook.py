@@ -67,9 +67,21 @@ def read_worksheet(
         return spark.createDataFrame([], StructType([]))
     header, data = grid[0], grid[1:]
     cols = [
-        (i, str(h)) for i, h in enumerate(header)
+        (i, str(h) if h is not None and str(h).strip() else f"_c{i}")
+        for i, h in enumerate(header)
         if not prune_headerless or (h is not None and str(h).strip())
     ]
+    # Duplicate header strings would yield duplicate StructField names —
+    # ambiguous by-name selects downstream. De-duplicate pandas-style
+    # (second occurrence gets .1, third .2, ...); headerless cells kept
+    # by prune_headerless=False get positional _c<i> names above.
+    seen: dict[str, int] = {}
+    deduped: list[tuple[int, str]] = []
+    for i, name in cols:
+        n = seen.get(name, 0)
+        seen[name] = n + 1
+        deduped.append((i, name if n == 0 else f"{name}.{n}"))
+    cols = deduped
     schema = StructType(
         [StructField(name, StringType(), True) for _, name in cols]
     )

@@ -1,11 +1,25 @@
 """Multimodal-column suite queries, backed by
-c3dc_etl_spark.operators.multimodal. The decode kernel is stubbed
-(container has no codec libs) but the Spark plumbing — binary columns,
-metadata expressions, Arrow-batched mapInPandas, frame-sample fan-out —
-is real and checked.
+c3dc_etl_spark.operators.multimodal.
+
+Two layers of verification:
+
+- plumbing checks (multimodal_metadata / _features / _frame_sample):
+  arbitrary payloads through the fake byte-statistics kernel, whose
+  arithmetic is restatable in SQL — value-hash checks the Arrow/
+  mapInPandas path itself on any bytes;
+- the REAL decode path (multimodal_decode_real): genuine BMP / WAV /
+  C3DV payloads built deterministically per doc, pushed through the
+  real pure-stdlib codecs (encode -> decode -> features -> resize ->
+  re-decode); the oracle recomputes every feature in closed form from
+  the pixel/sample formulas, so a codec bug (header, padding, row
+  order, channel order, resampling) breaks the value hash.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,12 +76,109 @@ FROM f
 @query("multimodal_features", oracle=_FEATURES_ORACLE, tags=("multimodal", "udf"))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction via mapInPandas over the binary
-    column. The real codec decode is stubbed (NotImplementedError); the
-    deterministic fake kernel's byte arithmetic is mirrored in the
-    oracle, so the Python-batch plumbing itself is value-hash checked."""
+    column, using the fake byte-statistics kernel: its arithmetic is
+    mirrored in the oracle, so the Python-batch plumbing is value-hash
+    checked on ARBITRARY payloads (text bytes here). The real codec
+    path on genuine media bytes is multimodal_decode_real."""
     docs = load(spark, sf_dir, "documents")
     media = M.to_media_table(docs, "doc_id", "text", "image")
     return M.extract_features(media, fake=True)
+
+
+# Every payload_sum below is the closed-form restatement of what the
+# Spark side obtains by DECODING real bytes: image = sum of the 96 RGB
+# bytes of an 8x4 BMP with pixel byte i = (doc_id*31 + i) % 256;
+# resized = the 4x2 nearest-neighbor subsample (source pixel (2x, 2y),
+# byte index ((j//4)*16 + (j%4)*2)*3 + c); audio = sum|sample| of 64
+# 16-bit PCM samples ((doc_id*7 + 11k) % 2048) - 1024; video = two
+# identical BMP frames in the C3DV container.
+_DECODE_REAL_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+img AS (
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(8 AS BIGINT) AS dim_a, CAST(4 AS BIGINT) AS dim_b,
+           CAST(32 AS BIGINT) AS n_units,
+           CAST((SELECT SUM((d.doc_id*31 + t.i) % 256)
+                 FROM range(96) t(i)) AS BIGINT) AS payload_sum
+    FROM d),
+aud AS (
+    SELECT doc_id, 'audio', CAST(1 AS BIGINT), CAST(8000 AS BIGINT),
+           CAST(64 AS BIGINT),
+           CAST((SELECT SUM(ABS(((d.doc_id*7 + 11*t.k) % 2048) - 1024))
+                 FROM range(64) t(k)) AS BIGINT)
+    FROM d),
+rz AS (
+    SELECT doc_id, 'image_resized', CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+           CAST(8 AS BIGINT),
+           CAST((SELECT SUM((d.doc_id*31 + ((t.j//4)*16 + (t.j%4)*2)*3 + u.c) % 256)
+                 FROM range(8) t(j), range(3) u(c)) AS BIGINT)
+    FROM d),
+vid AS (
+    SELECT doc_id, 'video', CAST(2 AS BIGINT), CAST(8 AS BIGINT),
+           CAST(4 AS BIGINT),
+           CAST(2*(SELECT SUM((d.doc_id*31 + t.i) % 256)
+                   FROM range(96) t(i)) AS BIGINT)
+    FROM d)
+SELECT * FROM img
+UNION ALL SELECT * FROM aud
+UNION ALL SELECT * FROM rz
+UNION ALL SELECT * FROM vid
+"""
+
+_DECODE_REAL_SCHEMA = (
+    "media_id long, media_type string, dim_a long, dim_b long, "
+    "n_units long, payload_sum long"
+)
+
+
+@query("multimodal_decode_real", oracle=_DECODE_REAL_ORACLE, tags=("multimodal", "udf"))
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25 real decode path, end to end through the REAL codecs — no
+    fake kernel anywhere: per document build an 8x4 24bpp BMP, a 64-
+    sample 16-bit PCM WAV, and a 2-frame C3DV video whose bytes derive
+    deterministically from doc_id; encode with media_codecs, decode
+    through decode_kernel(fake=False), nearest-neighbor resize through
+    resize_kernel(fake=False) and re-decode the resized BMP. Emits the
+    4-dim decoded features as typed columns; the oracle recomputes them
+    in closed form, so any codec defect (padding, bottom-up rows, BGR
+    order, RIFF framing, resample indexing) is a value-hash mismatch.
+    Arrow-batched mapInPandas — the sanctioned shape for batch decode
+    kernels; at scale the binary payloads stay executor-side and only
+    narrow features shuffle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from c3dc_etl_spark.operators import media_codecs as mc
+        from c3dc_etl_spark.operators.multimodal import decode_kernel, resize_kernel
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for raw_id in pdf["doc_id"]:
+                d = int(raw_id)
+                px = bytes((d * 31 + i) % 256 for i in range(8 * 4 * 3))
+                bmp = mc.encode_bmp(8, 4, px)
+                fi = decode_kernel(bmp, "image", fake=False)
+                out.append((d, "image", *[int(x) for x in fi]))
+                wav = mc.encode_wav(
+                    [((d * 7 + 11 * k) % 2048) - 1024 for k in range(64)], 8000
+                )
+                fa = decode_kernel(wav, "audio", fake=False)
+                out.append((d, "audio", *[int(x) for x in fa]))
+                rz = resize_kernel(bmp, 4, 2, fake=False)
+                fr = decode_kernel(rz, "image", fake=False)
+                out.append((d, "image_resized", *[int(x) for x in fr]))
+                vid = mc.encode_video([bmp, bmp])
+                fv = decode_kernel(vid, "video", fake=False)
+                out.append((d, "video", *[int(x) for x in fv]))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "media_type", "dim_a", "dim_b",
+                    "n_units", "payload_sum",
+                ],
+            )
+
+    return docs.mapInPandas(run, _DECODE_REAL_SCHEMA)
 
 
 @query(

@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from c3dc_etl_spark.pinning import release_pinned
+
 TABLES = (
     "region",
     "nation",
@@ -54,33 +56,65 @@ REGISTRY: dict[str, QuerySpec] = {}
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Register a suite query; ``oracle`` is DuckDB SQL over the
     pre-registered table views, or None for non-SQL-expressible ops
-    (driver falls back to a rows-only check)."""
+    (driver falls back to a rows-only check).
+
+    Each registered query releases the PREVIOUS query's pinned
+    intermediates on entry (pinning.release_pinned): a harness running
+    many queries sequentially (the driver's correctness gate, bench.py)
+    has materialized query N before building query N+1, so persisted
+    blocks never accumulate across a long-lived session. Releasing is
+    correctness-safe — pins are plain persists and recompute on demand.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_pinned()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tuple(tags)
+            name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "", tags=tuple(tags)
         )
         return fn
 
     return deco
 
 
+def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read an events parquet WITHOUT mutating session confs unless the
+    file genuinely stores TIMESTAMP(NANOS). Spark cannot represent nanos
+    (PARQUET_TYPE_ILLEGAL at schema inference); the only read path is the
+    legacy ``nanosAsLong`` conf, which is consulted again at scan
+    execution, so it cannot be restored before the caller collects.
+    Setting it ONLY on the fallback scopes the stickiness to sessions
+    that actually touch nanos parquet — a session over micros/NTZ data
+    (all current testdata) keeps a pristine conf (ADVICE r2/r3 item)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001 — classify by error text below
+        msg = str(e)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "NANOS" not in msg.upper():
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read one test table. ``events.ts`` is TIMESTAMP(NANOS) parquet,
+    """Read one test table. ``events.ts`` may be TIMESTAMP(NANOS) parquet,
     which Spark cannot read natively (PARQUET_TYPE_ILLEGAL): read it as
-    long nanos (legacy conf, runtime-settable) and expose ``ts_us``
-    (epoch microseconds, bigint) instead — arithmetic, engine- and
-    timezone-independent (DuckDB: EPOCH_US(ts))."""
+    long nanos (legacy conf, set only when needed — see
+    read_events_parquet) and expose ``ts_us`` (epoch microseconds,
+    bigint) instead — arithmetic, engine- and timezone-independent
+    (DuckDB: EPOCH_US(ts))."""
     if table == "events":
         # Self-contained determinism: ts_us (and every events oracle
         # compare) assumes epoch math on the naive wall-clock value, so
         # pin the session tz here rather than relying on the session
-        # factory having done it. nanosAsLong is session-sticky by
-        # design (documented in session.py); all suite tables are
-        # micros/NTZ so the sticky conf cannot misread them.
+        # factory having done it.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        df = read_events_parquet(spark, f"{sf_dir}/{table}.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")

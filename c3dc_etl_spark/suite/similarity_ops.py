@@ -225,6 +225,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall is a DERIVED metric over two already-oracled top-k sets, so the
+# oracle simply composes them as subqueries and re-derives the overlap —
+# the "approximate" in approximate-NN becomes a measured, pinned number.
+_IVF_RECALL_ORACLE = f"""
+WITH exact AS MATERIALIZED (
+    SELECT query_id, candidate_id FROM ({_TOPK_ORACLE}) t
+),
+approx AS MATERIALIZED (
+    SELECT query_id, candidate_id FROM ({_IVF_ORACLE}) t
+),
+hits AS (
+    SELECT e.query_id, COUNT(*) AS n
+    FROM exact e
+    JOIN approx a
+      ON e.query_id = a.query_id AND e.candidate_id = a.candidate_id
+    GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n, 0) / {TOP_K}.0, 4) + 0.0 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
+@query("ann_ivf_recall", oracle=_IVF_RECALL_ORACLE, tags=("similarity",))
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality measurement for the IVF index: per-query
+    recall@k of ivf_cosine_topk against the brute-force cosine ground
+    truth (ann_cosine_topk). The IVF queries verify determinism; this
+    one verifies the APPROXIMATION itself — nprobe/{N_CENTROIDS} tuning
+    regressions show up as a recall drop, caught by the value hash.
+    Cost shape at scale: both sides are the already-scale-audited top-k
+    plans; the overlap join touches only (query, candidate) id pairs
+    (n_queries x k rows), negligible against either index pass."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.cosine_topk(queries, emb, k=TOP_K).select("query_id", "candidate_id")
+    approx = S.ivf_cosine_topk(
+        queries, emb, centroids, nprobe=NPROBE, k=TOP_K
+    ).select("query_id", "candidate_id")
+    hits = (
+        exact.join(approx, ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            n.cast("bigint").alias("n_hits"),
+            (F.round(n / float(TOP_K), 4) + F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
 @query(
     "embedding_norms",
     oracle=f"""

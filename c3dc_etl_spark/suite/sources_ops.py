@@ -51,6 +51,41 @@ def source_delimited_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("storage_staged_scan", oracle=_DELIMITED_ORACLE, tags=("source",))
+def storage_staged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 (storage abstraction) behind an oracle row: the committed TSV
+    fixture is staged through sources.storage.stage_to_local from a
+    ``file://`` URL — the reference's temp-copy pattern for remote
+    config artifacts (file_manager/c3dc_file_manager.py:174-288) with
+    its download-size guard and the atomic tempfile + os.replace landing
+    — then scanned from the STAGED path through the delimited reader
+    after sources.storage.normalize_path. The oracle reads the ORIGINAL
+    fixture, so any staging corruption (truncation, partial copy, buggy
+    replace) is a value-hash mismatch; the byte count returned by the
+    stager is asserted against the source size."""
+    import os
+    import tempfile
+
+    from c3dc_etl_spark.sources.storage import normalize_path, stage_to_local
+
+    url = pathlib.Path(TSV).as_uri()
+    fd, dest = tempfile.mkstemp(suffix=".tsv", prefix="s13_staged_")
+    os.close(fd)  # pre-existing dest: exercises the replace-not-truncate path
+    written = stage_to_local(url, dest)
+    if written != os.path.getsize(TSV):
+        raise AssertionError(
+            f"staged byte count {written} != source size {os.path.getsize(TSV)}"
+        )
+    return read_delimited(
+        spark,
+        normalize_path(dest),
+        sep="\t",
+        prune_headerless=True,
+        id_column="id",
+        row_numbers=True,
+    )
+
+
 # Subject-document pivot: resolution rules restated in SQL
 _JSONDIR_ORACLE = f"""
 WITH docs AS (

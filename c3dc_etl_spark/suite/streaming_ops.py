@@ -33,7 +33,7 @@ from c3dc_etl_spark.streaming.arrivals import (
     streaming_exact_dedup,
     windowed_event_counts,
 )
-from c3dc_etl_spark.suite.registry import query
+from c3dc_etl_spark.suite.registry import query, read_events_parquet
 
 _DAY_US = 86_400_000_000
 
@@ -48,7 +48,13 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str):
     # math regardless of the harness session's timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{table}.parquet"
-    schema = spark.read.parquet(path).schema
+    # events may be TIMESTAMP(NANOS) parquet: the batch metadata read
+    # routes through the fallback that sets the legacy conf only when
+    # genuinely needed; the streaming scan then sees the same conf.
+    schema = (
+        read_events_parquet(spark, path) if table == "events"
+        else spark.read.parquet(path)
+    ).schema
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", f"{table}.parquet")
@@ -108,7 +114,6 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-aligned and the sink table equals the batch/oracle GROUP BY.
     At scale this is the continuous-ingest shape: state is one row per
     (open window x key), eviction driven by the watermark."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream, schema = _table_stream(spark, sf_dir, "events")
     stream = _with_event_ts(stream, schema)
     windowed = windowed_event_counts(
@@ -210,7 +215,6 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete-mode memory sink. The oracle restates merged-session
     semantics with the batch lag/running-sum construction; a session's
     end is last_event + gap by definition of the merge."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream, schema = _table_stream(spark, sf_dir, "events")
     stream = _with_event_ts(stream, schema)
     sessions = session_window_stats(
@@ -265,4 +269,95 @@ def streaming_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("n_records").cast("bigint").alias("n_records"),
             F.col("value_total").cast("double").alias("value_total"),
         )
+    )
+
+
+# --- append-mode session windows with genuinely LATE data -----------------
+#
+# The complete-mode gate above proves the session MERGE; this gate proves
+# the WATERMARK: eviction finalizes sessions and drops late rows. The
+# backlog is four files forced through four ordered micro-batches
+# (maxFilesPerTrigger=1; order pinned by mtime, FileStreamSource sorts by
+# timestamp):
+#
+#   batch 0  a@10:00 a@10:05 b@10:02   -> open sessions; wm -> 09:35
+#   batch 1  a@20:00                   -> wm -> 19:30 after the batch
+#   batch 2  c@20:01 (spacer)          -> runs AT wm 19:30: evicts + emits
+#            the expired early sessions; wm -> 19:31 after
+#   batch 3  a@10:07 b@10:04 (LATE)    -> state already evicted and the
+#            rows are behind the watermark: the engine MUST drop them
+#            (observed as numRowsDroppedByWatermark = 2)
+#
+# The spacer batch pins the engine's real contract (verified against
+# this Spark build): a late row arriving in the SAME batch that evicts
+# its session still merges — drops are guaranteed only once the state
+# is gone, i.e. from the next batch on. Production ingest always has
+# that next batch; availableNow backlogs need the explicit spacer.
+#
+# Emitted = sessions whose end < final watermark: a [10:00, 11:05) n=2
+# (NOT n=3 — the late a@10:07 dropped) and b [10:02, 11:02) n=1. The
+# open a@20:00 / c@20:01 sessions (end > wm) stay in state, correctly
+# unemitted in append mode. The oracle is the literal expected relation:
+# the "computation" under test is the engine's late-data contract, whose
+# expected output is closed-form.
+_SESSION_LATE_ORACLE = """
+SELECT * FROM (VALUES
+    (EPOCH_US(TIMESTAMP '2026-01-01 10:00:00'),
+     EPOCH_US(TIMESTAMP '2026-01-01 11:05:00'), 'a', CAST(2 AS BIGINT)),
+    (EPOCH_US(TIMESTAMP '2026-01-01 10:02:00'),
+     EPOCH_US(TIMESTAMP '2026-01-01 11:02:00'), 'b', CAST(1 AS BIGINT))
+) t(session_start_us, session_end_us, skey, n_events)
+"""
+
+_LATE_BATCHES = [
+    [("a", "2026-01-01 10:00:00"), ("a", "2026-01-01 10:05:00"),
+     ("b", "2026-01-01 10:02:00")],
+    [("a", "2026-01-01 20:00:00")],
+    [("c", "2026-01-01 20:01:00")],
+    [("a", "2026-01-01 10:07:00"), ("b", "2026-01-01 10:04:00")],
+]
+
+
+@query("streaming_session_late_data", oracle=_SESSION_LATE_ORACLE, tags=("streaming",))
+def streaming_session_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode session windows under out-of-order arrival: the
+    production ingest behavior the complete-mode gate cannot see. Four
+    micro-batches (one file each, mtime-ordered) open sessions, advance
+    the watermark 9 hours past them, let a spacer batch evict and emit
+    the expired sessions, then deliver rows behind the watermark; the
+    append sink must hold exactly the finalized early sessions with the
+    late rows DROPPED (a count of 3 for key 'a' means eviction failed)
+    and the still-open sessions unemitted. At scale this is the
+    state-bound guarantee: watermark eviction is what keeps the session
+    store finite under unbounded ingest."""
+    import json
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tempfile.mkdtemp(prefix="late_sessions_src_")
+    base_mtime = 1_700_000_000
+    for i, batch in enumerate(_LATE_BATCHES):
+        path = os.path.join(src, f"batch_{i}.json")
+        with open(path, "w") as fh:
+            for skey, ts in batch:
+                fh.write(json.dumps({"skey": skey, "ts": ts}) + "\n")
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    stream = (
+        spark.readStream.schema("skey string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sessions = session_window_stats(
+        stream,
+        event_time_col="ts",
+        key_col="skey",
+        gap="1 hour",
+        watermark_delay="30 minutes",
+    )
+    sink = _run_to_memory(sessions, "stream_session_late", "append")
+    return sink.select(
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "skey",
+        F.col("n_events").cast("bigint").alias("n_events"),
     )

@@ -11,6 +11,7 @@ the driver's value-hash gate pins the semantics.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -269,7 +270,10 @@ def workbook_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = spark.createDataFrame([("Q1", "1"), ("Q2", "2")], "upi string, a_val string")
     fb = spark.createDataFrame([("Q1", "x"), ("Q3", "y")], "upi string, b_val string")
     allf = all_forms_frame({"A": fa, "B": fb}, subject_col="upi").orderBy("upi")
-    path = tempfile.mktemp(suffix=".xlsx", prefix="k5_roundtrip_")
+    # mkstemp, not the race-prone deprecated mktemp: the fd is closed and
+    # write_workbook re-opens the already-claimed path.
+    fd, path = tempfile.mkstemp(suffix=".xlsx", prefix="k5_roundtrip_")
+    os.close(fd)
     write_workbook({"all_forms": allf}, path)
     lines = [
         (";".join("" if c is None else str(c) for c in row),)

@@ -134,10 +134,14 @@ def row_numbering_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputation re-samples them (different RDD id -> different
     sampling seed), which mis-aligns offsets with partition contents —
     observed as wrong numbering at sf0.1."""
+    from c3dc_etl_spark.pinning import pin
+
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    ranged = cust.repartitionByRange(32, F.col("c_custkey")).withColumn(
-        "__pid", F.spark_partition_id()
-    ).persist()
+    ranged = pin(
+        cust.repartitionByRange(32, F.col("c_custkey")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
     w_in = Window.partitionBy("__pid").orderBy(F.col("c_custkey").asc())
     numbered = ranged.withColumn("__rn", F.row_number().over(w_in))
     # cumulative offset of earlier range partitions: num_partitions rows,

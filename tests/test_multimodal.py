@@ -37,9 +37,25 @@ def test_extract_features_deterministic_fake_kernel(spark):
     assert out[1]["feat_checksum"] != out[2]["feat_checksum"]
 
 
-def test_real_kernel_is_clearly_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_kernel(b"bytes", "image", fake=False)
+def test_real_kernel_decodes_real_formats():
+    from c3dc_etl_spark.operators import media_codecs as mc
+
+    px = bytes(range(2 * 2 * 3))
+    bmp = mc.encode_bmp(2, 2, px)
+    assert M.decode_kernel(bmp, "image", fake=False) == [
+        2.0, 2.0, 4.0, float(sum(px))
+    ]
+    wav = mc.encode_wav([100, -200, 300], 16000)
+    assert M.decode_kernel(wav, "audio", fake=False) == [1.0, 16000.0, 3.0, 600.0]
+    vid = mc.encode_video([bmp, bmp, bmp])
+    assert M.decode_kernel(vid, "video", fake=False) == [
+        3.0, 2.0, 2.0, float(3 * sum(px))
+    ]
+    # garbage bytes are rejected loudly, not silently featurized
+    with pytest.raises(ValueError):
+        M.decode_kernel(b"not-a-bmp", "image", fake=False)
+    with pytest.raises(ValueError):
+        M.decode_kernel(bmp, "hologram", fake=False)
 
 
 def test_frame_sample_plan_fanout(spark):
@@ -66,13 +82,23 @@ def test_resize_plumbing(spark):
     assert again == {k: v["content_md5"] for k, v in out.items()}
 
 
-def test_resize_real_kernel_is_honest_stub():
-    import pytest
-
+def test_resize_real_kernel_nearest_neighbor():
+    from c3dc_etl_spark.operators import media_codecs as mc
     from c3dc_etl_spark.operators.multimodal import resize_kernel
 
-    with pytest.raises(NotImplementedError):
-        resize_kernel(b"x", 2, 2, fake=False)
+    # 4x2 image, distinct per-pixel colors; downsample to 2x1 keeps
+    # source pixels (0,0) and (2,0)
+    px = bytes(range(4 * 2 * 3))
+    bmp = mc.encode_bmp(4, 2, px)
+    out = resize_kernel(bmp, 2, 1, fake=False)
+    w, h, got = mc.decode_bmp(out)
+    assert (w, h) == (2, 1)
+    assert got == px[0:3] + px[6:9]
+    # upscale duplicates pixels, still a valid BMP roundtrip
+    up = resize_kernel(bmp, 8, 4, fake=False)
+    w2, h2, got2 = mc.decode_bmp(up)
+    assert (w2, h2) == (8, 4)
+    assert got2[0:3] == px[0:3]
 
 
 def test_frame_violations_unique_items(spark):

@@ -30,13 +30,16 @@ _DRIVER_SIDE = {
     "streaming_windowed_counts",
     "streaming_dedup_digests",
     "streaming_session_windows",
+    "streaming_session_late_data",
     "streaming_stateful_running_stats",
     "link_wiring_collect",
 }
 
 # cosine_topk intentionally BNLJs: the QUERY batch is broadcast (small
 # by contract) against streaming candidates with a non-equi predicate.
-_BNLJ_ALLOWED = {"ann_cosine_topk", "dedup_embedding_cosine"}
+# ann_ivf_recall composes cosine_topk as its ground-truth side, so it
+# inherits that bounded-broadcast shape.
+_BNLJ_ALLOWED = {"ann_cosine_topk", "dedup_embedding_cosine", "ann_ivf_recall"}
 
 
 @pytest.mark.parametrize(

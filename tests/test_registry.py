@@ -43,22 +43,23 @@ def test_entry_contract():
     ]
     assert len(set(e.PRIORITY)) == len(e.PRIORITY)
     assert set(qs) == set(REGISTRY)
-    # rotation policy: the driver's bounded verification window (first
-    # 50 entries) must hold every query with no driver-green row yet
-    # (new this round), every query fixed this round, and the stale
-    # round-1-only set — r2-green flagships may rotate out.
+    # rotation policy (round 4, VERDICT r3 ask #1): the driver's bounded
+    # verification window (first 50 entries) must hold every query with
+    # no driver-green row yet (new this round), the full set whose only
+    # green row is round-1-dated, and the head of the r2-dated block —
+    # the r3-green queries close the list and may rotate out.
     first50 = set(list(qs)[:50])
     for name in (
         # new this round
-        "engine_field_splice", "source_workbook_scan",
-        "source_jsondir_fileorder", "study_end_to_end",
-        "config_merge_transformations", "mapping_static_validation",
-        "reference_file_hashes", "document_assembly",
-        "doc_chunk_windows", "text_bpe_token_count", "text_top_tokens",
-        # fixed this round
-        "engine_participant_node", "rowmapped_rule_build",
-        "sink_duplicate_report", "streaming_windowed_counts",
-        # stale round-1-only examples (rewritten since last check)
-        "row_numbering_lineage", "theta_rule_join",
+        "storage_staged_scan", "ann_ivf_recall",
+        "streaming_session_late_data", "multimodal_decode_real",
+        # stale: last driver-green row is round 1
+        "except_reconciliation", "distinct_count_per_node",
+        "explode_subrecords", "typegroup_fanout_union",
+        "pivot_long_to_wide", "json_flatten", "link_wiring_collect",
+        "unpivot_wide_to_long", "text_token_counts", "text_fingerprint",
+        # head of the r2-dated refresh block
+        "engine_typegroup_fanout", "engine_sum_macros",
+        "source_delimited_scan", "merge_first_wins_engine",
     ):
         assert name in first50, name
