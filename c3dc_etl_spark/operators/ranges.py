@@ -74,3 +74,66 @@ def range_join(
         )
         .drop("__b")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: int,
+    max_buckets_per_interval: int = 1024,
+) -> DataFrame:
+    """Inner interval-OVERLAP join (both sides are intervals, inclusive
+    bounds): one output row per (left, right) pair with
+    ``l_start <= r_end AND r_start <= l_end``. The generalization of
+    :func:`range_join` from point-in-interval to interval-intersects-
+    interval — Spark plans the naive two-inequality join as a
+    BroadcastNestedLoopJoin, which this replaces with a bucketized
+    shuffle hash join.
+
+    Both sides explode to their covered buckets and equi-join on the
+    bucket. An overlapping pair can share MANY buckets; instead of a
+    pair-level distinct (an extra wide shuffle), each pair is ATTRIBUTED
+    to exactly one bucket — the first bucket both intervals cover,
+    ``max(floor(l_start/bucket), floor(r_start/bucket))`` — so the join
+    emits every qualifying pair exactly once. Per-side explode guards
+    mirror range_join (reversed or over-long intervals fail fast).
+    """
+
+    def _explode(df: DataFrame, start_col: str, end_col: str) -> DataFrame:
+        start_b = F.floor(F.col(start_col) / bucket)
+        end_b = F.floor(F.col(end_col) / bucket)
+        span_b = end_b - start_b
+        safe_end_b = F.when(
+            (span_b >= 0) & (span_b < max_buckets_per_interval), end_b
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"interval_overlap_join: interval is reversed or spans "
+                    f"more than {max_buckets_per_interval} buckets; fix the "
+                    f"interval, raise `bucket`, or split it"
+                )
+            )
+        )
+        return df.select(
+            *df.columns, F.explode(F.sequence(start_b, safe_end_b)).alias("__b")
+        )
+
+    b_left = _explode(left, l_start, l_end)
+    b_right = _explode(right, r_start, r_end)
+    attributed = F.greatest(
+        F.floor(F.col(l_start) / bucket), F.floor(F.col(r_start) / bucket)
+    )
+    return (
+        b_left.join(b_right, "__b")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__b") == attributed)
+        )
+        .drop("__b")
+    )

@@ -15,7 +15,7 @@ from c3dc_etl_spark.operators import quality as Q
 from c3dc_etl_spark.operators import text as T
 from c3dc_etl_spark.operators.chunking import chunk_documents
 from c3dc_etl_spark.operators.dedup import spread
-from c3dc_etl_spark.operators.decontam import contamination
+from c3dc_etl_spark.operators.decontam import bloom_contamination, contamination
 from c3dc_etl_spark.operators.packing import pack_chunks, sequence_manifest
 from c3dc_etl_spark.suite.registry import load, query
 
@@ -278,6 +278,98 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
     eval_df = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
     return contamination(
+        train,
+        eval_df,
+        text_col="text",
+        id_col="doc_id",
+        n=DECONTAM_N,
+        flag_threshold=FLAG_THRESHOLD,
+    )
+
+
+BLOOM_M = 131_072  # keep in sync with operators.decontam.BLOOM_M_BITS
+
+# One bloom position per (gram, hash j): first 8 md5 hex chars of
+# 'bf<j>:gram' as an integer mod m — identical arithmetic to
+# operators.decontam.bloom_positions, so the oracle reproduces the
+# bitset EXACTLY, false positives included. Membership through the
+# position SET is bit-identical to the packed-word test (words pack
+# positions losslessly at bit granularity).
+def _bpos(j: int, gram: str) -> str:
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(MD5('bf{j}:' || {gram}), 1, 8)) AS BIGINT)"
+        f" % {BLOOM_M}"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           ARRAY_TO_STRING(toks[i : i + {DECONTAM_N - 1}], ' ') AS gram
+    FROM toked, UNNEST(GENERATE_SERIES(1, LEN(toks) - {DECONTAM_N - 1})) AS t(i)
+    WHERE LEN(toks) >= {DECONTAM_N}
+),
+eval_g AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+pos AS (
+    SELECT DISTINCT p FROM (
+        SELECT {_bpos(0, 'gram')} AS p FROM eval_g
+        UNION ALL
+        SELECT {_bpos(1, 'gram')} AS p FROM eval_g
+    )
+),
+probes AS (
+    SELECT doc_id, {_bpos(0, 'gram')} AS h0, {_bpos(1, 'gram')} AS h1
+    FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+),
+hits AS (
+    SELECT pr.doc_id,
+           CASE WHEN p0.p IS NOT NULL AND p1.p IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM probes pr
+    LEFT JOIN pos p0 ON pr.h0 = p0.p
+    LEFT JOIN pos p1 ON pr.h1 = p1.p
+),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(hit) AS BIGINT) AS n_bloom_hits
+    FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_shingles, 0) AS n_shingles,
+       COALESCE(a.n_bloom_hits, 0) AS n_bloom_hits,
+       {_X1E4.format(x='CAST(COALESCE(a.n_bloom_hits, 0) AS DOUBLE) / GREATEST(COALESCE(a.n_shingles, 0), 1)')}
+           AS bloom_x1e4,
+       CASE WHEN {_X1E4.format(x='CAST(COALESCE(a.n_bloom_hits, 0) AS DOUBLE) / GREATEST(COALESCE(a.n_shingles, 0), 1)')}
+                 >= {int(round(FLAG_THRESHOLD * 10000))} THEN 1 ELSE 0 END AS flagged
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} <> 0
+"""
+
+
+@query(
+    "contamination_bloom_filter", oracle=_BLOOM_ORACLE, tags=("dedup", "quality")
+)
+def contamination_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the constant-size-broadcast scale
+    path beside contamination_ngram_overlap's exact join: the eval
+    n-gram set is compressed to a fixed 2^17-bit bitset (<= 2048 bigint
+    words) and every training gram probes it with 2 md5-derived bit
+    positions via broadcast hash joins. The broadcast stays 16 KiB no
+    matter how many benchmarks are registered; the price is a
+    deterministic false-positive margin (n_bloom_hits >= the exact
+    n_overlap), which the oracle reproduces bit-for-bit from the same
+    md5 arithmetic — even the approximation error is value-hash-checked.
+    """
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    eval_df = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    return bloom_contamination(
         train,
         eval_df,
         text_col="text",

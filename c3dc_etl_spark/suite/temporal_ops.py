@@ -212,6 +212,74 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OVL_L_SPAN_US = 2 * 3600 * 1_000_000   # signup window: 2 hours
+_OVL_R_SPAN_US = 3600 * 1_000_000       # error window: 1 hour
+
+_OVERLAP_ORACLE = f"""
+WITH sgn AS (
+    SELECT event_id AS signup_id, EPOCH_US(ts) AS ls,
+           EPOCH_US(ts) + {_OVL_L_SPAN_US} AS le
+    FROM events WHERE event_type = 'signup'
+),
+err AS (
+    SELECT event_id AS error_id, EPOCH_US(ts) AS rs,
+           EPOCH_US(ts) + {_OVL_R_SPAN_US} AS re
+    FROM events WHERE event_type = 'error'
+)
+SELECT s.signup_id,
+       CAST(COUNT(e.error_id) AS BIGINT) AS n_overlaps,
+       MIN(e.rs - s.ls) AS min_delta_us
+FROM sgn s LEFT JOIN err e ON s.ls <= e.re AND e.rs <= s.le
+GROUP BY s.signup_id
+"""
+
+
+@query("interval_overlap_events", oracle=_OVERLAP_ORACLE, tags=("temporal", "join"))
+def interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals, no equality key)
+    through operators.ranges.interval_overlap_join: each signup's 2h
+    window against each error's 1h window. Both sides explode to 1h
+    buckets; the bucket equi-join + single-bucket pair attribution
+    (max of the start buckets) emits each overlapping pair exactly once
+    with NO pair-level distinct — a shuffle hash join where the naive
+    two-inequality join plans a BroadcastNestedLoopJoin. Reduced per
+    signup (count + earliest error offset) so the gate's collect stays
+    narrow; signups with no overlapping error keep a row via the
+    left join against the interval base. The oracle is DuckDB's native
+    inequality join (IEJoin)."""
+    from c3dc_etl_spark.operators.ranges import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events")
+    sgn = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts_us").alias("ls"),
+        (F.col("ts_us") + F.lit(_OVL_L_SPAN_US)).alias("le"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts_us").alias("rs"),
+        (F.col("ts_us") + F.lit(_OVL_R_SPAN_US)).alias("re"),
+    )
+    pairs = interval_overlap_join(
+        sgn, err,
+        l_start="ls", l_end="le", r_start="rs", r_end="re",
+        bucket=_RANGE_BUCKET_US,
+    )
+    per_signup = pairs.groupBy("signup_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        F.min(F.col("rs") - F.col("ls")).alias("min_delta_us"),
+    )
+    return (
+        sgn.select("signup_id")
+        .join(per_signup, "signup_id", "left")
+        .select(
+            "signup_id",
+            F.coalesce("n_overlaps", F.lit(0)).cast("bigint").alias("n_overlaps"),
+            "min_delta_us",
+        )
+    )
+
+
 _HOUR_US = 3600 * 1_000_000
 _DAY_HOURS = 24
 

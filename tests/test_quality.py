@@ -187,3 +187,75 @@ def test_remove_duplicate_spans_drops_shared_and_keeps_order(spark):
     assert rows[2] == "beta one two three four five six seven eight nine"
     assert rows[3] == ""
     assert len(rows) == 3  # empty doc still present
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    from c3dc_etl_spark.operators.decontam import (
+        bloom_contamination,
+        bloom_words,
+        contamination,
+        doc_ngram_set,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven"),
+        (4, "totally unrelated words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = df.filter(F.col("doc_id") != 1)
+    eval_df = df.filter(F.col("doc_id") == 1)
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination(
+            train, eval_df, text_col="text", id_col="doc_id", n=3
+        ).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in bloom_contamination(
+            train, eval_df, text_col="text", id_col="doc_id", n=3
+        ).collect()
+    }
+    assert set(bloom) == set(exact)
+    # bloom hits are exact hits + deterministic false positives, never fewer
+    for doc, n_exact in exact.items():
+        assert bloom[doc] >= n_exact, (doc, bloom[doc], n_exact)
+    # doc 2 fully contains eval doc 1's grams -> all its shared grams hit
+    assert bloom[2] >= exact[2] > 0
+    # the bitset words table is bounded by m/64 regardless of eval size
+    words = bloom_words(
+        doc_ngram_set(eval_df, "text", "doc_id", 3).select("gram"),
+        m_bits=1024,
+    )
+    assert words.count() <= 1024 // 64
+    # word values have the probed bits set: re-derive one gram's bits
+    got = {r["word_idx"]: r["word"] for r in words.collect()}
+    assert all(w != 0 for w in got.values())
+
+
+def test_bloom_contamination_deterministic(spark):
+    from c3dc_etl_spark.operators.decontam import bloom_contamination
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 4} a b c d e f g h tok{(i * 3) % 5}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    train = df.filter(F.col("doc_id") % 5 != 0)
+    ev = df.filter(F.col("doc_id") % 5 == 0)
+    a = sorted(
+        tuple(r)
+        for r in bloom_contamination(
+            train, ev, text_col="text", id_col="doc_id", n=4
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in bloom_contamination(
+            train.repartition(7), ev, text_col="text", id_col="doc_id", n=4
+        ).collect()
+    )
+    assert a == b  # partitioning-invariant

@@ -157,3 +157,67 @@ def test_range_join_matches_nested_loop_and_guards(spark):
             wide, probes, start_col="s", end_col="e", ts_col="ts", bucket=10,
             max_buckets_per_interval=100,
         ).collect()
+    # a REVERSED interval must trip the guard too, not fan out a
+    # descending sequence (ADVICE r3)
+    rev = spark.createDataFrame([(8, 500, 100)], "iid long, s long, e long")
+    with pytest.raises(Exception, match="reversed"):
+        range_join(
+            rev, probes, start_col="s", end_col="e", ts_col="ts", bucket=10,
+            max_buckets_per_interval=100,
+        ).collect()
+
+
+def test_interval_overlap_join_matches_nested_loop(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.operators.ranges import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 250), (2, 240, 260), (3, 900, 900), (4, 0, 50)],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(10, 250, 300), (11, 261, 400), (12, 890, 905), (13, 49, 60),
+         (14, 900, 900), (15, 51, 99)],
+        "rid long, rs long, re long",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right,
+            l_start="ls", l_end="le", r_start="rs", r_end="re", bucket=37,
+        ).collect()
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        ).collect()
+    )
+    assert got == want
+    assert (3, 14) in got  # point-interval x point-interval, inclusive
+    assert (4, 13) in got  # touching at the inclusive boundary (49 <= 50)
+    assert (4, 15) not in got  # adjacent but disjoint (51 > 50)
+    # exactly-once emission even with many shared buckets (tiny bucket)
+    rows = interval_overlap_join(
+        left, right,
+        l_start="ls", l_end="le", r_start="rs", r_end="re", bucket=3,
+    ).collect()
+    pairs = [(r["lid"], r["rid"]) for r in rows]
+    assert len(pairs) == len(set(pairs)) == len(want)
+    # guards: over-long and reversed intervals fail fast on either side
+    wide = spark.createDataFrame([(9, 0, 10**9)], "lid long, ls long, le long")
+    with pytest.raises(Exception, match="spans more than|reversed"):
+        interval_overlap_join(
+            wide, right,
+            l_start="ls", l_end="le", r_start="rs", r_end="re", bucket=10,
+            max_buckets_per_interval=100,
+        ).collect()
+    rev = spark.createDataFrame([(9, 700, 100)], "rid long, rs long, re long")
+    with pytest.raises(Exception, match="reversed"):
+        interval_overlap_join(
+            left, rev,
+            l_start="ls", l_end="le", r_start="rs", r_end="re", bucket=10,
+            max_buckets_per_interval=100,
+        ).collect()
