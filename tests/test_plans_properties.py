@@ -177,3 +177,25 @@ def test_sessionize_single_exchange(spark):
     plan = _plan(REGISTRY["sessionize_events"].fn(spark, SF))
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_bloom_contamination_broadcasts_only_bitset_words(spark):
+    plan = _plan(REGISTRY["contamination_bloom_filter"].fn(spark, SF))
+    # each of the k probe joins must be a BroadcastHashJoin of the tiny
+    # word table — never a shuffle join of corpus-sized sides and never
+    # a nested loop
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_bucket_equi_join(spark):
+    plan = _plan(REGISTRY["interval_overlap_events"].fn(spark, SF))
+    # the two-inequality overlap predicate must ride a bucket EQUI-join
+    # (hash-partitionable), not the BroadcastNestedLoopJoin the naive
+    # join plans; no pair-level dedup shuffle either
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__b" in plan  # bucket key reached the join
+    # single-bucket attribution means no dropDuplicates on pairs
+    assert "HashAggregate(keys=[signup_id" in plan or "signup_id" in plan
