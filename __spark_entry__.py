@@ -38,6 +38,7 @@ PRIORITY = [
     "multimodal_decode_real",
     "contamination_bloom_filter",
     "interval_overlap_events",
+    "sample_token_budget",
     # --- stale: last driver-green row is round 1 ---
     "except_reconciliation",
     "distinct_count_per_node",

@@ -144,3 +144,65 @@ def domain_cap_sample(
         n_salt=salt_buckets,
     )
     return capped.drop("__rk")
+
+
+def token_budget_subset(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    budget_tokens: int,
+    seed: str = "tb",
+) -> DataFrame:
+    """Greedy token-budget corpus subsetting: order documents by a
+    deterministic hash of their id (an unbiased shuffle of the corpus),
+    accumulate token counts along that order, and keep the prefix whose
+    running total stays within ``budget_tokens`` — the standard "give me
+    N tokens of this corpus" operation of a pretraining data build,
+    reproducible on any partitioning.
+
+    Scale shape: a global ORDERED cumulative sum without a global sort —
+    the two-phase scheme proven by the row-numbering operator: range-
+    repartition on the hash key, per-partition running sums (distributed
+    window), then add each partition's broadcast offset (one tiny
+    aggregate row per partition). The ranged frame is pinned so the
+    running-sum and offset subtrees observe the SAME range boundaries
+    (independent recomputation would re-sample them).
+
+    Output: (id, n_tokens, cum_tokens) for the kept prefix.
+    """
+    from c3dc_etl_spark.operators.dedup import spread
+    from c3dc_etl_spark.operators.text import token_count
+    from c3dc_etl_spark.pinning import pin
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    rank_key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    keyed = spread(df).select(
+        F.col(id_col),
+        rank_key.alias("__rk"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    ranged = pin(
+        keyed.repartitionByRange(n_parts, F.col("__rk")).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    w_in = Window.partitionBy("__pid").orderBy(F.col("__rk").asc())
+    running = ranged.withColumn("__run", F.sum("n_tokens").over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__ptot"))
+        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        running.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "cum_tokens", (F.col("__run") + F.col("__off")).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, F.col("n_tokens").cast("bigint").alias("n_tokens"), "cum_tokens")
+    )

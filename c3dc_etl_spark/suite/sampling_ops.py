@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from c3dc_etl_spark.operators import sampling as SA
+from c3dc_etl_spark.operators.sampling import token_budget_subset
 from c3dc_etl_spark.suite.registry import load, query
 
 SEED = "hs"
@@ -119,4 +120,49 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return SA.domain_cap_sample(
         docs, domain_col="source", id_col="doc_id", cap=_CAP, seed="dc"
+    )
+
+
+TOKEN_BUDGET = 20_000
+TB_SEED = "tb"
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH counted AS (
+    SELECT doc_id,
+           MD5('{TB_SEED}:' || CAST(doc_id AS VARCHAR)) AS rk,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT)
+           END AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY rk ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM counted
+)
+SELECT doc_id, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+@query("sample_token_budget", oracle=_TOKEN_BUDGET_ORACLE, tags=("sampling",))
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus subsetting ("give me 20k tokens of this
+    corpus"): documents ordered by an md5 hash of their id — an
+    unbiased, reproducible shuffle — and kept while the running token
+    total stays within budget. The global ordered cumulative sum runs
+    WITHOUT a global sort: range-repartition on the hash key, windowed
+    running sums within each range partition, plus broadcast per-
+    partition offsets (operators.sampling.token_budget_subset — the
+    two-phase scheme shared with the row-numbering operator). The
+    oracle restates it as a plain windowed SUM over the same hash
+    order; md5 hex strings compare identically in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    return token_budget_subset(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        budget_tokens=TOKEN_BUDGET,
+        seed=TB_SEED,
     )

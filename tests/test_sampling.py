@@ -94,3 +94,41 @@ def test_domain_cap_sample_deterministic_and_capped(spark):
     assert {(r["doc_id"], r["source"]) for r in again} == {
         (r["doc_id"], r["source"]) for r in rows
     }
+
+
+def test_token_budget_subset_prefix_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.operators.sampling import token_budget_subset
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = token_budget_subset(
+        df, text_col="text", id_col="doc_id", budget_tokens=100
+    ).collect()
+    # running totals stay within budget and are consistent with counts
+    cums = sorted(r["cum_tokens"] for r in out)
+    assert cums and cums[-1] <= 100
+    assert sum(r["n_tokens"] for r in out) == cums[-1]
+    # the kept set is the PREFIX of the hash order: adding budget only
+    # extends it
+    bigger = token_budget_subset(
+        df, text_col="text", id_col="doc_id", budget_tokens=200
+    ).collect()
+    assert {r["doc_id"] for r in out} <= {r["doc_id"] for r in bigger}
+    # partitioning-invariant
+    repart = token_budget_subset(
+        df.repartition(13), text_col="text", id_col="doc_id", budget_tokens=100
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, repart))
+    # empty text counts zero tokens and can ride along for free
+    with_empty = df.union(
+        spark.createDataFrame([(999, "")], "doc_id long, text string")
+    )
+    out2 = token_budget_subset(
+        with_empty, text_col="text", id_col="doc_id", budget_tokens=100
+    )
+    empt = [r for r in out2.collect() if r["doc_id"] == 999]
+    assert not empt or empt[0]["n_tokens"] == 0
