@@ -39,6 +39,8 @@ PRIORITY = [
     "contamination_bloom_filter",
     "interval_overlap_events",
     "sample_token_budget",
+    "text_vocab_coverage",
+    "multimodal_video_frames",
     # --- stale: last driver-green row is round 1 ---
     "except_reconciliation",
     "distinct_count_per_node",

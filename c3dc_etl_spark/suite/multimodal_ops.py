@@ -181,6 +181,70 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, _DECODE_REAL_SCHEMA)
 
 
+# Video frames are 4x2 BMPs; frame f of doc d has pixel byte
+# i = (d*31 + f*97 + i) % 256; frame count = 2 + d % 3; sampling stride
+# 2 keeps indices 0, 2 (GENERATE_SERIES stop is inclusive -> stop at
+# n_frames - 1). The Spark side decodes REAL bytes; the oracle restates
+# the construction in closed form.
+_VIDEO_FRAMES_ORACLE = """
+WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n_frames FROM documents),
+sampled AS (
+    SELECT doc_id, UNNEST(GENERATE_SERIES(0, n_frames - 1, 2)) AS frame_index
+    FROM d
+)
+SELECT doc_id AS media_id, CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(4 AS BIGINT) AS frame_w, CAST(2 AS BIGINT) AS frame_h,
+       CAST((SELECT SUM((s.doc_id*31 + s.frame_index*97 + t.i) % 256)
+             FROM range(24) t(i)) AS BIGINT) AS frame_sum
+FROM sampled s
+"""
+
+
+@query("multimodal_video_frames", oracle=_VIDEO_FRAMES_ORACLE, tags=("multimodal", "udf"))
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end to end: per document build a C3DV
+    container of 2-4 genuine 4x2 BMP frames (bytes derived from doc_id
+    and the frame number), then decode the container, take every 2nd
+    frame, decode each sampled frame with the real BMP codec and emit
+    its dimensions + pixel sum. Complements multimodal_frame_sample
+    (which fans out indices JVM-side but decodes nothing): here the
+    per-frame decode actually runs. Arrow-batched mapInPandas; only
+    doc_id enters the kernel and only narrow frame features leave."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from c3dc_etl_spark.operators import media_codecs as mc
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for raw_id in pdf["doc_id"]:
+                d = int(raw_id)
+                n_frames = 2 + d % 3
+                frames = [
+                    mc.encode_bmp(
+                        4, 2,
+                        bytes((d * 31 + f * 97 + i) % 256 for i in range(24)),
+                    )
+                    for f in range(n_frames)
+                ]
+                container = mc.encode_video(frames)
+                decoded = mc.decode_video(container)
+                for f in range(0, len(decoded), 2):
+                    w, h, px = mc.decode_bmp(decoded[f])
+                    out.append((d, f, w, h, sum(px)))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_index", "frame_w", "frame_h",
+                         "frame_sum"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, frame_index long, frame_w long, frame_h long, "
+        "frame_sum long",
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

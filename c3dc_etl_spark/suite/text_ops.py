@@ -213,6 +213,83 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_N = 50
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+')) AS token
+    FROM documents WHERE TRIM(text) <> ''
+),
+vocab AS (
+    SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT {VOCAB_N}
+    )
+),
+per_doc AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_oov, 0) AS n_oov,
+       CAST(FLOOR(CAST(COALESCE(p.n_oov, 0) AS DOUBLE)
+                  / GREATEST(COALESCE(p.n_tokens, 0), 1) * 10000 + 0.5)
+            AS BIGINT) AS oov_x1e4
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("text_vocab_coverage", oracle=_VOCAB_COVERAGE_ORACLE, tags=("text",))
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the corpus's top-{VOCAB_N}
+    token vocabulary (deterministic ordered limit — TakeOrdered, never
+    a global sort), broadcast it, and report each document's token
+    count, out-of-vocabulary count, and OOV rate — the coverage report
+    a tokenizer build runs before freezing a vocab. The corpus side is
+    one explode + broadcast left join + per-doc aggregate, all
+    partial-aggregated map-side; only the tiny vocab is broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(VOCAB_N)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    n_tok = F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+    n_oov = F.coalesce("n_oov", F.lit(0)).cast("bigint")
+    rate = n_oov.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            F.floor(rate * 10000 + F.lit(0.5)).cast("bigint").alias("oov_x1e4"),
+        )
+    )
+
+
 CHUNK_TOKENS = 32
 CHUNK_OVERLAP = 8
 _STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP

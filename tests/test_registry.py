@@ -54,7 +54,8 @@ def test_entry_contract():
         "storage_staged_scan", "ann_ivf_recall",
         "streaming_session_late_data", "multimodal_decode_real",
         "contamination_bloom_filter", "interval_overlap_events",
-        "sample_token_budget",
+        "sample_token_budget", "text_vocab_coverage",
+        "multimodal_video_frames",
         # stale: last driver-green row is round 1
         "except_reconciliation", "distinct_count_per_node",
         "explode_subrecords", "typegroup_fanout_union",
