@@ -80,12 +80,24 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
+    from c3dc_etl_spark.suite.registry import read_events_parquet
+
+    # marker records the build inputs: a factor-or-base change must
+    # rebuild, not silently reuse a corpus scaled from different data
     marker = os.path.join(out_dir, "_BUILT")
+    stamp = f"factor={factor} base={sf_dir}\n"
     if os.path.exists(marker):
-        return
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     doc_parts = []
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events may be TIMESTAMP(NANOS) parquet (read as long nanos under
+    # the fallback conf): normalize to a timestamp column so the
+    # per-copy INTERVAL shift below works on every testdata generation
+    ev = read_events_parquet(spark, f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ev_parts = []
     for c in range(factor):
         rot = _ALPHA[c:] + _ALPHA[:c]
@@ -106,7 +118,7 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         f"{out_dir}/events.parquet"
     )
     with open(marker, "w") as fh:
-        fh.write(f"factor={factor} base={sf_dir}\n")
+        fh.write(stamp)
 
 
 def main() -> int:

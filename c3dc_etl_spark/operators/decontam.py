@@ -135,13 +135,11 @@ def bloom_words(eval_grams: DataFrame, *, m_bits: int = BLOOM_M_BITS, k: int = B
     (map-side combinable). At most m/64 rows regardless of eval size —
     the whole point of the bloom representation."""
     gram = F.col("gram")
-    pos = (
-        eval_grams.select(
-            F.explode(F.array(*bloom_positions(gram, m_bits=m_bits, k=k))).alias(
-                "pos"
-            )
-        )
-        .dropDuplicates(["pos"])
+    # no distinct on positions: bit_or is idempotent (setting a bit
+    # twice is a no-op), so a pre-dedup would only add a second full
+    # shuffle of the position set for an identical result
+    pos = eval_grams.select(
+        F.explode(F.array(*bloom_positions(gram, m_bits=m_bits, k=k))).alias("pos")
     )
     return (
         pos.groupBy((F.col("pos") / 64).cast("long").alias("word_idx"))

@@ -175,10 +175,15 @@ def decode_video(data: bytes) -> list[bytes]:
     frames: list[bytes] = []
     pos = 8
     for _ in range(n):
+        # bounds-check BEFORE each read: a payload cut mid-frame (or
+        # mid-length-prefix) must raise the codec's documented
+        # ValueError, not a confusing struct.error / silent short slice
+        if pos + 4 > len(data):
+            raise ValueError("C3DV payload truncated")
         (ln,) = struct.unpack_from("<I", data, pos)
         pos += 4
+        if pos + ln > len(data):
+            raise ValueError("C3DV payload truncated")
         frames.append(data[pos : pos + ln])
         pos += ln
-    if pos > len(data):
-        raise ValueError("C3DV payload truncated")
     return frames

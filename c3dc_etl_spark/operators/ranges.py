@@ -19,6 +19,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_disjoint_columns(left: DataFrame, right: DataFrame) -> None:
+    """Both bucketized joins carry ALL columns of both inputs through a
+    plain equi-join: shared names would surface later as an opaque
+    AMBIGUOUS_REFERENCE in the range filter, and a pre-existing ``__b``
+    would silently collide with the bucket key — fail fast with a clear
+    message instead (alias the columns apart before calling)."""
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            f"range/overlap join inputs share column names {sorted(shared)}; "
+            f"alias them apart before joining"
+        )
+    if "__b" in left.columns or "__b" in right.columns:
+        raise ValueError("'__b' is reserved for the bucket key; rename it")
+
+
 def range_join(
     intervals: DataFrame,
     probes: DataFrame,
@@ -41,6 +57,7 @@ def range_join(
     out to millions of bucket rows) — such rows fail fast rather than
     degrade the cluster; split them upstream or raise the bucket size.
     """
+    _check_disjoint_columns(intervals, probes)
     start_b = F.floor(F.col(start_col) / bucket)
     end_b = F.floor(F.col(end_col) / bucket)
     # The guard is woven INTO the sequence's end bound: a free-standing
@@ -103,6 +120,7 @@ def interval_overlap_join(
     emits every qualifying pair exactly once. Per-side explode guards
     mirror range_join (reversed or over-long intervals fail fast).
     """
+    _check_disjoint_columns(left, right)
 
     def _explode(df: DataFrame, start_col: str, end_col: str) -> DataFrame:
         start_b = F.floor(F.col(start_col) / bucket)

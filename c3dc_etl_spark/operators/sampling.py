@@ -184,10 +184,15 @@ def token_budget_subset(
         rank_key.alias("__rk"),
         token_count(text_col).alias("n_tokens"),
     )
+    # releasable=False: the pin is the correctness device that keeps the
+    # running-sum and offset subtrees on the SAME sampled boundaries; a
+    # harness releasing pins between plan-build and collect must not
+    # drop it (see pinning.pin).
     ranged = pin(
         keyed.repartitionByRange(n_parts, F.col("__rk")).withColumn(
             "__pid", F.spark_partition_id()
-        )
+        ),
+        releasable=False,
     )
     w_in = Window.partitionBy("__pid").orderBy(F.col("__rk").asc())
     running = ranged.withColumn("__run", F.sum("n_tokens").over(w_in))

@@ -10,9 +10,11 @@ Every such persist goes through :func:`pin`, which registers the frame
 here; consumers call :func:`release_pinned` AFTER materializing a query.
 The suite wires this automatically: each registered query releases the
 previous query's pins on entry (see ``suite.registry.query``), and
-``bench.py`` releases after every collect. Releasing is always
-correctness-safe — these are plain persists, so a late re-collect just
-recomputes without the cache.
+``bench.py`` releases after every collect. Releasing a REGISTERED pin is
+correctness-safe — those are plain perf persists, so a late re-collect
+just recomputes without the cache. Pins whose cached content is itself a
+correctness device (range-boundary-sampled frames) opt out with
+``releasable=False`` and stay for the session — see :func:`pin`.
 """
 
 from __future__ import annotations
@@ -23,10 +25,26 @@ from pyspark.storagelevel import StorageLevel
 _PINNED: list[DataFrame] = []
 
 
-def pin(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
-    """persist() ``df`` and register it for a later release_pinned()."""
+def pin(
+    df: DataFrame,
+    level: StorageLevel | None = None,
+    *,
+    releasable: bool = True,
+) -> DataFrame:
+    """persist() ``df`` and register it for a later release_pinned().
+
+    ``releasable=False`` persists WITHOUT registering: for frames whose
+    pin is a CORRECTNESS device, not a perf one — e.g. the
+    repartitionByRange intermediates of the two-phase numbering /
+    cumulative-sum operators, where an unpersisted recompute re-samples
+    range boundaries (different RDD id -> different sampling seed) and
+    silently mis-aligns offsets with partition contents. A release
+    between a consumer's plan-build and its collect would reintroduce
+    that bug, so such pins stay for the session (they are small and
+    bounded: one per in-flight numbering query)."""
     p = df.persist(level) if level is not None else df.persist()
-    _PINNED.append(p)
+    if releasable:
+        _PINNED.append(p)
     return p
 
 

@@ -74,13 +74,28 @@ def read_worksheet(
     # Duplicate header strings would yield duplicate StructField names —
     # ambiguous by-name selects downstream. De-duplicate pandas-style
     # (second occurrence gets .1, third .2, ...); headerless cells kept
-    # by prune_headerless=False get positional _c<i> names above.
-    seen: dict[str, int] = {}
+    # by prune_headerless=False get positional _c<i> names above. A
+    # generated name is checked against BOTH already-taken names and
+    # still-upcoming literal headers, so ['x', 'x', 'x.1'] yields
+    # ['x', 'x.2', 'x.1'], never a second collision.
+    from collections import Counter
+
+    remaining = Counter(name for _, name in cols)
+    taken: set[str] = set()
+    counts: dict[str, int] = {}
     deduped: list[tuple[int, str]] = []
     for i, name in cols:
-        n = seen.get(name, 0)
-        seen[name] = n + 1
-        deduped.append((i, name if n == 0 else f"{name}.{n}"))
+        remaining[name] -= 1
+        candidate = name
+        if candidate in taken:
+            n = counts.get(name, 0) + 1
+            candidate = f"{name}.{n}"
+            while candidate in taken or remaining.get(candidate, 0) > 0:
+                n += 1
+                candidate = f"{name}.{n}"
+            counts[name] = n
+        taken.add(candidate)
+        deduped.append((i, candidate))
     cols = deduped
     schema = StructType(
         [StructField(name, StringType(), True) for _, name in cols]

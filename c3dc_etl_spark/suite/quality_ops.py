@@ -15,7 +15,11 @@ from c3dc_etl_spark.operators import quality as Q
 from c3dc_etl_spark.operators import text as T
 from c3dc_etl_spark.operators.chunking import chunk_documents
 from c3dc_etl_spark.operators.dedup import spread
-from c3dc_etl_spark.operators.decontam import bloom_contamination, contamination
+from c3dc_etl_spark.operators.decontam import (
+    BLOOM_M_BITS,
+    bloom_contamination,
+    contamination,
+)
 from c3dc_etl_spark.operators.packing import pack_chunks, sequence_manifest
 from c3dc_etl_spark.suite.registry import load, query
 
@@ -287,7 +291,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BLOOM_M = 131_072  # keep in sync with operators.decontam.BLOOM_M_BITS
+BLOOM_M = BLOOM_M_BITS  # imported: the oracle modulus cannot drift
 
 # One bloom position per (gram, hash j): first 8 md5 hex chars of
 # 'bf<j>:gram' as an integer mod m — identical arithmetic to

@@ -203,6 +203,20 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _ivf_inputs(emb: DataFrame) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Shared coarse-quantizer inputs for the IVF queries: the centroid
+    codebook (bounded driver collect of the first {N_CENTROIDS} vectors)
+    and the query batch. One definition so ann_ivf_topk and
+    ann_ivf_recall always measure the SAME index."""
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return centroids, emb.filter(F.col("vec_id") < N_QUERIES)
+
+
 @query("ann_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity",))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: a broadcast coarse-quantizer
@@ -213,13 +227,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id — the inverted-file pattern whose work scales with
     probed-cluster sizes, not n^2."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < N_CENTROIDS)
-        .orderBy("vec_id")
-        .collect()
-    ]
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    centroids, queries = _ivf_inputs(emb)
     return S.ivf_cosine_topk(
         queries, emb, centroids, nprobe=NPROBE, k=TOP_K
     )
@@ -261,13 +269,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans; the overlap join touches only (query, candidate) id pairs
     (n_queries x k rows), negligible against either index pass."""
     emb = load(spark, sf_dir, "embeddings")
-    centroids = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < N_CENTROIDS)
-        .orderBy("vec_id")
-        .collect()
-    ]
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    centroids, queries = _ivf_inputs(emb)
     exact = S.cosine_topk(queries, emb, k=TOP_K).select("query_id", "candidate_id")
     approx = S.ivf_cosine_topk(
         queries, emb, centroids, nprobe=NPROBE, k=TOP_K

@@ -137,10 +137,15 @@ def row_numbering_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c3dc_etl_spark.pinning import pin
 
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # releasable=False: this pin guarantees BOTH subtrees observe the
+    # same sampled range boundaries — an early release would recompute
+    # them differently (wrong numbering), so it must outlive any
+    # harness-driven release between plan-build and collect.
     ranged = pin(
         cust.repartitionByRange(32, F.col("c_custkey")).withColumn(
             "__pid", F.spark_partition_id()
-        )
+        ),
+        releasable=False,
     )
     w_in = Window.partitionBy("__pid").orderBy(F.col("c_custkey").asc())
     numbered = ranged.withColumn("__rn", F.row_number().over(w_in))

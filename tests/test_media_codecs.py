@@ -93,3 +93,17 @@ def test_resize_nearest_identity_and_downsample():
         for c in range(3)
     )
     assert half == expect
+
+
+def test_video_truncation_always_valueerror():
+    f1 = mc.encode_bmp(2, 2, bytes(range(12)))
+    vid = mc.encode_video([f1, f1])
+    # cut at every byte boundary: the codec's validation contract is a
+    # ValueError (never struct.error / silent short frame)
+    for cut in range(8, len(vid)):
+        try:
+            frames = mc.decode_video(vid[:cut])
+        except ValueError:
+            continue
+        # a successful parse must return complete frames only
+        assert all(len(f) == len(f1) for f in frames)

@@ -300,3 +300,31 @@ def test_xlsx_lite_roundtrip_property(tmp_path):
             assert got == want
 
     check()
+
+
+def test_read_worksheet_dedupes_colliding_headers(spark, tmp_path):
+    from c3dc_etl_spark.sources import xlsx_lite
+    from c3dc_etl_spark.sources.workbook import read_worksheet
+
+    path = str(tmp_path / "dups.xlsx")
+    # 'x' duplicated AND a literal 'x.1' later: the generated suffix
+    # must skip the literal, yielding x, x.2, x.1 (all unique)
+    xlsx_lite.write_workbook(
+        path, {"s": (["x", "x", "x.1"], [["a", "b", "c"]])}
+    )
+    df = read_worksheet(spark, path, "s")
+    assert df.columns == ["x", "x.2", "x.1"]
+    row = df.collect()[0]
+    assert (row["x"], row["x.2"], row["x.1"]) == ("a", "b", "c")
+
+
+def test_read_worksheet_headerless_kept_gets_positional_name(spark, tmp_path):
+    from c3dc_etl_spark.sources import xlsx_lite
+    from c3dc_etl_spark.sources.workbook import read_worksheet
+
+    path = str(tmp_path / "noheader.xlsx")
+    xlsx_lite.write_workbook(
+        path, {"s": (["a", "", "c"], [["1", "2", "3"]])}
+    )
+    df = read_worksheet(spark, path, "s", prune_headerless=False)
+    assert df.columns == ["a", "_c1", "c"]

@@ -221,3 +221,42 @@ def test_interval_overlap_join_matches_nested_loop(spark):
             l_start="ls", l_end="le", r_start="rs", r_end="re", bucket=10,
             max_buckets_per_interval=100,
         ).collect()
+
+
+def test_interval_overlap_join_randomized_vs_nested_loop(spark):
+    """Randomized (seeded) equivalence: the bucketized overlap join must
+    match the naive nested-loop join on arbitrary interval layouts and
+    bucket sizes — exercises bucket-boundary alignment, point
+    intervals, long spans, and disjoint clusters."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.operators.ranges import interval_overlap_join
+
+    rng = random.Random(4042)
+    lrows, rrows = [], []
+    for i in range(80):
+        s = rng.randrange(0, 1000)
+        lrows.append((i, s, s + rng.randrange(0, 60)))
+    for i in range(80):
+        s = rng.randrange(0, 1000)
+        rrows.append((i, s, s + rng.randrange(0, 25)))
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        ).collect()
+    )
+    for bucket in (1, 7, 33, 64, 500):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right,
+                l_start="ls", l_end="le", r_start="rs", r_end="re",
+                bucket=bucket,
+            ).collect()
+        )
+        assert got == want, f"bucket={bucket}"
