@@ -41,6 +41,8 @@ PRIORITY = [
     "sample_token_budget",
     "text_vocab_coverage",
     "multimodal_video_frames",
+    "sample_split_assign",
+    "corpus_snapshot_delta",
     # --- stale: last driver-green row is round 1 ---
     "except_reconciliation",
     "distinct_count_per_node",

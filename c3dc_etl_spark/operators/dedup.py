@@ -567,3 +567,33 @@ def incremental_lsh_candidates(
         .join(sb, "id_base")
         .select("id_new", "id_base", F.round(match_frac, 4).alias("est_jaccard"))
     )
+
+
+def snapshot_delta(
+    old: DataFrame, new: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus snapshot diff: classify every document id across two
+    snapshots as added / removed / changed / unchanged by comparing
+    content digests — the reconciliation report an incremental ingest
+    runs between crawls (what must be re-deduped, re-embedded,
+    re-packed; what can be dropped from the index).
+
+    Scale shape: each side reduces to narrow (id, digest) rows (the
+    digest computes in the scan projection, so full text never rides
+    the join), then ONE full-outer shuffle hash join on the id — the
+    minimal plan for a two-sided diff. Output is (id, status)."""
+    o = old.select(
+        F.col(id_col).alias("__id"), content_digest(text_col).alias("__h_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), content_digest(text_col).alias("__h_new")
+    )
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "__id", "full_outer").select(
+        F.col("__id").alias(id_col), status.alias("status")
+    )

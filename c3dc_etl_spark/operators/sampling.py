@@ -211,3 +211,39 @@ def token_budget_subset(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, F.col("n_tokens").cast("bigint").alias("n_tokens"), "cum_tokens")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    *,
+    id_col: str,
+    splits: Mapping[str, float],
+    seed: str = "sp",
+) -> DataFrame:
+    """Deterministic dataset-split assignment (train/val/test): each row
+    draws u = hash_uniform(id) and lands in the split whose cumulative
+    fraction band contains u, in the mapping's insertion order (the last
+    split absorbs the rounding tail). Pure narrow projection — no
+    shuffle, no RNG — so the assignment is stable under any
+    partitioning, retries, and re-runs, and any table keyed by the same
+    id derives the SAME split (features/labels never straddle a leak
+    boundary). Fractions must sum to 1 (±1e-9).
+
+    Appends a ``split`` string column.
+    """
+    fracs = list(splits.items())
+    if not fracs:
+        raise ValueError("splits must not be empty")
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = hash_uniform(F.col(id_col), seed)
+    expr = F.lit(fracs[-1][0])  # tail band
+    cum = 0.0
+    conds = []
+    for name, frac in fracs[:-1]:
+        cum += frac
+        conds.append((name, cum))
+    for name, bound in reversed(conds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

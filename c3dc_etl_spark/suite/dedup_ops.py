@@ -449,3 +449,52 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# Two synthetic snapshots of the documents corpus: the "new" crawl drops
+# doc_id % 5 == 0, keeps the rest, and revises every doc_id % 3 == 0
+# (suffix marker -> digest change); the "old" snapshot lacks
+# doc_id % 7 == 0. Every status class is therefore populated.
+_SNAPSHOT_NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
+
+_SNAPSHOT_DELTA_ORACLE = f"""
+WITH old AS (
+    SELECT doc_id, MD5({_SNAPSHOT_NORM}) AS h
+    FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (
+    SELECT doc_id,
+           MD5(CASE WHEN doc_id % 3 = 0
+                    THEN LOWER(REGEXP_REPLACE(TRIM(text || ' rev2'), '\\s+', ' ', 'g'))
+                    ELSE {_SNAPSHOT_NORM} END) AS h
+    FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
+@query("corpus_snapshot_delta", oracle=_SNAPSHOT_DELTA_ORACLE, tags=("dedup",))
+def corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators.dedup.snapshot_delta): classify
+    every document across two crawls as added / removed / changed /
+    unchanged by content digest — the reconciliation report an
+    incremental ingest runs between snapshots to decide what gets
+    re-deduped, re-embedded, and re-packed. Each side reduces to narrow
+    (id, digest) rows before ONE full-outer shuffle hash join; full
+    text never rides the join."""
+    from c3dc_etl_spark.operators.dedup import snapshot_delta
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_delta(old, new, id_col="doc_id", text_col="text")

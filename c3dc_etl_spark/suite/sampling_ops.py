@@ -166,3 +166,41 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=TOKEN_BUDGET,
         seed=TB_SEED,
     )
+
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = "sp"
+
+# cumulative bounds in insertion order; repr'd floats are embedded
+# identically in the Spark plan and the SQL, so the comparisons are
+# bit-identical
+_SPLIT_B1 = repr(0.8)
+_SPLIT_B2 = repr(0.8 + 0.1)
+
+_SPLIT_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id, lang,
+           ({_fold_h(f"MD5('{SPLIT_SEED}:' || CAST(doc_id AS STRING))")})
+               / 4294967296.0 AS u
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN u < {_SPLIT_B1} THEN 'train'
+            WHEN u < {_SPLIT_B2} THEN 'val'
+            ELSE 'test' END AS split
+FROM k
+"""
+
+
+@query("sample_split_assign", oracle=_SPLIT_ORACLE, tags=("sampling",))
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: each document's split
+    comes from a hash-uniform draw against cumulative fraction bands —
+    a pure narrow projection (no shuffle, no RNG), stable under any
+    partitioning and consistent for every table keyed by the same id,
+    so features and labels can never straddle a leak boundary. The
+    oracle recomputes the same bands from the same md5 arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    return SA.split_assign(
+        docs, id_col="doc_id", splits=SPLITS, seed=SPLIT_SEED
+    ).select("doc_id", "lang", "split")

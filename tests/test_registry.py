@@ -55,7 +55,8 @@ def test_entry_contract():
         "streaming_session_late_data", "multimodal_decode_real",
         "contamination_bloom_filter", "interval_overlap_events",
         "sample_token_budget", "text_vocab_coverage",
-        "multimodal_video_frames",
+        "multimodal_video_frames", "sample_split_assign",
+        "corpus_snapshot_delta",
         # stale: last driver-green row is round 1
         "except_reconciliation", "distinct_count_per_node",
         "explode_subrecords", "typegroup_fanout_union",

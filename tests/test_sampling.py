@@ -132,3 +132,68 @@ def test_token_budget_subset_prefix_semantics(spark):
     )
     empt = [r for r in out2.collect() if r["doc_id"] == 999]
     assert not empt or empt[0]["n_tokens"] == 0
+
+
+def test_split_assign_bands_and_consistency(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = split_assign(
+        df, id_col="doc_id", splits={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # co-keyed tables derive the SAME split (leak-proofing)
+    other = spark.createDataFrame([(i, i * 2) for i in range(500)],
+                                  "doc_id long, payload long")
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            other, id_col="doc_id", splits={"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+    # partitioning invariance
+    c = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            df.repartition(11), id_col="doc_id",
+            splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    assert a == c
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, id_col="doc_id", splits={"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="empty"):
+        split_assign(df, id_col="doc_id", splits={})
+
+
+def test_snapshot_delta_statuses(spark):
+    from c3dc_etl_spark.operators.dedup import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta REVISED"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_delta(old, new, id_col="doc_id", text_col="text").collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # digest normalization: whitespace/case changes are NOT "changed"
+    new2 = spark.createDataFrame([(1, "  ALPHA ")], "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_delta(
+            old.filter("doc_id = 1"), new2, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert got2 == {1: "unchanged"}
