@@ -32,6 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (asserted in tests/test_registry.py).
 PRIORITY = [
     # --- new this round: never driver-checked ---
+    "kmeans_embedding_clusters",
+    "semantic_dedup_clusters",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -1,0 +1,224 @@
+"""Distributed k-means (Lloyd's) over an embedding column, and
+SemDeDup-style semantic deduplication built on top of it.
+
+Spark-first shapes:
+
+- **Assignment is a narrow map pass.** The k centroids are a driver-side
+  list (k*dim doubles — bounded regardless of corpus size) embedded as
+  array literals, so assigning every vector to its nearest centroid is a
+  pure projection: no shuffle, no UDF, whole-stage codegen end to end.
+- **Recompute is one partial-aggregated shuffle.** posexplode(vec) ->
+  groupBy(cluster, pos).avg keyed on k*dim groups: map-side combine
+  collapses each task's contribution to at most k*dim rows before the
+  exchange, so the shuffle volume is O(tasks * k * dim), independent of
+  row count. The per-iteration collect is the k*dim centroid matrix —
+  the canonical distributed-Lloyd's contract.
+- **Semantic dedup joins on the cluster id.** Within-cluster pairing is
+  an equi-join on `cluster` (shuffle hash join at scale), never a global
+  cross join; per-cluster fan-out is the classic SemDeDup bound (at
+  100 TB you raise k so clusters stay O(thousands), and the oversized-
+  cluster guard fails fast instead of degrading the stage).
+
+Engine parity (vs the DuckDB oracle): every distance/similarity is a
+SEQUENTIAL fold (see similarity.srp_bucket), so given identical centroid
+literals the doubles are bit-identical; recomputed centroids are rounded
+to ``round_dp`` decimals on both engines before re-use, which pins the
+one order-dependent double sum (the mean) to a shared value.
+
+Reference parity: the reference repo has no clustering; this is part of
+the additive training-data family (SURVEY.md §2.12), following the
+SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means the
+embedding space, then drop all-but-one of each within-cluster group of
+near-identical vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators.similarity import dot, l2_norm
+
+__all__ = [
+    "assign_to_centroids",
+    "lloyd_kmeans",
+    "semantic_dedup",
+]
+
+
+def _dist_sq_to_literal(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between ``vec`` (array<double>) and a literal
+    centroid — sequential fold of (c_i - x_i)^2 so the sum order (and
+    therefore the double result) is identical on any engine."""
+    lit_c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(lit_c, vec, lambda c, x: (c - x) * (c - x)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Add nearest-centroid id + squared distance columns: argmin over
+    the broadcast centroid literals via array_min of (dist, cid) structs
+    (min dist, ties to the smallest cid — same total order as the
+    oracle's ORDER BY dist ASC, cluster ASC). Narrow — no exchange."""
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist_sq_to_literal(v, cv).alias("d"),
+                    F.lit(int(cid)).cast("bigint").alias("c"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+    )
+    return df.withColumn("__best", best).select(
+        *df.columns,
+        F.col("__best.c").alias(cluster_col),
+        F.col("__best.d").alias(dist_col),
+    )
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Lloyd's k-means with deterministic seeding: initial centroids are
+    the vectors of the ``k`` smallest ids (cluster i = rank i in id
+    order). Runs ``iters`` assignment passes with ``iters - 1`` centroid
+    recomputes between them; returns (assignments, final_centroids)
+    where assignments carries ``cluster`` (bigint) and ``dist`` (squared
+    L2 against the final centroids).
+
+    Per iteration: one narrow assignment pass (broadcast literals) and
+    one k*dim-keyed partial aggregation; the only driver traffic is the
+    k*dim centroid matrix. An empty cluster keeps its previous centroid
+    (mirrored by the oracle), so k is stable across iterations.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    vecs = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    seed_rows = vecs.orderBy("__id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds input row count {len(seed_rows)}")
+    centroids: list[tuple[int, list[float]]] = [
+        (i, list(r["__v"])) for i, r in enumerate(seed_rows)
+    ]
+
+    assigned = assign_to_centroids(vecs, centroids, vec_col="__v")
+    for _ in range(iters - 1):
+        means = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), round_dp).alias("mv"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("cm"))
+            .select("cluster", F.col("cm.mv").alias("cvec"))
+            .collect()
+        )
+        fresh = {int(r["cluster"]): list(r["cvec"]) for r in means}
+        centroids = [(cid, fresh.get(cid, prev)) for cid, prev in centroids]
+        assigned = assign_to_centroids(vecs, centroids, vec_col="__v")
+
+    out = df.join(
+        assigned.select(F.col("__id").alias(id_col), "cluster", "dist"), id_col
+    )
+    return out, centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    max_cluster_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup: k-means the embeddings, then inside each cluster mark
+    every vector that has a LOWER-id cluster-mate with cosine >=
+    ``threshold`` as a duplicate (greedy keep-first — the id order is
+    the deterministic stand-in for the paper's keep-one-per-group).
+    Returns (id, cluster, kept) for every input row.
+
+    The pair search is an equi-join on the cluster id: candidate volume
+    is sum(|cluster|^2), never n^2 — the whole point of clustering
+    first. ``max_cluster_rows`` (optional) fails fast if any cluster
+    exceeds the bound, the skew guard to set when running at scale.
+    """
+    assigned, _ = lloyd_kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    side = assigned.select(
+        F.col(id_col).alias("__sid"),
+        "cluster",
+        vd.alias("__sv"),
+        l2_norm(vd).alias("__sn"),
+    )
+    if max_cluster_rows is not None:
+        # Map-side-combined aggregate, not a hot-key window (the r2 skew
+        # lesson): k-keyed count, assertion-bounded head(1) on the driver.
+        oversized = (
+            side.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cluster_rows)
+            .head(1)
+        )
+        if oversized:
+            raise ValueError(
+                f"semantic_dedup: cluster {oversized[0]['cluster']} has "
+                f"{oversized[0]['n']} rows (> {max_cluster_rows}); raise k "
+                "or the bound"
+            )
+    a = side.select(
+        F.col("__sid").alias("__aid"),
+        F.col("cluster"),
+        F.col("__sv").alias("__av"),
+        F.col("__sn").alias("__an"),
+    )
+    b = side.select(
+        F.col("__sid").alias("__bid"),
+        F.col("cluster"),
+        F.col("__sv").alias("__bv"),
+        F.col("__sn").alias("__bn"),
+    )
+    # sequential-fold cosine (bit-identical to the oracle's LIST_REDUCE)
+    cos = F.round(
+        dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn")), round_dp
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("__aid") < F.col("__bid"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("__bid").alias("__dup"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col(id_col), "cluster")
+        .join(dup_ids, F.col(id_col) == F.col("__dup"), "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("__dup").isNull().alias("kept"),
+        )
+    )

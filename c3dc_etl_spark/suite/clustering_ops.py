@@ -1,0 +1,130 @@
+"""Clustering suite queries over the embeddings table, backed by
+c3dc_etl_spark.operators.clustering (distributed Lloyd's k-means +
+SemDeDup semantic dedup). The DuckDB oracle unrolls the same iterations
+as plain CTE chains — assignment is a k-row cross join with the SAME
+sequential distance fold, recomputed centroids are ROUND(AVG, 6) on
+both engines, so every intermediate double is shared bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import clustering as C
+from c3dc_etl_spark.suite.registry import load, query
+from c3dc_etl_spark.suite.similarity_ops import EMB_DIM, _fold_dot
+
+K = 8
+ITERS = 3
+MEAN_DP = 6
+SEM_THRESHOLD = 0.4
+SEM_DP = 4
+
+
+def _dist_fold(c: str, v: str) -> str:
+    """Sequential fold of (c_i - v_i)^2 — mirrors clustering's
+    _dist_sq_to_literal (zip_with then left-to-right aggregate) exactly,
+    so the squared-L2 doubles are bit-identical across engines."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1, {EMB_DIM + 1}),"
+        f" i -> ({c}[i] - {v}[i]) * ({c}[i] - {v}[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _kmeans_ctes() -> str:
+    """CTE chain e, c0, a1, m1, c1, ..., a{ITERS}: the Lloyd's unroll.
+    a{n} assigns against c{n-1} (argmin dist, ties to smallest cluster);
+    m{n}/c{n} recompute per-dim means (ROUND 6dp, list ordered by dim),
+    keeping the previous centroid for an empty cluster — the same
+    contract as lloyd_kmeans."""
+    parts = [
+        "e AS MATERIALIZED (\n"
+        "    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+        ")",
+        f"c0 AS MATERIALIZED (\n"
+        f"    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)"
+        f" AS cluster, v AS c\n"
+        f"    FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {K}\n"
+        f")",
+    ]
+    for n in range(1, ITERS + 1):
+        parts.append(
+            f"a{n} AS MATERIALIZED (\n"
+            f"    SELECT vec_id, v, cluster, dist FROM (\n"
+            f"        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist ASC, cluster ASC) AS rn\n"
+            f"        FROM (SELECT e.vec_id, e.v, c.cluster,"
+            f" {_dist_fold('c.c', 'e.v')} AS dist\n"
+            f"              FROM e CROSS JOIN c{n - 1} c)\n"
+            f"    ) WHERE rn = 1\n"
+            f")"
+        )
+        if n < ITERS:
+            parts.append(
+                f"m{n} AS (\n"
+                f"    SELECT cluster, t.i AS pos, ROUND(AVG(v[t.i]), {MEAN_DP})"
+                f" AS mv\n"
+                f"    FROM a{n}, GENERATE_SERIES(1, {EMB_DIM}) AS t(i)\n"
+                f"    GROUP BY cluster, t.i\n"
+                f")"
+            )
+            parts.append(
+                f"c{n} AS MATERIALIZED (\n"
+                f"    SELECT cluster, LIST(mv ORDER BY pos) AS c FROM m{n}"
+                f" GROUP BY cluster\n"
+                f"    UNION ALL\n"
+                f"    SELECT cluster, c FROM c{n - 1}\n"
+                f"    WHERE cluster NOT IN (SELECT cluster FROM m{n})\n"
+                f")"
+            )
+    return ",\n".join(parts)
+
+
+_KMEANS_ORACLE = f"""
+WITH {_kmeans_ctes()}
+SELECT vec_id, cluster, ROUND(dist, 4) + 0.0 AS dist FROM a{ITERS}
+"""
+
+
+@query("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE, tags=("clustering",))
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, deterministic seed (k lowest ids):
+    per iteration one narrow broadcast-literal assignment pass + one
+    k*dim-keyed partial aggregation; driver traffic is the k*dim
+    centroid matrix only. Output: every vector's final cluster and
+    squared-L2 distance (4dp)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = C.lloyd_kmeans(emb, k=K, iters=ITERS, round_dp=MEAN_DP)
+    return assigned.select(
+        "vec_id", "cluster", (F.round("dist", 4) + F.lit(0.0)).alias("dist")
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_kmeans_ctes()},
+n AS MATERIALIZED (
+    SELECT vec_id, cluster, v,
+           SQRT({_fold_dot('v', 'v')}) AS nm
+    FROM a{ITERS}
+),
+dup AS (
+    SELECT DISTINCT b.vec_id AS vid
+    FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND({_fold_dot('a.v', 'b.v')} / (a.nm * b.nm), {SEM_DP})
+          >= {SEM_THRESHOLD}
+)
+SELECT vec_id, cluster, vec_id NOT IN (SELECT vid FROM dup) AS kept FROM n
+"""
+
+
+@query("semantic_dedup_clusters", oracle=_SEMDEDUP_ORACLE, tags=("clustering",))
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    inside each cluster drop every vector with a lower-id cluster-mate
+    at cosine >= 0.4 (greedy keep-first). Pairing is an equi-join on the
+    cluster id — candidate volume is sum(|cluster|^2), never n^2."""
+    emb = load(spark, sf_dir, "embeddings")
+    return C.semantic_dedup(
+        emb, k=K, iters=ITERS, threshold=SEM_THRESHOLD, round_dp=SEM_DP
+    )

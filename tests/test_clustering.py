@@ -1,0 +1,88 @@
+"""Unit tests for c3dc_etl_spark.operators.clustering."""
+
+from __future__ import annotations
+
+import pytest
+
+from c3dc_etl_spark.operators import clustering as C
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_assign_to_centroids_argmin_and_ties(spark):
+    df = _vecs(spark, [[0.0, 0.0], [10.0, 0.0], [5.0, 0.0]])
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0])]
+    out = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in C.assign_to_centroids(df, cents).collect()
+    }
+    assert out[0] == (0, 0.0)
+    assert out[1] == (1, 0.0)
+    # equidistant (dist 25 both) -> tie broken to the SMALLEST cid
+    assert out[2] == (0, 25.0)
+
+
+def test_lloyd_kmeans_converges_on_separated_blobs(spark):
+    # two tight blobs; seeds (ids 0, 1) both start inside blob A, the
+    # recompute must pull one centroid over to blob B
+    blob_a = [[0.0, 0.0], [0.2, 0.0], [0.0, 0.2], [0.2, 0.2]]
+    blob_b = [[9.0, 9.0], [9.2, 9.0], [9.0, 9.2], [9.2, 9.2]]
+    df = _vecs(spark, blob_a + blob_b)
+    assigned, cents = C.lloyd_kmeans(df, k=2, iters=4)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    a_clusters = {got[i] for i in range(4)}
+    b_clusters = {got[i] for i in range(4, 8)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    # final centroids are the (rounded) blob means
+    by_cid = dict(cents)
+    a_cent = by_cid[got[0]]
+    assert a_cent == pytest.approx([0.1, 0.1], abs=1e-6)
+    assert by_cid[got[4]] == pytest.approx([9.1, 9.1], abs=1e-6)
+
+
+def test_lloyd_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # both seeds (ids 0, 1) sit in one blob; after the first recompute
+    # one centroid may own zero points — it must survive unchanged
+    df = _vecs(spark, [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [8.0, 8.0]])
+    assigned, cents = C.lloyd_kmeans(df, k=2, iters=3)
+    assert len(cents) == 2  # no cluster vanished
+    assert assigned.count() == 4
+
+
+def test_lloyd_kmeans_validates_args(spark):
+    df = _vecs(spark, [[1.0, 0.0]])
+    with pytest.raises(ValueError, match="k and iters"):
+        C.lloyd_kmeans(df, k=0)
+    with pytest.raises(ValueError, match="exceeds input row count"):
+        C.lloyd_kmeans(df, k=5)
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark):
+    # ids 0/1/2 near-identical (cos ~1), id 3 far away; k=2 separates
+    # the blob from the outlier, greedy keep-first keeps only id 0
+    df = _vecs(
+        spark,
+        [[1.0, 0.01], [1.0, 0.011], [1.0, 0.012], [-1.0, 5.0]],
+    )
+    out = {r["vec_id"]: r["kept"] for r in
+           C.semantic_dedup(df, k=2, iters=2, threshold=0.99).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_semantic_dedup_threshold_excludes_distant_pairs(spark):
+    # orthogonal vectors in one cluster: cosine 0 < threshold -> all kept
+    df = _vecs(spark, [[1.0, 0.0], [0.0, 1.0]])
+    out = C.semantic_dedup(df, k=1, iters=1, threshold=0.5).collect()
+    assert all(r["kept"] for r in out)
+
+
+def test_semantic_dedup_cluster_size_guard(spark):
+    df = _vecs(spark, [[float(i), 0.0] for i in range(6)])
+    with pytest.raises(ValueError, match="raise k or the bound"):
+        C.semantic_dedup(df, k=1, iters=1, max_cluster_rows=3)
