@@ -34,6 +34,8 @@ PRIORITY = [
     # --- new this round: never driver-checked ---
     "kmeans_embedding_clusters",
     "semantic_dedup_clusters",
+    "ngram_lm_score",
+    "text_tfidf_keywords",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -128,3 +128,31 @@ def doc_fingerprint(col: Column | str, prefix_chars: int = 256) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     return F.md5(F.substring(normalized, 1, prefix_chars))
+
+
+NGRAM_SEP = "\x1f"  # unit separator: never appears inside a token
+
+
+def lower_tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens with blanks removed — the canonical
+    LM tokenization (engine-portable: DuckDB mirror is
+    LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), ...))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def bigrams(toks: Column, sep: str = NGRAM_SEP) -> Column:
+    """Adjacent-token bigram strings (``w1<sep>w2``); empty array below
+    two tokens. The two-token guard matters: Spark's ``sequence(1, 0)``
+    would generate a DESCENDING [1, 0] run, not an empty one."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

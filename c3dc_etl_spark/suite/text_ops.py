@@ -329,3 +329,143 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs, "text", "doc_id", chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
     )
+
+
+_LM_ORACLE = r"""
+WITH d AS MATERIALIZED (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+bg AS MATERIALIZED (
+    SELECT doc_id, toks[i] || CHR(31) || toks[i + 1] AS bigram, toks[i] AS w1
+    FROM d, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS t(i)
+),
+c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM bg GROUP BY bigram),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM bg GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz
+      FROM (SELECT UNNEST(toks) AS t FROM d)),
+s AS (
+    SELECT bg.doc_id, LN((c2.cnt2 + 1.0) / (c1.cnt1 + v.vsz)) AS lp
+    FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, AVG(lp) AS alp
+        FROM s GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       ROUND(per.alp, 4) + 0.0 AS avg_logprob
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
+@query("ngram_lm_score", oracle=_LM_ORACLE, tags=("text",))
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model quality score (add-one
+    smoothing): train C(w1 w2) / C(w1 .) counts over the whole corpus
+    in one partial-aggregated shuffle each, score every document as the
+    mean log P(w2|w1) = ln((C(w1 w2)+1)/(C(w1 .)+|V|)) of its bigrams —
+    the classic KenLM-style perplexity filter, fully declarative. Count
+    tables shuffle on the n-gram key (bounded by vocab size, far below
+    corpus size); the vocab cardinality is the one driver scalar.
+    Documents with fewer than two tokens score NULL with n_bigrams 0."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.lower_tokens("text").alias("toks"))
+    bg = d.select(
+        "doc_id", F.explode(T.bigrams(F.col("toks"))).alias("bigram")
+    ).withColumn("w1", F.substring_index("bigram", T.NGRAM_SEP, 1))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    vsz = float(
+        d.select(F.explode("toks").alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    lp = F.log((F.col("cnt2") + F.lit(1.0)) / (F.col("cnt1") + F.lit(vsz)))
+    per = (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("lp").alias("alp"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            (F.round(F.col("alp"), 4) + F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
+_TFIDF_K = 5
+
+_TFIDF_ORACLE = rf"""
+WITH d AS MATERIALIZED (
+    SELECT doc_id, source,
+           LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+tok AS MATERIALIZED (
+    SELECT doc_id, source, UNNEST(toks) AS t FROM d
+),
+tf AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY source, t),
+dfreq AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+          GROUP BY t),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM d),
+scored AS (
+    SELECT tf.source, tf.t AS token, tf.tf,
+           ROUND(tf.tf * LN(n.n_docs / dfreq.df), 4) + 0.0 AS score
+    FROM tf JOIN dfreq USING (t) CROSS JOIN n
+)
+SELECT source, token, tf, score, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY score DESC, token ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {_TFIDF_K}
+"""
+
+
+@query("text_tfidf_keywords", oracle=_TFIDF_ORACLE, tags=("text",))
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF keywords: term frequency per (source, token)
+    and document frequency per token are each ONE partial-aggregated
+    shuffle keyed far below corpus cardinality; the corpus size is the
+    single driver scalar; the per-source top-k goes through the
+    reducer-bounded salted_topk (a hot source's vocabulary never lands
+    on one reducer). Score ties break on the token so ranks are total."""
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", T.lower_tokens("text").alias("toks"))
+    n_docs = float(d.count())
+    tok = d.select("doc_id", "source", F.explode("toks").alias("t"))
+    tf = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    # rank on the ROUNDED score (house ANN discipline): an ln() last-ulp
+    # difference between engines must not be able to flip a near-tie
+    scored = tf.join(dfreq, "t").select(
+        "source",
+        F.col("t").alias("token"),
+        "tf",
+        (F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4) + F.lit(0.0)).alias(
+            "score"
+        ),
+    )
+    top = salted_topk(
+        scored,
+        ["source"],
+        [F.col("score").desc(), F.col("token").asc()],
+        _TFIDF_K,
+        salt=F.xxhash64("token"),
+        rank_col="rank",
+    )
+    return top.select(
+        "source", "token", "tf", "score", F.col("rank").cast("bigint").alias("rank")
+    )

@@ -100,3 +100,26 @@ def test_chunking_short_and_blank_docs(spark):
     rows = chunk_documents(df, "txt", "doc_id", chunk_tokens=8, overlap=4).collect()
     assert len(rows) == 1
     assert rows[0]["doc_id"] == 1 and rows[0]["n_tokens"] == 3
+
+
+def test_lower_tokens_and_bigrams(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "  Foo  BAR baz "), (1, "solo"), (2, "   ")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["toks"], r["bgs"])
+        for r in df.select(
+            "doc_id",
+            T.lower_tokens("text").alias("toks"),
+            T.bigrams(T.lower_tokens("text")).alias("bgs"),
+        ).collect()
+    }
+    assert out[0] == (
+        ["foo", "bar", "baz"],
+        ["foo" + T.NGRAM_SEP + "bar", "bar" + T.NGRAM_SEP + "baz"],
+    )
+    # below two tokens: EMPTY bigram array, not a descending-sequence blowup
+    assert out[1] == (["solo"], [])
+    assert out[2] == ([], [])
