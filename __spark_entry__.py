@@ -36,6 +36,7 @@ PRIORITY = [
     "semantic_dedup_clusters",
     "ngram_lm_score",
     "text_tfidf_keywords",
+    "sample_split_leakage_safe",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -204,3 +204,72 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.split_assign(
         docs, id_col="doc_id", splits=SPLITS, seed=SPLIT_SEED
     ).select("doc_id", "lang", "split")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splits: near-duplicate CLUSTERS never straddle a split
+# ---------------------------------------------------------------------------
+
+from c3dc_etl_spark.suite import dedup_ops as _DD  # noqa: E402  (one-way)
+
+_LEAKSAFE_ORACLE = f"""
+WITH RECURSIVE {_DD._MINHASH_PAIR_CTES},
+sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+),
+comp AS (
+    SELECT doc_id AS u, doc_id AS r FROM documents
+    UNION
+    SELECT s.u, c.r FROM sym s JOIN comp c ON c.u = s.v
+),
+rep AS (SELECT u AS doc_id, MIN(r) AS component FROM comp GROUP BY u),
+k AS (
+    SELECT doc_id, component,
+           ({_fold_h(f"MD5('{{seed}}:' || CAST(component AS STRING))")})
+               / 4294967296.0 AS u
+    FROM rep
+)
+SELECT doc_id, component,
+       CASE WHEN u < {{b1}} THEN 'train'
+            WHEN u < {{b2}} THEN 'val'
+            ELSE 'test' END AS split
+FROM k
+"""
+
+
+@query(
+    "sample_split_leakage_safe",
+    oracle=_LEAKSAFE_ORACLE.format(seed=SPLIT_SEED, b1=_SPLIT_B1, b2=_SPLIT_B2),
+    tags=("sampling", "dedup"),
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: MinHash+LSH candidate
+    pairs -> connected components (the same transitive closure corpus
+    dedup uses) -> the split draw is keyed by the COMPONENT
+    representative, not the document id, so a near-duplicate of a test
+    document can never land in train — the contamination mode a plain
+    per-doc hash split cannot prevent. Everything downstream of pair
+    generation is bounded: components converge in O(log n) pointer-
+    jumping rounds, and the final assignment is a narrow hash
+    projection."""
+    from c3dc_etl_spark.operators import dedup as D
+    from c3dc_etl_spark.operators.graph import dedup_assignment
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=_DD.SHINGLE_K,
+        num_hashes=_DD.NUM_HASHES,
+        bands=_DD.BANDS,
+        max_bucket_size=_DD.MAX_BUCKET,
+    )
+    assign = dedup_assignment(docs, pairs, node_col="doc_id").select(
+        "doc_id", "component"
+    )
+    return SA.split_assign(
+        assign, id_col="component", splits=SPLITS, seed=SPLIT_SEED
+    ).select("doc_id", "component", "split")

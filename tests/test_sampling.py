@@ -197,3 +197,23 @@ def test_snapshot_delta_statuses(spark):
         ).collect()
     }
     assert got2 == {1: "unchanged"}
+
+
+def test_leakage_safe_split_groups_near_dups(spark):
+    # pairs (0,1) and (1,2) connect transitively; 3 is a singleton.
+    # Every member of the {0,1,2} component must draw the SAME split.
+    from c3dc_etl_spark.operators.graph import dedup_assignment
+
+    docs = spark.range(4).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long"
+    )
+    assign = dedup_assignment(docs, pairs, node_col="doc_id")
+    out = SA.split_assign(
+        assign, id_col="component",
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    rows = {r["doc_id"]: (r["component"], r["split"]) for r in out.collect()}
+    assert rows[0][0] == rows[1][0] == rows[2][0] == 0
+    assert rows[0][1] == rows[1][1] == rows[2][1]  # no straddle
+    assert rows[3][0] == 3
