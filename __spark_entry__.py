@@ -37,6 +37,7 @@ PRIORITY = [
     "ngram_lm_score",
     "text_tfidf_keywords",
     "sample_split_leakage_safe",
+    "profile_documents",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

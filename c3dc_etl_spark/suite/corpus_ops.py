@@ -110,3 +110,33 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("bigint").alias("quality_x1e4"),
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS STRING) AS min_value,
+       CAST(MAX({c}) AS STRING) AS max_value
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_documents", oracle=_PROFILE_ORACLE, tags=("corpus",))
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in ONE aggregation job: every column's
+    row/null/distinct counts and min/max ride a single df.agg() (exact
+    distincts -> one grouping-expand shuffle) and the 1-row result
+    explodes to one row per column in-plan — no driver collect, no
+    per-column job fan-out. The operator's approx=True flag swaps exact
+    distincts for HyperLogLog++ (the 100 TB path); the oracle pins the
+    exact path. This is the pre-flight stats pass (skew scouting,
+    null-rate sanity, join-key cardinality) of a large pipeline."""
+    from c3dc_etl_spark.operators.profiling import profile_table
+
+    docs = load(spark, sf_dir, "documents")
+    return profile_table(docs, list(_PROFILE_COLS), approx=False)
