@@ -38,6 +38,7 @@ PRIORITY = [
     "text_tfidf_keywords",
     "sample_split_leakage_safe",
     "profile_documents",
+    "ann_ivf_kmeans_recall",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -128,3 +128,83 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.semantic_dedup(
         emb, k=K, iters=ITERS, threshold=SEM_THRESHOLD, round_dp=SEM_DP
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means-trained IVF: train -> index -> measured recall
+# ---------------------------------------------------------------------------
+
+from c3dc_etl_spark.operators import similarity as S  # noqa: E402
+from c3dc_etl_spark.suite.similarity_ops import (  # noqa: E402
+    _IVF_BODY,
+    _TOPK_ORACLE,
+    N_QUERIES,
+    NPROBE,
+    TOP_K,
+)
+
+_KM_CENTS = f"cents AS (SELECT cluster AS cid, c AS cv FROM c{ITERS - 1})"
+
+_IVF_KM_ORACLE = f"""
+WITH {_kmeans_ctes()},
+{_KM_CENTS},
+{_IVF_BODY}
+"""
+
+_IVF_KM_RECALL_ORACLE = f"""
+WITH exact AS MATERIALIZED (
+    SELECT query_id, candidate_id FROM ({_TOPK_ORACLE}) t
+),
+approx AS MATERIALIZED (
+    SELECT query_id, candidate_id FROM ({_IVF_KM_ORACLE}) t
+),
+hits AS (
+    SELECT e.query_id, COUNT(*) AS n
+    FROM exact e
+    JOIN approx a
+      ON e.query_id = a.query_id AND e.candidate_id = a.candidate_id
+    GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n, 0) / {TOP_K}.0, 4) + 0.0 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
+@query(
+    "ann_ivf_kmeans_recall",
+    oracle=_IVF_KM_RECALL_ORACLE,
+    tags=("clustering", "similarity"),
+)
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train -> index -> measure ANN flow: Lloyd's k-means
+    trains the coarse quantizer (vs ann_ivf_recall's fixed first-N
+    codebook), ivf_cosine_topk indexes with it, and per-query recall@k
+    against the brute-force ground truth pins the retrieval quality a
+    TRAINED codebook buys. Same scale shape as ann_ivf_recall — the
+    training adds {ITERS} linear scans with k*dim driver traffic."""
+    emb = load(spark, sf_dir, "embeddings")
+    _, centroids = C.lloyd_kmeans(emb, k=K, iters=ITERS, round_dp=MEAN_DP)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.cosine_topk(queries, emb, k=TOP_K).select("query_id", "candidate_id")
+    approx = S.ivf_cosine_topk(
+        queries, emb, centroids, nprobe=NPROBE, k=TOP_K
+    ).select("query_id", "candidate_id")
+    hits = (
+        exact.join(approx, ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            n.cast("bigint").alias("n_hits"),
+            (F.round(n / float(TOP_K), 4) + F.lit(0.0)).alias("recall"),
+        )
+    )

@@ -152,12 +152,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 16
 NPROBE = 2
 
-_IVF_ORACLE = f"""
-WITH cents AS (
-    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-    FROM embeddings WHERE vec_id < {N_CENTROIDS}
-),
-sims AS MATERIALIZED (
+# Everything downstream of the `cents(cid, cv)` codebook CTE — shared by
+# the fixed-codebook IVF oracle and the k-means-trained variant
+# (clustering_ops), which swap in different cents definitions.
+_IVF_BODY = f"""sims AS MATERIALIZED (
     SELECT e.vec_id AS candidate_id, e.embedding::DOUBLE[] AS c_vec, c.cid,
            {_fold_dot('c.cv', '(e.embedding::DOUBLE[])')}
              / (SQRT({_fold_dot('c.cv', 'c.cv')})
@@ -200,6 +198,14 @@ FROM (
     FROM scored
 )
 WHERE rank <= {TOP_K}
+"""
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+{_IVF_BODY}
 """
 
 
