@@ -54,6 +54,9 @@ HEADLINE = [
     "rollup_hypertable",
     "sketch_kmv_distinct",
     "range_join_events",
+    "ngram_lm_score",
+    "text_tfidf_keywords",
+    "profile_documents",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is
