@@ -39,6 +39,8 @@ PRIORITY = [
     "sample_split_leakage_safe",
     "profile_documents",
     "ann_ivf_kmeans_recall",
+    "streaming_static_enrich",
+    "source_orc_roundtrip",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

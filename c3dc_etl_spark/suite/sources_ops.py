@@ -289,3 +289,27 @@ def source_jsondir_fileorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields=SUBJECT_FIELDS,
         most_negative_fields=("DM_BRTHDAT",),
     )
+
+
+_ORC_ORACLE = f"""
+SELECT file_name, guid, md5, size, url
+FROM read_csv('{FIXTURES / "manifest.csv"}', header=true, all_varchar=true)
+"""
+
+
+@query("source_orc_roundtrip", oracle=_ORC_ORACLE, tags=("sources",))
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth beyond parquet: the manifest fixture goes
+    through a write-ORC -> scan-ORC roundtrip (Spark's native ORC
+    source, predicate-pushdown- and column-pruning-capable like the
+    parquet path) and must come back value-identical. The oracle reads
+    the same committed CSV — so the assertion covers the CSV scan, the
+    ORC writer, and the ORC reader end to end."""
+    import tempfile
+
+    src = spark.read.csv(
+        str(FIXTURES / "manifest.csv"), header=True, inferSchema=False
+    )
+    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    src.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("file_name", "guid", "md5", "size", "url")

@@ -361,3 +361,41 @@ def streaming_session_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skey",
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+_ENRICH_ORACLE = """
+SELECT e.event_id, e.event_type, n.n_name AS nation
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id + 1
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+
+@query("streaming_static_enrich", oracle=_ENRICH_ORACLE, tags=("streaming",))
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the lookup-join shape of a production
+    ingest: the event stream joins two BATCH dimension tables (customer,
+    nation) per micro-batch. Both static sides are broadcast, so the
+    enrich is a stateless map-side hash join inside each batch — no
+    streaming state, no shuffle of the stream, append mode end to end;
+    at 100 TB/day the cost stays one broadcast hash probe per event.
+    The oracle is the identical batch join."""
+    stream, _ = _table_stream(spark, sf_dir, "events")
+    cust = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_nationkey"
+        )
+    )
+    nat = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    enriched = (
+        stream.select("event_id", "event_type", "user_id")
+        .join(cust, F.col("user_id") + F.lit(1) == F.col("c_custkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("event_id", "event_type", "nation")
+    )
+    sink = _run_to_memory(enriched, "stream_static_enrich", "append")
+    return sink
