@@ -41,6 +41,7 @@ PRIORITY = [
     "ann_ivf_kmeans_recall",
     "streaming_static_enrich",
     "source_orc_roundtrip",
+    "join_bucketed_colocated",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

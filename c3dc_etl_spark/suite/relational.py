@@ -318,3 +318,59 @@ def theta_rule_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lower(F.trim(events.event_type)) == rules.want_type)
         & (events.value >= rules.min_value),
     ).select("event_id", "rule_name")
+
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+_BUCKETS = 8
+
+
+@query("join_bucketed_colocated", oracle=_BUCKETED_ORACLE, tags=("relational",))
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via BUCKETED tables — the technique
+    that removes the dominant shuffle of a 100 TB pipeline: both orders
+    and lineitem are written bucketBy(orderkey) once, so the join reads
+    bucket i against bucket i directly and the sort-merge join needs NO
+    Exchange on either side (tests/test_plan_lint.py asserts the plan
+    is exchange-free). The merge hint pins SMJ so the demonstration
+    doesn't degrade to a broadcast at toy scale; quantities are
+    per-row-cast to bigint so the sum is order-independent."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="bkt_wh_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("path", f"{wh}/orders")
+        .bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        items.write.mode("overwrite")
+        .option("path", f"{wh}/lineitem")
+        .bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("bkt_lineitem")
+    )
+    o = spark.table("bkt_orders").hint("merge")
+    l = spark.table("bkt_lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )

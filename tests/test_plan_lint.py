@@ -32,14 +32,20 @@ _DRIVER_SIDE = {
     "streaming_session_windows",
     "streaming_session_late_data",
     "streaming_stateful_running_stats",
+    "streaming_static_enrich",
     "link_wiring_collect",
 }
 
 # cosine_topk intentionally BNLJs: the QUERY batch is broadcast (small
 # by contract) against streaming candidates with a non-equi predicate.
-# ann_ivf_recall composes cosine_topk as its ground-truth side, so it
-# inherits that bounded-broadcast shape.
-_BNLJ_ALLOWED = {"ann_cosine_topk", "dedup_embedding_cosine", "ann_ivf_recall"}
+# ann_ivf_recall / ann_ivf_kmeans_recall compose cosine_topk as their
+# ground-truth side, so they inherit that bounded-broadcast shape.
+_BNLJ_ALLOWED = {
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+}
 
 
 @pytest.mark.parametrize(
@@ -53,3 +59,18 @@ def test_no_cartesian_or_stray_bnlj(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unexpected BroadcastNestedLoopJoin"
         )
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """The co-located bucketed join's SortMergeJoin must read bucket i
+    vs bucket i directly: the ONLY Exchange in the plan is the final
+    (tiny, k-keyed) priority aggregation above the join — neither join
+    side shuffles."""
+    df = REGISTRY["join_bucketed_colocated"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, "bucketed join degraded from SMJ"
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree, (
+        "bucketed join sides must not shuffle:\n" + join_subtree
+    )
+    assert plan.count("Exchange") <= 1  # the post-join agg only
