@@ -42,6 +42,7 @@ PRIORITY = [
     "streaming_static_enrich",
     "source_orc_roundtrip",
     "join_bucketed_colocated",
+    "minhash_estimation_error",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -498,3 +498,116 @@ def corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return snapshot_delta(old, new, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimation-quality measurement (est vs exact Jaccard per pair)
+# ---------------------------------------------------------------------------
+
+_EST_FORMULA = (
+    f"ROUND(CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, {NUM_HASHES}),"
+    f" i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {NUM_HASHES}.0, 4)"
+)
+
+_EST_ERROR_ORACLE = f"""
+WITH {_MINHASH_PAIR_CTES},
+dhashed AS MATERIALIZED (
+    SELECT doc_id, LIST_DISTINCT(hv) AS dv FROM hashed
+),
+exploded AS (
+    SELECT doc_id, UNNEST(dv) AS h FROM dhashed
+),
+co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT p.id_a, p.id_b, {_EST_FORMULA} AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+),
+tru AS (
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(COALESCE(co.inter, 0) AS DOUBLE)
+                 / (CAST(LEN(da.dv) + LEN(db.dv) AS DOUBLE)
+                    - CAST(COALESCE(co.inter, 0) AS DOUBLE)), 4) AS true_jaccard
+    FROM pairs p
+    LEFT JOIN co ON co.id_a = p.id_a AND co.id_b = p.id_b
+    JOIN dhashed da ON da.doc_id = p.id_a
+    JOIN dhashed db ON db.doc_id = p.id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard, t.true_jaccard,
+       ROUND(ABS(e.est_jaccard - t.true_jaccard), 4) AS abs_err
+FROM est e JOIN tru t ON e.id_a = t.id_a AND e.id_b = t.id_b
+"""
+
+
+@query("minhash_estimation_error", oracle=_EST_ERROR_ORACLE, tags=("dedup",))
+def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement: for every MinHash+LSH candidate
+    pair, the signature-estimated Jaccard NEXT TO the exact shingle-set
+    Jaccard and their absolute error — the dedup analogue of
+    ann_ivf_recall (the 'approximate' is measured, not assumed; a
+    permutation-count or banding regression shows up as an error shift
+    caught by the value hash). Cost shape: the candidate pass is the
+    audited LSH plan; the exact side is the inverted-index
+    co-occurrence join (narrow integer rows only); both reuse one
+    pinned hashed-shingle projection."""
+    from c3dc_etl_spark.pinning import pin
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        max_bucket_size=MAX_BUCKET,
+    ).select("id_a", "id_b", "est_jaccard")
+    hashed = pin(
+        D.spread(docs).select(
+            F.col("doc_id").alias("doc"),
+            F.array_distinct(
+                F.transform(
+                    D.shingles_of_norm(D.normalize_text("text"), SHINGLE_K),
+                    D.hash32,
+                )
+            ).alias("dv"),
+        )
+    )
+    ex = hashed.select("doc", F.explode("dv").alias("h"))
+    a = ex.select(F.col("doc").alias("id_a"), "h")
+    b = ex.select(F.col("doc").alias("id_b"), "h")
+    co = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = hashed.select("doc", F.size("dv").alias("n"))
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+    tru = (
+        pairs.join(co, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(
+                inter / ((F.col("na") + F.col("nb")).cast("double") - inter), 4
+            ).alias("true_jaccard"),
+        )
+    )
+    return tru.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "true_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 4).alias(
+            "abs_err"
+        ),
+    )

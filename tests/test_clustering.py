@@ -86,3 +86,19 @@ def test_semantic_dedup_cluster_size_guard(spark):
     df = _vecs(spark, [[float(i), 0.0] for i in range(6)])
     with pytest.raises(ValueError, match="raise k or the bound"):
         C.semantic_dedup(df, k=1, iters=1, max_cluster_rows=3)
+
+
+def test_lloyd_kmeans_partition_invariant(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(60)]
+    df = _vecs(spark, rows)
+    a = sorted(
+        (r["vec_id"], r["cluster"]) for r in C.lloyd_kmeans(df, k=3, iters=3)[0].collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in C.lloyd_kmeans(df.repartition(7), k=3, iters=3)[0].collect()
+    )
+    assert a == b
