@@ -43,6 +43,8 @@ PRIORITY = [
     "source_orc_roundtrip",
     "join_bucketed_colocated",
     "minhash_estimation_error",
+    "sink_partitioned_pruning",
+    "source_schema_evolution",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -313,3 +313,66 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="orc_roundtrip_")
     src.write.mode("overwrite").orc(out)
     return spark.read.orc(out).select("file_name", "guid", "md5", "size", "url")
+
+
+_PARTITIONED_ORACLE = """
+SELECT event_id, user_id, event_type
+FROM events WHERE event_type IN ('signup', 'purchase')
+"""
+
+
+@query("sink_partitioned_pruning", oracle=_PARTITIONED_ORACLE, tags=("sources",))
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout — THE 100 TB table organization:
+    events are written partitionBy(event_type), and the read back with
+    an event_type predicate prunes to the two matching directories at
+    PLANNING time (PartitionFilters in the scan, asserted in
+    tests/test_sources.py) — the other partitions' files are never
+    opened, let alone scanned. At scale this is the difference between
+    reading 2/5 of the table and all of it."""
+    import tempfile
+
+    from c3dc_etl_spark.suite.registry import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="part_events_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select("event_id", "user_id", "event_type")
+
+
+_EVOLVE_ORACLE = f"""
+SELECT file_name, guid, md5, size, url, NULL AS checksum_alg
+FROM read_csv('{FIXTURES / "manifest.csv"}', header=true, all_varchar=true)
+WHERE file_name <= 'P002.json'
+UNION ALL
+SELECT file_name, guid, md5, size, url, 'md5' AS checksum_alg
+FROM read_csv('{FIXTURES / "manifest.csv"}', header=true, all_varchar=true)
+WHERE file_name > 'P002.json'
+"""
+
+
+@query("source_schema_evolution", oracle=_EVOLVE_ORACLE, tags=("sources",))
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: a dataset whose newer files carry an
+    ADDED column (checksum_alg) reads as one table under
+    mergeSchema=true — old files surface NULL for the new column, new
+    files keep their values, by-name resolution throughout. This is how
+    a 100 TB corpus absorbs schema growth without rewriting history."""
+    import tempfile
+
+    src = spark.read.csv(
+        str(FIXTURES / "manifest.csv"), header=True, inferSchema=False
+    )
+    out = tempfile.mkdtemp(prefix="evolve_")
+    src.filter(F.col("file_name") <= "P002.json").write.parquet(f"{out}/gen1")
+    src.filter(F.col("file_name") > "P002.json").withColumn(
+        "checksum_alg", F.lit("md5")
+    ).write.parquet(f"{out}/gen2")
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen1", f"{out}/gen2"
+    ).select("file_name", "guid", "md5", "size", "url", "checksum_alg")

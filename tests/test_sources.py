@@ -328,3 +328,19 @@ def test_read_worksheet_headerless_kept_gets_positional_name(spark, tmp_path):
     )
     df = read_worksheet(spark, path, "s", prune_headerless=False)
     assert df.columns == ["a", "_c1", "c"]
+
+
+def test_partitioned_scan_prunes_at_planning_time(spark):
+    """The partitioned-layout query's scan must carry the event_type
+    predicate as a PartitionFilter (directory pruning, zero data read
+    from other partitions) and prune the partition column out of the
+    data ReadSchema."""
+    from c3dc_etl_spark.suite import REGISTRY
+
+    df = REGISTRY["sink_partitioned_pruning"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PartitionFilters: [")
+    assert i != -1, "scan lost its partition filters"
+    window = plan[i : i + 160]
+    assert "event_type" in window and "IN (signup,purchase)" in window
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan
