@@ -45,6 +45,7 @@ PRIORITY = [
     "minhash_estimation_error",
     "sink_partitioned_pruning",
     "source_schema_evolution",
+    "bpe_train_merges",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -469,3 +469,96 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "source", "token", "tf", "score", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE-merge training (T66)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def _bpe_ctes(m: int) -> str:
+    """Unrolled BPE training: words -> framed chars -> m x (pair count,
+    argmax, fold-apply). The fold is the SAME greedy left-to-right merge
+    the Spark operator runs (string accumulator, binary-collation
+    tie-breaks, integer counts) — no floats, so parity is exact."""
+    parts = [
+        r"""words AS MATERIALIZED (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                                    t -> t <> '')) AS w
+          FROM documents)
+    GROUP BY w
+)""",
+        r"""s0 AS MATERIALIZED (
+    SELECT word, freq,
+           CHR(31) || REGEXP_REPLACE(word, '(.)', '\1' || CHR(31), 'g') AS s
+    FROM words
+)""",
+    ]
+    for n in range(1, m + 1):
+        parts.append(
+            f"""p{n} AS (
+    SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS total
+    FROM (SELECT freq, LIST_FILTER(STRING_SPLIT(s, CHR(31)), x -> x <> '') AS syms
+          FROM s{n - 1}),
+         UNNEST(GENERATE_SERIES(1, LEN(syms) - 1)) AS t(i)
+    GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""m{n} AS MATERIALIZED (
+    SELECT a, b, CAST(total AS BIGINT) AS total
+    FROM p{n}
+    QUALIFY ROW_NUMBER() OVER (ORDER BY total DESC, a ASC, b ASC) = 1
+)"""
+        )
+        if n < m:
+            parts.append(
+                f"""s{n} AS MATERIALIZED (
+    SELECT word, freq,
+           LIST_REDUCE(
+               LIST_PREPEND(CHR(31), LIST_FILTER(STRING_SPLIT(s, CHR(31)),
+                                                 x -> x <> '')),
+               (acc, x) -> CASE
+                   WHEN x = m.b AND ENDS_WITH(acc, CHR(31) || m.a || CHR(31))
+                   THEN SUBSTR(acc, 1, LEN(acc) - LEN(m.a) - 1)
+                        || m.a || m.b || CHR(31)
+                   ELSE acc || x || CHR(31) END) AS s
+    FROM s{n - 1}, m{n} m
+)"""
+            )
+    return ",\n".join(parts)
+
+
+_BPE_ORACLE = (
+    f"WITH {_bpe_ctes(_BPE_MERGES)}\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({n} AS BIGINT) AS rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, total AS pair_count FROM m{n}"
+        for n in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
+@query("bpe_train_merges", oracle=_BPE_ORACLE, tags=("text",))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training, the industrial shape: one corpus pass
+    builds the word-frequency table, then each merge iteration is a
+    vocab-bounded pair-count aggregation + a single-row TakeOrdered
+    argmax + a narrow fold-apply (pure codegen expressions, no UDF).
+    Output: the learned merges in rank order. The oracle unrolls the
+    identical iterations — integer counts and binary string tie-breaks
+    mean exact parity, the same discipline as the k-means unroll."""
+    from c3dc_etl_spark.operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    learned, _ = bpe_train(docs, text_col="text", merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (n + 1, a, b, a + b, total)
+            for n, (a, b, total) in enumerate(learned)
+        ],
+        "rank long, left_sym string, right_sym string, merged string, pair_count long",
+    )

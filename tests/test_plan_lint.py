@@ -34,6 +34,9 @@ _DRIVER_SIDE = {
     "streaming_stateful_running_stats",
     "streaming_static_enrich",
     "link_wiring_collect",
+    # the learned-merge list is a k-row driver artifact by design (each
+    # iteration's argmax is a single-row TakeOrdered)
+    "bpe_train_merges",
 }
 
 # cosine_topk intentionally BNLJs: the QUERY batch is broadcast (small
