@@ -46,6 +46,7 @@ PRIORITY = [
     "sink_partitioned_pruning",
     "source_schema_evolution",
     "bpe_train_merges",
+    "bpe_tokenize_apply",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -562,3 +562,88 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank long, left_sym string, right_sym string, merged string, pair_count long",
     )
+
+
+_BPE_SFINAL_CTES = _bpe_ctes(_BPE_MERGES) + f""",
+sfinal AS MATERIALIZED (
+    SELECT word, freq,
+           LIST_REDUCE(
+               LIST_PREPEND(CHR(31), LIST_FILTER(STRING_SPLIT(s, CHR(31)),
+                                                 x -> x <> '')),
+               (acc, x) -> CASE
+                   WHEN x = m.b AND ENDS_WITH(acc, CHR(31) || m.a || CHR(31))
+                   THEN SUBSTR(acc, 1, LEN(acc) - LEN(m.a) - 1)
+                        || m.a || m.b || CHR(31)
+                   ELSE acc || x || CHR(31) END) AS s
+    FROM s{_BPE_MERGES - 1}, m{_BPE_MERGES} m
+)"""
+
+_BPE_APPLY_ORACLE = rf"""
+WITH {_BPE_SFINAL_CTES},
+wt AS (
+    SELECT word,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(s, CHR(31)), x -> x <> ''))
+                AS BIGINT) AS n_syms
+    FROM sfinal
+),
+dw AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                              t -> t <> '')) AS word
+    FROM documents
+),
+per AS (
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wt.n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN wt USING (word)
+    GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_words, 0) AS n_words,
+       COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+@query("bpe_tokenize_apply", oracle=_BPE_APPLY_ORACLE, tags=("text",))
+def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize: the learned BPE merges are applied to the
+    corpus via the word table (every merge already folded in), so
+    per-document token counts come from a words -> word-table equi-join
+    + sum, never from re-running merges per document — the same
+    amortization a production tokenizer service uses (tokenize the
+    vocab once, join everywhere). Word-keyed join: vocab-bounded build
+    side, broadcastable at any corpus size."""
+    from c3dc_etl_spark.operators import bpe as B
+
+    docs = load(spark, sf_dir, "documents")
+    _, words = B.bpe_train(docs, text_col="text", merges=_BPE_MERGES)
+    wt = words.select(
+        "word",
+        F.size(
+            F.filter(F.split(F.col("s"), B.SEP), lambda x: x != F.lit(""))
+        ).cast("bigint").alias("n_syms"),
+    )
+    dw = docs.select(
+        "doc_id", F.explode(T.lower_tokens("text")).alias("word")
+    )
+    per = (
+        dw.join(F.broadcast(wt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+    )
