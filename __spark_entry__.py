@@ -47,6 +47,7 @@ PRIORITY = [
     "source_schema_evolution",
     "bpe_train_merges",
     "bpe_tokenize_apply",
+    "streaming_stream_stream_join",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

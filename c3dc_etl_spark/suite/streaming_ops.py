@@ -399,3 +399,61 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(enriched, "stream_static_enrich", "append")
     return sink
+
+
+_SS_JOIN_ORACLE = """
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       EPOCH_US(p.ts) - EPOCH_US(s.ts) AS delta_us
+FROM events s
+JOIN events p
+  ON p.user_id = s.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND EPOCH_US(p.ts) >= EPOCH_US(s.ts)
+ AND EPOCH_US(p.ts) <= EPOCH_US(s.ts) + 7200000000
+"""
+
+
+@query("streaming_stream_stream_join", oracle=_SS_JOIN_ORACLE, tags=("streaming",))
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the hardest streaming shape: the
+    signup stream joins the purchase stream on user_id with an
+    event-time range (purchase within 2h of signup), both sides
+    watermarked so the join STATE is evicted once the other side can no
+    longer match (the time-range condition is what lets Spark bound
+    each side's buffer — without it state grows forever). Inner join,
+    append mode; at scale the state store holds only the 2h+delay
+    horizon per side. The oracle is the equivalent batch interval
+    join."""
+    s1, schema = _table_stream(spark, sf_dir, "events")
+    s2, _ = _table_stream(spark, sf_dir, "events")
+    sign = (
+        _with_event_ts(s1, schema)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("event_ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    buy = (
+        _with_event_ts(s2, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("event_ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = sign.join(
+        buy,
+        (F.col("s_user") == F.col("b_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        "signup_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("delta_us"),
+    )
+    return _run_to_memory(joined, "stream_ss_join", "append")

@@ -33,6 +33,7 @@ _DRIVER_SIDE = {
     "streaming_session_late_data",
     "streaming_stateful_running_stats",
     "streaming_static_enrich",
+    "streaming_stream_stream_join",
     "link_wiring_collect",
     # the learned-merge list is a k-row driver artifact by design (each
     # iteration's argmax is a single-row TakeOrdered)
