@@ -45,3 +45,50 @@ def test_bpe_train_validates_args(spark):
     docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="merges"):
         B.bpe_train(docs, merges=0)
+
+
+def _py_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping merge."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_merge_fold_matches_reference_on_random_words(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="ab", min_size=0, max_size=12))
+    def collect(w):
+        words.append(w)
+
+    collect()
+    cases = sorted(set(words))
+    df = spark.createDataFrame([(w,) for w in cases], "word string")
+    got = {
+        r["word"]: [x for x in r["s"].split(B.SEP) if x != ""]
+        for r in df.select(
+            "word", B.merge_fold(B.framed_chars(F.col("word")), "a", "b").alias("s")
+        ).collect()
+    }
+    for w in cases:
+        assert got[w] == _py_merge(list(w), "a", "b"), w
+    # and the self-pair (overlap-sensitive) case
+    got_aa = {
+        r["word"]: [x for x in r["s"].split(B.SEP) if x != ""]
+        for r in df.select(
+            "word", B.merge_fold(B.framed_chars(F.col("word")), "a", "a").alias("s")
+        ).collect()
+    }
+    for w in cases:
+        assert got_aa[w] == _py_merge(list(w), "a", "a"), w
