@@ -48,6 +48,7 @@ PRIORITY = [
     "bpe_train_merges",
     "bpe_tokenize_apply",
     "streaming_stream_stream_join",
+    "rollup_merge_partials",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

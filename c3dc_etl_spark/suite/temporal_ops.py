@@ -333,3 +333,61 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily
+
+
+_MERGE_MOD = 5  # event_id % 5 == 0 -> "delta snapshot" (20%)
+
+_MERGE_PARTIALS_ORACLE = f"""
+SELECT event_type,
+       (EPOCH_US(ts) // {_HOUR_US}) // {_DAY_HOURS} AS day_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(EPOCH_US(ts)) AS first_ts_us,
+       MAX(EPOCH_US(ts)) AS last_ts_us
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "rollup_merge_partials",
+    oracle=_MERGE_PARTIALS_ORACLE,
+    tags=("temporal", "rollup"),
+)
+def rollup_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the corpus is split
+    into a BASE snapshot and a DELTA (event_id % 5 == 0, the 20%
+    'newly arrived' slice), each side computes its own daily partials
+    independently, and the stored view updates by RE-AGGREGATING THE
+    PARTIALS — count/sum/min/max are algebraic, so merge(sums) ==
+    recompute, proven by the oracle's direct full aggregation. At
+    100 TB this is how a continuous aggregate absorbs a day of new
+    data: touch the delta's buckets, never rescan history. Exact
+    DECIMAL sums make the merge bit-lossless (double partial sums
+    would drift under re-association)."""
+    ev = load(spark, sf_dir, "events")
+
+    def partials(side: DataFrame) -> DataFrame:
+        return side.groupBy(
+            "event_type",
+            (F.floor(F.col("ts_us") / _HOUR_US) / _DAY_HOURS).cast("long")
+            .alias("day_bucket"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("sv"),
+            F.min("ts_us").alias("mn"),
+            F.max("ts_us").alias("mx"),
+        )
+
+    base = partials(ev.filter(F.col("event_id") % _MERGE_MOD != 0))
+    delta = partials(ev.filter(F.col("event_id") % _MERGE_MOD == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day_bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.min("mn").alias("first_ts_us"),
+            F.max("mx").alias("last_ts_us"),
+        )
+    )
