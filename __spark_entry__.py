@@ -49,6 +49,8 @@ PRIORITY = [
     "bpe_tokenize_apply",
     "streaming_stream_stream_join",
     "rollup_merge_partials",
+    "q6_forecast_revenue_sql",
+    "source_corrupt_records",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

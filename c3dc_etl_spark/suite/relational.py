@@ -374,3 +374,40 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue_sql", oracle=_Q6_ORACLE, tags=("relational", "sql"))
+def q6_forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) expressed through the plain
+    SQL API surface — temp view + spark.sql — proving the engine's SQL
+    entry point carries the same semantics as the DataFrame plans (both
+    compile to the same Catalyst tree). All four predicates push to the
+    parquet scan; the aggregation is a single partial-agg reduce with
+    exact DECIMAL products so the sum is order-independent."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """
+    )

@@ -376,3 +376,34 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(
         f"{out}/gen1", f"{out}/gen2"
     ).select("file_name", "guid", "md5", "size", "url", "checksum_alg")
+
+
+# Golden-vector oracle (committed fixture): PERMISSIVE-mode semantics —
+# parseable fields survive, the malformed field nulls out, and the raw
+# line is quarantined in the corrupt column for reprocessing.
+_DIRTY_ORACLE = """
+SELECT * FROM (VALUES
+    (1, 'alpha', 10, CAST(NULL AS VARCHAR)),
+    (2, 'beta', CAST(NULL AS INTEGER), '2,beta,notanum'),
+    (3, 'gamma', 30, '3,gamma,30,EXTRA'),
+    (4, 'delta', 40, CAST(NULL AS VARCHAR))
+) AS t(id, name, qty, corrupt_line)
+"""
+
+
+@query("source_corrupt_records", oracle=_DIRTY_ORACLE, tags=("sources",))
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance — non-negotiable for a 100 TB crawl
+    ingest: the CSV scan runs PERMISSIVE with a corrupt-record column,
+    so a bad row (type mismatch, wrong arity) never kills the job —
+    parseable fields survive, the raw line lands in the quarantine
+    column for a reprocess pass, and good rows flow through untouched.
+    DROPMALFORMED/FAILFAST remain one option away when the contract is
+    stricter."""
+    return (
+        spark.read.schema("id INT, name STRING, qty INT, corrupt_line STRING")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_line")
+        .csv(str(FIXTURES / "dirty.csv"))
+    )
