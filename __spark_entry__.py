@@ -51,6 +51,8 @@ PRIORITY = [
     "rollup_merge_partials",
     "q6_forecast_revenue_sql",
     "source_corrupt_records",
+    "window_functions_suite",
+    "agg_grouping_cube",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

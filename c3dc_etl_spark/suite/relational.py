@@ -9,7 +9,7 @@ deterministic top-k (O4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from c3dc_etl_spark.suite.registry import davg, dec, dsum, load, query
@@ -410,4 +410,81 @@ def q6_forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
         """
+    )
+
+
+_WINFUNC_ORACLE = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER w AS gap_us,
+       ROUND(PERCENT_RANK() OVER w, 4) + 0.0 AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts) ASC, event_id ASC)
+"""
+
+
+@query("window_functions_suite", oracle=_WINFUNC_ORACLE, tags=("relational",))
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window family in one pass: row_number,
+    ntile, lag-delta, percent_rank over (user, time) — ONE window spec,
+    so Catalyst evaluates all four functions in a single WindowExec
+    after a single shuffle on user_id (total order inside each
+    partition via the (ts, id) tie-break keeps every function
+    deterministic cross-engine)."""
+    from c3dc_etl_spark.suite.registry import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        (F.col("ts_us") - F.lag("ts_us", 1).over(w)).alias("gap_us"),
+        (F.round(F.percent_rank().over(w), 4) + F.lit(0.0)).alias("pct_rank"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(day_bucket AS STRING), '<all>') AS day_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day_bucket) AS BIGINT)
+           AS grouping_id
+FROM (SELECT event_type, EPOCH_US(ts) // 86400000000 AS day_bucket FROM events)
+GROUP BY CUBE (event_type, day_bucket)
+"""
+
+
+@query("agg_grouping_cube", oracle=_CUBE_ORACLE, tags=("relational",))
+def agg_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all four grouping combinations (type x day,
+    type, day, grand total) in ONE pass: Spark expands the grouping
+    sets map-side and partially aggregates before the single exchange,
+    so the cube costs one shuffle, not four scans. grouping_id
+    disambiguates the NULL-as-total rows exactly as the oracle's
+    GROUPING() bits do."""
+    from c3dc_etl_spark.suite.registry import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts_us") / F.lit(86_400_000_000)).alias("day_bucket"),
+    )
+    return (
+        ev.cube("event_type", "day_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.grouping_id().cast("bigint").alias("grouping_id"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day_bucket").cast("string"), F.lit("<all>")).alias(
+                "day_bucket"
+            ),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "grouping_id",
+        )
     )
