@@ -53,6 +53,7 @@ PRIORITY = [
     "source_corrupt_records",
     "window_functions_suite",
     "agg_grouping_cube",
+    "sample_weighted_reservoir",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -273,3 +273,80 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.split_assign(
         assign, id_col="component", splits=SPLITS, seed=SPLIT_SEED
     ).select("doc_id", "component", "split")
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis-Spirakis exponential keys)
+# ---------------------------------------------------------------------------
+
+RES_K = 50
+RES_SEED = "wr"
+RES_WEIGHTS = {"en": 3.0, "de": 2.0, "fr": 1.0, "es": 0.5, "zh": 0.25}
+
+_RES_W_CASE = (
+    "(CASE "
+    + " ".join(f"WHEN lang = '{v}' THEN {w!r}" for v, w in sorted(RES_WEIGHTS.items()))
+    + " ELSE 1.0 END)"
+)
+
+# u in (0, 1]: (fold + 1) / 2^32 — u = 0 would need LN(0), where Spark's
+# non-ANSI log() yields NULL while DuckDB yields -inf
+_RES_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id, lang,
+           ({_fold_h(f"MD5('{RES_SEED}:' || CAST(doc_id AS STRING))")} + 1)
+               / 4294967296.0 AS u,
+           {_RES_W_CASE} AS w
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, lang, ROUND(-LN(u) / w, 6) + 0.0 AS es_key FROM k
+)
+SELECT doc_id, lang, es_key, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY es_key ASC, doc_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {RES_K}
+"""
+
+
+@query("sample_weighted_reservoir", oracle=_RES_ORACLE, tags=("sampling",))
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): each
+    row draws a deterministic exponential key -ln(u)/w from its hash
+    uniform and per-language weight; the k smallest keys are the sample
+    — inclusion probability proportional to weight, no RNG, stable
+    under any partitioning. The global top-k goes through the
+    reducer-bounded salted two-phase (no full sort, no single-reducer
+    rank); keys are ranked ROUNDED (6dp) so a libm/JVM ln() last-ulp
+    difference cannot flip a near-tie."""
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.lit(1.0)
+    for lang, wt in sorted(RES_WEIGHTS.items(), reverse=True):
+        w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
+    # (fold + 1) / 2^32: reproduce hash_uniform's fold with the +1 shift
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(RES_SEED + ":"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (F.round(-F.log(u) / w, 6) + F.lit(0.0)).alias("es_key"),
+    )
+    top = salted_topk(
+        scored,
+        [],
+        [F.col("es_key").asc(), F.col("doc_id").asc()],
+        RES_K,
+        salt=F.xxhash64("doc_id"),
+        rank_col="rank",
+    )
+    return top.select(
+        "doc_id", "lang", "es_key", F.col("rank").cast("bigint").alias("rank")
+    )
