@@ -76,20 +76,22 @@ PRIORITY = [
     "unpivot_wide_to_long",
     "text_token_counts",
     "text_fingerprint",
-    # --- r2-green: refresh within this round's window ---
+    # --- r2-green: refresh within this round's window (head first: the
+    # four rotation-pinned names lead so session-2's new queries cannot
+    # push them past the driver's 50-entry window) ---
     "engine_typegroup_fanout",
     "engine_sum_macros",
+    "source_delimited_scan",
+    "merge_first_wins_engine",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",
     "engine_primary_follow_up",
-    "source_delimited_scan",
     "source_jsondir_pivot",
     "source_jsondir_dupkeys",
     "source_manifest_join",
     "validate_column_checks",
     "merge_fingerprint_invariance",
-    "merge_first_wins_engine",
     "sample_stratified_hash",
     "sample_weighted_mixture",
     "corpus_build_pipeline",
