@@ -368,3 +368,43 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     new_ids = {p[0] for p in got}
     assert 101 not in new_ids  # novel doc produces no candidates
     assert all(p[0] >= 100 for p in got)  # never base-vs-base
+
+
+def test_streaming_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Restarting from the same checkpoint must process ONLY files that
+    arrived since the last run: the file-source offsets live in the
+    checkpoint, so a resumed availableNow pass skips everything already
+    committed — re-running never duplicates output (the exactly-once
+    resume contract a production ingest relies on)."""
+    import json as _json
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def arrive(name, rows):
+        p = src / name
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def drain():
+        sq = (
+            spark.readStream.schema("k string, v long")
+            .json(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+
+    arrive("f1.json", [{"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "c", "v": 3}])
+    drain()
+    assert spark.read.parquet(str(out)).count() == 3
+    arrive("f2.json", [{"k": "d", "v": 4}, {"k": "e", "v": 5}])
+    drain()
+    got = spark.read.parquet(str(out))
+    assert got.count() == 5  # 3 + 2, NOT 3 + 5: f1 was not reprocessed
+    assert {r["k"] for r in got.collect()} == {"a", "b", "c", "d", "e"}
