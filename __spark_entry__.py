@@ -54,6 +54,8 @@ PRIORITY = [
     "window_functions_suite",
     "agg_grouping_cube",
     "sample_weighted_reservoir",
+    "kmeans_cluster_purity",
+    "corpus_drift_psi",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -208,3 +208,64 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(n / float(TOP_K), 4) + F.lit(0.0)).alias("recall"),
         )
     )
+
+
+_PURITY_ORACLE = f"""
+WITH {_kmeans_ctes()},
+lab AS (
+    SELECT a.vec_id, a.cluster, e2.label
+    FROM a{ITERS} a JOIN embeddings e2 ON e2.vec_id = a.vec_id
+),
+per AS (
+    SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lab GROUP BY cluster, label
+),
+tot AS (
+    SELECT cluster, CAST(SUM(n) AS BIGINT) AS size FROM per GROUP BY cluster
+),
+best AS (
+    SELECT cluster, label AS majority_label, n AS n_major
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY n DESC, label ASC) AS rn
+        FROM per
+    ) WHERE rn = 1
+)
+SELECT t.cluster, t.size, CAST(b.majority_label AS BIGINT) AS majority_label,
+       ROUND(CAST(b.n_major AS DOUBLE) / t.size, 4) + 0.0 AS purity
+FROM tot t JOIN best b ON b.cluster = t.cluster
+"""
+
+
+@query("kmeans_cluster_purity", oracle=_PURITY_ORACLE, tags=("clustering",))
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality measurement: per-cluster majority-label
+    purity against the embeddings table's latent labels — the
+    clustering analogue of ann_ivf_recall (quality is a pinned number,
+    not an assumption; a seeding or iteration regression shifts purity
+    and fails the value hash). Label counts are a k*|labels|-keyed
+    partial-agg; the argmax is a k-partition window."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = C.lloyd_kmeans(emb, k=K, iters=ITERS, round_dp=MEAN_DP)
+    per = assigned.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label").asc())
+    best = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").cast("bigint").alias("majority_label"),
+            F.col("n").alias("n_major"),
+        )
+    )
+    tot = per.groupBy("cluster").agg(F.sum("n").cast("bigint").alias("size"))
+    return tot.join(best, "cluster").select(
+        "cluster",
+        "size",
+        "majority_label",
+        (F.round(F.col("n_major").cast("double") / F.col("size"), 4) + F.lit(0.0)).alias(
+            "purity"
+        ),
+    )

@@ -140,3 +140,94 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return profile_table(docs, list(_PROFILE_COLS), approx=False)
+
+
+_PSI_MOD = 5       # doc_id % 5 == 0 -> "new snapshot" slice
+_PSI_BUCKETS = 10  # fixed length-bucket domain: floor(n_chars/200) capped
+_PSI_WIDTH = 200
+_PSI_SMOOTH = 0.5  # add-k smoothing so empty buckets stay finite
+
+_PSI_ORACLE = f"""
+WITH b AS (SELECT t.i AS bucket FROM GENERATE_SERIES(0, {_PSI_BUCKETS - 1}) t(i)),
+base AS (
+    SELECT LEAST(n_chars // {_PSI_WIDTH}, {_PSI_BUCKETS - 1}) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE doc_id % {_PSI_MOD} <> 0 GROUP BY 1
+),
+delta AS (
+    SELECT LEAST(n_chars // {_PSI_WIDTH}, {_PSI_BUCKETS - 1}) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE doc_id % {_PSI_MOD} = 0 GROUP BY 1
+),
+tot AS (
+    SELECT (SELECT CAST(SUM(n) AS DOUBLE) FROM base) AS nb,
+           (SELECT CAST(SUM(n) AS DOUBLE) FROM delta) AS nd
+)
+SELECT CAST(b.bucket AS BIGINT) AS bucket,
+       COALESCE(base.n, 0) AS n_base,
+       COALESCE(delta.n, 0) AS n_delta,
+       ROUND(
+           ((COALESCE(base.n, 0) + {_PSI_SMOOTH})
+                / (tot.nb + {_PSI_SMOOTH * _PSI_BUCKETS})
+            - (COALESCE(delta.n, 0) + {_PSI_SMOOTH})
+                / (tot.nd + {_PSI_SMOOTH * _PSI_BUCKETS}))
+           * LN(((COALESCE(base.n, 0) + {_PSI_SMOOTH})
+                / (tot.nb + {_PSI_SMOOTH * _PSI_BUCKETS}))
+               / ((COALESCE(delta.n, 0) + {_PSI_SMOOTH})
+                / (tot.nd + {_PSI_SMOOTH * _PSI_BUCKETS}))), 6) + 0.0
+           AS psi_contrib
+FROM b LEFT JOIN base ON base.bucket = b.bucket
+       LEFT JOIN delta ON delta.bucket = b.bucket
+       CROSS JOIN tot
+"""
+
+
+@query("corpus_drift_psi", oracle=_PSI_ORACLE, tags=("corpus",))
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between corpus snapshots: the
+    population stability index over a FIXED length-bucket domain (base
+    slice vs the 20% 'new snapshot' slice), with add-k smoothing so an
+    empty bucket contributes a finite term. Per-bucket contributions
+    are emitted (their sum is the PSI; >0.25 conventionally flags a
+    shift worth investigating) — the pre-training drift gate that
+    catches a crawler or filter regression before it trains in. Two
+    bucket-keyed partial aggs + two scalar totals; the bucket domain is
+    a 10-row literal frame."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / _PSI_WIDTH), F.lit(_PSI_BUCKETS - 1)
+    ).cast("bigint")
+    base = (
+        docs.filter(F.col("doc_id") % _PSI_MOD != 0)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    delta = (
+        docs.filter(F.col("doc_id") % _PSI_MOD == 0)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_delta"))
+    )
+    nb = float(docs.filter(F.col("doc_id") % _PSI_MOD != 0).count())
+    nd = float(docs.filter(F.col("doc_id") % _PSI_MOD == 0).count())
+    dom = spark.range(_PSI_BUCKETS).select(F.col("id").cast("bigint").alias("bucket"))
+    sm = _PSI_SMOOTH
+    smtot = _PSI_SMOOTH * _PSI_BUCKETS
+    joined = (
+        dom.join(base, "bucket", "left")
+        .join(delta, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_base"), F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce(F.col("n_delta"), F.lit(0)).cast("bigint").alias("n_delta"),
+        )
+    )
+    p = (F.col("n_base") + F.lit(sm)) / F.lit(nb + smtot)
+    q = (F.col("n_delta") + F.lit(sm)) / F.lit(nd + smtot)
+    return joined.select(
+        "bucket",
+        "n_base",
+        "n_delta",
+        (F.round((p - q) * F.log(p / q), 6) + F.lit(0.0)).alias("psi_contrib"),
+    )
