@@ -56,6 +56,7 @@ PRIORITY = [
     "sample_weighted_reservoir",
     "kmeans_cluster_purity",
     "corpus_drift_psi",
+    "doc_chunk_content_defined",
     "storage_staged_scan",
     "ann_ivf_recall",
     "streaming_session_late_data",

@@ -647,3 +647,63 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_bpe_tokens"),
         )
     )
+
+
+_CDC_GRAM = 3
+_CDC_AVG = 8
+
+_CDC_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc, i - 1 AS pos, t[i] AS tok
+    FROM (SELECT doc_id AS doc,
+                 LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+         UNNEST(GENERATE_SERIES(1, LEN(t))) AS u(i)
+),
+win AS (
+    SELECT doc, pos, tok,
+           CONCAT_WS(CHR(31), LAG(tok, 2) OVER w, LAG(tok, 1) OVER w, tok)
+               AS win
+    FROM toks WINDOW w AS (PARTITION BY doc ORDER BY pos)
+),
+b AS (
+    SELECT doc, pos, tok,
+           CASE WHEN pos >= {_CDC_GRAM - 1}
+                 AND (CAST(CONCAT('0x', SUBSTR(MD5(win), 1, 8)) AS BIGINT)
+                      % {_CDC_AVG}) = 0
+                THEN 1 ELSE 0 END AS bd
+    FROM win
+),
+seg AS (
+    SELECT doc, pos, tok,
+           COALESCE(SUM(bd) OVER (PARTITION BY doc ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS segment_id
+    FROM b
+)
+SELECT doc AS doc_id,
+       CAST(segment_id AS BIGINT) AS segment_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       MD5(STRING_AGG(tok, CHR(31) ORDER BY pos)) AS segment_digest
+FROM seg GROUP BY doc, segment_id
+"""
+
+
+@query("doc_chunk_content_defined", oracle=_CDC_ORACLE, tags=("text", "chunking"))
+def doc_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS boundaries on token
+    streams): a token ends a window when the 32-bit hash of the
+    trailing 3-gram is 0 mod 8, so segment boundaries follow LOCAL
+    content — an insertion re-chunks only the segment it touches and
+    every later segment digest is unchanged, which is what chunk-level
+    dedup needs to survive edits (fixed windows shift everything).
+    Narrow explode + per-doc running sum; segment digests feed exact
+    dedup directly."""
+    from c3dc_etl_spark.operators.chunking import content_defined_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return content_defined_chunks(
+        docs, text_col="text", id_col="doc_id", gram=_CDC_GRAM, avg_tokens=_CDC_AVG
+    )

@@ -259,3 +259,32 @@ def test_bloom_contamination_deterministic(spark):
         ).collect()
     )
     assert a == b  # partitioning-invariant
+
+
+def test_content_defined_chunks_survive_prefix_insertion(spark):
+    """An insertion at the front must only re-chunk the first
+    segment(s): every later boundary is a function of local content,
+    so almost all segment digests are SHARED between the original and
+    edited documents — the property fixed-size windows cannot have
+    (they shift every downstream chunk)."""
+    import random
+
+    from c3dc_etl_spark.operators.chunking import content_defined_chunks
+
+    rng = random.Random(11)
+    toks = [f"w{rng.randrange(1000)}" for _ in range(120)]
+    original = " ".join(toks)
+    edited = "INSERTED " + original
+    df = spark.createDataFrame(
+        [(0, original), (1, edited)], "doc_id long, text string"
+    )
+    out = content_defined_chunks(df, gram=3, avg_tokens=8)
+    by_doc = {0: set(), 1: set()}
+    n_segs = {0: 0, 1: 0}
+    for r in out.collect():
+        by_doc[r["doc_id"]].add(r["segment_digest"])
+        n_segs[r["doc_id"]] += 1
+    shared = by_doc[0] & by_doc[1]
+    # all but the first couple of segments survive the edit intact
+    assert len(shared) >= n_segs[0] - 2, (n_segs, len(shared))
+    assert n_segs[0] > 5  # the doc actually chunked
