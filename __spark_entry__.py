@@ -86,6 +86,23 @@ PRIORITY = [
     "engine_sum_macros",
     "source_delimited_scan",
     "merge_first_wins_engine",
+    # --- new in round-4 session 3 (positions 51+): outside this round's
+    # 50-entry window by design — the window above is exactly budgeted
+    # (36 new + 10 r1-stale + 4 pinned r2); these lead round 5's window.
+    # Locally oracle-verified via scripts/check_oracle.py meanwhile.
+    "q4_priority_semijoin",
+    "q13_order_distribution",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "scd2_dimension_build",
+    "heavy_hitters_cms",
+    "zorder_block_skipping",
+    "record_linkage_blocked",
+    "dq_expectations_report",
+    "rolling_time_stats",
+    "funnel_conversion",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

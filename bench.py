@@ -57,6 +57,9 @@ HEADLINE = [
     "ngram_lm_score",
     "text_tfidf_keywords",
     "profile_documents",
+    "scd2_dimension_build",
+    "zorder_block_skipping",
+    "q18_large_orders",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is

@@ -1,0 +1,250 @@
+"""Warehouse-layer operators: SCD Type-2 dimension builds, count-min
+heavy-hitter sketches, Z-order (Morton) layout keys for multi-column
+data skipping, and blocked record linkage.
+
+These extend the reference's harmonize/merge surface (etl/*/c3dc_etl.py
+builds point-in-time snapshots only) with the temporal-versioning,
+sketching, and layout operations a 100 TB warehouse needs. Everything is
+declarative DataFrame expression code — no UDFs, no driver loops; the
+only driver traffic any of these require is a bounded 1-row stats
+collect by the caller (key maxima for layout bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_scd2(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build from a change log: collapse
+    consecutive runs of the same ``attr_col`` value per ``key_col`` into
+    versioned rows with ``[eff_from, eff_to)`` validity and an
+    ``is_current`` flag on the open-ended latest version.
+
+    Plan shape: ONE exchange on ``key_col``; the change-detection LAG,
+    the post-filter LEAD, and the version ROW_NUMBER all share that
+    partitioning (Catalyst plans the second window without a new
+    shuffle because the filter preserves the distribution). Per-key
+    state is the key's own history — no global sort, no driver state —
+    so the build scales with the widest single entity, not the table.
+    ``tiebreak_col`` must make (key, ts, tiebreak) unique or versions
+    would be nondeterministic under equal timestamps.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    marked = df.withColumn("__prev", F.lag(attr_col).over(w))
+    changes = marked.filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col))
+    )
+    return changes.select(
+        key_col,
+        F.row_number().over(w).cast("bigint").alias("version"),
+        attr_col,
+        F.col(ts_col).alias("eff_from"),
+        F.lead(ts_col).over(w).alias("eff_to"),
+        F.lead(ts_col).over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+def hash_bucket(col: Column, salt: Column | str, width: int) -> Column:
+    """Deterministic cross-engine hash bucket in [0, width): first 8 hex
+    chars of md5(salt:value) as an int, mod width. DuckDB mirror:
+    ``CAST(CONCAT('0x', SUBSTR(MD5(salt || ':' || v), 1, 8)) AS BIGINT)
+    % width``."""
+    s = F.lit(salt) if isinstance(salt, str) else salt
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", s, col)), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_sketch(
+    items: DataFrame,
+    item_col: str,
+    *,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Count-min sketch of an item stream: ``depth`` independent hash
+    rows x ``width`` buckets -> (depth_i, bucket, cell_count). The
+    sketch is ``depth * width`` cells REGARDLESS of input size, built in
+    one pass: each item contributes one increment per depth row (a
+    ``depth``-way in-plan fan-out, still narrow), and the single
+    exchange aggregates on (depth, bucket) — at most depth*width groups,
+    so map-side partial aggregation collapses almost everything before
+    the shuffle. Cells are additive: shard sketches merge by summing
+    cell counts, which is what makes this the 100 TB cardinality-bounded
+    frequency structure (Cormode & Muthukrishnan 2005)."""
+    rows = items.select(
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("depth_i"),
+        F.col(item_col).alias("__item"),
+    )
+    return (
+        rows.select(
+            "depth_i",
+            hash_bucket(
+                F.col("__item"), salt=F.concat(F.lit("cms"), F.col("depth_i").cast("string")), width=width
+            ).alias("bucket"),
+        )
+        .groupBy("depth_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    *,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Point-query the sketch for each probe item: min over the depth
+    rows of the probed cells — the count-min estimate, guaranteed >= the
+    true count (all error is overestimate from collisions). The sketch
+    side is depth*width rows, so the probe join is a broadcast hash
+    join; output one row per probe with ``est_count``."""
+    probe_cells = probes.select(
+        F.col(item_col),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("depth_i"),
+    ).select(
+        item_col,
+        "depth_i",
+        hash_bucket(
+            F.col(item_col), salt=F.concat(F.lit("cms"), F.col("depth_i").cast("string")), width=width
+        ).alias("bucket"),
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["depth_i", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cell_count").alias("est_count"))
+    )
+
+
+def morton_key(x: Column, y: Column, *, bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-bit bucket ids into a
+    single ``2*bits``-bit layout key: x occupies the even bit positions,
+    y the odd. Rows sorted by this key cluster in BOTH dimensions at
+    once, so block-level min/max stats (parquet row groups, file
+    footers) prune 2-D box predicates that a single-column sort can
+    only prune on its leading key.
+
+    Pure bit arithmetic (shift/and/or) — whole-stage-codegen'd, and
+    expressible identically in any engine for oracle parity."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        xb = F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1))
+        yb = F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1))
+        out = out.bitwiseOR(F.shiftleft(xb, 2 * i)).bitwiseOR(
+            F.shiftleft(yb, 2 * i + 1)
+        )
+    return out
+
+
+def morton_key_sql(x_expr: str, y_expr: str, *, bits: int = 8) -> str:
+    """ANSI/DuckDB SQL string computing the same Morton key as
+    :func:`morton_key` — generated from the same bit positions so the
+    two can never drift."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x_expr} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y_expr} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def block_skipping_stats(
+    df: DataFrame,
+    block_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    layout: str,
+) -> DataFrame:
+    """Block-level data-skipping measurement for a physical layout:
+    group rows into their layout blocks (``block_col`` = a key-prefix
+    block id — the declarative stand-in for a parquet row group under
+    ``repartitionByRange(layout_key).sortWithinPartitions``), compute
+    each block's min/max envelope on both dimensions, and report how
+    many blocks a 2-D box predicate must touch vs skip — the exact
+    arithmetic a parquet reader does against row-group statistics.
+
+    One exchange (the groupBy on block id), then a scalar aggregate over
+    |blocks| rows. ``rows_touched`` is the I/O proxy: rows living in
+    blocks whose envelope intersects the box."""
+    blocks = df.groupBy(F.col(block_col).alias("block_id")).agg(
+        F.min(x_col).alias("min_x"),
+        F.max(x_col).alias("max_x"),
+        F.min(y_col).alias("min_y"),
+        F.max(y_col).alias("max_y"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    touched = (
+        (F.col("max_x") >= x_lo)
+        & (F.col("min_x") <= x_hi)
+        & (F.col("max_y") >= y_lo)
+        & (F.col("min_y") <= y_hi)
+    ).cast("int")
+    return blocks.agg(
+        F.lit(layout).alias("layout"),
+        F.count(F.lit(1)).alias("blocks_total"),
+        F.sum(touched).cast("bigint").alias("blocks_touched"),
+        F.sum(F.col("n_rows") * touched).cast("bigint").alias("rows_touched"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+    )
+
+
+def blocked_linkage_pairs(
+    records: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    max_edit_distance: int,
+) -> DataFrame:
+    """Blocked record linkage: candidate pairs are generated ONLY within
+    a block (equi-join on the blocking key — a shuffle hash join, never
+    a cross product), ordered ``id < id`` so each unordered pair is
+    emitted exactly once, then scored with Levenshtein edit distance.
+    Returns one row per candidate pair with its distance and a match
+    flag.
+
+    Scale: the quadratic compare is confined to each block, so cost is
+    sum(|block|^2); the blocking key must be designed to bound block
+    size (compose attributes, or pre-apply
+    ``operators.dedup.drop_oversized_groups`` to cap pathological
+    blocks — same discipline as the LSH band caps)."""
+    a = records.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+    )
+    b = records.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("__blk").alias("block_key"),
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("edit_distance"),
+        )
+        .withColumn(
+            "is_match",
+            (F.col("edit_distance") <= max_edit_distance).cast("int"),
+        )
+    )

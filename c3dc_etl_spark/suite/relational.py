@@ -488,3 +488,304 @@ def agg_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grouping_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth block (round 4): the remaining canonical plan shapes the
+# Q1/Q3/Q5/Q6 family does not exercise — correlated EXISTS (semi join),
+# outer-join count distributions, NOT-IN (anti join) under COUNT DISTINCT,
+# HAVING-filtered join-back, OR-of-ANDs disjunctive pushdown, and a
+# scalar-subquery threshold with a dormancy anti join. Together they close
+# the "could a reference user run their relational workload here" question
+# for every join strategy Spark plans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_priority_semijoin",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "tpch"),
+)
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: correlated EXISTS compiled as a LEFT SEMI join —
+    orders in a 3-month window that had at least one line shipped >90
+    days after the order date, counted per priority. The semi join
+    carries only the join keys of the probe side and short-circuits on
+    first match; the date filter prunes the orders scan before the
+    shuffle, so at 100 TB the exchange moves one quarter of orders, not
+    the table."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-04-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders
+          ON c_custkey = o_custkey
+         AND o_orderpriority = '1-URGENT'
+         AND o_totalprice > 150000
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: customer order-count distribution through a
+    LEFT OUTER join whose predicate lives IN the join condition (urgent
+    big-ticket orders only), so customers with zero matches survive
+    with count 0. Two aggregations: the first shuffles on c_custkey
+    (matching the join's key, so AQE coalesces into one stage pair),
+    the second reduces |customers| rows to a handful of histogram
+    buckets — partial aggregation makes it map-side-trivial."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: supplier variety per (brand, type, size) with a
+    NOT-IN exclusion compiled as a broadcast LEFT ANTI join (the
+    excluded set — suppliers in arrears — is dimension-sized). part is
+    filtered then broadcast; COUNT(DISTINCT) expands to the standard
+    two-phase distinct aggregate, both phases partial before their
+    exchange. The fact table is the only shuffled input at any scale.
+
+    NOT IN is only anti-join-equivalent when the subquery is null-free;
+    s_suppkey is a key (never null), which both engines then plan as a
+    plain anti join."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o.o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           CAST(big.sum_qty AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    ) big ON big.l_orderkey = o.o_orderkey
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total line quantity exceeds a
+    threshold, joined back to orders+customer. The HAVING filter runs
+    where the aggregate lives — the big-order set collapses to ~1% of
+    orderkeys BEFORE any join, so the join-back input is tiny and AQE
+    turns both joins into broadcasts at any scale where the survivor
+    set stays dimension-sized. Quantity sums ride DECIMAL for exact,
+    order-independent totals (registry rule 1)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 250)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l_discount AS DECIMAL(18,2))
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    GROUP BY p_brand
+    """,
+    tags=("join", "filter", "tpch"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: OR-of-ANDs spanning both join sides. The
+    single-side implications Catalyst can extract are pushed below the
+    join (part keeps only the three brands' size windows; lineitem
+    keeps the quantity hull 1-50), the part side is broadcast, and the
+    full disjunction evaluates as the join's residual predicate —
+    revenue per matched brand in one pass over the fact table."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disjunct = (
+        ((br == "Brand#11") & sz.between(1, 15) & q.between(1, 20))
+        | ((br == "Brand#22") & sz.between(10, 30) & q.between(10, 40))
+        | ((br == "Brand#33") & sz.between(20, 50) & q.between(20, 50))
+    )
+    disc_price = (
+        dec("l_extendedprice").cast("decimal(18,2)")
+        * dec(F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(disjunct)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(disc_price).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH threshold AS (
+        -- exact decimal sum -> correctly-rounded double -> one IEEE
+        -- division: bit-identical threshold in both engines (engine-native
+        -- AVG would round at engine-specific intermediate precisions)
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg_bal FROM threshold)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers with no recent
+    orders, per nation. The scalar subquery (positive-balance mean) is
+    a one-row aggregate collected to the driver and folded in as a
+    literal — the bounded-collect pattern every engine uses for scalar
+    subqueries. The threshold is an exact DECIMAL sum cast to double
+    then divided by the count — one IEEE division from a
+    correctly-rounded operand, so both engines derive the bit-identical
+    threshold (engine-native AVG rounds at engine-specific intermediate
+    precisions and could flip a boundary row). Dormancy is a LEFT ANTI
+    join against the recent-orders slice; the date filter prunes that
+    slice before the anti join's exchange, and the build side carries
+    only o_custkey."""
+    cust = load(spark, sf_dir, "customer")
+    row = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(dsum("c_acctbal").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    avg_bal = row["s"] / row["n"]
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -391,3 +391,148 @@ def rollup_merge_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("last_ts_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window rolling stats: RANGE frame over event time
+# --------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+
+_ROLLING_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, user_id, EPOCH_US(ts) AS ts_us,
+           CAST(value AS DECIMAL(18,4)) AS v
+    FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(v) OVER w AS DOUBLE) AS sum_1h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {HOUR_US - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_time_stats", oracle=_ROLLING_ORACLE, tags=("temporal", "window"))
+def rolling_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour rolling aggregates per user via a RANGE window
+    frame over event time — the frame is defined by the ORDER-BY VALUE
+    (microseconds), not row offsets, so equal-timestamp peers enter the
+    frame together in both engines and bursty users get honest
+    per-wall-clock stats. One exchange on user_id; the in-partition
+    frame scan is incremental (Spark's sliding aggregation evicts as
+    the lower bound advances, never recomputing the frame). Values ride
+    DECIMAL inside the frame sum for order-independent exactness
+    (registry rule 1)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us", dec("value", 4).alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-(HOUR_US - 1), Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum("v").over(w).cast("double").alias("sum_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion: view -> click -> purchase within a horizon
+# --------------------------------------------------------------------------
+
+FUNNEL_HORIZON_US = 24 * HOUR_US
+
+_FUNNEL_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, EPOCH_US(ts) AS ts_us, event_type FROM events
+),
+v AS (
+    SELECT user_id, MIN(ts_us) AS view_ts_us
+    FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts_us) AS click_ts_us
+    FROM ev e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts_us > v.view_ts_us
+      AND e.ts_us <= v.view_ts_us + {FUNNEL_HORIZON_US}
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts_us) AS purchase_ts_us
+    FROM ev e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts_us > c.click_ts_us
+      AND e.ts_us <= c.click_ts_us + {FUNNEL_HORIZON_US}
+    GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_ts_us, c.click_ts_us, p.purchase_ts_us,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS stage_reached
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON c.user_id = p.user_id
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("temporal", "funnel"))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase, each stage
+    within 24h of the one before): per user, the earliest view anchors
+    the funnel, the earliest qualifying click anchors stage 2, the
+    earliest qualifying purchase completes it. Each stage is a filtered
+    slice aggregated to one row per user (map-side partial MIN) joined
+    to the previous stage's anchor — three shuffles on the SAME key, so
+    AQE plans them as one co-partitioned chain, and every join input is
+    user-cardinality, never event-cardinality. The per-user stage table
+    (not just totals) is the output: it joins back to cohorts/splits
+    downstream, and the value hash pins every anchor timestamp."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts_us", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("view_ts_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("view_ts_us"))
+            & (F.col("ts_us") <= F.col("view_ts_us") + FUNNEL_HORIZON_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_ts_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("click_ts_us"))
+            & (F.col("ts_us") <= F.col("click_ts_us") + FUNNEL_HORIZON_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_ts_us"))
+    )
+    stage = (
+        F.when(F.col("purchase_ts_us").isNotNull(), 3)
+        .when(F.col("click_ts_us").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts_us",
+            "click_ts_us",
+            "purchase_ts_us",
+            stage.cast("int").alias("stage_reached"),
+        )
+    )

@@ -1,0 +1,385 @@
+"""Warehouse-operator queries: SCD Type-2 builds, count-min heavy
+hitters, Z-order layout skipping, and blocked record linkage
+(operators/warehouse.py), each with a DuckDB oracle.
+
+The reference pipeline emits point-in-time snapshots only; these close
+the temporal-versioning / sketching / layout / linkage surface a 100 TB
+warehouse built on the same engine needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import warehouse as W
+from c3dc_etl_spark.operators import text as T
+from c3dc_etl_spark.suite.registry import load, query
+
+_SCD2_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_id, EPOCH_US(ts) AS ts_us, event_type FROM events
+),
+marked AS (
+    SELECT user_id, event_id, ts_us, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+    FROM ev
+),
+changes AS (
+    SELECT user_id, event_id, ts_us, event_type FROM marked
+    WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       event_type,
+       ts_us AS eff_from_us,
+       LEAD(ts_us) OVER w AS eff_to_us,
+       CAST(LEAD(ts_us) OVER w IS NULL AS INT) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+@query("scd2_dimension_build", oracle=_SCD2_ORACLE, tags=("warehouse", "window"))
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the event change log: per user,
+    consecutive runs of the same event_type collapse into versioned
+    rows with [eff_from, eff_to) microsecond validity and an is_current
+    flag on the open latest version — the temporal-versioning layer the
+    reference's point-in-time snapshots lack. One exchange on user_id
+    serves the change-detection LAG, the validity LEAD, and the version
+    ROW_NUMBER (the filter between them preserves the partitioning), so
+    at 100 TB the cost is a single shuffle of the change log and
+    per-entity history never leaves its partition."""
+    ev = load(spark, sf_dir, "events")
+    return W.build_scd2(
+        ev,
+        key_col="user_id",
+        ts_col="ts_us",
+        tiebreak_col="event_id",
+        attr_col="event_type",
+    ).select(
+        "user_id",
+        "version",
+        "event_type",
+        F.col("eff_from").alias("eff_from_us"),
+        F.col("eff_to").alias("eff_to_us"),
+        "is_current",
+    )
+
+
+# Width deliberately SMALLER than the synthetic corpus's ~31-token
+# vocabulary so collision mass is nonzero and the measured overestimates
+# are a live signal (width >= vocab would pin every error at 0); at
+# corpus scale the same operator runs with width in the thousands.
+CMS_DEPTH = 3
+CMS_WIDTH = 16
+CMS_TOP_K = 20
+
+_CMS_BUCKET = (
+    "CAST(CONCAT('0x', SUBSTR(MD5('cms' || depth_i || ':' || {tok}), 1, 8))"
+    f" AS BIGINT) % {CMS_WIDTH}"
+)
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+')) AS token
+    FROM documents WHERE TRIM(text) <> ''
+),
+depths AS (SELECT UNNEST(GENERATE_SERIES(0, {CMS_DEPTH - 1})) AS depth_i),
+sketch AS (
+    SELECT depth_i, {_CMS_BUCKET.format(tok='token')} AS bucket,
+           COUNT(*) AS cell_count
+    FROM toks, depths
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+    FROM toks GROUP BY token
+    ORDER BY exact_n DESC, token ASC LIMIT {CMS_TOP_K}
+),
+probes AS (
+    SELECT e.token, e.exact_n, depth_i,
+           {_CMS_BUCKET.format(tok='e.token')} AS bucket
+    FROM exact e, depths
+)
+SELECT p.token, p.exact_n,
+       CAST(MIN(s.cell_count) AS BIGINT) AS est_count,
+       CAST(MIN(s.cell_count) - p.exact_n AS BIGINT) AS overest
+FROM probes p JOIN sketch s USING (depth_i, bucket)
+GROUP BY p.token, p.exact_n
+"""
+
+
+@query("heavy_hitters_cms", oracle=_CMS_ORACLE, tags=("warehouse", "sketch"))
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, measured against exact
+    counts (the sketch analogue of minhash_estimation_error): build a
+    {CMS_DEPTH}x{CMS_WIDTH}-cell sketch of the token stream in one
+    pass, point-query it for the exact top-{CMS_TOP_K} tokens, and emit
+    estimate + overestimate per token. est >= exact always (count-min
+    error is one-sided collision mass); the pinned overestimates make
+    hash/width regressions visible to the value hash. At 100 TB the
+    sketch is STILL {CMS_DEPTH}*{CMS_WIDTH} cells — the single exchange
+    aggregates to at most that many groups, map-side partials collapse
+    the rest, and shard sketches merge by cell addition."""
+    docs = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    sketch = W.cms_sketch(toks, "token", depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(CMS_TOP_K)
+    )
+    est = W.cms_estimate(sketch, exact, "token", depth=CMS_DEPTH, width=CMS_WIDTH)
+    return exact.join(est, "token").select(
+        "token",
+        "exact_n",
+        F.col("est_count").cast("bigint").alias("est_count"),
+        (F.col("est_count") - F.col("exact_n")).cast("bigint").alias("overest"),
+    )
+
+
+# Box deliberately unaligned to block boundaries and selective in BOTH
+# dims; 8 prefix bits -> 256 blocks, so a z-block is a 16x16 cell while
+# a linear block is one exact x value spanning ALL of y — the layout
+# whose envelopes bound the second dimension wins by construction.
+ZBOX = (32, 95, 100, 163)
+ZPREFIX_SHIFT = 8  # 16-bit key -> 256 key-prefix blocks
+
+
+def _zorder_oracle() -> str:
+    mort = W.morton_key_sql("x8", "y8", bits=8)
+    x_lo, x_hi, y_lo, y_hi = ZBOX
+    stats = """
+    SELECT '{name}' AS layout,
+           CAST(COUNT(*) AS BIGINT) AS blocks_total,
+           CAST(SUM(CAST(max_x >= {x_lo} AND min_x <= {x_hi}
+                     AND max_y >= {y_lo} AND min_y <= {y_hi} AS INT))
+                AS BIGINT) AS blocks_touched,
+           CAST(SUM(n_rows * CAST(max_x >= {x_lo} AND min_x <= {x_hi}
+                     AND max_y >= {y_lo} AND min_y <= {y_hi} AS INT))
+                AS BIGINT) AS rows_touched,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total
+    FROM (
+        SELECT {block} AS block_id,
+               MIN(x8) AS min_x, MAX(x8) AS max_x,
+               MIN(y8) AS min_y, MAX(y8) AS max_y,
+               COUNT(*) AS n_rows
+        FROM keyed GROUP BY 1
+    ) b
+    """
+    z = stats.format(
+        name="zorder",
+        block=f"({mort} >> {ZPREFIX_SHIFT})",
+        x_lo=x_lo,
+        x_hi=x_hi,
+        y_lo=y_lo,
+        y_hi=y_hi,
+    )
+    lin = stats.format(
+        name="linear",
+        block=f"(((x8 << 8) | y8) >> {ZPREFIX_SHIFT})",
+        x_lo=x_lo,
+        x_hi=x_hi,
+        y_lo=y_lo,
+        y_hi=y_hi,
+    )
+    return f"""
+    WITH bounds AS (
+        SELECT MAX(l_partkey) AS max_pk, MAX(l_suppkey) AS max_sk FROM lineitem
+    ),
+    keyed AS (
+        SELECT CAST(FLOOR(l_partkey * 256.0 / (max_pk + 1)) AS BIGINT) AS x8,
+               CAST(FLOOR(l_suppkey * 256.0 / (max_sk + 1)) AS BIGINT) AS y8
+        FROM lineitem, bounds
+    )
+    {z}
+    UNION ALL
+    {lin}
+    """
+
+
+@query("zorder_block_skipping", oracle=_zorder_oracle(), tags=("warehouse", "layout"))
+def zorder_block_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout vs single-key sort, measured as block-level data
+    skipping: bucket (l_partkey, l_suppkey) to 8 bits each, derive each
+    row's layout block under (a) Morton-interleaved order and (b)
+    lexicographic (partkey-led) order — a block id is a layout-key
+    prefix, the declarative stand-in for the parquet row group that
+    ``repartitionByRange(key).sortWithinPartitions(key)`` would place
+    the row in — then count how many blocks' min/max envelopes a 2-D
+    box predicate intersects. Z-order blocks bound BOTH dimensions, so
+    the box prunes most of them; linear blocks bound only the leading
+    key, so a constraint on the second dimension skips almost nothing.
+    The pinned rows_touched gap IS the measured I/O saving of Z-order
+    at 100 TB; the measurement itself is two groupBys over a narrow
+    projection of the fact table (key maxima are a 1-row bounded
+    collect, the stats an engine would read from table metadata)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mx = li.agg(
+        F.max("l_partkey").alias("pk"), F.max("l_suppkey").alias("sk")
+    ).collect()[0]
+    keyed = li.select(
+        F.floor(F.col("l_partkey") * 256.0 / (mx["pk"] + 1)).alias("x8"),
+        F.floor(F.col("l_suppkey") * 256.0 / (mx["sk"] + 1)).alias("y8"),
+    )
+    x_lo, x_hi, y_lo, y_hi = ZBOX
+    mort = W.morton_key(F.col("x8"), F.col("y8"), bits=8)
+    zstats = W.block_skipping_stats(
+        keyed.withColumn("block_id", F.shiftright(mort, ZPREFIX_SHIFT)),
+        "block_id",
+        "x8",
+        "y8",
+        x_lo=x_lo,
+        x_hi=x_hi,
+        y_lo=y_lo,
+        y_hi=y_hi,
+        layout="zorder",
+    )
+    lin_key = F.shiftleft(F.col("x8"), 8).bitwiseOR(F.col("y8"))
+    lstats = W.block_skipping_stats(
+        keyed.withColumn("block_id", F.shiftright(lin_key, ZPREFIX_SHIFT)),
+        "block_id",
+        "x8",
+        "y8",
+        x_lo=x_lo,
+        x_hi=x_hi,
+        y_lo=y_lo,
+        y_hi=y_hi,
+        layout="linear",
+    )
+    return zstats.unionByName(lstats)
+
+
+LINK_MAX_EDIT = 1
+
+_LINKAGE_ORACLE = f"""
+WITH pairs AS (
+    SELECT a.c_nationkey AS block_key,
+           LEVENSHTEIN(a.c_name, b.c_name) AS d
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+)
+SELECT block_key,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN d <= {LINK_MAX_EDIT} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matches,
+       CAST(MIN(d) AS BIGINT) AS min_distance
+FROM pairs GROUP BY block_key
+"""
+
+
+@query("record_linkage_blocked", oracle=_LINKAGE_ORACLE, tags=("warehouse", "dedup"))
+def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage / entity resolution over customer records:
+    candidate pairs form ONLY within a blocking key (nation), are
+    emitted once (id_a < id_b), and score with Levenshtein edit
+    distance; the per-block candidate/match/min-distance aggregate is
+    the dedup report an MDM pipeline reviews. The join is an equi-join
+    on the block key — a shuffle hash join whose quadratic compare is
+    confined per block (sum |block|^2, never n^2); block-size caps
+    (operators.dedup.drop_oversized_groups) are the guard for skewed
+    blocking keys at 100 TB, exactly as in the LSH band pipeline."""
+    cust = load(spark, sf_dir, "customer")
+    pairs = W.blocked_linkage_pairs(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_col="c_nationkey",
+        max_edit_distance=LINK_MAX_EDIT,
+    )
+    return pairs.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("is_match").cast("bigint").alias("n_matches"),
+        F.min("edit_distance").cast("bigint").alias("min_distance"),
+    )
+
+
+_DQ_ORACLE = """
+WITH agg AS (
+    SELECT
+        CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nn_cust,
+        CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS nn_date,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_key,
+        CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END)
+             AS BIGINT) AS ok_status,
+        CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS ok_price,
+        CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+        CAST(COUNT(*) AS BIGINT) AS total
+    FROM orders
+)
+SELECT 'completeness(o_custkey)' AS check_name,
+       CAST(FLOOR(CAST(nn_cust AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)
+           AS metric_x1e6,
+       CAST(nn_cust = total AS INT) AS passed FROM agg
+UNION ALL
+SELECT 'completeness(o_orderdate)',
+       CAST(FLOOR(CAST(nn_date AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT),
+       CAST(nn_date = total AS INT) FROM agg
+UNION ALL
+SELECT 'uniqueness(o_orderkey)',
+       CAST(FLOOR(CAST(d_key AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT),
+       CAST(d_key = total AS INT) FROM agg
+UNION ALL
+SELECT 'values_in(o_orderstatus)',
+       CAST(FLOOR(CAST(ok_status AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT),
+       CAST(ok_status = total AS INT) FROM agg
+UNION ALL
+SELECT 'non_negative(o_totalprice)',
+       CAST(FLOOR(CAST(ok_price AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT),
+       CAST(ok_price = total AS INT) FROM agg
+UNION ALL
+SELECT 'min(o_totalprice)>=0',
+       CAST(FLOOR(min_price * 1000000 + 0.5) AS BIGINT),
+       CAST(min_price >= 0 AS INT) FROM agg
+UNION ALL
+SELECT 'row_count>=100',
+       CAST(FLOOR(CAST(total AS DOUBLE) * 1000000 + 0.5) AS BIGINT),
+       CAST(total >= 100 AS INT) FROM agg
+UNION ALL
+SELECT 'max(o_totalprice)<=100',
+       CAST(FLOOR(max_price * 1000000 + 0.5) AS BIGINT),
+       CAST(max_price <= 100 AS INT) FROM agg
+"""
+
+
+@query("dq_expectations_report", oracle=_DQ_ORACLE, tags=("warehouse", "validation"))
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectations over the orders table:
+    eight constraints (completeness, key uniqueness, domain membership,
+    sign, bounds, volume floor — one deliberately failing, so the
+    report's failure path is itself pinned) verified in ONE aggregation — N
+    constraints cost one scan regardless of N; the single result row is
+    stack()-exploded in-plan into the (check_name, metric, passed)
+    report. This is the generalized form of the reference's scattered
+    per-check validations (X1-X6 run one pass per check); at 100 TB the
+    difference between one scan and seven is the whole job. The
+    COUNT(DISTINCT) constraint expands to the standard two-phase
+    distinct aggregate alongside the plain partials."""
+    from c3dc_etl_spark.operators import expectations as E
+
+    orders = load(spark, sf_dir, "orders")
+    return E.check(
+        orders,
+        [
+            E.completeness("o_custkey"),
+            E.completeness("o_orderdate"),
+            E.uniqueness("o_orderkey"),
+            E.values_in("o_orderstatus", ("F", "O", "P")),
+            E.non_negative("o_totalprice"),
+            E.min_bound("o_totalprice", 0.0),
+            E.row_count_at_least(100),
+            # deliberately failing: pins the passed=0 path of the report
+            E.max_bound("o_totalprice", 100.0),
+        ],
+    )

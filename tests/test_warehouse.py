@@ -1,0 +1,178 @@
+"""Property tests for operators/warehouse.py: SCD2 tiling invariants,
+count-min one-sided error, Morton interleave correctness, layout
+skipping dominance, and blocked-linkage pair hygiene."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import warehouse as W
+from c3dc_etl_spark.suite import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scd2_versions_tile_without_overlap(spark):
+    rows = REGISTRY["scd2_dimension_build"].fn(spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        # versions are 1..n dense
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1))
+        # exactly one open current version, and it is the last
+        currents = [v for v in vs if v["is_current"] == 1]
+        assert len(currents) == 1 and currents[0] is vs[-1]
+        assert vs[-1]["eff_to_us"] is None
+        for a, b in zip(vs, vs[1:]):
+            # ranges tile: next version starts exactly where this ends
+            assert a["eff_to_us"] == b["eff_from_us"]
+            assert a["eff_from_us"] < a["eff_to_us"]
+            # consecutive versions differ in the tracked attribute
+            assert a["event_type"] != b["event_type"]
+
+
+def test_scd2_change_count_matches_log(spark):
+    from c3dc_etl_spark.suite.registry import load
+
+    ev = load(spark, SF, "events").orderBy("user_id", "ts_us", "event_id")
+    log = [(r["user_id"], r["event_type"]) for r in ev.collect()]
+    changes = 0
+    prev: dict[int, str] = {}
+    for user, et in log:
+        if prev.get(user) != et:
+            changes += 1
+        prev[user] = et
+    got = REGISTRY["scd2_dimension_build"].fn(spark, SF).count()
+    assert got == changes
+
+
+def test_cms_error_is_one_sided(spark):
+    rows = REGISTRY["heavy_hitters_cms"].fn(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["est_count"] >= r["exact_n"], r
+        assert r["overest"] == r["est_count"] - r["exact_n"]
+
+
+def test_morton_key_matches_python_reference(spark):
+    def py_morton(x: int, y: int, bits: int = 8) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    pts = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (37, 201)]
+    df = spark.createDataFrame(pts, "x long, y long").select(
+        "x", "y", W.morton_key(F.col("x"), F.col("y"), bits=8).alias("m")
+    )
+    for r in df.collect():
+        assert r["m"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])
+        assert 0 <= r["m"] < 1 << 16
+
+
+def test_zorder_skips_at_least_as_much_as_linear(spark):
+    rows = {
+        r["layout"]: r
+        for r in REGISTRY["zorder_block_skipping"].fn(spark, SF).collect()
+    }
+    z, lin = rows["zorder"], rows["linear"]
+    assert z["rows_total"] == lin["rows_total"] > 0
+    assert z["blocks_touched"] <= lin["blocks_touched"]
+    assert z["rows_touched"] <= lin["rows_touched"]
+    # the measurement must be live: neither layout degenerates to
+    # touching everything or nothing
+    assert 0 < z["rows_touched"] < z["rows_total"]
+
+
+def test_linkage_pairs_unordered_once_and_matches_bounded(spark):
+    from c3dc_etl_spark.suite.registry import load
+
+    cust = load(spark, SF, "customer")
+    pairs = W.blocked_linkage_pairs(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_col="c_nationkey",
+        max_edit_distance=1,
+    )
+    got = pairs.collect()
+    seen = set()
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        key = (r["id_a"], r["id_b"])
+        assert key not in seen, "pair emitted twice"
+        seen.add(key)
+        assert r["edit_distance"] >= 0
+        assert r["is_match"] == int(r["edit_distance"] <= 1)
+    # within-block pair counts are exactly n*(n-1)/2
+    sizes = (
+        cust.groupBy("c_nationkey").count().collect()
+    )
+    expect = sum(s["count"] * (s["count"] - 1) // 2 for s in sizes)
+    assert len(got) == expect
+
+
+def test_dq_report_one_scan_and_failure_path(spark):
+    df = REGISTRY["dq_expectations_report"].fn(spark, SF)
+    rows = {r["check_name"]: r for r in df.collect()}
+    assert len(rows) == 8
+    # clean synthetic data passes everything except the deliberate bound
+    assert rows["max(o_totalprice)<=100"]["passed"] == 0
+    assert all(
+        r["passed"] == 1
+        for n, r in rows.items()
+        if n != "max(o_totalprice)<=100"
+    )
+    # ratios are exact fixed-point: completeness/uniqueness are 1.0
+    assert rows["uniqueness(o_orderkey)"]["metric_x1e6"] == 1_000_000
+    # one-scan plan: exactly one FileScan of the orders parquet (after
+    # execution AQE prints Final AND Initial plans — count the final only)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1
+
+
+def test_rolling_window_matches_bruteforce(spark):
+    rows = REGISTRY["rolling_time_stats"].fn(spark, SF).collect()
+    from c3dc_etl_spark.suite.registry import load
+
+    ev = sorted(
+        (
+            (r["user_id"], r["ts_us"], r["event_id"])
+            for r in load(spark, SF, "events").collect()
+        ),
+    )
+    by_user: dict[int, list[int]] = {}
+    for u, ts, _ in ev:
+        by_user.setdefault(u, []).append(ts)
+    hour = 3_600_000_000
+    for r in rows[:200]:
+        tss = by_user[r["user_id"]]
+        expect = sum(1 for t in tss if r["ts_us"] - (hour - 1) <= t <= r["ts_us"])
+        assert r["n_1h"] == expect, (r["user_id"], r["ts_us"])
+        assert r["n_1h"] >= 1  # frame always includes the current row
+
+
+def test_funnel_stages_are_monotone(spark):
+    rows = REGISTRY["funnel_conversion"].fn(spark, SF).collect()
+    assert rows
+    horizon = 24 * 3_600_000_000
+    stages = {1: 0, 2: 0, 3: 0}
+    for r in rows:
+        stages[r["stage_reached"]] += 1
+        if r["stage_reached"] >= 2:
+            assert r["view_ts_us"] < r["click_ts_us"] <= r["view_ts_us"] + horizon
+        else:
+            assert r["click_ts_us"] is None
+        if r["stage_reached"] == 3:
+            assert (
+                r["click_ts_us"] < r["purchase_ts_us"] <= r["click_ts_us"] + horizon
+            )
+        else:
+            assert r["purchase_ts_us"] is None
+    # funnel narrows (weakly) stage over stage and actually converts
+    assert stages[3] > 0
