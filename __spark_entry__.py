@@ -103,6 +103,9 @@ PRIORITY = [
     "dq_expectations_report",
     "rolling_time_stats",
     "funnel_conversion",
+    "pagerank_purchase_graph",
+    "scd2_incremental_merge",
+    "cohort_retention",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

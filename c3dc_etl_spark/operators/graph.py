@@ -136,3 +136,85 @@ def dedup_assignment(
         )
         .withColumn("is_representative", F.col(node_col) == F.col("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_nodes: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Distributed PageRank by power iteration over an edge list
+    (Page et al. 1999; the Pregel formulation without a vertex
+    program): each round every node divides its rank across its
+    out-edges, contributions hash-aggregate on the destination, and
+    ``rank' = (1-d)/N + d * sum(contribs)``.
+
+    Ranks are FIXED-POINT integers (picounits: 1.0 == 10^12), and every
+    per-round operation is integer arithmetic — floor division for the
+    per-edge split, exact BIGINT sums for the mass, integer
+    percent-scaling for the damping. There is no floating point
+    anywhere in the iteration, so results are bit-identical on any
+    engine and any partitioning: iterative FP rounding (which compounds
+    round-over-round and breaks cross-engine replay) is designed out
+    rather than papered over. The sub-picounit mass lost to floors is
+    at most out_deg ulps per node per round — irrelevant to ranking.
+
+    Scale design:
+    - Per round: ONE exchange keyed on dst for the contribution
+      aggregate (map-side partial sums) plus the edges-ranks equi-join;
+      nothing materializes beyond (node, rank) and the edge list. No
+      per-round collect — ``n_nodes`` is the only scalar, supplied by
+      the caller from a bounded 1-row count.
+    - Out-degrees are computed once and joined into a static
+      (src, dst, out_deg) frame; a cluster co-partitions it by src once
+      and every iteration reuses that layout.
+    - Dangling nodes (no out-edges) contribute nothing but still
+      receive the teleport mass; for an undirected graph (edges
+      pre-mirrored by the caller) there are none.
+
+    Returns (node, rank_x1e12): picounit ranks summing to ~10^12.
+    """
+    one = 10**12
+    teleport = ((100 - damping_pct) * one) // (100 * n_nodes)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).join(
+        outdeg.select(F.col("node").alias("e_src"), "out_deg"), "e_src"
+    )
+    ranks = nodes.withColumn("rank_x1e12", F.lit(one // n_nodes).cast("bigint"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(
+                ranks.select(F.col("node").alias("e_src"), "rank_x1e12"),
+                "e_src",
+            )
+            .select(
+                F.col("e_dst").alias("node"),
+                # integer division (`div`), NEVER `/`: bigint `/` goes
+                # through DOUBLE, whose rounding can flip the floor when
+                # the exact quotient sits within an ulp of an integer
+                F.expr("rank_x1e12 div out_deg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"(coalesce(mass, 0L) * {damping_pct}) div 100")
+            )
+            .cast("bigint")
+            .alias("rank_x1e12"),
+        )
+    return ranks

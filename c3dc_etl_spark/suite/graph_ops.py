@@ -1,0 +1,103 @@
+"""Graph-analytics queries: PageRank over the bipartite purchase graph.
+
+The connected-components operator (operators/graph.py) already backs
+the dedup suite; this adds the rank-propagation side with an oracle
+that replays the SAME fixed-point iterations as DuckDB CTEs — integer
+arithmetic end-to-end, so cross-engine parity is exact by construction
+(no per-iteration FP rounding to reconcile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators.graph import pagerank
+from c3dc_etl_spark.suite.registry import load, query
+
+PR_ITERATIONS = 3
+PR_DAMPING_PCT = 85
+_ONE = 10**12
+
+
+def _pagerank_oracle(iterations: int = PR_ITERATIONS) -> str:
+    head = f"""
+WITH pairs AS (
+    SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT 'c:' || CAST(ck AS STRING) AS src,
+           's:' || CAST(sk AS STRING) AS dst FROM pairs
+    UNION ALL
+    SELECT 's:' || CAST(sk AS STRING),
+           'c:' || CAST(ck AS STRING) FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+ncnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+tele AS (
+    SELECT CAST(((100 - {PR_DAMPING_PCT}) * {_ONE}) // (100 * n) AS BIGINT)
+           AS tp
+    FROM ncnt
+),
+outdeg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+    FROM edges GROUP BY src
+),
+r0 AS (
+    SELECT node, CAST({_ONE} // n AS BIGINT) AS rank_x1e12 FROM nodes, ncnt
+)"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""",
+r{i} AS (
+    SELECT n.node,
+           CAST(t.tp + (COALESCE(s.mass, 0) * {PR_DAMPING_PCT}) // 100
+                AS BIGINT) AS rank_x1e12
+    FROM nodes n
+    CROSS JOIN tele t
+    LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(r.rank_x1e12 // od.out_deg) AS BIGINT) AS mass
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN outdeg od ON e.src = od.node
+        GROUP BY e.dst
+    ) s ON n.node = s.node
+)""")
+    return head + "".join(its) + f"\nSELECT node, rank_x1e12 FROM r{iterations}"
+
+
+@query("pagerank_purchase_graph", oracle=_pagerank_oracle(), tags=("graph",))
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer-supplier purchase graph
+    (edges = distinct (custkey, suppkey) pairs from orders x lineitem,
+    mirrored so the walk is undirected and dangling-free): {PR_ITERATIONS}
+    fixed-point power iterations at damping 0.85. Ranks are picounit
+    BIGINTs and every operation is integer arithmetic, so the oracle
+    replays the identical iterations as a CTE chain with exact parity —
+    the iterative-algorithm-as-oracle pattern (see _kmeans_ctes)
+    without even a rounding discipline to maintain. Per iteration at
+    scale: one equi-join of the static degree-annotated edge list with
+    the (node, rank) frame and one dst-keyed partial-agg exchange —
+    Pregel's communication pattern in two Catalyst operators."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    n_nodes = edges.select("src").distinct().count()  # bounded scalar
+    return pagerank(
+        edges,
+        n_nodes,
+        damping_pct=PR_DAMPING_PCT,
+        iterations=PR_ITERATIONS,
+    )

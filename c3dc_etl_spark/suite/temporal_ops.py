@@ -536,3 +536,77 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage.cast("int").alias("stage_reached"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users cohorted by first-activity day
+# --------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+_COHORT_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, EPOCH_US(ts) // {DAY_US} AS day FROM events
+),
+first_day AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, day FROM ev
+),
+cohort_size AS (
+    SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+    FROM first_day GROUP BY cohort_day
+),
+cells AS (
+    SELECT f.cohort_day, a.day - f.cohort_day AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity a JOIN first_day f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, a.day - f.cohort_day
+)
+SELECT c.cohort_day, c.offset_days, c.n_active, s.n_cohort,
+       CAST(FLOOR(CAST(c.n_active AS DOUBLE) / s.n_cohort * 1000000 + 0.5)
+            AS BIGINT) AS retained_x1e6
+FROM cells c JOIN cohort_size s ON c.cohort_day = s.cohort_day
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_ORACLE, tags=("temporal", "cohort"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohort by first-activity day, and
+    each (cohort, day-offset) cell counts how many of them were active
+    that day, with the retention ratio in exact fixed-point. The
+    activity DISTINCT, the first-day MIN, and the cell aggregate all
+    key on user_id or (cohort, offset) — partial aggregation collapses
+    the event volume map-side, the user-keyed join is
+    dimension-against-dimension (one row per user on both sides), and
+    the tiny cohort-size table broadcasts. At 100 TB the only
+    event-volume shuffle is the per-(user, day) distinct, which is the
+    minimum information retention needs."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us div {DAY_US}").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    cohort_size = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    cells = (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(F.broadcast(cohort_size), "cohort_day").select(
+        "cohort_day",
+        "offset_days",
+        "n_active",
+        "n_cohort",
+        F.floor(
+            F.col("n_active").cast("double") / F.col("n_cohort") * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("retained_x1e6"),
+    )
