@@ -106,6 +106,9 @@ PRIORITY = [
     "pagerank_purchase_graph",
     "scd2_incremental_merge",
     "cohort_retention",
+    "timeseries_gap_fill",
+    "quantile_sketch_error",
+    "ab_test_stats",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

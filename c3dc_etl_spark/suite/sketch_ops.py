@@ -20,7 +20,7 @@ carries narrow (key, int) pairs only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators.dedup import hash32
@@ -97,4 +97,136 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_exact",
         F.col("kth_min").cast("bigint").alias("kth_min"),
         est.cast("bigint").alias("est_centi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram-quantile estimation error (the quantile analogue of the KMV /
+# minhash / CMS "approximate is measured" family)
+# --------------------------------------------------------------------------
+
+HIST_BUCKETS = 64
+QUANTILE_PS = (50, 90, 99)  # percent
+
+
+def _hist_quantile_oracle() -> str:
+    per_p = []
+    for p in QUANTILE_PS:
+        frac = p / 100.0
+        per_p.append(f"""
+    SELECT CAST({p} AS BIGINT) AS p_pct,
+           (SELECT ROUND(mn + (h.bucket + ({frac} * n - h.cum_prev) / h.cnt)
+                         * ((mx - mn) / {HIST_BUCKETS}.0), 4)
+            FROM hist h, bounds
+            WHERE h.cum >= {frac} * n
+            ORDER BY h.bucket LIMIT 1) AS est,
+           (SELECT ROUND(QUANTILE_CONT(value, {frac}), 4) FROM events) AS exact
+    """)
+    body = "\nUNION ALL\n".join(per_p)
+    return f"""
+WITH bounds AS (
+    SELECT MIN(value) AS mn, MAX(value) AS mx,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+),
+bucketed AS (
+    SELECT LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / {HIST_BUCKETS}.0))
+                      AS BIGINT), {HIST_BUCKETS - 1}) AS bucket
+    FROM events, bounds
+),
+hist AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - COUNT(*) AS BIGINT) AS cum_prev
+    FROM bucketed GROUP BY bucket
+)
+SELECT p_pct, est, exact, ROUND(ABS(est - exact), 4) AS abs_err
+FROM ({body}) t
+"""
+
+
+@query(
+    "quantile_sketch_error",
+    oracle=_hist_quantile_oracle(),
+    tags=("sketch", "measurement"),
+)
+def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantile estimation, measured against the
+    exact percentile: a {HIST_BUCKETS}-cell histogram (fixed size
+    regardless of input, mergeable by cell addition — the shard-and-
+    merge path at 100 TB) estimates p50/p90/p99 by cumulative-count
+    interpolation; the pinned |est - exact| makes bucket-count or
+    interpolation regressions visible. The histogram build is one
+    partial-agg exchange to <= {HIST_BUCKETS} groups; the cum-sum
+    window runs over the {HIST_BUCKETS}-row histogram, not the data.
+    The exact side materializes the value list (documented scale
+    tradeoff, same as domain_length_quantiles: swap approx_percentile
+    at 100 TB); value bounds and n are a bounded 1-row collect."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mn, mx, n = b["mn"], b["mx"], b["n"]
+    width = (mx - mn) / float(HIST_BUCKETS)
+    hist = (
+        ev.select(
+            F.least(
+                F.floor((F.col("value") - mn) / width),
+                F.lit(HIST_BUCKETS - 1),
+            )
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        (F.sum("cnt").over(wc) - F.col("cnt")).cast("bigint").alias("cum_prev"),
+    )
+    exacts = ev.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p / 100.0})"), 4).alias(f"e{p}")
+            for p in QUANTILE_PS
+        ]
+    ).collect()[0]
+    out = None
+    for p in QUANTILE_PS:
+        frac = p / 100.0
+        target = frac * n
+        est = (
+            hist.filter(F.col("cum") >= target)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(p).cast("bigint").alias("p_pct"),
+                F.round(
+                    mn
+                    + (
+                        F.col("bucket")
+                        + (F.lit(target) - F.col("cum_prev")) / F.col("cnt")
+                    )
+                    * width,
+                    4,
+                ).alias("est"),
+                F.lit(float(exacts[f"e{p}"])).alias("exact"),
+            )
+        )
+        out = est if out is None else out.unionByName(est)
+    return out.select(
+        "p_pct",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
     )

@@ -610,3 +610,85 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("retained_x1e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill: dense per-user daily series with LOCF
+# --------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, EPOCH_US(ts) // {DAY_US} AS day,
+           CAST(value AS DECIMAL(18,4)) AS v
+    FROM events
+),
+daily AS (
+    SELECT user_id, day, CAST(SUM(v) AS DOUBLE) AS day_value
+    FROM ev GROUP BY user_id, day
+),
+spans AS (
+    SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY user_id
+),
+dense AS (
+    SELECT user_id, UNNEST(GENERATE_SERIES(mn, mx)) AS day FROM spans
+)
+SELECT d.user_id, d.day,
+       CAST(dl.day IS NOT NULL AS INT) AS observed,
+       LAST_VALUE(dl.day_value IGNORE NULLS) OVER (
+           PARTITION BY d.user_id ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM dense d
+LEFT JOIN daily dl ON d.user_id = dl.user_id AND d.day = dl.day
+"""
+
+
+@query("timeseries_gap_fill", oracle=_GAPFILL_ORACLE, tags=("temporal", "window"))
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily series with last-observation-carried-forward
+    fill: aggregate events to (user, day) totals, explode each user's
+    [first, last] day span into a dense calendar, left-join the
+    observations back, and LOCF via last-non-null over (user, day).
+    Day totals ride DECIMAL (exact) before the double conversion. The
+    calendar explode is bounded by each user's own span (the corpus
+    horizon), and the fill window shares the gap-join's user_id
+    partitioning — one exchange serves both. This is the
+    missing-reading densification every sensor/feature pipeline runs
+    before windowed model features."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"ts_us div {DAY_US}").alias("day"),
+        dec("value", 4).alias("v"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.sum("v").cast("double").alias("day_value")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    dense = spans.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    # alias BOTH observation keys: dense derives from daily, so a bare
+    # daily.user_id reference shares dense's expression id (self-join
+    # ambiguity) — fresh aliases make the join condition unambiguous
+    obs = daily.select(
+        F.col("user_id").alias("obs_user"),
+        F.col("day").alias("obs_day"),
+        "day_value",
+    )
+    joined = dense.join(
+        obs,
+        (dense.user_id == obs.obs_user) & (dense.day == obs.obs_day),
+        "left",
+    ).select(dense.user_id, dense.day, "obs_day", "day_value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("obs_day").isNotNull().cast("int").alias("observed"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

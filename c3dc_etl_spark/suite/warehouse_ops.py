@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators import warehouse as W
 from c3dc_etl_spark.operators import text as T
-from c3dc_etl_spark.suite.registry import load, query
+from c3dc_etl_spark.suite.registry import dec, load, query
 
 _SCD2_ORACLE = """
 WITH ev AS (
@@ -437,4 +437,70 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eff_from").alias("eff_from_us"),
         F.col("eff_to").alias("eff_to_us"),
         "is_current",
+    )
+
+
+_AB_ORACLE = """
+WITH agg AS (
+    SELECT
+        CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_a,
+        CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_b,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             FILTER (event_type = 'click') AS DOUBLE) AS s_a,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)))
+             FILTER (event_type = 'purchase') AS DOUBLE) AS s_b,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+             FILTER (event_type = 'click') AS DOUBLE) AS q_a,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+             FILTER (event_type = 'purchase') AS DOUBLE) AS q_b
+    FROM events
+)
+SELECT n_a, n_b,
+       ROUND(s_a / n_a, 6) AS mean_a,
+       ROUND(s_b / n_b, 6) AS mean_b,
+       ROUND((q_a - s_a * s_a / n_a) / (n_a - 1), 6) AS var_a,
+       ROUND((q_b - s_b * s_b / n_b) / (n_b - 1), 6) AS var_b,
+       ROUND((s_a / n_a - s_b / n_b)
+             / SQRT(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                    + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6)
+           AS welch_t
+FROM agg
+"""
+
+
+@query("ab_test_stats", oracle=_AB_ORACLE, tags=("warehouse", "measurement"))
+def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment analysis (Welch's t): per-arm n / mean /
+    variance and the t statistic between the click and purchase arms'
+    value metric, in ONE conditional-aggregation pass — both arms'
+    count, sum, and sum-of-squares are FILTER'd aggregates sharing a
+    single scan and a single-row exchange, the shape an experimentation
+    platform runs per metric x arm at any scale. Sums and
+    sums-of-squares ride DECIMAL (exact, order-independent); every
+    downstream double op is the same expression tree in both engines,
+    so even the derived statistic hashes identically."""
+    ev = load(spark, sf_dir, "events")
+    v = dec("value", 6)
+    stats = {}
+    for arm, label in (("click", "a"), ("purchase", "b")):
+        cond = F.col("event_type") == arm
+        stats[f"n_{label}"] = F.sum(cond.cast("long")).cast("bigint")
+        stats[f"s_{label}"] = F.sum(F.when(cond, v)).cast("double")
+        stats[f"q_{label}"] = F.sum(F.when(cond, v * v)).cast("double")
+    agg = ev.agg(*[c.alias(k) for k, c in stats.items()])
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a, s_b = F.col("s_a"), F.col("s_b")
+    q_a, q_b = F.col("q_a"), F.col("q_b")
+    var_a = (q_a - s_a * s_a / n_a) / (n_a - 1)
+    var_b = (q_b - s_b * s_b / n_b) / (n_b - 1)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(s_a / n_a, 6).alias("mean_a"),
+        F.round(s_b / n_b, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(
+            (s_a / n_a - s_b / n_b) / F.sqrt(var_a / n_a + var_b / n_b), 6
+        ).alias("welch_t"),
     )

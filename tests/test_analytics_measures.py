@@ -1,0 +1,63 @@
+"""Gap-fill, histogram-quantile, and A/B-stat properties."""
+
+from __future__ import annotations
+
+import math
+
+from c3dc_etl_spark.suite import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gap_fill_is_dense_and_locf(spark):
+    rows = REGISTRY["timeseries_gap_fill"].fn(spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        days = [r["day"] for r in rs]
+        # dense: every day between first and last present exactly once
+        assert days == list(range(days[0], days[-1] + 1))
+        # first day is always an observation; fills carry the previous value
+        assert rs[0]["observed"] == 1
+        last = None
+        for r in rs:
+            if r["observed"] == 1:
+                last = r["filled_value"]
+            else:
+                assert r["filled_value"] == last
+            assert r["filled_value"] is not None
+
+
+def test_quantile_estimates_bracket_exact(spark):
+    rows = {r["p_pct"]: r for r in REGISTRY["quantile_sketch_error"].fn(spark, SF).collect()}
+    assert set(rows) == {50, 90, 99}
+    for p, r in rows.items():
+        assert r["abs_err"] == round(abs(r["est"] - r["exact"]), 4)
+        # a 64-bucket equi-width histogram cannot be off by more than
+        # one bucket width; the value span bounds that loosely
+        assert r["abs_err"] < (max(abs(r["est"]), abs(r["exact"])) + 1) * 0.5
+    # quantiles are monotone in p for both paths
+    assert rows[50]["est"] <= rows[90]["est"] <= rows[99]["est"]
+    assert rows[50]["exact"] <= rows[90]["exact"] <= rows[99]["exact"]
+
+
+def test_ab_stats_match_python(spark):
+    from c3dc_etl_spark.suite.registry import load
+
+    ev = load(spark, SF, "events").select("event_type", "value").collect()
+    arms = {"click": [], "purchase": []}
+    for r in ev:
+        if r["event_type"] in arms:
+            arms[r["event_type"]].append(round(r["value"], 6))
+    got = REGISTRY["ab_test_stats"].fn(spark, SF).collect()[0]
+    for arm, label in (("click", "a"), ("purchase", "b")):
+        xs = arms[arm]
+        n, mean = len(xs), sum(xs) / len(xs)
+        var = sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+        assert got[f"n_{label}"] == n
+        assert math.isclose(got[f"mean_{label}"], mean, abs_tol=1e-4)
+        assert math.isclose(got[f"var_{label}"], var, rel_tol=1e-3)
+    assert got["welch_t"] is not None
