@@ -109,6 +109,7 @@ PRIORITY = [
     "timeseries_gap_fill",
     "quantile_sketch_error",
     "ab_test_stats",
+    "streaming_upsert_snapshot",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

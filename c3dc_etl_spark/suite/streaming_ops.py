@@ -33,6 +33,7 @@ from c3dc_etl_spark.streaming.arrivals import (
     streaming_exact_dedup,
     windowed_event_counts,
 )
+from c3dc_etl_spark.streaming.upsert import read_snapshot, run_upsert_stream
 from c3dc_etl_spark.suite.registry import query, read_events_parquet
 
 _DAY_US = 86_400_000_000
@@ -457,3 +458,45 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("delta_us"),
     )
     return _run_to_memory(joined, "stream_ss_join", "append")
+
+
+_UPSERT_ORACLE = """
+SELECT user_id, ts_us, event_id, event_type FROM (
+    SELECT user_id, EPOCH_US(ts) AS ts_us, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY EPOCH_US(ts) DESC, event_id DESC) AS rn
+    FROM events
+) t WHERE rn = 1
+"""
+
+
+@query("streaming_upsert_snapshot", oracle=_UPSERT_ORACLE, tags=("streaming",))
+def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the event stream drains through a
+    foreachBatch latest-wins upsert (streaming/upsert.py) into a keyed
+    parquet snapshot — one row per user, the newest change by
+    (ts, event_id) — and the snapshot read-back must equal the batch
+    argmax the oracle computes. This is the sink half of a CDC
+    pipeline: the merge is idempotent (re-delivered batches are no-ops,
+    unit-pinned in tests/test_streaming_upsert.py), the snapshot swap
+    is atomic, and exactly-once follows from checkpointed batch ids +
+    idempotence rather than sink transactions. At warehouse scale the
+    same merge keys a Delta/Iceberg MERGE commit; the per-batch cost is
+    one key-shuffle argmax, no window, no per-key sort."""
+    import os
+
+    stream, schema = _table_stream(spark, sf_dir, "events")
+    stream = _with_event_ts(stream, schema)
+    proj = stream.select(
+        "user_id",
+        F.unix_micros("event_ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    base = tempfile.mkdtemp(prefix="upsert_")
+    snap = os.path.join(base, "snapshot")
+    ckpt = os.path.join(base, "ckpt")
+    run_upsert_stream(
+        proj, snap, ckpt, key_cols=["user_id"], order_cols=["ts_us", "event_id"]
+    )
+    return read_snapshot(spark, snap)

@@ -1,0 +1,104 @@
+"""foreachBatch upsert sink: latest-wins merge, idempotent re-delivery,
+multi-batch streaming drain, and checkpointed exactly-once resume."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from c3dc_etl_spark.streaming.upsert import (
+    read_snapshot,
+    run_upsert_stream,
+    upsert_latest,
+)
+
+SCHEMA = "k string, ver long, payload string"
+
+
+def _snap(spark, snapshot_dir):
+    return {
+        (r["k"]): (r["ver"], r["payload"])
+        for r in read_snapshot(spark, snapshot_dir).collect()
+    }
+
+
+def test_upsert_latest_wins_and_idempotent(spark):
+    base = tempfile.mkdtemp(prefix="ups_unit_")
+    snap = os.path.join(base, "snapshot")
+    b1 = spark.createDataFrame(
+        [("a", 1, "a1"), ("b", 1, "b1")], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3, "a3"), ("c", 1, "c1")], SCHEMA
+    )
+    b3 = spark.createDataFrame(
+        [("a", 2, "a2-late"), ("b", 2, "b2")], SCHEMA
+    )
+    for b in (b1, b2, b3):
+        upsert_latest(b, snap, key_cols=["k"], order_cols=["ver"])
+    expect = {"a": (3, "a3"), "b": (2, "b2"), "c": (1, "c1")}
+    assert _snap(spark, snap) == expect
+    # re-delivering an old batch (foreachBatch retry semantics) is a no-op
+    upsert_latest(b2, snap, key_cols=["k"], order_cols=["ver"])
+    upsert_latest(b3, snap, key_cols=["k"], order_cols=["ver"])
+    assert _snap(spark, snap) == expect
+
+
+def test_upsert_stream_multibatch_and_exactly_once_resume(spark):
+    base = tempfile.mkdtemp(prefix="ups_stream_")
+    backlog = os.path.join(base, "backlog")
+    snap = os.path.join(base, "snapshot")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(backlog)
+    rows = [
+        [("a", 1, "a1"), ("b", 1, "b1")],
+        [("a", 3, "a3"), ("c", 1, "c1")],
+        [("a", 2, "late"), ("b", 2, "b2")],
+    ]
+    # one JSON-lines FILE per batch (the file source does not recurse
+    # into per-batch parquet directories), mtime-pinned for batch order
+    import json
+
+    for i, rs in enumerate(rows):
+        path = os.path.join(backlog, f"f{i}.json")
+        with open(path, "w") as fh:
+            for k, ver, payload in rs:
+                fh.write(
+                    json.dumps({"k": k, "ver": ver, "payload": payload}) + "\n"
+                )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(backlog)
+    )
+    run_upsert_stream(stream, snap, ckpt, key_cols=["k"], order_cols=["ver"])
+    expect = {"a": (3, "a3"), "b": (2, "b2"), "c": (1, "c1")}
+    assert _snap(spark, snap) == expect
+    # resume from the same checkpoint with no new files: nothing
+    # reprocesses, the snapshot is byte-stable (exactly-once)
+    stream2 = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(backlog)
+    )
+    run_upsert_stream(stream2, snap, ckpt, key_cols=["k"], order_cols=["ver"])
+    assert _snap(spark, snap) == expect
+
+
+def test_upsert_swap_preserves_previous_snapshot_on_plan_failure(spark):
+    """A merge whose WRITE fails must leave the live snapshot intact
+    (the staging write happens before any touch of the live dir)."""
+    base = tempfile.mkdtemp(prefix="ups_crash_")
+    snap = os.path.join(base, "snapshot")
+    good = spark.createDataFrame([("a", 1, "a1")], SCHEMA)
+    upsert_latest(good, snap, key_cols=["k"], order_cols=["ver"])
+    bad = spark.createDataFrame([("a", 2, "boom")], SCHEMA).selectExpr(
+        "k", "ver", "assert_true(payload <> 'boom') as payload"
+    )
+    try:
+        upsert_latest(bad, snap, key_cols=["k"], order_cols=["ver"])
+        raise AssertionError("expected the merge to fail")
+    except Exception:
+        pass
+    assert _snap(spark, snap) == {"a": (1, "a1")}
