@@ -110,6 +110,7 @@ PRIORITY = [
     "quantile_sketch_error",
     "ab_test_stats",
     "streaming_upsert_snapshot",
+    "skew_salt_balance",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

@@ -88,3 +88,48 @@ def shard_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def compact_shards(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    target_rows_per_shard: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> int:
+    """Small-file compaction for a sharded corpus: re-shard the corpus
+    so each shard holds ~``target_rows_per_shard`` rows, publishing the
+    rewrite with an atomic directory swap. Returns the new shard count.
+
+    Incremental corpus builds accumulate many small shards (each
+    nightly delta appends its own); training loaders and object stores
+    both degrade under tiny-file storms, so periodic compaction is part
+    of the sink's lifecycle. The rewrite is the same single hash
+    exchange + in-partition sort as the original write — cost is one
+    pass over the corpus, and the swap means a reader never sees a
+    half-compacted corpus and a failed compaction leaves the old layout
+    intact (same publish discipline as streaming/upsert.py).
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(out_dir).drop("shard")
+    n_rows = df.count()  # bounded scalar: drives the shard-count choice
+    new_shards = max(1, math.ceil(n_rows / target_rows_per_shard))
+    staging = out_dir.rstrip("/") + ".compact"
+    write_training_shards(
+        df,
+        staging,
+        num_shards=new_shards,
+        id_col=id_col,
+        seed=seed,
+    )
+    old = out_dir.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(out_dir, old)
+    os.rename(staging, out_dir)
+    shutil.rmtree(old)
+    return new_shards

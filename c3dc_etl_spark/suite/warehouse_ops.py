@@ -504,3 +504,80 @@ def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s_a / n_a - s_b / n_b) / F.sqrt(var_a / n_a + var_b / n_b), 6
         ).alias("welch_t"),
     )
+
+
+SKEW_REDUCERS = 32
+SKEW_SALTS = 8
+
+_SKEW_KEYED = f"""
+keyed AS (
+    SELECT lang,
+           CAST(CONCAT('0x', SUBSTR(MD5('red' || ':' || lang), 1, 8))
+                AS BIGINT) % {SKEW_REDUCERS} AS plain_bucket,
+           CAST(CONCAT('0x', SUBSTR(MD5('red' || ':' || lang || ':' ||
+                CAST(CAST(CONCAT('0x', SUBSTR(MD5('salt' || ':' ||
+                     CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+                     % {SKEW_SALTS} AS STRING)), 1, 8))
+                AS BIGINT) % {SKEW_REDUCERS} AS salted_bucket
+    FROM documents
+)"""
+
+_SKEW_STAT = """
+    SELECT '{name}' AS strategy,
+           CAST(COUNT(*) AS BIGINT) AS reducers_used,
+           CAST(MAX(cnt) AS BIGINT) AS max_rows,
+           CAST(FLOOR(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) * 1000000 + 0.5)
+                AS BIGINT) AS max_share_x1e6
+    FROM (SELECT {bucket} AS b, COUNT(*) AS cnt FROM keyed GROUP BY 1) t
+"""
+
+_SKEW_ORACLE = (
+    "WITH " + _SKEW_KEYED + "\n"
+    + _SKEW_STAT.format(name="unsalted", bucket="plain_bucket")
+    + "UNION ALL\n"
+    + _SKEW_STAT.format(name="salted", bucket="salted_bucket")
+)
+
+
+@query("skew_salt_balance", oracle=_SKEW_ORACLE, tags=("warehouse", "measurement"))
+def skew_salt_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reducer-load balance under key skew, measured: hash the skewed
+    language key (en is ~44% of documents) onto {SKEW_REDUCERS}
+    simulated reducers directly vs through an {SKEW_SALTS}-way salt,
+    and report each strategy's occupied-reducer count and
+    max-reducer share — the arithmetic behind every salting decision in
+    the dedup/top-k operators (operators/skew.py), pinned as data so a
+    salting regression moves a number instead of an opinion. Unsalted,
+    one reducer carries the hot key's full share; salted, the hot key
+    spreads across {SKEW_SALTS} reducers and the partial-agg recombine
+    handles the tiny (key, salt) table. Both hashes are the engine-
+    independent md5 fold, so the oracle reproduces the exact bucket
+    assignment."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    salt = W.hash_bucket(
+        F.col("doc_id").cast("string"), "salt", SKEW_SALTS
+    ).cast("string")
+    keyed = docs.select(
+        W.hash_bucket(F.col("lang"), "red", SKEW_REDUCERS).alias("plain_bucket"),
+        W.hash_bucket(
+            F.concat_ws(":", F.col("lang"), salt), "red", SKEW_REDUCERS
+        ).alias("salted_bucket"),
+    )
+
+    def stat(bucket: str, name: str) -> DataFrame:
+        per = keyed.groupBy(bucket).agg(F.count(F.lit(1)).alias("cnt"))
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).cast("bigint").alias("reducers_used"),
+            F.max("cnt").cast("bigint").alias("max_rows"),
+            F.floor(
+                F.max("cnt").cast("double") / F.sum("cnt") * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("max_share_x1e6"),
+        )
+
+    return stat("plain_bucket", "unsalted").unionByName(
+        stat("salted_bucket", "salted")
+    )

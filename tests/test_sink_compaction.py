@@ -1,0 +1,51 @@
+"""Corpus shard compaction: row preservation, target sizing, atomic swap."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from c3dc_etl_spark.sink.corpus import (
+    compact_shards,
+    read_training_shards,
+    shard_manifest,
+    write_training_shards,
+)
+from c3dc_etl_spark.suite.registry import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_compaction_preserves_rows_and_resizes(spark):
+    out = os.path.join(tempfile.mkdtemp(prefix="compact_"), "corpus")
+    docs = load(spark, SF, "documents").select("doc_id", "text", "source")
+    n = docs.count()
+    # deliberately over-sharded: tiny-file storm
+    write_training_shards(docs, out, num_shards=16)
+    assert shard_manifest(spark, out).count() == 16
+    before = {r["doc_id"] for r in read_training_shards(spark, out).collect()}
+
+    new_shards = compact_shards(spark, out, target_rows_per_shard=(n + 3) // 4)
+    assert new_shards == 4
+    manifest = shard_manifest(spark, out).collect()
+    assert len(manifest) == 4
+    after = {r["doc_id"] for r in read_training_shards(spark, out).collect()}
+    assert after == before
+    # no leftover staging/old dirs: the swap completed
+    parent = os.path.dirname(out)
+    assert sorted(os.listdir(parent)) == ["corpus"]
+    # shards are balanced within the hash-fold tolerance
+    counts = [m["n_rows"] for m in manifest]
+    assert max(counts) <= 2 * (n // 4 + 1)
+
+
+def test_compaction_is_idempotent(spark):
+    out = os.path.join(tempfile.mkdtemp(prefix="compact2_"), "corpus")
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    write_training_shards(docs, out, num_shards=8)
+    n = docs.count()
+    k1 = compact_shards(spark, out, target_rows_per_shard=(n + 1) // 2)
+    k2 = compact_shards(spark, out, target_rows_per_shard=(n + 1) // 2)
+    assert k1 == k2 == 2
+    rows = read_training_shards(spark, out).groupBy("shard").count().collect()
+    assert len(rows) == 2
