@@ -111,6 +111,8 @@ PRIORITY = [
     "ab_test_stats",
     "streaming_upsert_snapshot",
     "skew_salt_balance",
+    "event_debounce",
+    "source_json_column_extract",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

@@ -407,3 +407,36 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "corrupt_line")
         .csv(str(FIXTURES / "dirty.csv"))
     )
+
+
+_PROPS_ORACLE = """
+SELECT event_id, user_id,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS prop_k,
+       CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events
+"""
+
+
+@query("source_json_column_extract", oracle=_PROPS_ORACLE, tags=("source", "json"))
+def source_json_column_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column extraction: parse the events table's JSON
+    ``props`` string with a declared schema (from_json, JVM-side Jackson
+    — never a Python UDF) and project a typed field plus derived
+    arithmetic. At scale the parse is a narrow per-row kernel inside
+    whole-stage codegen; the declared schema means malformed documents
+    yield NULLs instead of job failures (PERMISSIVE semantics, the same
+    contract as the corrupt-record CSV scan)."""
+    from c3dc_etl_spark.suite.registry import load as _load
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "props")
+    parsed = ev.select(
+        "event_id",
+        "user_id",
+        F.from_json(F.col("props"), "k bigint").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        "user_id",
+        F.col("p.k").alias("prop_k"),
+        (F.col("p.k") % 10).alias("k_mod"),
+    )

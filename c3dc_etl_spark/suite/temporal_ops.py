@@ -692,3 +692,49 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs_day").isNotNull().cast("int").alias("observed"),
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event debounce: drop rapid repeats of the same (user, type)
+# --------------------------------------------------------------------------
+
+DEBOUNCE_US = 60_000_000  # 60 s
+
+_DEBOUNCE_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type FROM events
+),
+lagged AS (
+    SELECT event_id, user_id, ts_us, event_type,
+           LAG(ts_us) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts_us, event_id) AS prev_ts
+    FROM ev
+)
+SELECT event_id, user_id, ts_us, event_type
+FROM lagged
+WHERE prev_ts IS NULL OR ts_us - prev_ts > {DEBOUNCE_US}
+"""
+
+
+@query("event_debounce", oracle=_DEBOUNCE_ORACLE, tags=("temporal", "filter"))
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: within each (user, event_type) stream, drop
+    any event arriving within {DEBOUNCE_US}us of the PREVIOUS KEPT-OR-
+    DROPPED event — the standard LAG-gap filter that collapses UI
+    double-fires and retry storms before sessionization. (Gap-to-
+    predecessor, not gap-to-last-kept: the two differ on bursts longer
+    than the window, and the LAG form is the one expressible without
+    per-row state.) One exchange on (user_id, event_type); ties broken
+    by event_id so the kept set is deterministic."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts_us").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts_us") - F.col("prev_ts") > DEBOUNCE_US)
+        )
+        .drop("prev_ts")
+    )
