@@ -97,6 +97,8 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     second job. COUNT(DISTINCT) constraints expand to the standard
     two-phase distinct aggregate alongside the plain partials — still
     one scan of the input."""
+    if not expectations:
+        raise ValueError("check() requires at least one expectation")
     aggs: list[Column] = []
     for i, e in enumerate(expectations):
         aggs.append(
@@ -104,8 +106,12 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         )
         aggs.append(e.passed.cast("int").alias(f"p{i}"))
     one = df.agg(*aggs)
+    # names are spliced into generated SQL: escape quotes so a name
+    # containing ' (user-built Expectation, odd column name) cannot
+    # break the literal or mislabel report rows
     pairs = ", ".join(
-        f"'{e.name}', m{i}, p{i}" for i, e in enumerate(expectations)
+        f"""'{e.name.replace("'", "''")}', m{i}, p{i}"""
+        for i, e in enumerate(expectations)
     )
     n = len(expectations)
     return one.select(

@@ -54,15 +54,16 @@ def build_scd2(
 
 
 def hash_bucket(col: Column, salt: Column | str, width: int) -> Column:
-    """Deterministic cross-engine hash bucket in [0, width): first 8 hex
-    chars of md5(salt:value) as an int, mod width. DuckDB mirror:
+    """Deterministic cross-engine hash bucket in [0, width): the
+    project's single md5 fold (operators.dedup.hash32 — one definition
+    so every operator's bucket/shard assignment agrees) over
+    ``salt:value``, mod width. DuckDB mirror:
     ``CAST(CONCAT('0x', SUBSTR(MD5(salt || ':' || v), 1, 8)) AS BIGINT)
     % width``."""
+    from c3dc_etl_spark.operators.dedup import hash32
+
     s = F.lit(salt) if isinstance(salt, str) else salt
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", s, col)), 1, 8), 16, 10
-    ).cast("long")
-    return F.pmod(h, F.lit(width))
+    return F.pmod(hash32(F.concat_ws(":", s, col)), F.lit(width))
 
 
 def cms_sketch(

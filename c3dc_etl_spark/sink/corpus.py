@@ -106,17 +106,23 @@ def compact_shards(
     nightly delta appends its own); training loaders and object stores
     both degrade under tiny-file storms, so periodic compaction is part
     of the sink's lifecycle. The rewrite is the same single hash
-    exchange + in-partition sort as the original write — cost is one
-    pass over the corpus, and the swap means a reader never sees a
-    half-compacted corpus and a failed compaction leaves the old layout
-    intact (same publish discipline as streaming/upsert.py).
+    exchange + in-partition sort as the original write; the sizing
+    count() beforehand is footer-only (empty read schema — parquet row
+    counts come from metadata, no column data moves), so the DATA pass
+    over the corpus is one. Publishing goes through sink/publish.py: a
+    crash at any point leaves the previous layout recoverable (the
+    between-renames window heals on the next read/compact), with the
+    documented local-FS caveat that a concurrent reader mid-swap fails
+    loudly and retries — at cluster scale this step is a table-format
+    metadata commit.
     """
     import math
-    import os
-    import shutil
 
+    from c3dc_etl_spark.sink.publish import publish, recover
+
+    recover(out_dir)
     df = spark.read.parquet(out_dir).drop("shard")
-    n_rows = df.count()  # bounded scalar: drives the shard-count choice
+    n_rows = df.count()  # footer-only scan: drives the shard-count choice
     new_shards = max(1, math.ceil(n_rows / target_rows_per_shard))
     staging = out_dir.rstrip("/") + ".compact"
     write_training_shards(
@@ -126,10 +132,5 @@ def compact_shards(
         id_col=id_col,
         seed=seed,
     )
-    old = out_dir.rstrip("/") + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(out_dir, old)
-    os.rename(staging, out_dir)
-    shutil.rmtree(old)
+    publish(staging, out_dir)
     return new_shards

@@ -15,9 +15,11 @@ Scale notes:
   becomes a table-format MERGE commit (Delta/Iceberg) keyed the same
   way — the logic here is the portable core, the atomic-swap publish
   is the local stand-in for a metadata commit.
-- The snapshot swap is write-new-directory + atomic rename, so readers
-  never observe a partial snapshot and a mid-merge crash leaves the
-  previous snapshot intact.
+- The snapshot swap is write-new-directory + rename (sink/publish.py):
+  a crash at ANY point leaves the previous snapshot recoverable — the
+  one window between the two renames is healed by ``recover`` on the
+  next merge or read. Local-FS semantics; at cluster scale the swap is
+  a table-format metadata commit (see sink/publish.py scope note).
 - max(struct(order_cols..., payload)) does the argmax without a window:
   a partial-aggregable single pass, no per-key sort.
 """
@@ -25,10 +27,11 @@ Scale notes:
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from c3dc_etl_spark.sink.publish import publish, recover
 
 
 def upsert_latest(
@@ -45,6 +48,11 @@ def upsert_latest(
     against concurrent readers (atomic directory swap)."""
     spark = batch.sparkSession
     payload = [c for c in batch.columns if c not in key_cols]
+    # heal a crash that happened between a previous merge's two publish
+    # renames BEFORE deciding the current state — otherwise the prior
+    # snapshot (parked at .old) would be invisible here and the merge
+    # would silently restart from just this batch's keys
+    recover(snapshot_dir)
     current = None
     if os.path.exists(os.path.join(snapshot_dir, "_SUCCESS")):
         current = spark.read.parquet(snapshot_dir)
@@ -63,14 +71,7 @@ def upsert_latest(
     # materialize BEFORE touching the live snapshot: merged lazily reads
     # the current snapshot, so writing in place would read-while-truncate
     merged.write.mode("overwrite").parquet(tmp_dir)
-    old_dir = snapshot_dir + ".old"
-    if os.path.exists(old_dir):
-        shutil.rmtree(old_dir)
-    if os.path.exists(snapshot_dir):
-        os.rename(snapshot_dir, old_dir)
-    os.rename(tmp_dir, snapshot_dir)
-    if os.path.exists(old_dir):
-        shutil.rmtree(old_dir)
+    publish(tmp_dir, snapshot_dir)
 
 
 def run_upsert_stream(
@@ -100,5 +101,6 @@ def run_upsert_stream(
 
 
 def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
-    """Read the current snapshot (atomic with respect to the swap)."""
+    """Read the current snapshot, healing an interrupted swap first."""
+    recover(snapshot_dir)
     return spark.read.parquet(snapshot_dir)

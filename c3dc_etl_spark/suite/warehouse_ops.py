@@ -124,9 +124,14 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is STILL {CMS_DEPTH}*{CMS_WIDTH} cells — the single exchange
     aggregates to at most that many groups, map-side partials collapse
     the rest, and shard sketches merge by cell addition."""
+    from c3dc_etl_spark.pinning import pin
+
     docs = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    toks = docs.select(
-        F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    # pin: the tokenize/explode feeds the sketch, the exact top-k, and
+    # (via exact) the probe/estimate join — without the pin the corpus
+    # scan + explode re-runs per consumer
+    toks = pin(
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
     )
     sketch = W.cms_sketch(toks, "token", depth=CMS_DEPTH, width=CMS_WIDTH)
     exact = (
@@ -484,7 +489,9 @@ def ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = {}
     for arm, label in (("click", "a"), ("purchase", "b")):
         cond = F.col("event_type") == arm
-        stats[f"n_{label}"] = F.sum(cond.cast("long")).cast("bigint")
+        # count(when), not sum(cast): an empty arm must count 0, not
+        # NULL, to match the oracle's COUNT(*) FILTER
+        stats[f"n_{label}"] = F.count(F.when(cond, 1)).cast("bigint")
         stats[f"s_{label}"] = F.sum(F.when(cond, v)).cast("double")
         stats[f"q_{label}"] = F.sum(F.when(cond, v * v)).cast("double")
     agg = ev.agg(*[c.alias(k) for k, c in stats.items()])

@@ -102,3 +102,28 @@ def test_upsert_swap_preserves_previous_snapshot_on_plan_failure(spark):
     except Exception:
         pass
     assert _snap(spark, snap) == {"a": (1, "a1")}
+
+
+def test_recover_heals_interrupted_swap(spark):
+    """Simulate a crash between publish's two renames (live dir moved
+    to .old, new one never arrived): the next merge/read must restore
+    the previous snapshot instead of silently starting empty."""
+    base = tempfile.mkdtemp(prefix="ups_recover_")
+    snap = os.path.join(base, "snapshot")
+    upsert_latest(
+        spark.createDataFrame([("a", 1, "a1")], SCHEMA),
+        snap,
+        key_cols=["k"],
+        order_cols=["ver"],
+    )
+    os.rename(snap, snap + ".old")  # the mid-swap crash state
+    assert _snap(spark, snap) == {"a": (1, "a1")}  # read_snapshot recovers
+    os.rename(snap, snap + ".old")
+    upsert_latest(
+        spark.createDataFrame([("b", 1, "b1")], SCHEMA),
+        snap,
+        key_cols=["k"],
+        order_cols=["ver"],
+    )
+    # the pre-crash key survived the merge — no silent state loss
+    assert _snap(spark, snap) == {"a": (1, "a1"), "b": (1, "b1")}
