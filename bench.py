@@ -60,6 +60,8 @@ HEADLINE = [
     "scd2_dimension_build",
     "zorder_block_skipping",
     "q18_large_orders",
+    "pagerank_purchase_graph",
+    "funnel_conversion",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is
@@ -69,6 +71,8 @@ SCALE_QUERIES = [
     "dedup_simhash",
     "range_join_events",
     "rollup_hypertable",
+    "scd2_dimension_build",
+    "rolling_time_stats",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

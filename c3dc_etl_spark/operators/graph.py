@@ -178,9 +178,14 @@ def pagerank(
 
     Returns (node, rank_x1e12): picounit ranks summing to ~10^12.
     """
+    from c3dc_etl_spark.pinning import pin
+
     one = 10**12
     teleport = ((100 - damping_pct) * one) // (100 * n_nodes)
-    nodes = (
+    # pin the static frames: every iteration consumes them, and without
+    # the pin the lazy lineage recomputes the edge derivation (often a
+    # join + distinct over fact tables) once per iteration
+    nodes = pin(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
@@ -188,8 +193,10 @@ def pagerank(
     outdeg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).join(
-        outdeg.select(F.col("node").alias("e_src"), "out_deg"), "e_src"
+    e = pin(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).join(
+            outdeg.select(F.col("node").alias("e_src"), "out_deg"), "e_src"
+        )
     )
     ranks = nodes.withColumn("rank_x1e12", F.lit(one // n_nodes).cast("bigint"))
     for _ in range(iterations):

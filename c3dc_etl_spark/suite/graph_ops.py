@@ -81,9 +81,14 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: one equi-join of the static degree-annotated edge list with
     the (node, rank) frame and one dst-keyed partial-agg exchange —
     Pregel's communication pattern in two Catalyst operators."""
+    from c3dc_etl_spark.pinning import pin
+
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    # pin: the fact-table join + distinct feeds the edge mirror, the
+    # node count, and (inside pagerank) the degree/edge frames — one
+    # derivation instead of one per consumer
+    pairs = pin(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
