@@ -113,6 +113,7 @@ PRIORITY = [
     "skew_salt_balance",
     "event_debounce",
     "source_json_column_extract",
+    "label_propagation_vote",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

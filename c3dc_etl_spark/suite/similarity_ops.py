@@ -4,7 +4,7 @@ c3dc_etl_spark.operators.similarity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators import similarity as S
@@ -376,4 +376,93 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + F.coalesce(F.abs(x).cast("bigint"), F.lit(0)),
         ).alias("q_l1"),
+    )
+
+
+_LABELPROP_ORACLE = f"""
+WITH b AS MATERIALIZED (
+    SELECT vec_id AS id, label,
+           {_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+    FROM embeddings
+),
+votes AS (
+    SELECT t.id AS tid, l.label AS vote, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b t
+    JOIN b l ON t.bucket = l.bucket AND t.id <> l.id AND l.id % 2 = 0
+    WHERE t.id % 2 = 1
+    GROUP BY t.id, l.label
+),
+ranked AS (
+    SELECT tid, vote,
+           ROW_NUMBER() OVER (PARTITION BY tid
+                              ORDER BY n DESC, vote ASC) AS rn
+    FROM votes
+)
+SELECT t.id AS vec_id,
+       CAST(COALESCE(r.vote, -1) AS INT) AS predicted_label,
+       CAST(t.label AS INT) AS true_label,
+       CAST(COALESCE(r.vote, -1) = t.label AS INT) AS correct
+FROM b t
+LEFT JOIN (SELECT tid, vote FROM ranked WHERE rn = 1) r ON t.id = r.tid
+WHERE t.id % 2 = 1
+"""
+
+
+@query(
+    "label_propagation_vote",
+    oracle=_LABELPROP_ORACLE,
+    tags=("similarity", "graph"),
+)
+def label_propagation_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the SRP-LSH neighborhood
+    graph: half the embedding corpus (odd vec_ids) hides its label and
+    takes the majority vote of its same-bucket LABELED neighbors (even
+    vec_ids), deterministic tie-break (count DESC, label ASC), -1 when
+    the bucket holds no labeled peer. The emitted per-node
+    predicted/true/correct rows pin the labeling accuracy — the
+    weak-supervision primitive for extending a small labeled seed set
+    across a large corpus. On THIS synthetic corpus the latent labels
+    are barely separable in embedding space (intra- vs inter-label
+    cosine ~0.009 vs -0.004), so the pinned accuracy sits near the
+    1/n_labels chance floor — the hash regression-fences the
+    graph/vote machinery, not a separability claim. Cost shape: the
+    vote join is the SAME
+    bucket-keyed self-join as the LSH candidate generation (work =
+    collision mass, never n^2); votes aggregate map-side; the argmax is
+    a per-test-node window over its <=n_labels vote rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    matrix = S.srp_planes(SRP_PLANES, EMB_DIM, "srp")
+    b = emb.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        S.srp_bucket(F.col("embedding"), matrix).alias("bucket"),
+    )
+    test = b.filter(F.col("id") % 2 == 1)
+    labeled = b.filter(F.col("id") % 2 == 0).select(
+        F.col("id").alias("lid"), F.col("label").alias("vote"), "bucket"
+    )
+    votes = (
+        test.join(labeled, "bucket")
+        .filter(F.col("id") != F.col("lid"))
+        .groupBy(F.col("id").alias("tid"), "vote")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("tid").orderBy(F.col("n").desc(), F.col("vote").asc())
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("tid", "vote")
+    )
+    return (
+        test.join(best, test.id == best.tid, "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.coalesce(F.col("vote"), F.lit(-1)).cast("int").alias(
+                "predicted_label"
+            ),
+            F.col("label").cast("int").alias("true_label"),
+            (F.coalesce(F.col("vote"), F.lit(-1)) == F.col("label"))
+            .cast("int")
+            .alias("correct"),
+        )
     )
