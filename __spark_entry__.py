@@ -114,6 +114,7 @@ PRIORITY = [
     "event_debounce",
     "source_json_column_extract",
     "label_propagation_vote",
+    "exact_median_selection",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

@@ -230,3 +230,71 @@ def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
         F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact global order statistic WITHOUT a global sort: iterative range
+# narrowing (distributed selection)
+# --------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+WITH c AS (
+    SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem
+),
+r AS (
+    SELECT cents,
+           ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+           COUNT(*) OVER () AS n_rows
+    FROM c
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows, cents AS median_cents
+FROM r WHERE rn = (n_rows + 1) // 2
+"""
+
+
+@query(
+    "exact_median_selection",
+    oracle=_MEDIAN_ORACLE,
+    tags=("sketch", "selection"),
+)
+def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (lower order statistic, k = ceil(n/2)) by
+    distributed selection — binary search on the VALUE domain: each
+    round one count-below-threshold aggregate narrows [lo, hi] until a
+    single integer remains. ~log2(range) rounds of a partial-agg count
+    over a pinned single-column frame — never a global sort, never a
+    single task holding the data, never materializing values on one
+    node (the scale failure of sort-based exact quantiles; the oracle's
+    ORDER BY/OFFSET is exactly the shape this query exists to avoid).
+    Values are exact integer cents, so termination and the result are
+    deterministic. Driver traffic: one scalar per round, ~35 rounds at
+    this domain width."""
+    from c3dc_etl_spark.pinning import pin
+
+    li = load(spark, sf_dir, "lineitem")
+    cents = pin(
+        li.select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    row = cents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = row["n"], row["lo"], row["hi"]
+    k = (n + 1) // 2  # lower median, 1-indexed
+    while lo < hi:
+        mid = (lo + hi) // 2
+        below = cents.filter(F.col("cents") <= mid).count()
+        if below >= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.lit(lo).cast("bigint").alias("median_cents"),
+    )

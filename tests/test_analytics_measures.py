@@ -61,3 +61,16 @@ def test_ab_stats_match_python(spark):
         assert math.isclose(got[f"mean_{label}"], mean, abs_tol=1e-4)
         assert math.isclose(got[f"var_{label}"], var, rel_tol=1e-3)
     assert got["welch_t"] is not None
+
+
+def test_exact_median_selection_matches_sorted(spark):
+    got = REGISTRY["exact_median_selection"].fn(spark, SF).collect()[0]
+    from c3dc_etl_spark.suite.registry import load
+
+    vals = sorted(
+        int(round(r["l_extendedprice"] * 100))
+        for r in load(spark, SF, "lineitem").select("l_extendedprice").collect()
+    )
+    k = (len(vals) + 1) // 2
+    assert got["n_rows"] == len(vals)
+    assert got["median_cents"] == vals[k - 1]
