@@ -115,6 +115,11 @@ PRIORITY = [
     "source_json_column_extract",
     "label_propagation_vote",
     "exact_median_selection",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

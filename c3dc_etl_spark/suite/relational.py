@@ -789,3 +789,276 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --- TPC-H breadth, second wave: Q7/Q9/Q14/Q15/Q17 shapes -----------------
+
+_DISC_PRICE_SQL = """CAST(
+    CAST(l_extendedprice AS DECIMAL(18,2))
+    * CAST(1.0 - l_discount AS DECIMAL(18,2))
+    AS DECIMAL(18,4))"""
+
+
+def _disc_price() -> "Column":
+    return (
+        dec("l_extendedprice").cast("decimal(18,2)")
+        * dec(F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(STRFTIME(l_shipdate, '%Y') AS INT) AS ship_year,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, ship_year
+    """,
+    tags=("join", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: bilateral trade volume between two nations per
+    ship year — a five-way star join where every dimension (orders'
+    customer side and lineitem's supplier side resolve through nation
+    twice) broadcasts, and the disjunctive nation-pair predicate runs
+    as the residual after both nation joins. orders x lineitem is the
+    one fact-fact edge and meets in a shuffle join on orderkey (an
+    orders-sized broadcast would OOM at scale — same rule as Q5); every
+    other join is fact-against-broadcast, and the final agg groups a
+    handful of (nation, nation, year) cells map-side."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(STRFTIME(o_orderdate, '%Y') AS INT) AS order_year,
+           CAST(SUM(
+               {_DISC_PRICE_SQL}
+               - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))
+           ) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, order_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit (revenue minus retail cost of goods, the
+    partsupp-free proxy) on red parts, by supplier nation and order
+    year. The selective part filter broadcasts FIRST so the fact scan
+    collapses before the remaining dims attach (orders, itself a fact,
+    meets the collapsed stream in a shuffle join); profit stays
+    in DECIMAL end-to-end (a subtraction of two fixed-scale products)
+    so the grouped sums are exact in any order."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = (
+        dec("p_retailprice").cast("decimal(18,2)") * dec("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        # orders is a fact table: shuffle join on orderkey (AQE may still
+        # broadcast the part-collapsed probe side at small SF, but the
+        # plan must not FORCE an orders-sized broadcast)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(_disc_price() - cost).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               AS promo_revenue,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue,
+           CAST(FLOOR(
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) * 1000000 + 0.5)
+               AS BIGINT) AS promo_share_x1e6
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promotional revenue share for one month — a
+    conditional aggregate over a broadcast part join, both sums in one
+    pass (no second scan for the denominator). The share is emitted as
+    exact fixed-point from two decimal-exact doubles divided once."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dp = _disc_price()
+    promo = F.when(F.col("p_type") == "PROMO", dp).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(dp).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.floor(
+            F.col("promo_revenue") / F.col("total_revenue") * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("promo_share_x1e6"),
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) with maximum quarterly revenue,
+    ties kept (the view + scalar-max formulation). Revenue per supplier
+    is one partial-agg exchange; the global max is a 1-row bounded
+    collect folded back as a literal (decimal-exact sums make the
+    double comparison safe: both engines derive bit-identical
+    revenues); the supplier dimension broadcasts onto the handful of
+    winners."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    from c3dc_etl_spark.pinning import pin
+
+    rev = pin(
+        li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+            F.sum(_disc_price()).cast("double").alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.filter(F.col("total_revenue") == top)
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle=f"""
+    WITH avg_qty AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS aq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) / 7.0 * 100 + 0.5) AS BIGINT)
+               AS avg_yearly_x100
+    FROM lineitem JOIN avg_qty ON l_partkey = pk
+    WHERE l_quantity < 0.2 * aq
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue lost to small-quantity orders — a
+    correlated per-part average (decimal-exact sum / count, one IEEE
+    division per part) joined back against the fact table, the
+    aggregate-then-self-join decorrelation every optimizer applies to
+    Q17. Both sides shuffle on l_partkey, so AQE plans the join
+    without a third exchange; the final scalar is one map-side-combined
+    aggregate emitted in exact fixed-point."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("aq")
+    )
+    joined = li.join(avg_qty, li.l_partkey == F.col("pk")).filter(
+        F.col("l_quantity") < 0.2 * F.col("aq")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.floor(dsum("l_extendedprice") / 7.0 * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("avg_yearly_x100"),
+    )
