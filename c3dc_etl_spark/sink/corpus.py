@@ -133,4 +133,5 @@ def compact_shards(
         seed=seed,
     )
     publish(staging, out_dir)
+    spark.catalog.refreshByPath(out_dir)
     return new_shards

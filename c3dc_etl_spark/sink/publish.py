@@ -50,3 +50,52 @@ def publish(new_dir: str, live_dir: str) -> None:
     os.rename(new_dir, live_dir)
     if os.path.exists(old_dir):
         shutil.rmtree(old_dir)
+
+
+def backfill_partition(
+    new_part_df,
+    table_dir: str,
+    partition: str,
+) -> None:
+    """Idempotently replace ONE partition of a hive-partitioned table
+    (``table_dir/<partition>/``, e.g. ``day=2024-01-05``) with freshly
+    recomputed rows — the backfill primitive: a late-arriving-data or
+    bug-fix recompute touches exactly the affected partition, never
+    rewrites the table, and publishes through the same staged-rename
+    discipline (crash at any point leaves the previous partition
+    recoverable via recover()).
+
+    The staged write materializes BEFORE the live partition moves, so a
+    recompute that reads the partition it replaces (delta + existing
+    merge) is safe. At warehouse scale this is `INSERT OVERWRITE
+    TABLE ... PARTITION (day=...)` / a table-format replaceWhere — the
+    local stand-in keeps the identical semantics.
+
+    Scratch directories live INSIDE the table but start with ``.``:
+    Spark's file listing treats dot-prefixed paths as hidden, so a
+    crash-window leftover can never surface as a phantom partition
+    (a ``day=d1.old`` sibling would parse as partition value 'd1.old',
+    and an underscore prefix is NOT enough — partition inference still
+    reads ``_old_day=d1`` as a conflicting partition column).
+    """
+    import os
+    import shutil
+
+    live = os.path.join(table_dir, partition)
+    old = os.path.join(table_dir, ".old_" + partition)
+    staging = os.path.join(table_dir, ".staging_" + partition)
+    # heal a crash between a previous backfill's renames
+    if not os.path.exists(live) and os.path.exists(old):
+        os.rename(old, live)
+    new_part_df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(staging, live)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    # a long-lived session caches the table's file listing; without the
+    # refresh a post-swap read resolves the OLD file names and dies
+    # with missing-file task failures
+    new_part_df.sparkSession.catalog.refreshByPath(table_dir)

@@ -72,6 +72,8 @@ def upsert_latest(
     # the current snapshot, so writing in place would read-while-truncate
     merged.write.mode("overwrite").parquet(tmp_dir)
     publish(tmp_dir, snapshot_dir)
+    # invalidate the session's cached file listing for the swapped path
+    spark.catalog.refreshByPath(snapshot_dir)
 
 
 def run_upsert_stream(

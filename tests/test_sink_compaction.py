@@ -49,3 +49,46 @@ def test_compaction_is_idempotent(spark):
     assert k1 == k2 == 2
     rows = read_training_shards(spark, out).groupBy("shard").count().collect()
     assert len(rows) == 2
+
+
+def test_backfill_replaces_single_partition(spark):
+    import tempfile
+
+    from c3dc_etl_spark.sink.publish import backfill_partition
+
+    base = os.path.join(tempfile.mkdtemp(prefix="backfill_"), "table")
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")],
+        "id long, v string, day string",
+    )
+    df.write.partitionBy("day").parquet(base)
+
+    fixed = spark.createDataFrame([(1, "a2"), (2, "b2")], "id long, v string")
+    backfill_partition(fixed, base, "day=d1")
+
+    got = {
+        (r["id"], r["v"], r["day"])
+        for r in spark.read.parquet(base).collect()
+    }
+    # d1 fully replaced, d2 untouched
+    assert got == {(1, "a2", "d1"), (2, "b2", "d1"), (3, "c", "d2")}
+
+    # idempotent: running the same backfill again changes nothing
+    backfill_partition(fixed, base, "day=d1")
+    got2 = {
+        (r["id"], r["v"], r["day"])
+        for r in spark.read.parquet(base).collect()
+    }
+    assert got2 == got
+
+    # interrupted swap heals: live partition parked at the
+    # dot-prefixed scratch (invisible to partition discovery),
+    # and the next backfill restores it before merging
+    live = os.path.join(base, "day=d1")
+    os.rename(live, os.path.join(base, ".old_day=d1"))
+    # a table read during the crash window sees NO phantom partition
+    assert {r["day"] for r in spark.read.parquet(base).collect()} == {"d2"}
+    backfill_partition(fixed, base, "day=d1")
+    assert {
+        (r["id"], r["v"]) for r in spark.read.parquet(live).collect()
+    } == {(1, "a2"), (2, "b2")}
