@@ -120,6 +120,7 @@ PRIORITY = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity",
+    "sketch_hll_distinct",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

@@ -298,3 +298,119 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("n_rows"),
         F.lit(lo).cast("bigint").alias("median_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-engine-exact HyperLogLog (raw estimator, integer-scaled registers)
+# --------------------------------------------------------------------------
+
+HLL_P = 4  # 2^4 = 16 registers; alpha_16 = 0.673 (Flajolet et al. 2007)
+HLL_M = 1 << HLL_P
+HLL_WBITS = 32 - HLL_P  # low bits that feed the rank-of-first-one
+HLL_MAXRHO = HLL_WBITS + 1
+HLL_ALPHA = "0.673"
+# alpha * m^2 * 2^MAXRHO as an exactly-representable double literal
+HLL_NUM = float(HLL_M * HLL_M) * float(1 << HLL_MAXRHO)
+
+_HLL_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT event_type,
+           CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS h
+    FROM events
+),
+ranked AS (
+    SELECT event_type,
+           h // {1 << HLL_WBITS} AS reg,
+           CASE WHEN h % {1 << HLL_WBITS} = 0 THEN {HLL_MAXRHO}
+                ELSE {HLL_WBITS} - LENGTH(printf('%b', h % {1 << HLL_WBITS})) + 1
+           END AS rho
+    FROM pairs
+),
+regs AS (
+    SELECT event_type, reg, MAX(rho) AS m_j
+    FROM ranked GROUP BY event_type, reg
+),
+scaled AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_regs,
+           CAST(SUM(CAST(1 AS BIGINT) << ({HLL_MAXRHO} - m_j)) AS BIGINT)
+               AS s_present
+    FROM regs GROUP BY event_type
+),
+nd AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM pairs
+    GROUP BY event_type
+)
+SELECT s.event_type,
+       nd.n_distinct AS n_distinct_exact,
+       s.n_regs,
+       CAST(s.s_present
+            + ({HLL_M} - s.n_regs) * CAST({1 << HLL_MAXRHO} AS BIGINT)
+            AS BIGINT) AS sum_scaled,
+       CAST(FLOOR({HLL_ALPHA} * {HLL_NUM!r}
+                  / (s.s_present
+                     + ({HLL_M} - s.n_regs) * CAST({1 << HLL_MAXRHO} AS BIGINT))
+                  * 100 + 0.5) AS BIGINT) AS est_centi
+FROM scaled s JOIN nd ON s.event_type = nd.event_type
+"""
+
+
+@query("sketch_hll_distinct", oracle=_HLL_ORACLE, tags=("sketch", "dedup"))
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type, engineered for
+    cross-engine EXACTNESS: registers come from the portable md5 fold
+    (top {HLL_P} bits -> register, rank-of-first-one over the low
+    {HLL_WBITS} bits via minimal-binary-string length — pure integer/
+    string ops), and the harmonic mean's 2^-M_j terms are summed as
+    SCALED INTEGERS (2^(maxrho - M_j)), so the only floating-point in
+    the whole estimator is one multiply and one divide from exact
+    operands — Spark's approx_count_distinct is the same algorithm but
+    engine-internal and unverifiable. RAW estimator only: the
+    small-range linear-counting correction needs ln(), whose last ulp
+    is libm-dependent, so production use layers it outside the
+    value-hashed core (the pinned sum_scaled/n_regs columns carry the
+    full register state it would need). Scale: the register table is
+    {HLL_M} rows per group REGARDLESS of input — the canonical
+    mergeable sketch (merge = elementwise register MAX); one exchange
+    to (group, reg), partials map-side."""
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(
+        "event_type", hash32(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    wmod = F.pmod(F.col("h"), F.lit(1 << HLL_WBITS))
+    ranked = pairs.select(
+        "event_type",
+        F.expr(f"h div {1 << HLL_WBITS}").alias("reg"),
+        F.when(wmod == 0, F.lit(HLL_MAXRHO))
+        .otherwise(F.lit(HLL_WBITS) - F.length(F.bin(wmod)) + 1)
+        .alias("rho"),
+    )
+    regs = ranked.groupBy("event_type", "reg").agg(F.max("rho").alias("m_j"))
+    scaled = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+        # SQL form: the Python shiftleft() helper takes a literal bit
+        # count, not a Column
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_MAXRHO} - m_j)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    nd = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_exact")
+    )
+    sum_scaled = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(1 << HLL_MAXRHO).cast("bigint")
+    ).cast("bigint")
+    return scaled.join(nd, "event_type").select(
+        "event_type",
+        "n_distinct_exact",
+        "n_regs",
+        sum_scaled.alias("sum_scaled"),
+        F.floor(
+            F.lit(float(HLL_ALPHA)) * F.lit(HLL_NUM) / sum_scaled * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("est_centi"),
+    )
