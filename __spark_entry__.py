@@ -121,6 +121,7 @@ PRIORITY = [
     "q15_top_supplier",
     "q17_small_quantity",
     "sketch_hll_distinct",
+    "sketch_kmv_set_algebra",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

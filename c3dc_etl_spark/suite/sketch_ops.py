@@ -414,3 +414,143 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_centi"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch ALGEBRA: union / intersection cardinalities from two
+# sketches (no re-scan of the raw data at combine time)
+# --------------------------------------------------------------------------
+
+KMV_A = "click"
+KMV_B = "purchase"
+
+_KMV_ALGEBRA_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT event_type,
+           CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS h
+    FROM events
+    WHERE event_type IN ('{KMV_A}', '{KMV_B}')
+),
+mins AS (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM pairs
+),
+sk AS (SELECT event_type, h FROM mins WHERE rn <= {K}),
+u AS (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)
+),
+uk AS (SELECT h FROM u WHERE rn <= {K}),
+stats AS (
+    SELECT MAX(uk.h) AS kth_union,
+           CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+    FROM uk
+    LEFT JOIN (SELECT h FROM sk WHERE event_type = '{KMV_A}') a ON uk.h = a.h
+    LEFT JOIN (SELECT h FROM sk WHERE event_type = '{KMV_B}') b ON uk.h = b.h
+),
+exact AS (
+    SELECT
+        CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_union,
+        CAST(COUNT(DISTINCT CASE WHEN cnt = 2 THEN h END) AS BIGINT)
+            AS exact_intersect
+    FROM (SELECT h, COUNT(DISTINCT event_type) AS cnt FROM pairs GROUP BY h)
+)
+SELECT e.exact_union, e.exact_intersect, s.n_both,
+       CAST(FLOOR({K - 1}.0 * {HASH_SPACE!r} / s.kth_union * 100 + 0.5)
+            AS BIGINT) AS est_union_centi,
+       CAST(FLOOR(CAST(s.n_both AS DOUBLE) / {K}
+                  * ({K - 1}.0 * {HASH_SPACE!r} / s.kth_union) * 100 + 0.5)
+            AS BIGINT) AS est_intersect_centi
+FROM stats s, exact e
+"""
+
+
+@query("sketch_kmv_set_algebra", oracle=_KMV_ALGEBRA_ORACLE, tags=("sketch",))
+def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA — the combine-time workflow that makes sketches
+    worth keeping at 100 TB: the '{KMV_A}' and '{KMV_B}' user sets'
+    KMV sketches (k minima each, never the raw sets) merge into a
+    union sketch (k smallest of the combined minima), estimate
+    |A ∪ B| from its k-th minimum, and estimate |A ∩ B| via the
+    standard KMV Jaccard route (fraction of union-sketch minima present
+    in BOTH input sketches x union estimate). Exact values ride along,
+    so the value hash pins both the set-algebra mechanics and the
+    estimates. Everything after the two k-minima selections touches
+    2k rows — query-time set arithmetic costs nothing regardless of
+    corpus size."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KMV_A, KMV_B)
+    )
+    from c3dc_etl_spark.pinning import pin
+
+    pairs = pin(
+        ev.select(
+            "event_type", hash32(F.col("user_id").cast("string")).alias("h")
+        ).distinct()
+    )
+    # reducer-bounded k-minima (same salted two-phase as
+    # sketch_kmv_distinct — a plain rank window would ship every
+    # distinct member of a hot set to one task at scale)
+    sk = pin(
+        salted_topk(
+            pairs,
+            ["event_type"],
+            [F.col("h").asc()],
+            K,
+            salt=F.col("h"),
+            n_salt=SALT_BUCKETS,
+        ).select("event_type", "h")
+    )
+    # the union sketch ranks <= 2k surviving minima — bounded window
+    uw = Window.orderBy("h")
+    uk = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(uw))
+        .filter(F.col("rn") <= K)
+        .select("h")
+    )
+    a = sk.filter(F.col("event_type") == KMV_A).select(F.col("h").alias("ha"))
+    b = sk.filter(F.col("event_type") == KMV_B).select(F.col("h").alias("hb"))
+    stats = (
+        uk.join(F.broadcast(a), uk.h == a.ha, "left")
+        .join(F.broadcast(b), uk.h == b.hb, "left")
+        .agg(
+            F.max("h").alias("kth_union"),
+            F.sum(
+                (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_both"),
+        )
+    )
+    cnts = pairs.groupBy("h").agg(
+        F.count_distinct("event_type").alias("cnt")
+    )
+    exact = cnts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum((F.col("cnt") == 2).cast("long")).cast("bigint").alias(
+            "exact_intersect"
+        ),
+    )
+    est_union = F.lit(float(K - 1)) * F.lit(HASH_SPACE) / F.col("kth_union")
+    # the final combine is 1-row x 1-row (two scalar aggregates): the
+    # BroadcastNestedLoopJoin Catalyst plans here is bounded by
+    # construction (a literal equi-key would just fold away) —
+    # allowlisted in tests/test_plan_lint.py
+    return stats.join(exact).select(
+        "exact_union",
+        "exact_intersect",
+        "n_both",
+        F.floor(est_union * 100 + F.lit(0.5)).cast("bigint").alias(
+            "est_union_centi"
+        ),
+        F.floor(
+            F.col("n_both").cast("double") / K * est_union * 100 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("est_intersect_centi"),
+    )

@@ -49,6 +49,9 @@ _BNLJ_ALLOWED = {
     "dedup_embedding_cosine",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
+    # 1-row x 1-row scalar-aggregate combine (sketch stats x exact
+    # counts): bounded by construction; a literal equi-key folds away
+    "sketch_kmv_set_algebra",
 }
 
 
