@@ -52,18 +52,56 @@ def publish(new_dir: str, live_dir: str) -> None:
         shutil.rmtree(old_dir)
 
 
+def _scratch_name(prefix: str, partition: str) -> str:
+    """Flatten a (possibly nested) partition path into a single hidden
+    directory name: ``day=d1/hour=03`` -> ``.old_day=d1%2Fhour=03``.
+    Keeps the scratch a SIBLING of the table's first level (no missing
+    nested parents for os.rename) and dot-prefixed (hidden from
+    Spark's listing and partition inference)."""
+    return prefix + partition.strip("/").replace("/", "%2F")
+
+
+def heal_partitions(table_dir: str) -> list[str]:
+    """Restore any partition whose backfill crashed between the two
+    renames: scan the table for ``.old_<partition>`` scratch dirs whose
+    live partition is missing and rename them back. Returns the healed
+    partition names. Call before reading a table that backfills might
+    have touched — a read during the crash window otherwise SUCCEEDS
+    and silently omits the in-flight partition (unlike a whole-table
+    swap, where the missing live dir fails loudly)."""
+    healed = []
+    if not os.path.isdir(table_dir):
+        return healed
+    for name in os.listdir(table_dir):
+        if not name.startswith(".old_"):
+            continue
+        partition = name[len(".old_"):].replace("%2F", "/")
+        live = os.path.join(table_dir, partition)
+        if not os.path.exists(live):
+            os.rename(os.path.join(table_dir, name), live)
+            healed.append(partition)
+    return healed
+
+
 def backfill_partition(
     new_part_df,
     table_dir: str,
     partition: str,
 ) -> None:
     """Idempotently replace ONE partition of a hive-partitioned table
-    (``table_dir/<partition>/``, e.g. ``day=2024-01-05``) with freshly
-    recomputed rows — the backfill primitive: a late-arriving-data or
-    bug-fix recompute touches exactly the affected partition, never
-    rewrites the table, and publishes through the same staged-rename
-    discipline (crash at any point leaves the previous partition
-    recoverable via recover()).
+    (``table_dir/<partition>/``, e.g. ``day=2024-01-05`` or the nested
+    ``day=2024-01-05/hour=03``) with freshly recomputed rows — the
+    backfill primitive: a late-arriving-data or bug-fix recompute
+    touches exactly the affected partition, never rewrites the table,
+    and publishes through the same staged-rename discipline.
+
+    Crash semantics: at any point the previous partition survives —
+    either live or parked at its hidden ``.old_`` scratch. The one
+    window between the two renames is healed by the next backfill of
+    the same partition or by :func:`heal_partitions`; NOTE that during
+    that window a whole-table read succeeds WITHOUT the partition
+    (partition dirs are independent), so readers that must be
+    crash-consistent call heal_partitions() first.
 
     The staged write materializes BEFORE the live partition moves, so a
     recompute that reads the partition it replaces (delta + existing
@@ -76,14 +114,13 @@ def backfill_partition(
     crash-window leftover can never surface as a phantom partition
     (a ``day=d1.old`` sibling would parse as partition value 'd1.old',
     and an underscore prefix is NOT enough — partition inference still
-    reads ``_old_day=d1`` as a conflicting partition column).
+    reads ``_old_day=d1`` as a conflicting partition column). Nested
+    partition paths are flattened into the scratch name (%2F) so the
+    rename never needs a missing parent directory.
     """
-    import os
-    import shutil
-
     live = os.path.join(table_dir, partition)
-    old = os.path.join(table_dir, ".old_" + partition)
-    staging = os.path.join(table_dir, ".staging_" + partition)
+    old = os.path.join(table_dir, _scratch_name(".old_", partition))
+    staging = os.path.join(table_dir, _scratch_name(".staging_", partition))
     # heal a crash between a previous backfill's renames
     if not os.path.exists(live) and os.path.exists(old):
         os.rename(old, live)

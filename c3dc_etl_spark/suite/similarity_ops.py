@@ -430,12 +430,18 @@ def label_propagation_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-keyed self-join as the LSH candidate generation (work =
     collision mass, never n^2); votes aggregate map-side; the argmax is
     a per-test-node window over its <=n_labels vote rows."""
+    from c3dc_etl_spark.pinning import pin
+
     emb = load(spark, sf_dir, "embeddings")
     matrix = S.srp_planes(SRP_PLANES, EMB_DIM, "srp")
-    b = emb.select(
-        F.col("vec_id").alias("id"),
-        "label",
-        S.srp_bucket(F.col("embedding"), matrix).alias("bucket"),
+    # pin: the SRP bucketing (8 planes x 64-dim folds per row) feeds the
+    # labeled side, the test side, and the final join
+    b = pin(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            "label",
+            S.srp_bucket(F.col("embedding"), matrix).alias("bucket"),
+        )
     )
     test = b.filter(F.col("id") % 2 == 1)
     labeled = b.filter(F.col("id") % 2 == 0).select(

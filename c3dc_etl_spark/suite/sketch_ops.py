@@ -240,7 +240,7 @@ def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIAN_ORACLE = """
 WITH c AS (
     SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-    FROM lineitem
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
 r AS (
     SELECT cents,
@@ -273,8 +273,11 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c3dc_etl_spark.pinning import pin
 
     li = load(spark, sf_dir, "lineitem")
+    # NULLs are excluded on BOTH sides (a count-based search over a
+    # population that includes rows its filters never see would
+    # converge to the wrong order statistic)
     cents = pin(
-        li.select(
+        li.filter(F.col("l_extendedprice").isNotNull()).select(
             F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
             .cast("bigint")
             .alias("cents")
@@ -286,6 +289,11 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("hi"),
     ).collect()[0]
     n, lo, hi = row["n"], row["lo"], row["hi"]
+    if n == 0:  # empty input: 0 rows, like the oracle's empty rank set
+        return spark.range(0).select(
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("median_cents"),
+        )
     k = (n + 1) // 2  # lower median, 1-indexed
     while lo < hi:
         mid = (lo + hi) // 2
@@ -374,10 +382,16 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     {HLL_M} rows per group REGARDLESS of input — the canonical
     mergeable sketch (merge = elementwise register MAX); one exchange
     to (group, reg), partials map-side."""
+    from c3dc_etl_spark.pinning import pin
+
     ev = load(spark, sf_dir, "events")
-    pairs = ev.select(
-        "event_type", hash32(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
+    # pin: the distinct (a full exchange of events) feeds both the
+    # register chain and the exact-count aggregate
+    pairs = pin(
+        ev.select(
+            "event_type", hash32(F.col("user_id").cast("string")).alias("h")
+        ).distinct()
+    )
     wmod = F.pmod(F.col("h"), F.lit(1 << HLL_WBITS))
     ranked = pairs.select(
         "event_type",
@@ -445,6 +459,7 @@ u AS (
 uk AS (SELECT h FROM u WHERE rn <= {K}),
 stats AS (
     SELECT MAX(uk.h) AS kth_union,
+           CAST(COUNT(*) AS BIGINT) AS n_sketch,
            CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_both
     FROM uk
@@ -459,11 +474,15 @@ exact AS (
     FROM (SELECT h, COUNT(DISTINCT event_type) AS cnt FROM pairs GROUP BY h)
 )
 SELECT e.exact_union, e.exact_intersect, s.n_both,
-       CAST(FLOOR({K - 1}.0 * {HASH_SPACE!r} / s.kth_union * 100 + 0.5)
-            AS BIGINT) AS est_union_centi,
-       CAST(FLOOR(CAST(s.n_both AS DOUBLE) / {K}
-                  * ({K - 1}.0 * {HASH_SPACE!r} / s.kth_union) * 100 + 0.5)
-            AS BIGINT) AS est_intersect_centi
+       CAST(CASE WHEN s.n_sketch < {K} THEN s.n_sketch * 100
+                 ELSE FLOOR({K - 1}.0 * {HASH_SPACE!r} / s.kth_union * 100
+                            + 0.5)
+            END AS BIGINT) AS est_union_centi,
+       CAST(CASE WHEN s.n_sketch < {K} THEN s.n_both * 100
+                 ELSE FLOOR(CAST(s.n_both AS DOUBLE) / {K}
+                            * ({K - 1}.0 * {HASH_SPACE!r} / s.kth_union)
+                            * 100 + 0.5)
+            END AS BIGINT) AS est_intersect_centi
 FROM stats s, exact e
 """
 
@@ -520,6 +539,7 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(b), uk.h == b.hb, "left")
         .agg(
             F.max("h").alias("kth_union"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
             F.sum(
                 (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("long")
             )
@@ -545,11 +565,20 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_intersect",
         "n_both",
-        F.floor(est_union * 100 + F.lit(0.5)).cast("bigint").alias(
-            "est_union_centi"
-        ),
-        F.floor(
-            F.col("n_both").cast("double") / K * est_union * 100 + F.lit(0.5)
+        # degradation, same as sketch_kmv_distinct: a union sketch with
+        # fewer than k minima holds BOTH sets completely, so union and
+        # intersection are exact counts — the (k-1)/r_k estimator over a
+        # non-full sketch returns ~k regardless of the true cardinality
+        F.when(F.col("n_sketch") < K, F.col("n_sketch") * 100)
+        .otherwise(F.floor(est_union * 100 + F.lit(0.5)))
+        .cast("bigint")
+        .alias("est_union_centi"),
+        F.when(F.col("n_sketch") < K, F.col("n_both") * 100)
+        .otherwise(
+            F.floor(
+                F.col("n_both").cast("double") / K * est_union * 100
+                + F.lit(0.5)
+            )
         )
         .cast("bigint")
         .alias("est_intersect_centi"),

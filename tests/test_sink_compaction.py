@@ -92,3 +92,37 @@ def test_backfill_replaces_single_partition(spark):
     assert {
         (r["id"], r["v"]) for r in spark.read.parquet(live).collect()
     } == {(1, "a2"), (2, "b2")}
+
+
+def test_backfill_nested_partition_and_heal(spark):
+    import tempfile
+
+    from c3dc_etl_spark.sink.publish import backfill_partition, heal_partitions
+
+    base = os.path.join(tempfile.mkdtemp(prefix="backfill_nested_"), "table")
+    df = spark.createDataFrame(
+        [(1, "d1", "h1"), (2, "d1", "h2"), (3, "d2", "h1")],
+        "id long, day string, hour string",
+    )
+    df.write.partitionBy("day", "hour").parquet(base)
+
+    fixed = spark.createDataFrame([(9,)], "id long")
+    # nested partition path: scratch names must flatten, not need a
+    # missing parent directory
+    backfill_partition(fixed, base, "day=d1/hour=h2")
+    got = {
+        (r["id"], r["day"], r["hour"])
+        for r in spark.read.parquet(base).collect()
+    }
+    assert got == {(1, "d1", "h1"), (9, "d1", "h2"), (3, "d2", "h1")}
+
+    # crash window: live partition parked at its flattened scratch;
+    # heal_partitions restores it without re-running the backfill
+    live = os.path.join(base, "day=d1", "hour=h2")
+    os.rename(live, os.path.join(base, ".old_day=d1%2Fhour=h2"))
+    assert heal_partitions(base) == ["day=d1/hour=h2"]
+    spark.catalog.refreshByPath(base)
+    assert {
+        (r["id"], r["day"], r["hour"])
+        for r in spark.read.parquet(base).collect()
+    } == got
