@@ -122,6 +122,7 @@ PRIORITY = [
     "q17_small_quantity",
     "sketch_hll_distinct",
     "sketch_kmv_set_algebra",
+    "scd2_point_in_time_join",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

@@ -588,3 +588,84 @@ def skew_salt_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stat("plain_bucket", "unsalted").unionByName(
         stat("salted_bucket", "salted")
     )
+
+
+_SCD2_PIT_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_id, EPOCH_US(ts) AS ts_us, event_type FROM events
+),
+marked AS (
+    SELECT user_id, event_id, ts_us, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+    FROM ev
+),
+changes AS (
+    SELECT user_id, event_id, ts_us, event_type FROM marked
+    WHERE prev IS NULL OR prev <> event_type
+),
+dim AS (
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           event_type AS attr,
+           ts_us AS eff_from_us,
+           LEAD(ts_us) OVER w AS eff_to_us
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT e.event_id, e.user_id, e.ts_us, d.version,
+       d.attr AS attr_at_time
+FROM ev e
+JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts_us >= d.eff_from_us
+ AND (d.eff_to_us IS NULL OR e.ts_us < d.eff_to_us)
+"""
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=_SCD2_PIT_ORACLE,
+    tags=("warehouse", "temporal", "join"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — THE warehouse temporal join:
+    every event resolves the SCD2 version valid at its timestamp
+    (equi-join on the entity key with the half-open validity range as
+    the residual predicate). Because versions tile exactly (T78's
+    pinned invariant), each event matches EXACTLY one version — the
+    output row count equals the event count, which the oracle's
+    identical join re-derives. Scale shape: a shuffle hash join on
+    user_id whose residual compares each event against only its own
+    entity's versions (per-entity history, not a global range join) —
+    linear in events + versions, the reason point-in-time lookups key
+    on the entity and never on time alone."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    from c3dc_etl_spark.pinning import pin
+
+    dim = pin(
+        W.build_scd2(
+            ev,
+            key_col="user_id",
+            ts_col="ts_us",
+            tiebreak_col="event_id",
+            attr_col="event_type",
+        ).select(
+            F.col("user_id").alias("d_user"),
+            "version",
+            F.col("event_type").alias("attr_at_time"),
+            "eff_from",
+            "eff_to",
+        )
+    )
+    return (
+        ev.join(
+            dim,
+            (ev.user_id == dim.d_user)
+            & (ev.ts_us >= dim.eff_from)
+            & (dim.eff_to.isNull() | (ev.ts_us < dim.eff_to)),
+        )
+        .select("event_id", "user_id", "ts_us", "version", "attr_at_time")
+    )
