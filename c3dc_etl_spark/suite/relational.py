@@ -1062,3 +1062,100 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_yearly_x100"),
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    offers AS (
+        SELECT s.pk, s.sk, sup.s_acctbal, sup.s_name, n.n_name
+        FROM supply s
+        JOIN supplier sup ON sup.s_suppkey = s.sk
+        JOIN nation n   ON n.n_nationkey = sup.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    best AS (
+        SELECT pk, MAX(s_acctbal) AS best_bal FROM offers GROUP BY pk
+    )
+    SELECT p.p_partkey, p.p_brand, o.s_name, n_name AS nation,
+           o.s_acctbal
+    FROM offers o
+    JOIN best b ON o.pk = b.pk AND o.s_acctbal = b.best_bal
+    JOIN part p ON p.p_partkey = o.pk
+    WHERE p.p_size = 15
+    """,
+    tags=("join", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: for each size-15 part, the best-balance ASIA
+    supplier(s) who actually supply it — the correlated scalar
+    subquery (MAX per part) decorrelated into an aggregate + re-join
+    on the extremal value, ties kept, exactly how every optimizer
+    rewrites Q2. The supply relation is the distinct (part, supplier)
+    projection of lineitem (the dataset's partsupp stand-in); supplier/
+    nation/region broadcast; the per-part MAX is one partial-agg
+    exchange and the re-join hits the same key so AQE chains it
+    without a new shuffle. Balance equality across engines is safe:
+    the compared doubles are UNTRANSFORMED column values."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    offers = (
+        li.join(F.broadcast(sup), li.sk == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("pk", "s_name", F.col("n_name").alias("nation"), "s_acctbal")
+    )
+    best = offers.groupBy(F.col("pk").alias("b_pk")).agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        offers.join(
+            best,
+            (offers.pk == best.b_pk) & (offers.s_acctbal == best.best_bal),
+        )
+        .join(F.broadcast(part), offers.pk == part.p_partkey)
+        .select("p_partkey", "p_brand", "s_name", "nation", "s_acctbal")
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT EPOCH_US(ts) // 86400000000) AS BIGINT)
+               AS n_days
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over DIFFERENT columns in one query
+    — the plan shape Catalyst handles with an Expand node (each input
+    row fans out once per distinct group, tagged by gid) so BOTH
+    distinct sets and the plain count resolve in a single aggregation
+    pipeline over one scan: the alternative users reach for (self-join
+    of two separate distinct aggregates) doubles the scan and shuffles
+    twice. At scale the Expand's 3x row fan-out is narrow (tag + one
+    key column each) and partial aggregation collapses it map-side."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        F.count_distinct(F.expr("ts_us div 86400000000"))
+        .cast("bigint")
+        .alias("n_days"),
+    )
