@@ -123,7 +123,7 @@ PRIORITY = [
     "sketch_hll_distinct",
     "sketch_kmv_set_algebra",
     "scd2_point_in_time_join",
-    "q2_min_cost_supplier",
+    "q2_best_balance_supplier",
     "agg_multi_distinct",
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -133,6 +133,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Deterministic cross-engine numeric helpers
 # ---------------------------------------------------------------------------
 
+DAY_US = 86_400_000_000
+
+
+def day_bucket(col_name: str = "ts_us", unit: int = DAY_US) -> Column:
+    """Epoch-microseconds -> integer day bucket, the ONE cross-engine
+    form: `div` truncates toward zero exactly like DuckDB's `//`
+    (verified: -5 // 2 = -2 in DuckDB). A floor(x / N) double-division
+    spelling agrees only for non-negative timestamps and reintroduces
+    FP rounding — use this helper, never re-derive the idiom."""
+    return F.expr(f"{col_name} div {unit}")
+
+
 def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Exact decimal view of a double column (values were generated at
     2dp, so this round-trips exactly in both engines)."""

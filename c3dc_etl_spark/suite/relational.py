@@ -467,11 +467,12 @@ def agg_grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the cube costs one shuffle, not four scans. grouping_id
     disambiguates the NULL-as-total rows exactly as the oracle's
     GROUPING() bits do."""
+    from c3dc_etl_spark.suite.registry import day_bucket
     from c3dc_etl_spark.suite.registry import load as _load
 
     ev = _load(spark, sf_dir, "events").select(
         "event_type",
-        F.floor(F.col("ts_us") / F.lit(86_400_000_000)).alias("day_bucket"),
+        day_bucket().alias("day_bucket"),
     )
     return (
         ev.cube("event_type", "day_bucket")
@@ -1065,7 +1066,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q2_min_cost_supplier",
+    "q2_best_balance_supplier",
     oracle="""
     WITH supply AS (
         SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
@@ -1090,8 +1091,10 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "tpch"),
 )
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2-shaped: for each size-15 part, the best-balance ASIA
+def q2_best_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped (extremal measure inverted: MAX account
+    balance stands in for MIN supply cost — the dataset has no
+    partsupp): for each size-15 part, the best-balance ASIA
     supplier(s) who actually supply it — the correlated scalar
     subquery (MAX per part) decorrelated into an aggregate + re-join
     on the extremal value, ties kept, exactly how every optimizer
@@ -1151,11 +1154,11 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     of two separate distinct aggregates) doubles the scan and shuffles
     twice. At scale the Expand's 3x row fan-out is narrow (tag + one
     key column each) and partial aggregation collapses it map-side."""
+    from c3dc_etl_spark.suite.registry import day_bucket
+
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
-        F.count_distinct(F.expr("ts_us div 86400000000"))
-        .cast("bigint")
-        .alias("n_days"),
+        F.count_distinct(day_bucket()).cast("bigint").alias("n_days"),
     )

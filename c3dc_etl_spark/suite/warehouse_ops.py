@@ -643,22 +643,18 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts_us", "event_type"
     )
-    from c3dc_etl_spark.pinning import pin
-
-    dim = pin(
-        W.build_scd2(
-            ev,
-            key_col="user_id",
-            ts_col="ts_us",
-            tiebreak_col="event_id",
-            attr_col="event_type",
-        ).select(
-            F.col("user_id").alias("d_user"),
-            "version",
-            F.col("event_type").alias("attr_at_time"),
-            "eff_from",
-            "eff_to",
-        )
+    dim = W.build_scd2(
+        ev,
+        key_col="user_id",
+        ts_col="ts_us",
+        tiebreak_col="event_id",
+        attr_col="event_type",
+    ).select(
+        F.col("user_id").alias("d_user"),
+        "version",
+        F.col("event_type").alias("attr_at_time"),
+        "eff_from",
+        "eff_to",
     )
     return (
         ev.join(
