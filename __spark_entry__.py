@@ -125,6 +125,7 @@ PRIORITY = [
     "scd2_point_in_time_join",
     "q2_best_balance_supplier",
     "agg_multi_distinct",
+    "null_semantics_probe",
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",

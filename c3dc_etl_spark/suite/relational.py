@@ -1162,3 +1162,45 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
         F.count_distinct(day_bucket()).cast("bigint").alias("n_days"),
     )
+
+
+_NULLSEM_ORACLE = """
+WITH t(k, v) AS (
+    VALUES ('a', 1.0), ('a', NULL), ('b', NULL),
+           ('c', 2.0), ('c', 3.0), (NULL, 4.0)
+)
+SELECT COALESCE(k, '<null>') AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(v) AS BIGINT) AS n_vals,
+       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(MAX(v IS NOT DISTINCT FROM NULL) AS INT) AS any_null_safe_eq
+FROM t
+GROUP BY k
+"""
+
+
+@query("null_semantics_probe", oracle=_NULLSEM_ORACLE, tags=("conformance",))
+def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NULL-semantics conformance row, pinned cross-engine over a
+    fixed literal relation (no table dependency — the sf_dir is
+    unused): COUNT(*) counts null rows while COUNT(col) skips them,
+    SUM over an all-null group is NULL (not 0), a null GROUP BY key
+    forms its own group, and null-safe equality (Spark ``<=>`` ==
+    DuckDB ``IS NOT DISTINCT FROM``) is true exactly on the null
+    values. Engines disagree on these edges more often than on any
+    join algorithm; this row turns each rule into a hashed fact."""
+    rows = [
+        ("a", 1.0), ("a", None), ("b", None),
+        ("c", 2.0), ("c", 3.0), (None, 4.0),
+    ]
+    t = spark.createDataFrame(rows, "k string, v double")
+    return t.groupBy(F.coalesce(F.col("k"), F.lit("<null>")).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.col("v")).cast("bigint").alias("n_vals"),
+        F.sum(dec("v")).cast("double").alias("sum_v"),
+        F.sum(F.col("v").isNull().cast("long")).cast("bigint").alias("n_nulls"),
+        F.max(F.col("v").eqNullSafe(F.lit(None).cast("double")).cast("int"))
+        .cast("int")
+        .alias("any_null_safe_eq"),
+    )
