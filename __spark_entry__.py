@@ -23,73 +23,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate priority: the correctness gate verifies queries in dict
-# order (with a bounded ~50-query per-round window). Round-4 order per
-# VERDICT r3 ask #1: new never-driver-checked queries first, then the 10
-# queries whose only green row is round-1-dated, then the r2-dated
-# engine/merge/validate block (its tail rotates into round 5's window),
-# and the 50 r3-green queries close the list — their code is unchanged
-# since the r3 check. Every REGISTRY entry is included exactly once
-# (asserted in tests/test_registry.py).
+# order (with a bounded ~50-query per-round window). Round-5 order per
+# VERDICT r4 ask #1: the 36 round-4 session-3 queries (judge-verified
+# but never driver-checked) lead, followed by any round-5 additions,
+# then the oldest previously-green blocks (r2-dated engine/source rows
+# first). Every REGISTRY entry is included exactly once (asserted in
+# tests/test_registry.py).
 PRIORITY = [
-    # --- new this round: never driver-checked ---
-    "kmeans_embedding_clusters",
-    "semantic_dedup_clusters",
-    "ngram_lm_score",
-    "text_tfidf_keywords",
-    "sample_split_leakage_safe",
-    "profile_documents",
-    "ann_ivf_kmeans_recall",
-    "streaming_static_enrich",
-    "source_orc_roundtrip",
-    "join_bucketed_colocated",
-    "minhash_estimation_error",
-    "sink_partitioned_pruning",
-    "source_schema_evolution",
-    "bpe_train_merges",
-    "bpe_tokenize_apply",
-    "streaming_stream_stream_join",
-    "rollup_merge_partials",
-    "q6_forecast_revenue_sql",
-    "source_corrupt_records",
-    "window_functions_suite",
-    "agg_grouping_cube",
-    "sample_weighted_reservoir",
-    "kmeans_cluster_purity",
-    "corpus_drift_psi",
-    "doc_chunk_content_defined",
-    "storage_staged_scan",
-    "ann_ivf_recall",
-    "streaming_session_late_data",
-    "multimodal_decode_real",
-    "contamination_bloom_filter",
-    "interval_overlap_events",
-    "sample_token_budget",
-    "text_vocab_coverage",
-    "multimodal_video_frames",
-    "sample_split_assign",
-    "corpus_snapshot_delta",
-    # --- stale: last driver-green row is round 1 ---
-    "except_reconciliation",
-    "distinct_count_per_node",
-    "explode_subrecords",
-    "typegroup_fanout_union",
-    "pivot_long_to_wide",
-    "json_flatten",
-    "link_wiring_collect",
-    "unpivot_wide_to_long",
-    "text_token_counts",
-    "text_fingerprint",
-    # --- r2-green: refresh within this round's window (head first: the
-    # four rotation-pinned names lead so session-2's new queries cannot
-    # push them past the driver's 50-entry window) ---
-    "engine_typegroup_fanout",
-    "engine_sum_macros",
-    "source_delimited_scan",
-    "merge_first_wins_engine",
-    # --- new in round-4 session 3 (positions 51+): outside this round's
-    # 50-entry window by design — the window above is exactly budgeted
-    # (36 new + 10 r1-stale + 4 pinned r2); these lead round 5's window.
-    # Locally oracle-verified via scripts/check_oracle.py meanwhile.
+    # --- round-4 session 3: judge-verified, never driver-checked ---
     "q4_priority_semijoin",
     "q13_order_distribution",
     "q16_supplier_variety",
@@ -126,6 +67,16 @@ PRIORITY = [
     "q2_best_balance_supplier",
     "agg_multi_distinct",
     "null_semantics_probe",
+    # --- new in round 5: never driver-checked ---
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "table_log_snapshot_read",
+    "table_log_time_travel",
+    # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",
     "engine_latest_survival",
@@ -219,6 +170,57 @@ PRIORITY = [
     "followup_primary_window",
     "fingerprint_dedup_first_wins",
     "drop_duplicates_pairs",
+    # --- r4-green: driver-checked in round 4, code unchanged since ---
+    "kmeans_embedding_clusters",
+    "semantic_dedup_clusters",
+    "ngram_lm_score",
+    "text_tfidf_keywords",
+    "sample_split_leakage_safe",
+    "profile_documents",
+    "ann_ivf_kmeans_recall",
+    "streaming_static_enrich",
+    "source_orc_roundtrip",
+    "join_bucketed_colocated",
+    "minhash_estimation_error",
+    "sink_partitioned_pruning",
+    "source_schema_evolution",
+    "bpe_train_merges",
+    "bpe_tokenize_apply",
+    "streaming_stream_stream_join",
+    "rollup_merge_partials",
+    "q6_forecast_revenue_sql",
+    "source_corrupt_records",
+    "window_functions_suite",
+    "agg_grouping_cube",
+    "sample_weighted_reservoir",
+    "kmeans_cluster_purity",
+    "corpus_drift_psi",
+    "doc_chunk_content_defined",
+    "storage_staged_scan",
+    "ann_ivf_recall",
+    "streaming_session_late_data",
+    "multimodal_decode_real",
+    "contamination_bloom_filter",
+    "interval_overlap_events",
+    "sample_token_budget",
+    "text_vocab_coverage",
+    "multimodal_video_frames",
+    "sample_split_assign",
+    "corpus_snapshot_delta",
+    "except_reconciliation",
+    "distinct_count_per_node",
+    "explode_subrecords",
+    "typegroup_fanout_union",
+    "pivot_long_to_wide",
+    "json_flatten",
+    "link_wiring_collect",
+    "unpivot_wide_to_long",
+    "text_token_counts",
+    "text_fingerprint",
+    "engine_typegroup_fanout",
+    "engine_sum_macros",
+    "source_delimited_scan",
+    "merge_first_wins_engine",
 ]
 
 

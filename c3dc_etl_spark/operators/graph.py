@@ -146,6 +146,7 @@ def pagerank(
     dst: str = "dst",
     damping_pct: int = 85,
     iterations: int = 3,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Distributed PageRank by power iteration over an edge list
     (Page et al. 1999; the Pregel formulation without a vertex
@@ -199,7 +200,14 @@ def pagerank(
         )
     )
     ranks = nodes.withColumn("rank_x1e12", F.lit(one // n_nodes).cast("bigint"))
-    for _ in range(iterations):
+    for it in range(iterations):
+        # lineage hygiene (same cadence discipline as
+        # connected_components): each round otherwise appends a
+        # join+agg layer to `ranks`, and deep iteration counts balloon
+        # plan compile time. Truncate every ``checkpoint_every`` rounds;
+        # materialized state is just (node, rank) — O(nodes) longs.
+        if it and checkpoint_every and it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
         contribs = (
             e.join(
                 ranks.select(F.col("node").alias("e_src"), "rank_x1e12"),

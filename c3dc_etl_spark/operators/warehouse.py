@@ -37,11 +37,20 @@ def build_scd2(
     so the build scales with the widest single entity, not the table.
     ``tiebreak_col`` must make (key, ts, tiebreak) unique or versions
     would be nondeterministic under equal timestamps.
+
+    Change detection is null-safe: ``a -> NULL -> b`` produces three
+    versions (the NULL period is a real version, IS DISTINCT FROM
+    semantics — SQL mirrors must use ``IS DISTINCT FROM``, not ``!=``).
+    A lag'd constant marks the first event per key, so a leading NULL
+    attr value cannot be confused with "no previous row".
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    marked = df.withColumn("__prev", F.lag(attr_col).over(w))
+    marked = df.withColumn("__prev", F.lag(attr_col).over(w)).withColumn(
+        "__has_prev", F.lag(F.lit(1)).over(w)
+    )
     changes = marked.filter(
-        F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col))
+        F.col("__has_prev").isNull()
+        | ~F.col("__prev").eqNullSafe(F.col(attr_col))
     )
     return changes.select(
         key_col,
@@ -59,11 +68,15 @@ def hash_bucket(col: Column, salt: Column | str, width: int) -> Column:
     so every operator's bucket/shard assignment agrees) over
     ``salt:value``, mod width. DuckDB mirror:
     ``CAST(CONCAT('0x', SUBSTR(MD5(salt || ':' || v), 1, 8)) AS BIGINT)
-    % width``."""
+    % width`` — NULL-propagating on both sides: a NULL item yields a
+    NULL bucket (``||`` is null-propagating in SQL and ``F.concat``
+    matches), never a silent collision with the bare-salt bucket."""
     from c3dc_etl_spark.operators.dedup import hash32
 
     s = F.lit(salt) if isinstance(salt, str) else salt
-    return F.pmod(hash32(F.concat_ws(":", s, col)), F.lit(width))
+    return F.pmod(
+        hash32(F.concat(s, F.lit(":"), col.cast("string"))), F.lit(width)
+    )
 
 
 def cms_sketch(
@@ -111,7 +124,13 @@ def cms_estimate(
     rows of the probed cells — the count-min estimate, guaranteed >= the
     true count (all error is overestimate from collisions). The sketch
     side is depth*width rows, so the probe join is a broadcast hash
-    join; output one row per probe with ``est_count``."""
+    join; output one row per probe with ``est_count``.
+
+    The sketch stores only non-empty cells, so the probe join is LEFT
+    with absent cells counting as zero — a probe item none of whose
+    cells were ever incremented estimates 0 (and still yields a row),
+    and one with any empty cell estimates 0, as the true count-min
+    min-over-rows requires."""
     probe_cells = probes.select(
         F.col(item_col),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("depth_i"),
@@ -123,9 +142,13 @@ def cms_estimate(
         ).alias("bucket"),
     )
     return (
-        probe_cells.join(F.broadcast(sketch), ["depth_i", "bucket"])
+        probe_cells.join(F.broadcast(sketch), ["depth_i", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cell_count").alias("est_count"))
+        .agg(
+            F.min(F.coalesce(F.col("cell_count"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
     )
 
 

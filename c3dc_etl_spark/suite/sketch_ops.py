@@ -173,6 +173,14 @@ def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     mn, mx, n = b["mn"], b["mx"], b["n"]
+    schema = "p_pct bigint, est double, exact double, abs_err double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    if mn == mx:
+        # degenerate single-point domain: every quantile is exactly mn;
+        # the equi-width bucket expression would divide by zero
+        rows = [(int(p), float(mn), float(mn), 0.0) for p in QUANTILE_PS]
+        return spark.createDataFrame(rows, schema)
     width = (mx - mn) / float(HIST_BUCKETS)
     hist = (
         ev.select(

@@ -67,3 +67,30 @@ def test_cohort_retention_day_zero_is_full(spark):
             # by construction every cohort member is active on day 0
             assert r["n_active"] == r["n_cohort"]
             assert r["retained_x1e6"] == 1_000_000
+
+
+def test_pagerank_checkpoint_cadence_bounds_plan_and_preserves_values(spark):
+    """Deep iteration counts must not balloon the logical plan
+    (localCheckpoint every `checkpoint_every` rounds truncates lineage),
+    and the cadence must not change a single rank value."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c"),
+         ("d", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+    deep = pagerank(edges, 4, iterations=12, checkpoint_every=4)
+    nochk = pagerank(edges, 4, iterations=12, checkpoint_every=0)
+    assert _rows_key(deep.collect()) == _rows_key(nochk.collect())
+    # the checkpointed plan stays bounded: its string is dominated by the
+    # rounds SINCE the last truncation, not all 12
+    plan_deep = deep._jdf.queryExecution().optimizedPlan().toString()
+    plan_flat = nochk._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_deep) < len(plan_flat) / 2, (
+        len(plan_deep),
+        len(plan_flat),
+    )
+    # 3 iterations (< cadence) never checkpoint: headline-query hashes
+    # are untouched by the new default
+    r3a = pagerank(edges, 4, iterations=3).collect()
+    r3b = pagerank(edges, 4, iterations=3, checkpoint_every=0).collect()
+    assert _rows_key(r3a) == _rows_key(r3b)

@@ -176,3 +176,71 @@ def test_funnel_stages_are_monotone(spark):
             assert r["purchase_ts_us"] is None
     # funnel narrows (weakly) stage over stage and actually converts
     assert stages[3] > 0
+
+
+def test_scd2_null_attr_is_a_real_version(spark):
+    # a -> NULL -> b must produce three versions (IS DISTINCT FROM
+    # semantics), and a key whose FIRST value is NULL still gets row 1
+    rows = [
+        (1, 10, 1, "a"),
+        (1, 20, 2, None),
+        (1, 30, 3, "b"),
+        (2, 10, 4, None),
+        (2, 20, 5, None),
+        (2, 30, 6, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, tb int, attr string")
+    out = W.build_scd2(
+        df, key_col="k", ts_col="ts", tiebreak_col="tb", attr_col="attr"
+    ).collect()
+    k1 = sorted((r["version"], r["attr"]) for r in out if r["k"] == 1)
+    assert k1 == [(1, "a"), (2, None), (3, "b")]
+    k2 = sorted((r["version"], r["attr"]) for r in out if r["k"] == 2)
+    assert k2 == [(1, None), (2, "x")]
+
+
+def test_cms_estimate_absent_probe_yields_zero_row(spark):
+    items = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "item string")
+    sketch = W.cms_sketch(items, "item", depth=3, width=64)
+    probes = spark.createDataFrame([("a",), ("never-seen",)], "item string")
+    got = {
+        r["item"]: r["est_count"]
+        for r in W.cms_estimate(
+            sketch, probes, "item", depth=3, width=64
+        ).collect()
+    }
+    # every probe yields a row; unseen item's cells may all be empty
+    # (width 64 >> 2 distinct items makes collisions unlikely) -> 0
+    assert set(got) == {"a", "never-seen"}
+    assert got["a"] >= 7
+    assert got["never-seen"] in (0, 3)  # 0 unless it collides with a/b
+
+
+def test_hash_bucket_null_propagates(spark):
+    df = spark.createDataFrame([("x",), (None,)], "v string").select(
+        W.hash_bucket(F.col("v"), "s", 16).alias("b")
+    )
+    got = [r["b"] for r in df.collect()]
+    assert got[0] is not None and 0 <= got[0] < 16
+    assert got[1] is None
+
+
+def test_quantile_sketch_degenerate_domains(spark, tmp_path):
+    import datetime
+
+    sf = str(tmp_path)
+    base = datetime.datetime(2024, 1, 1)
+    const = spark.createDataFrame(
+        [(i, 1, base, "view", 5.0) for i in range(10)],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    const.write.parquet(f"{sf}/events.parquet")
+    rows = REGISTRY["quantile_sketch_error"].fn(spark, sf).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["est"] == 5.0 and r["exact"] == 5.0 and r["abs_err"] == 0.0
+
+    sf2 = str(tmp_path / "empty")
+    const.limit(0).write.parquet(f"{sf2}/events.parquet")
+    assert REGISTRY["quantile_sketch_error"].fn(spark, sf2).count() == 0
