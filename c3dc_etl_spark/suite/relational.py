@@ -1204,3 +1204,430 @@ def null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("any_null_safe_eq"),
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(STRFTIME(o_orderdate, '%Y') AS INT) AS o_year,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_volume,
+           CAST(FLOOR(
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {_DISC_PRICE_SQL}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) * 1000000 + 0.5)
+               AS BIGINT) AS mkt_share_x1e6
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n1.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one supplier nation's market share of ECONOMY-part
+    volume sold into the AMERICA region, per order year — the doubled
+    nation role (customer side resolves nation->region, supplier side
+    resolves nation as the share target) with a conditional-sum ratio.
+    Every dimension broadcasts (part's ECONOMY filter first, so the fact
+    scan collapses before the wide joins); orders is the one fact-fact
+    edge and meets lineitem in a shuffle join on orderkey. Numerator and
+    denominator come from ONE aggregation pass (no second scan), both
+    decimal-exact, divided once into fixed-point so the share is
+    bit-identical cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    dp = _disc_price()
+    target = F.when(F.col("supp_nation") == "NATION_1", dp).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(dp).cast("double").alias("total_volume"),
+            F.sum(target).cast("double").alias("__nation_volume"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "total_volume",
+        F.floor(
+            F.col("__nation_volume") / F.col("total_volume") * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mkt_share_x1e6"),
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
+    items in one quarter. The returnflag filter prunes the fact scan,
+    orders (date-filtered) meets it in a shuffle join on orderkey,
+    customer + nation broadcast, and the top-k is a TakeOrderedAndProject
+    — per-partition heaps of 20 rows, never a global sort. The ORDER BY
+    carries c_custkey as a deterministic tiebreak: revenue is
+    decimal-exact so both engines rank identically, but equal revenues
+    must not make the 20-row cut nondeterministic."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH vals AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,2))
+                             AS DECIMAL(18,4))) AS DOUBLE) AS supply_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY pk
+    )
+    SELECT pk AS p_partkey, supply_value
+    FROM vals
+    WHERE supply_value > 0.001 * (SELECT SUM(supply_value) FROM vals)
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose supply value (price x quantity
+    shipped by EUROPE-region suppliers — the dataset's partsupp
+    stand-in) exceeds a fixed fraction of the GLOBAL supply value: the
+    group-HAVING-against-a-scalar-global-aggregate shape. The grouped
+    frame is computed ONCE (pinned) and serves both the per-part rows
+    and the global total — the total is a bounded 1-row collect folded
+    back as a literal (Q15's discipline), so the plan re-aggregates
+    |parts| rows, never rescans the fact table. Per-part values are
+    decimal-exact; the 0.001 threshold multiplication is one IEEE
+    double op identical in both engines."""
+    from c3dc_etl_spark.pinning import pin
+
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    value = (
+        dec("l_extendedprice").cast("decimal(18,2)") * dec("l_quantity")
+    ).cast("decimal(18,4)")
+    vals = pin(
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(value).cast("double").alias("supply_value"))
+    )
+    total = vals.agg(F.sum(dec("supply_value", 4)).cast("double").alias("t")).collect()[
+        0
+    ]["t"]
+    return vals.filter(F.col("supply_value") > 0.001 * F.lit(total))
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag AS return_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY return_class
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: two-way conditional counts of high- vs
+    low-priority orders among LATE shipments (shipped more than 60 days
+    after the order — the dataset has no commit/receipt dates, so the
+    ship-lag inequality stands in for receipt>commit), grouped by the
+    line's return class (the shipmode stand-in, two selected values).
+    The lateness predicate is a cross-table comparison, so it runs as a
+    residual on the orderkey shuffle join — NOT a pre-scan filter; the
+    year filter and the IN filter DO push to the lineitem scan. Both
+    priority counts come from one aggregation pass."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("return_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (
+        SELECT l1.l_suppkey
+        FROM lineitem l1
+        JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_name LIKE '%blue%'
+          AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l1.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING 2 * SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) >
+               (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                FROM lineitem l2
+                WHERE l2.l_suppkey = l1.l_suppkey
+                  AND l2.l_partkey = l1.l_partkey)
+      )
+    """,
+    tags=("join", "semi", "tpch"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: ASIA-region suppliers who shipped more than
+    half of their all-time volume of a blue part within 1996 — a
+    semi-join against a subquery whose HAVING threshold is a CORRELATED
+    aggregate over a different slice of the same fact table (1996
+    quantity vs all-time quantity per supplier-part).
+
+    The correlation is decorrelated into ONE aggregation pass: group
+    blue-part lineitems by (supplier, part) with a conditional
+    year-window sum beside the unconditional total — the rewrite every
+    optimizer applies, turning two correlated scans into one. The
+    threshold compare is pure decimal (2*q96 > qtot — no doubles, no
+    epsilon); the qualifying supplier set is tiny and broadcasts into a
+    LEFT SEMI against the supplier dimension."""
+    li = load(spark, sf_dir, "lineitem")
+    blue = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    pairs = (
+        li.join(F.broadcast(blue), li.l_partkey == blue.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, dec("l_quantity")).otherwise(None)).alias("q96"),
+            F.sum(dec("l_quantity")).alias("qtot"),
+        )
+    )
+    candidates = (
+        pairs.filter((F.lit(2) * F.col("q96")) > F.col("qtot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(candidates),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "leftsemi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    l1 AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders   ON o_orderkey = l.l_orderkey
+        JOIN supplier ON s_suppkey = l.l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE' AND o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s_name
+    """,
+    tags=("join", "semi", "anti", "tpch"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: EUROPE-region suppliers who were the SOLE late
+    shipper on finalized multi-supplier orders — the chained
+    EXISTS / NOT-EXISTS composition, the hardest anti/semi shape in the
+    canonical suite ("late" = shipped >60 days after order, the
+    dataset's receipt>commit stand-in). ``numwait`` counts the orders
+    each supplier singly delayed (distinct order-supplier pairs).
+
+    Plan: the lineitem-orders lateness residual is computed ONCE and
+    pinned — l1 (nation+status restricted) and l3 (unrestricted) are
+    both derived from it. The EXISTS becomes a LEFT SEMI join (same
+    orderkey, different supplier — equi on the key, inequality as
+    residual) against the distinct order-supplier universe; the
+    NOT EXISTS becomes a LEFT ANTI against the late set with the same
+    key/residual split. Both shuffle on orderkey only; supplier, nation
+    and region broadcast."""
+    from c3dc_etl_spark.pinning import pin
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    lo = pin(
+        li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+    )
+    late = lo.select("l_orderkey", "l_suppkey").distinct()
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        lo.filter(F.col("o_orderstatus") == "F")
+        .join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "leftsemi",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    late3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = (
+        l1.join(
+            all_pairs,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "leftsemi",
+        ).join(
+            late3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "leftanti",
+        )
+    )
+    return (
+        waited.join(
+            F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )

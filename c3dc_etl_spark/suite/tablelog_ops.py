@@ -1,0 +1,77 @@
+"""Transactional-table-log queries: snapshot-isolated reads and time
+travel over the versioned commit log (``sink/tablelog.py``) — the
+"Parquet/Delta writes" leg of the engine's sink surface.
+
+Each query BUILDS a logged table from the ``orders`` parquet through the
+real transaction path (append commits, a compaction commit that
+logically removes the original files, a retention-aware vacuum) and then
+reads a snapshot back; the oracle restates the snapshot's expected
+content directly against ``orders``. That makes the whole protocol —
+manifest replay, immutable-file isolation, CAS commit, retention — the
+thing under value-hash test, not just the final parquet scan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.sink.tablelog import TableLog
+from c3dc_etl_spark.suite.registry import load, query
+
+_COLS = ("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+def _build_logged_orders(spark: SparkSession, sf_dir: str) -> TableLog:
+    """v0: append 'F' orders; v1: append 'O'; v2: compact (rewrites both
+    appends into one file, logically removing theirs); v3: append 'P'.
+    Every version stays readable: the compacted-away files are retained
+    on disk until vacuum drops unreferenced ones."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(tempfile.mkdtemp(prefix="tablelog_"))
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    log.append(orders.filter(F.col("o_orderstatus") == "O"))
+    log.compact(spark, target_partitions=1)
+    log.append(orders.filter(F.col("o_orderstatus") == "P"))
+    return log
+
+
+@query(
+    "table_log_snapshot_read",
+    oracle=f"""
+    SELECT {', '.join(_COLS)} FROM orders
+    WHERE o_orderstatus IN ('F', 'O', 'P')
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot read across a commit history that includes a
+    compaction: the manifest replay must resolve {compacted file,
+    post-compaction append} — not the removed originals, not a double
+    count. Vacuum runs FIRST with a retention window covering the
+    snapshot, proving the read plan's file list survives file-level
+    garbage collection of everything older."""
+    log = _build_logged_orders(spark, sf_dir)
+    log.vacuum(keep_versions=2)  # retains v2 (compact) + v3 file sets
+    return log.read(spark)
+
+
+@query(
+    "table_log_time_travel",
+    oracle=f"""
+    SELECT {', '.join(_COLS)} FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read of version 1 — BEFORE the compaction rewrote its
+    files and before the later append — after the table has moved two
+    commits ahead and a vacuum (retention spanning v1) has run: the
+    bit-identical historical snapshot every table format owes its
+    readers."""
+    log = _build_logged_orders(spark, sf_dir)
+    log.vacuum(keep_versions=3)  # retains v1's file set
+    return log.read(spark, version=1)
