@@ -7,9 +7,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
      "scale_check": {...}}
 
-Each query is executed via a full ``collect()`` (materializes the whole
-result, same as the driver's correctness gate) after one warm-up pass of
-the flagship query to amortize JVM/session startup out of per-query time.
+Each headline query is measured TWICE (VERDICT r4 ask #2 — round
+comparability): first under ``toArrow()`` (columnar materialization —
+the same discipline as scale_check, so ``compute`` times are directly
+comparable round-over-round and against r4's scale-check bases), then
+under a full ``collect()`` with the plan warm (``queries`` — the
+driver-gate-equivalent row materialization, now freed of the cold-run
+JVM/GC variance that made r4's cold-collect numbers drift +18 % on
+unchanged code). ``value`` is the warm-collect suite wall;
+``compute_wall`` sums the compute pass.
 
 ``scale_check`` is the above-sf0.1 linearity measurement (suite wall and
 per-query times stay sf0.1, so rounds remain comparable): the heavy
@@ -69,10 +75,13 @@ HEADLINE = [
 SCALE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "range_join_events",
     "rollup_hypertable",
     "scd2_dimension_build",
     "rolling_time_stats",
+    "pagerank_purchase_graph",
+    "q12_shipmode_priority",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -92,10 +101,10 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
 
     from c3dc_etl_spark.suite.registry import read_events_parquet
 
-    # marker records the build inputs: a factor-or-base change must
-    # rebuild, not silently reuse a corpus scaled from different data
+    # marker records the build inputs: a factor-, base-, or table-set
+    # change must rebuild, not silently reuse a stale scaled corpus
     marker = os.path.join(out_dir, "_BUILT")
-    stamp = f"factor={factor} base={sf_dir}\n"
+    stamp = f"factor={factor} base={sf_dir} tables=docs,events,orders,lineitem\n"
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == stamp:
@@ -108,7 +117,15 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     ev = read_events_parquet(spark, f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # fact tables for the fact-fact join + purchase-graph families:
+    # per-copy key offsets keep the copies DISJOINT (join volume and
+    # graph components scale linearly — a larger business, not 5
+    # entangled replicas)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     ev_parts = []
+    ord_parts = []
+    li_parts = []
     for c in range(factor):
         rot = _ALPHA[c:] + _ALPHA[:c]
         doc_parts.append(
@@ -120,12 +137,27 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
             .withColumn("user_id", F.col("user_id") + F.lit(c * 10_000_000))
             .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {c * 400} DAYS"))
         )
+        ord_parts.append(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(c * 1_000_000_000))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(c * 10_000_000))
+        )
+        li_parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(c * 1_000_000_000))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(c * 10_000_000))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(c * 10_000_000))
+        )
     union = lambda parts: functools.reduce(DataFrame.unionByName, parts)  # noqa: E731
     union(doc_parts).repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
     )
     union(ev_parts).repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/events.parquet"
+    )
+    union(ord_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+    union(li_parts).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
     )
     with open(marker, "w") as fh:
         fh.write(stamp)
@@ -157,9 +189,22 @@ def main() -> int:
     from c3dc_etl_spark.pinning import release_pinned
 
     times: dict[str, float] = {}
+    compute: dict[str, float] = {}
     total = 0.0
+    c_total = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        # pass 1 — compute (Arrow materialization): comparable across
+        # rounds and against scale_check's bases; isolates the plan from
+        # driver-side row-object GC variance
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).toArrow()
+        release_pinned()
+        compute[name] = round(time.perf_counter() - t0, 3)
+        c_total += compute[name]
+        # pass 2 — warm collect: the driver-gate-equivalent full row
+        # materialization, measured with the plan/caches warm so
+        # round-over-round deltas reflect code, not session state
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         # persist hygiene: drop the query's pinned intermediates now that
@@ -168,13 +213,18 @@ def main() -> int:
         dt = round(time.perf_counter() - t0, 3)
         times[name] = dt
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        print(
+            f"# {name}: compute {compute[name]:.3f}s, collect {dt:.3f}s",
+            file=sys.stderr,
+        )
 
     result = {
         "metric": "suite_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "compute_wall": round(c_total, 3),
+        "compute": compute,
         "sf": sf,
     }
 
