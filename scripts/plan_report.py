@@ -16,6 +16,23 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def plan_metrics(p: str) -> dict:
+    """Deterministic shape metrics of a physical-plan string — the
+    shared vocabulary of PLAN_AUDIT.md and the committed plan-budget
+    fence (tests/test_plan_budget.py)."""
+    return {
+        "exch": len(re.findall(r"\bExchange\b", p)),
+        "reuse": len(re.findall(r"\bReusedExchange\b", p)),
+        "scans": len(re.findall(r"\bFileScan\b", p)),
+        "pushed": len(re.findall(r"PushedFilters: \[[^\]]", p)),
+        "partf": len(re.findall(r"PartitionFilters: \[[^\]]", p)),
+        "smj": len(re.findall(r"\bSortMergeJoin\b", p)),
+        "bhj": len(re.findall(r"\bBroadcastHashJoin\b", p)),
+        "bnlj": int("BroadcastNestedLoopJoin" in p),
+        "cartesian": int("CartesianProduct" in p),
+    }
+
+
 def main() -> int:
     from c3dc_etl_spark.session import get_spark
     from c3dc_etl_spark.suite import REGISTRY
@@ -30,24 +47,17 @@ def main() -> int:
             continue
         plan = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
         p = plan.executedPlan().toString()
-        n_ex = len(re.findall(r"\bExchange\b", p))
-        n_reuse = len(re.findall(r"\bReusedExchange\b", p))
-        n_scan = len(re.findall(r"\bFileScan\b", p))
-        n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", p))
-        n_part = len(re.findall(r"PartitionFilters: \[[^\]]", p))
-        n_smj = len(re.findall(r"\bSortMergeJoin\b", p))
-        n_bhj = len(re.findall(r"\bBroadcastHashJoin\b", p))
-        bnlj = "BroadcastNestedLoopJoin" in p
-        cart = "CartesianProduct" in p
+        m = plan_metrics(p)
         flag = ""
-        if cart:
+        if m["cartesian"]:
             flag = "CARTESIAN"
-        elif bnlj and name not in _BNLJ_ALLOWED:
+        elif m["bnlj"] and name not in _BNLJ_ALLOWED:
             flag = "STRAY-BNLJ"
-        elif bnlj:
+        elif m["bnlj"]:
             flag = "bnlj(allowed)"
         rows.append(
-            (name, n_ex, n_reuse, n_scan, n_pushed, n_part, n_smj, n_bhj, flag)
+            (name, m["exch"], m["reuse"], m["scans"], m["pushed"], m["partf"],
+             m["smj"], m["bhj"], flag)
         )
 
     lines = [

@@ -81,3 +81,65 @@ def test_bucketed_join_is_exchange_free(spark):
         "bucketed join sides must not shuffle:\n" + join_subtree
     )
     assert plan.count("Exchange") <= 1  # the post-join agg only
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE evidence (VERDICT r4 ask #5): on a deliberately skewed join
+    key, the ADAPTIVE final plan must actually fire the skew-join
+    rewrite — the sort-merge join is marked ``skew=true`` and the
+    shuffle read on the skewed side is split into more tasks than the
+    static partition count. This turns the 'AQE handles skew at scale'
+    design note into an executed-plan assertion."""
+    from pyspark.sql import functions as F
+
+    saved = {}
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        # disable coalescing so the split count is directly observable
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # forbid broadcast: the skew rewrite only applies to SMJ
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # left: one hot key (0) carrying ~95% of rows with an
+        # INCOMPRESSIBLE payload (sha2 — AQE's skew detection reads
+        # compressed map-output sizes, so a constant payload would
+        # compress below any realistic threshold); right: uniform small
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.concat(
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2((F.col("id") + 1).cast("string"), 256),
+            ).alias("payload"),
+        )
+        right = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.lit("dim").alias("side")
+        )
+        joined = left.join(right, "k").groupBy("side").count()
+        [row] = joined.collect()
+        assert row["count"] == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, "adaptive plan did not finalize"
+        assert "SortMergeJoin(skew=true)" in plan, (
+            "AQE skew-join rewrite did not fire:\n" + plan
+        )
+        assert "AQEShuffleRead skewed" in plan, (
+            "skewed partition was not split into sub-reads:\n" + plan
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
