@@ -76,6 +76,8 @@ PRIORITY = [
     "q21_suppliers_kept_waiting",
     "table_log_snapshot_read",
     "table_log_time_travel",
+    "table_log_merge_upsert",
+    "table_log_pruned_read",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

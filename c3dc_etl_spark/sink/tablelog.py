@@ -33,6 +33,20 @@ here:
   files (never visible to readers — no manifest references them) and
   dot-prefixed manifest temps; both are swept by ``vacuum``. A writer
   dying after the link is a COMPLETE commit. There is no intermediate.
+- **Per-file column stats** (min/max/rows on a designated key column,
+  computed in ONE Spark job over the landed files) ride in the commit
+  manifest, exactly like Delta's add-file stats / Iceberg's manifest
+  entries. They serve two scale jobs: ``read`` with a key predicate
+  opens only the files whose [min, max] envelope intersects it (file
+  skipping — the manifest-level complement of parquet row-group
+  pruning), and ``merge_upsert`` rewrites ONLY the files whose envelope
+  contains a changed key (copy-on-write MERGE: at 100 TB a CDC batch
+  touching 0.1 % of keys must not rewrite the other 99.9 % of files).
+- **Checkpoint manifests.** Every ``checkpoint_interval`` commits the
+  full live state (files + stats) lands as ``<v>.checkpoint.json``;
+  replay starts from the newest checkpoint at-or-below the requested
+  version, so snapshot resolution is O(tail), not O(all commits) — the
+  same reason Delta checkpoints its log into parquet.
 
 Scale notes: the log is O(commits) tiny JSON files and every read's
 planning cost is one directory listing + manifest replay (checkpointable
@@ -70,9 +84,17 @@ class TableLog:
 
     MAX_COMMIT_RETRIES = 50
 
-    def __init__(self, table_dir: str):
+    def __init__(
+        self,
+        table_dir: str,
+        *,
+        stats_col: str | None = None,
+        checkpoint_interval: int = 10,
+    ):
         self.table_dir = table_dir.rstrip("/")
         self.log_dir = os.path.join(self.table_dir, "_log")
+        self.stats_col = stats_col
+        self.checkpoint_interval = checkpoint_interval
         os.makedirs(self.log_dir, exist_ok=True)
 
     # -- log primitives ---------------------------------------------------
@@ -80,7 +102,11 @@ class TableLog:
     def versions(self) -> list[int]:
         out = []
         for name in os.listdir(self.log_dir):
-            if name.endswith(".json") and not name.startswith("."):
+            if (
+                name.endswith(".json")
+                and not name.startswith(".")
+                and not name.endswith(".checkpoint.json")
+            ):
                 out.append(int(name[:-5]))
         return sorted(out)
 
@@ -92,22 +118,67 @@ class TableLog:
         with open(os.path.join(self.log_dir, _fmt_version(v))) as fh:
             return json.load(fh)
 
-    def files(self, version: int | None = None) -> list[str]:
+    def _checkpoint_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".checkpoint.json") and not name.startswith("."):
+                out.append(int(name[: -len(".checkpoint.json")]))
+        return sorted(out)
+
+    def snapshot(self, version: int | None = None) -> dict[str, dict]:
         """Replay the log up to ``version`` (latest if None): the
-        snapshot's live data-file names, in first-added order."""
+        snapshot's live files mapped to their stats (possibly empty
+        dicts), in first-added order. Replay starts from the newest
+        checkpoint manifest at-or-below ``version`` when one exists."""
         head = self.latest_version() if version is None else version
         if head is None:
-            return []
-        live: dict[str, None] = {}  # insertion-ordered set
+            return {}
+        live: dict[str, dict] = {}
+        start = 0
+        cps = [c for c in self._checkpoint_versions() if c <= head]
+        if cps:
+            cp = cps[-1]
+            path = os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
+            with open(path) as fh:
+                ck = json.load(fh)
+            live = {name: ck.get("stats", {}).get(name, {}) for name in ck["files"]}
+            start = cp + 1
         for v in self.versions():
+            if v < start:
+                continue
             if v > head:
                 break
             m = self._manifest(v)
             for name in m.get("remove", ()):
                 live.pop(name, None)
             for name in m.get("add", ()):
-                live[name] = None
-        return list(live)
+                live[name] = m.get("stats", {}).get(name, {})
+        return live
+
+    def files(self, version: int | None = None) -> list[str]:
+        """The snapshot's live data-file names, in first-added order."""
+        return list(self.snapshot(version))
+
+    def checkpoint(self, version: int | None = None) -> None:
+        """Land a full-state checkpoint manifest for ``version`` (latest
+        if None). Idempotent; checkpoints are derived artifacts, so a
+        racing duplicate write is byte-identical and harmless."""
+        head = self.latest_version() if version is None else version
+        if head is None:
+            return
+        snap = self.snapshot(head)
+        payload = json.dumps(
+            {
+                "files": list(snap),
+                "stats": {k: v for k, v in snap.items() if v},
+            },
+            sort_keys=True,
+        )
+        final = os.path.join(self.log_dir, f"{head:020d}.checkpoint.json")
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, final)
 
     def _try_link(self, tmp: str, version: int) -> bool:
         final = os.path.join(self.log_dir, _fmt_version(version))
@@ -134,15 +205,18 @@ class TableLog:
         add: list[str] | None = None,
         remove: list[str] | None = None,
         op: str = "append",
+        stats: dict[str, dict] | None = None,
     ) -> int:
         """Atomically publish one commit; returns the version written.
         Retries past racing writers (optimistic concurrency); raises
         :class:`CommitConflict` if a racer invalidated this commit's
-        removes."""
+        removes. Lands a checkpoint manifest every
+        ``checkpoint_interval`` commits."""
         add = list(add or [])
         remove = list(remove or [])
         payload = json.dumps(
-            {"op": op, "add": add, "remove": remove}, sort_keys=True
+            {"op": op, "add": add, "remove": remove, "stats": stats or {}},
+            sort_keys=True,
         )
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -161,6 +235,12 @@ class TableLog:
                         )
                 version = 0 if head is None else head + 1
                 if self._try_link(tmp, version):
+                    if (
+                        self.checkpoint_interval
+                        and version
+                        and version % self.checkpoint_interval == 0
+                    ):
+                        self.checkpoint(version)
                     return version
             raise CommitConflict(
                 f"no commit slot won in {self.MAX_COMMIT_RETRIES} retries"
@@ -173,8 +253,18 @@ class TableLog:
     def _land_files(self, df: DataFrame) -> list[str]:
         """Materialize ``df`` as immutable uniquely-named parquet files
         inside the table dir (NOT yet referenced by any manifest — a
-        crash here leaves invisible orphans for vacuum)."""
+        crash here leaves invisible orphans for vacuum). With a
+        ``stats_col`` configured, files are range-partitioned on it so
+        per-file [min, max] envelopes are tight and disjoint — the
+        layout that makes manifest-level file skipping bite."""
         staging = os.path.join(self.table_dir, f".staging-{uuid.uuid4().hex}")
+        if self.stats_col is not None and self.stats_col in df.columns:
+            from pyspark.sql import functions as F
+
+            df = df.repartitionByRange(
+                max(1, df.sparkSession.sparkContext.defaultParallelism // 4),
+                F.col(self.stats_col),
+            )
         df.write.mode("overwrite").parquet(staging)
         prefix = uuid.uuid4().hex
         names = []
@@ -187,14 +277,64 @@ class TableLog:
         shutil.rmtree(staging)
         return names
 
+    def _file_stats(
+        self, spark: SparkSession, names: list[str]
+    ) -> dict[str, dict]:
+        """min/max/rows of ``stats_col`` per landed file, in ONE Spark
+        job (group by input_file_name over a single multi-file scan)."""
+        if self.stats_col is None or not names:
+            return {}
+        from pyspark.sql import functions as F
+
+        paths = [os.path.join(self.table_dir, n) for n in names]
+        scan = spark.read.parquet(*paths)
+        if self.stats_col not in scan.columns:
+            return {}
+        rows = (
+            scan.groupBy(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("__file")
+            )
+            .agg(
+                F.min(self.stats_col).alias("mn"),
+                F.max(self.stats_col).alias("mx"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            .collect()  # bounded: one row per landed file
+        )
+
+        def _plain(v):
+            return v if isinstance(v, (int, float, str, bool)) else str(v)
+
+        return {
+            r["__file"]: {
+                "col": self.stats_col,
+                "min": _plain(r["mn"]),
+                "max": _plain(r["mx"]),
+                "rows": r["rows"],
+            }
+            for r in rows
+        }
+
     # -- table operations --------------------------------------------------
 
     def append(self, df: DataFrame) -> int:
-        return self.commit(add=self._land_files(df), op="append")
+        adds = self._land_files(df)
+        return self.commit(
+            add=adds,
+            op="append",
+            stats=self._file_stats(df.sparkSession, adds),
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         adds = self._land_files(df)
-        return self.commit(add=adds, remove=self.files(), op="overwrite")
+        return self.commit(
+            add=adds,
+            remove=self.files(),
+            op="overwrite",
+            stats=self._file_stats(df.sparkSession, adds),
+        )
 
     def compact(self, spark: SparkSession, *, target_partitions: int = 1) -> int:
         """Rewrite the current snapshot into ``target_partitions`` files
@@ -205,22 +345,134 @@ class TableLog:
         compacted = self._land_files(
             self.read(spark).repartition(target_partitions)
         )
-        return self.commit(add=compacted, remove=current, op="compact")
+        return self.commit(
+            add=compacted,
+            remove=current,
+            op="compact",
+            stats=self._file_stats(spark, compacted),
+        )
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def _touched_files(self, keys: list) -> list[str]:
+        """Files whose stats envelope contains ANY of ``keys``; files
+        without stats are conservatively touched. Driver arithmetic on
+        the manifest (|files| entries) with sorted keys + bisect."""
+        import bisect
+
+        skeys = sorted(keys)
+        touched = []
+        for name, st in self.snapshot().items():
+            if not st or "min" not in st:
+                touched.append(name)
+                continue
+            i = bisect.bisect_left(skeys, st["min"])
+            if i < len(skeys) and skeys[i] <= st["max"]:
+                touched.append(name)
+        return touched
+
+    def merge_upsert(
+        self, spark: SparkSession, updates: DataFrame, key_col: str
+    ) -> int:
+        """Copy-on-write MERGE (latest-wins upsert): rewrite ONLY the
+        files whose stats envelope contains a changed key; every other
+        file survives untouched — at scale a CDC batch touching 0.1 %
+        of the key space rewrites 0.1 % of the table, not all of it.
+
+        Contract: ``updates`` is a bounded CDC batch (its key set is
+        collected to the driver for file pruning and broadcast into the
+        anti-join — the same smallness assumption as Delta's MERGE
+        source side being the small relation). Matched keys take the
+        update row; unmatched update keys are inserts."""
+        from pyspark.sql import functions as F
+
+        keys = [
+            r["k"]
+            for r in updates.select(F.col(key_col).alias("k")).distinct().collect()
+        ]
+        touched = self._touched_files(keys)
+        if not touched:
+            adds = self._land_files(updates)
+            return self.commit(
+                add=adds, op="merge", stats=self._file_stats(spark, adds)
+            )
+        existing = spark.read.parquet(
+            *[os.path.join(self.table_dir, n) for n in touched]
+        )
+        keep = existing.join(
+            F.broadcast(updates.select(key_col).distinct()), key_col, "left_anti"
+        )
+        rewritten = keep.unionByName(updates.select(*existing.columns))
+        adds = self._land_files(rewritten)
+        return self.commit(
+            add=adds,
+            remove=touched,
+            op="merge",
+            stats=self._file_stats(spark, adds),
+        )
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        *,
+        key_between: tuple | None = None,
+    ) -> DataFrame:
         """Snapshot read (time travel when ``version`` is given): the
         plan scans EXACTLY the snapshot's file list, so later commits —
         including compactions that logically remove these files — cannot
-        change or break this frame."""
-        names = self.files(version)
-        if not names:
+        change or break this frame.
+
+        ``key_between=(lo, hi)`` additionally FILE-SKIPS via the
+        manifest stats (files whose [min, max] envelope misses the range
+        are never opened — see ``pruned_file_count``) and applies the
+        residual BETWEEN filter, which parquet row-group pruning then
+        pushes inside the surviving files."""
+        snap = self.snapshot(version)
+        if not snap:
             raise ValueError(
                 f"table {self.table_dir} has no committed data"
                 + (f" at version {version}" if version is not None else "")
             )
-        return spark.read.parquet(
+        if key_between is not None and self.stats_col is None:
+            raise ValueError("key_between requires a stats_col-configured table")
+        names = list(snap)
+        if key_between is not None:
+            lo, hi = key_between
+            names = [
+                n
+                for n, st in snap.items()
+                if not st
+                or "min" not in st
+                or (st["max"] >= lo and st["min"] <= hi)
+            ]
+            if not names:
+                # keep a valid (empty) frame with the table's schema
+                from pyspark.sql import functions as F
+
+                first = next(iter(snap))
+                base = spark.read.parquet(os.path.join(self.table_dir, first))
+                return base.filter(F.lit(False))
+        df = spark.read.parquet(
             *[os.path.join(self.table_dir, n) for n in names]
         )
+        if key_between is not None and self.stats_col in df.columns:
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.col(self.stats_col).between(lo, hi))
+        return df
+
+    def pruned_file_count(
+        self, key_between: tuple, version: int | None = None
+    ) -> tuple[int, int]:
+        """(files opened, files total) for a stats-pruned range read —
+        the manifest-level I/O measurement."""
+        snap = self.snapshot(version)
+        lo, hi = key_between
+        opened = sum(
+            1
+            for st in snap.values()
+            if not st or "min" not in st or (st["max"] >= lo and st["min"] <= hi)
+        )
+        return opened, len(snap)
 
     def vacuum(self, *, keep_versions: int = 2) -> list[str]:
         """Delete data files unreferenced by ALL of the last

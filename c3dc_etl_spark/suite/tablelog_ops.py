@@ -75,3 +75,57 @@ def table_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _build_logged_orders(spark, sf_dir)
     log.vacuum(keep_versions=3)  # retains v1's file set
     return log.read(spark, version=1)
+
+
+@query(
+    "table_log_merge_upsert",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE through the table log: a CDC batch bumps
+    ``o_totalprice`` for the keys divisible by 97, and the merge
+    rewrites ONLY the files whose manifest stats envelope contains a
+    changed key (range-partitioned landing keeps envelopes tight, so
+    untouched files survive by name — asserted in tests/test_tablelog).
+    The read-back must show exactly the updated values merged into the
+    untouched remainder; the +1000.0 is one IEEE double addition,
+    bit-identical cross-engine."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(
+        tempfile.mkdtemp(prefix="tablelog_merge_"), stats_col="o_orderkey"
+    )
+    log.append(orders)
+    updates = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    log.merge_upsert(spark, updates, "o_orderkey")
+    return log.read(spark)
+
+
+@query(
+    "table_log_pruned_read",
+    oracle=f"""
+    SELECT {', '.join(_COLS)} FROM orders
+    WHERE o_orderkey BETWEEN 100 AND 500
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned range read: the manifest's per-file [min, max]
+    envelopes skip every file outside the key range BEFORE any parquet
+    footer is opened (manifest-level file skipping, the complement of
+    row-group pruning — file-count gap asserted in tests/test_tablelog),
+    then the residual BETWEEN filters inside the survivors."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(
+        tempfile.mkdtemp(prefix="tablelog_prune_"), stats_col="o_orderkey"
+    )
+    log.append(orders)
+    return log.read(spark, key_between=(100, 500))

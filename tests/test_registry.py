@@ -72,6 +72,7 @@ def test_entry_contract():
         "q8_market_share", "q10_returned_items", "q11_important_stock",
         "q12_shipmode_priority", "q20_potential_promotion",
         "q21_suppliers_kept_waiting", "table_log_snapshot_read",
-        "table_log_time_travel",
+        "table_log_time_travel", "table_log_merge_upsert",
+        "table_log_pruned_read",
     ):
         assert name in first50, name

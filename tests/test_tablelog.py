@@ -110,3 +110,75 @@ def test_read_empty_table_raises(spark, tmp_path):
         log.read(spark)
     with pytest.raises(ValueError):
         TableLog(str(tmp_path / "t2")).read(spark, version=5)
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders)
+    before = log.snapshot()
+    assert len(before) > 1, "need multiple files for a pruning test"
+    # every file carries tight stats from the range-partitioned landing
+    assert all("min" in st for st in before.values())
+    # update a narrow key band: bump totalprice for the 10 smallest keys
+    keys = [r[0] for r in orders.select("o_orderkey").orderBy("o_orderkey").limit(10).collect()]
+    updates = orders.filter(F.col("o_orderkey").isin(keys)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    log.merge_upsert(spark, updates, "o_orderkey")
+    after = log.snapshot()
+    untouched = set(before) & set(after)
+    # copy-on-write: at least one original file survived the merge
+    assert untouched, "merge rewrote every file despite narrow key band"
+    # content: updated rows changed, everything else identical
+    got = {r["o_orderkey"]: r["o_totalprice"] for r in log.read(spark).collect()}
+    want = {r["o_orderkey"]: r["o_totalprice"] for r in orders.collect()}
+    for k in keys:
+        want[k] = want[k] + 1000.0
+    assert got == want
+    # row count unchanged (pure updates, no inserts)
+    assert len(got) == len(want)
+
+
+def test_merge_upsert_inserts_unmatched_keys(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderkey") < 500))
+    n0 = log.read(spark).count()
+    inserts = orders.filter(F.col("o_orderkey") >= 500).limit(7)
+    log.merge_upsert(spark, inserts, "o_orderkey")
+    assert log.read(spark).count() == n0 + 7
+
+
+def test_stats_pruned_range_read(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders)
+    lo, hi = 10, 40
+    opened, total = log.pruned_file_count((lo, hi))
+    assert opened < total, "narrow range must skip files"
+    got = _rows(log.read(spark, key_between=(lo, hi)))
+    want = _rows(orders.filter(F.col("o_orderkey").between(lo, hi)))
+    assert got == want
+    # out-of-domain range: zero files opened, empty frame, schema kept
+    far = log.read(spark, key_between=(10**12, 10**12 + 5))
+    assert far.count() == 0 and far.columns == log.read(spark).columns
+
+
+def test_checkpoint_replay_matches_full_replay(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey",
+                   checkpoint_interval=3)
+    for i in range(7):
+        log.append(orders.filter(F.col("o_orderkey") % 7 == i))
+    # auto-checkpoints landed at versions 3 and 6
+    assert {3, 6} <= set(log._checkpoint_versions())
+    # snapshot via checkpoint tail == full content
+    assert _rows(log.read(spark)) == _rows(orders)
+    # time travel BELOW a checkpoint still replays correctly
+    v2 = _rows(log.read(spark, version=2))
+    want = _rows(orders.filter(F.col("o_orderkey") % 7 <= 2))
+    assert v2 == want
+    # stats survive the checkpoint round-trip (pruning still works)
+    opened, total = log.pruned_file_count((10, 40))
+    assert opened < total
