@@ -143,3 +143,54 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_promotes_smj_to_broadcast_at_runtime(spark):
+    """AQE evidence, part 2: when the STATIC size estimate forbids a
+    broadcast (static threshold off) but the runtime shuffle statistics
+    show one side is tiny, the adaptive plan must re-plan the
+    sort-merge join into a BroadcastHashJoin — the runtime
+    re-plan that saves the sort+merge on the big side at scale."""
+    from pyspark.sql import functions as F
+
+    saved = {}
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        # static planner may NOT broadcast...
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # ...but AQE may, from observed shuffle sizes
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+        "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    }
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 500_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("payload")
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("side")
+        )
+        joined = big.join(small, "k").agg(F.count(F.lit(1)).alias("n"))
+        [row] = joined.collect()
+        assert row["n"] == 500_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        final = plan.split("== Initial Plan ==")[0]
+        initial = plan.split("== Initial Plan ==")[1]
+        assert "SortMergeJoin" in initial, (
+            "static plan should have been an SMJ:\n" + initial
+        )
+        assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final, (
+            "AQE did not promote the SMJ to a broadcast join:\n" + final
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
