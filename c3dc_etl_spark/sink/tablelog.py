@@ -159,6 +159,39 @@ class TableLog:
         """The snapshot's live data-file names, in first-added order."""
         return list(self.snapshot(version))
 
+    def txns(self, version: int | None = None) -> dict[str, int]:
+        """Per-writer-app transaction high-water marks at ``version``
+        (latest if None): app id -> highest committed batch id — the
+        exactly-once dedup state for idempotent streaming sinks
+        (Delta's ``txn`` action). Folded into checkpoints, so resolution
+        is O(tail) like snapshot()."""
+        head = self.latest_version() if version is None else version
+        if head is None:
+            return {}
+        marks: dict[str, int] = {}
+        start = 0
+        cps = [c for c in self._checkpoint_versions() if c <= head]
+        if cps:
+            cp = cps[-1]
+            with open(
+                os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
+            ) as fh:
+                marks = dict(json.load(fh).get("txns", {}))
+            start = cp + 1
+        for v in self.versions():
+            if v < start:
+                continue
+            if v > head:
+                break
+            t = self._manifest(v).get("txn")
+            if t:
+                marks[t["app"]] = max(marks.get(t["app"], -1), t["batch"])
+        return marks
+
+    def last_txn(self, app: str) -> int | None:
+        """Highest batch id this app has committed, or None."""
+        return self.txns().get(app)
+
     def checkpoint(self, version: int | None = None) -> None:
         """Land a full-state checkpoint manifest for ``version`` (latest
         if None). Idempotent; checkpoints are derived artifacts, so a
@@ -171,6 +204,7 @@ class TableLog:
             {
                 "files": list(snap),
                 "stats": {k: v for k, v in snap.items() if v},
+                "txns": self.txns(head),
             },
             sort_keys=True,
         )
@@ -206,24 +240,33 @@ class TableLog:
         remove: list[str] | None = None,
         op: str = "append",
         stats: dict[str, dict] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Atomically publish one commit; returns the version written.
         Retries past racing writers (optimistic concurrency); raises
         :class:`CommitConflict` if a racer invalidated this commit's
-        removes. Lands a checkpoint manifest every
-        ``checkpoint_interval`` commits."""
+        removes, or if ``txn=(app, batch)`` was already committed by a
+        racer (exactly-once: the transaction id rides the SAME atomic
+        commit as the data it covers). Lands a checkpoint manifest
+        every ``checkpoint_interval`` commits."""
         add = list(add or [])
         remove = list(remove or [])
-        payload = json.dumps(
-            {"op": op, "add": add, "remove": remove, "stats": stats or {}},
-            sort_keys=True,
-        )
+        body = {"op": op, "add": add, "remove": remove, "stats": stats or {}}
+        if txn is not None:
+            body["txn"] = {"app": txn[0], "batch": int(txn[1])}
+        payload = json.dumps(body, sort_keys=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             fh.write(payload)
         try:
             for _ in range(self.MAX_COMMIT_RETRIES):
                 head = self.latest_version()
+                if txn is not None:
+                    done = self.txns(head).get(txn[0], -1)
+                    if done >= int(txn[1]):
+                        raise CommitConflict(
+                            f"txn {txn} already committed (high-water {done})"
+                        )
                 if remove:
                     # revalidate against the CURRENT head: every file this
                     # commit logically deletes must still be live
@@ -370,7 +413,12 @@ class TableLog:
         return touched
 
     def merge_upsert(
-        self, spark: SparkSession, updates: DataFrame, key_col: str
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_col: str,
+        *,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Copy-on-write MERGE (latest-wins upsert): rewrite ONLY the
         files whose stats envelope contains a changed key; every other
@@ -392,7 +440,7 @@ class TableLog:
         if not touched:
             adds = self._land_files(updates)
             return self.commit(
-                add=adds, op="merge", stats=self._file_stats(spark, adds)
+                add=adds, op="merge", stats=self._file_stats(spark, adds), txn=txn
             )
         existing = spark.read.parquet(
             *[os.path.join(self.table_dir, n) for n in touched]
@@ -407,6 +455,7 @@ class TableLog:
             remove=touched,
             op="merge",
             stats=self._file_stats(spark, adds),
+            txn=txn,
         )
 
     def read(

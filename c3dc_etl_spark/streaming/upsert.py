@@ -106,3 +106,64 @@ def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Read the current snapshot, healing an interrupted swap first."""
     recover(snapshot_dir)
     return spark.read.parquet(snapshot_dir)
+
+
+def run_upsert_stream_tablelog(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    app_id: str | None = None,
+) -> None:
+    """CDC apply through the TRANSACTIONAL table log instead of the
+    directory swap: each micro-batch collapses to latest-wins per key
+    (argmax inside the batch) and lands as ONE copy-on-write MERGE
+    commit carrying a ``txn`` action — so a re-delivered batch (the
+    foreachBatch at-least-once contract after a crash between sink
+    write and checkpoint advance) is rejected by the log's own
+    high-water mark, in the SAME atomic commit as the data. Readers get
+    snapshot isolation for free: a query planned mid-merge keeps its
+    file list. This is the table-format end state the directory-swap
+    sink's docstring points at (sink/publish.py scope note), vendored
+    locally via sink/tablelog.py."""
+    from c3dc_etl_spark.sink.tablelog import CommitConflict, TableLog
+
+    app = app_id or f"cdc:{checkpoint_dir}"
+    if len(key_cols) != 1:
+        raise ValueError(
+            "tablelog CDC merge matches on a single key column "
+            "(stats pruning + anti-join key); compose a surrogate key "
+            "upstream for compound keys"
+        )
+    key = key_cols[0]
+    log = TableLog(table_dir, stats_col=key)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        done = log.last_txn(app)
+        if done is not None and done >= batch_id:
+            return  # re-delivered batch: already committed
+        payload = [c for c in batch.columns if c not in key_cols]
+        packed = batch.groupBy(*key_cols).agg(
+            F.max(
+                F.struct(*order_cols, *[c for c in payload if c not in order_cols])
+            ).alias("__best")
+        )
+        latest = packed.select(
+            *key_cols, *[F.col(f"__best.{c}").alias(c) for c in payload]
+        )
+        try:
+            log.merge_upsert(batch.sparkSession, latest, key, txn=(app, batch_id))
+        except CommitConflict:
+            # a concurrent retry of the SAME batch won the commit race:
+            # exactly-once is preserved, nothing to do
+            pass
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -127,3 +127,72 @@ def test_recover_heals_interrupted_swap(spark):
     )
     # the pre-crash key survived the merge — no silent state loss
     assert _snap(spark, snap) == {"a": (1, "a1"), "b": (1, "b1")}
+
+
+def test_tablelog_cdc_stream_exactly_once_and_txn_dedup(spark):
+    """CDC drain through the transactional table log: multi-batch
+    latest-wins merge, a checkpointed resume reprocessing nothing, and
+    the log's OWN txn high-water mark rejecting a manually re-delivered
+    batch even without the streaming checkpoint."""
+    import json
+
+    from c3dc_etl_spark.sink.tablelog import CommitConflict, TableLog
+    from c3dc_etl_spark.streaming.upsert import run_upsert_stream_tablelog
+
+    base = tempfile.mkdtemp(prefix="ups_tlog_")
+    backlog = os.path.join(base, "backlog")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(backlog)
+    rows = [
+        [("a", 1, "a1"), ("b", 1, "b1")],
+        [("a", 3, "a3"), ("c", 1, "c1")],
+        [("a", 2, "late"), ("b", 2, "b2")],
+    ]
+    for i, rs in enumerate(rows):
+        path = os.path.join(backlog, f"f{i}.json")
+        with open(path, "w") as fh:
+            for k, ver, payload in rs:
+                fh.write(
+                    json.dumps({"k": k, "ver": ver, "payload": payload}) + "\n"
+                )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def _stream():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(backlog)
+        )
+
+    run_upsert_stream_tablelog(
+        _stream(), table, ckpt, key_cols=["k"], order_cols=["ver"]
+    )
+    log = TableLog(table, stats_col="k")
+    got = {
+        r["k"]: (r["ver"], r["payload"]) for r in log.read(spark).collect()
+    }
+    # NOTE: unlike the snapshot sink, per-batch merges apply IN ORDER:
+    # batch 2's ("a", 2, "late") arrives after ("a", 3) is live and the
+    # merge replaces matched keys — latest-BATCH-wins, the CDC apply
+    # contract (change order == delivery order)
+    assert got == {"a": (2, "late"), "b": (2, "b2"), "c": (1, "c1")}
+    # one merge commit per batch, each carrying its txn id
+    assert log.last_txn(f"cdc:{ckpt}") == 2
+    # resume with the same checkpoint: no new batches, table untouched
+    v = log.latest_version()
+    run_upsert_stream_tablelog(
+        _stream(), table, ckpt, key_cols=["k"], order_cols=["ver"]
+    )
+    assert log.latest_version() == v
+    # manual re-delivery of an old batch id: the LOG rejects it
+    stale = spark.createDataFrame([("a", 9, "replay")], SCHEMA)
+    try:
+        log.merge_upsert(spark, stale, "k", txn=(f"cdc:{ckpt}", 1))
+        raise AssertionError("expected CommitConflict on replayed txn")
+    except CommitConflict:
+        pass
+    got2 = {
+        r["k"]: (r["ver"], r["payload"]) for r in log.read(spark).collect()
+    }
+    assert got2 == got
