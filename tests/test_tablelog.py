@@ -182,3 +182,32 @@ def test_checkpoint_replay_matches_full_replay(spark, tmp_path):
     # stats survive the checkpoint round-trip (pruning still works)
     opened, total = log.pruned_file_count((10, 40))
     assert opened < total
+
+
+def test_concurrent_appends_all_win_distinct_versions(spark, tmp_path):
+    """A REAL commit race: 8 threads append through the same log
+    concurrently; the hard-link CAS must serialize them into 8 distinct
+    versions with all 8 files live and no manifest lost or duplicated."""
+    import threading
+
+    log = TableLog(str(tmp_path / "t"))
+    results: list[int] = []
+    errors: list[Exception] = []
+    barrier = threading.Barrier(8)
+
+    def writer(i: int) -> None:
+        try:
+            barrier.wait()
+            v = log.commit(add=[f"w{i}.parquet"], op="append")
+            results.append(v)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(results) == list(range(8))
+    assert sorted(log.files()) == sorted(f"w{i}.parquet" for i in range(8))
