@@ -68,6 +68,10 @@ HEADLINE = [
     "q18_large_orders",
     "pagerank_purchase_graph",
     "funnel_conversion",
+    # round 5: the closing TPC-H shapes + the transactional merge path
+    "q10_returned_items",
+    "q21_suppliers_kept_waiting",
+    "table_log_merge_upsert",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is

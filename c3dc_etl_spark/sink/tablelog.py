@@ -464,6 +464,7 @@ class TableLog:
         version: int | None = None,
         *,
         key_between: tuple | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read (time travel when ``version`` is given): the
         plan scans EXACTLY the snapshot's file list, so later commits —
@@ -474,7 +475,12 @@ class TableLog:
         manifest stats (files whose [min, max] envelope misses the range
         are never opened — see ``pruned_file_count``) and applies the
         residual BETWEEN filter, which parquet row-group pruning then
-        pushes inside the surviving files."""
+        pushes inside the surviving files.
+
+        ``merge_schema=True`` unions the per-file schemas (parquet
+        mergeSchema): columns added by later appends read as NULL in
+        older files — additive schema evolution without rewriting
+        history, as in every table format."""
         snap = self.snapshot(version)
         if not snap:
             raise ValueError(
@@ -500,7 +506,10 @@ class TableLog:
                 first = next(iter(snap))
                 base = spark.read.parquet(os.path.join(self.table_dir, first))
                 return base.filter(F.lit(False))
-        df = spark.read.parquet(
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(
             *[os.path.join(self.table_dir, n) for n in names]
         )
         if key_between is not None and self.stats_col in df.columns:

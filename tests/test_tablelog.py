@@ -211,3 +211,23 @@ def test_concurrent_appends_all_win_distinct_versions(spark, tmp_path):
     assert not errors, errors
     assert sorted(results) == list(range(8))
     assert sorted(log.files()) == sorted(f"w{i}.parquet" for i in range(8))
+
+
+def test_schema_evolution_across_appends(spark, tmp_path):
+    """Additive schema evolution: a later append introduces a column;
+    merge-schema reads surface it (NULL in pre-evolution files) while
+    time travel keeps the old schema — history is never rewritten."""
+    log = TableLog(str(tmp_path / "t"))
+    log.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    log.append(
+        spark.createDataFrame(
+            [(3, "c", "extra")], "k int, v string, note string"
+        )
+    )
+    got = {
+        r["k"]: (r["v"], r["note"])
+        for r in log.read(spark, merge_schema=True).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", "extra")}
+    # time travel to v0 shows the original schema untouched
+    assert log.read(spark, version=0).columns == ["k", "v"]
