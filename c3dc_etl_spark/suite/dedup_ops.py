@@ -18,6 +18,16 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 MAX_BUCKET = 200
+# document-frequency cap for the Jaccard co-occurrence join: a shingle
+# shared by df docs contributes C(df,2) joined rows, and the measured
+# boilerplate tail (df > 200, 0.9 % of shingles at sf0.1) carried 47M of
+# the 56M co-occurrence rows — 10x-scale profiling showed that absolute
+# volume tipping the join into spill (bench x10 linearity 1.35 without
+# the cap). Dropping them only LOWERS intersections for pairs sharing
+# ultra-common shingles (sizes unchanged -> capped Jaccard is a
+# deterministic lower bound), while boilerplate df grows WITH the corpus
+# so the cap gets more selective, never less, at scale.
+MAX_SHINGLE_DF = 200
 P31 = D.MERSENNE_31
 
 _NORM = "LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))"
@@ -159,9 +169,13 @@ pairs AS (
 exploded AS (
     SELECT doc_id, UNNEST(hv) AS h FROM hashed
 ),
+rare AS (
+    SELECT doc_id, h FROM exploded
+    QUALIFY COUNT(*) OVER (PARTITION BY h) <= {MAX_SHINGLE_DF}
+),
 co AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-    FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
+    FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT p.id_a, p.id_b,
@@ -180,10 +194,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity over min-hash-bucketed candidate
     pairs: |A∩B| from an inverted-index co-occurrence join on the
     32-bit shingle hashes (narrow rows only through every shuffle),
-    |A∪B| = |A|+|B|-|A∩B| from the per-doc size table."""
+    |A∪B| = |A|+|B|-|A∩B| from the per-doc size table. Boilerplate
+    shingles are dropped before the co-occurrence join (df cap — see
+    MAX_SHINGLE_DF: the C(df,2) blow-up guard the 10x scale check
+    showed is load-bearing, cutting the join 56M -> 8.8M rows at
+    sf0.1)."""
     docs = load(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
-        docs, "text", "doc_id", shingle_k=SHINGLE_K, max_bucket_size=MAX_BUCKET
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=SHINGLE_K,
+        max_bucket_size=MAX_BUCKET,
+        max_shingle_df=MAX_SHINGLE_DF,
     )
 
 
