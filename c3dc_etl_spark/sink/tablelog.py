@@ -222,15 +222,34 @@ class TableLog:
         except FileExistsError:
             return False
         except OSError:
-            # filesystem without hard links: O_EXCL create-and-write is
-            # the fallback CAS (commit contents are one small buffer)
+            # Filesystem without hard links: serialize writers through an
+            # O_EXCL claim marker, then publish with an ATOMIC os.replace
+            # — readers can never observe a partially-written manifest
+            # (an O_EXCL create-then-write of the final name would be
+            # visible empty between the two steps). A crash between claim
+            # and publish leaves a stale claim; it is broken by the next
+            # writer once old enough that its owner is surely dead.
+            claim = final + ".claim"
             try:
-                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
             except FileExistsError:
+                if not os.path.exists(final):
+                    import time
+
+                    try:
+                        if time.time() - os.path.getmtime(claim) > 60:
+                            os.unlink(claim)
+                    except OSError:
+                        pass
                 return False
-            with os.fdopen(fd, "w") as fh:
-                with open(tmp) as src:
-                    fh.write(src.read())
+            if os.path.exists(final):
+                os.unlink(claim)
+                return False
+            pub = final + ".pub"
+            with open(tmp) as src, open(pub, "w") as dst:
+                dst.write(src.read())
+            os.replace(pub, final)
+            os.unlink(claim)
             return True
 
     def commit(
@@ -241,14 +260,19 @@ class TableLog:
         op: str = "append",
         stats: dict[str, dict] | None = None,
         txn: tuple[str, int] | None = None,
+        validate=None,
     ) -> int:
         """Atomically publish one commit; returns the version written.
         Retries past racing writers (optimistic concurrency); raises
         :class:`CommitConflict` if a racer invalidated this commit's
         removes, or if ``txn=(app, batch)`` was already committed by a
         racer (exactly-once: the transaction id rides the SAME atomic
-        commit as the data it covers). Lands a checkpoint manifest
-        every ``checkpoint_interval`` commits."""
+        commit as the data it covers). ``validate(head)`` runs on every
+        retry BEFORE the CAS attempt — operation-specific conflict
+        checks (e.g. merge key-overlap) raise CommitConflict from it; a
+        racer landing after a validation makes the CAS fail, so the
+        next loop revalidates against the new head. Lands a checkpoint
+        manifest every ``checkpoint_interval`` commits."""
         add = list(add or [])
         remove = list(remove or [])
         body = {"op": op, "add": add, "remove": remove, "stats": stats or {}}
@@ -276,6 +300,8 @@ class TableLog:
                         raise CommitConflict(
                             f"files removed by a concurrent commit: {gone}"
                         )
+                if validate is not None:
+                    validate(head)
                 version = 0 if head is None else head + 1
                 if self._try_link(tmp, version):
                     if (
@@ -348,7 +374,17 @@ class TableLog:
         )
 
         def _plain(v):
-            return v if isinstance(v, (int, float, str, bool)) else str(v)
+            # stats must round-trip JSON with their ORDER intact: a
+            # str()-coerced date/Decimal would later compare against
+            # native-typed keys (TypeError in bisect / key_between).
+            # Fail at write time with the fix in hand, not at read time.
+            if v is None or isinstance(v, (int, float, str)):
+                return v
+            raise TypeError(
+                f"stats_col {self.stats_col!r} has non-JSON-orderable "
+                f"type {type(v).__name__}; use an int/float/str key "
+                "(cast dates/timestamps to epoch days/micros upstream)"
+            )
 
         return {
             r["__file"]: {
@@ -384,10 +420,17 @@ class TableLog:
         (T93's small-file compaction as a TRANSACTION): readers holding
         any prior snapshot keep bit-identical results because the old
         files stay on disk until vacuum."""
+        # resolve ONE snapshot and feed the same explicit file list to
+        # both the rewrite read and the remove list — re-resolving at
+        # read time would silently duplicate the rows of any file a
+        # racer commits between the two resolutions
         current = self.files()
-        compacted = self._land_files(
-            self.read(spark).repartition(target_partitions)
+        if not current:
+            raise ValueError(f"table {self.table_dir} has no committed data")
+        df = spark.read.parquet(
+            *[os.path.join(self.table_dir, n) for n in current]
         )
+        compacted = self._land_files(df.repartition(target_partitions))
         return self.commit(
             add=compacted,
             remove=current,
@@ -429,18 +472,56 @@ class TableLog:
         collected to the driver for file pruning and broadcast into the
         anti-join — the same smallness assumption as Delta's MERGE
         source side being the small relation). Matched keys take the
-        update row; unmatched update keys are inserts."""
+        update row; unmatched update keys are inserts.
+
+        Concurrency: beyond the remove-liveness check every commit
+        gets, the merge validates ON EACH COMMIT RETRY that no commit
+        after its base snapshot added a file whose stats envelope
+        overlaps the merged keys (predicate-level conflict detection —
+        a racing append of key K would otherwise coexist with the
+        merge's row for K). A racer landing after a validation makes
+        the CAS fail, so the loop revalidates against the new head."""
+        import bisect
+
         from pyspark.sql import functions as F
 
         keys = [
             r["k"]
             for r in updates.select(F.col(key_col).alias("k")).distinct().collect()
         ]
+        skeys = sorted(keys)
+        base = self.latest_version()
+
+        def _overlaps(st: dict) -> bool:
+            if not st or "min" not in st:
+                return True  # cannot prove disjointness
+            i = bisect.bisect_left(skeys, st["min"])
+            return i < len(skeys) and skeys[i] <= st["max"]
+
+        def _validate(head):
+            if head is None:
+                return
+            for v in self.versions():
+                if (base is not None and v <= base) or v > head:
+                    continue
+                m = self._manifest(v)
+                st = m.get("stats", {})
+                hit = [n for n in m.get("add", ()) if _overlaps(st.get(n, {}))]
+                if hit:
+                    raise CommitConflict(
+                        f"concurrent commit {v} added files overlapping the "
+                        f"merged key set: {hit}; re-read and re-derive the merge"
+                    )
+
         touched = self._touched_files(keys)
         if not touched:
             adds = self._land_files(updates)
             return self.commit(
-                add=adds, op="merge", stats=self._file_stats(spark, adds), txn=txn
+                add=adds,
+                op="merge",
+                stats=self._file_stats(spark, adds),
+                txn=txn,
+                validate=_validate,
             )
         existing = spark.read.parquet(
             *[os.path.join(self.table_dir, n) for n in touched]
@@ -456,6 +537,7 @@ class TableLog:
             op="merge",
             stats=self._file_stats(spark, adds),
             txn=txn,
+            validate=_validate,
         )
 
     def read(
@@ -490,6 +572,7 @@ class TableLog:
         if key_between is not None and self.stats_col is None:
             raise ValueError("key_between requires a stats_col-configured table")
         names = list(snap)
+        all_pruned = False
         if key_between is not None:
             lo, hi = key_between
             names = [
@@ -500,22 +583,24 @@ class TableLog:
                 or (st["max"] >= lo and st["min"] <= hi)
             ]
             if not names:
-                # keep a valid (empty) frame with the table's schema
-                from pyspark.sql import functions as F
-
-                first = next(iter(snap))
-                base = spark.read.parquet(os.path.join(self.table_dir, first))
-                return base.filter(F.lit(False))
+                # every file pruned: still return a frame with the SAME
+                # schema a non-empty read would have (full file list,
+                # merge_schema honored) so shard unions don't diverge
+                names = list(snap)
+                all_pruned = True
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(
             *[os.path.join(self.table_dir, n) for n in names]
         )
-        if key_between is not None and self.stats_col in df.columns:
+        if key_between is not None:
             from pyspark.sql import functions as F
 
-            df = df.filter(F.col(self.stats_col).between(lo, hi))
+            if all_pruned:
+                df = df.filter(F.lit(False))
+            elif self.stats_col in df.columns:
+                df = df.filter(F.col(self.stats_col).between(lo, hi))
         return df
 
     def pruned_file_count(
@@ -532,12 +617,31 @@ class TableLog:
         )
         return opened, len(snap)
 
-    def vacuum(self, *, keep_versions: int = 2) -> list[str]:
+    def vacuum(
+        self, *, keep_versions: int = 2, grace_seconds: float = 600.0
+    ) -> list[str]:
         """Delete data files unreferenced by ALL of the last
         ``keep_versions`` snapshots (plus stray staging/manifest temps).
         Readers may hold any retained snapshot; single-vacuum-at-a-time
         is assumed (the compactor owns it), as in every table format's
-        retention story. Returns the deleted names."""
+        retention story. Returns the deleted names.
+
+        ``grace_seconds`` protects IN-FLIGHT writers: a file landed but
+        not yet committed is unreferenced by every manifest, and a
+        zero-grace vacuum racing such a writer would delete data whose
+        commit is about to succeed — corrupting the table. Anything
+        younger than the grace window is left alone (Delta's
+        retention-hours check, scaled down); pass 0 only when no writer
+        can be active (tests, single-process pipelines)."""
+        import time
+
+        now = time.time()
+
+        def _young(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) < grace_seconds
+            except OSError:
+                return True  # vanished or unreadable: do not touch
         vs = self.versions()
         retained = vs[-keep_versions:] if keep_versions > 0 else vs[-1:]
         referenced: set[str] = set()
@@ -549,12 +653,16 @@ class TableLog:
             if name == "_log":
                 continue
             if name.startswith(".staging-"):
-                shutil.rmtree(full, ignore_errors=True)
-                deleted.append(name)
+                if not _young(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(name)
             elif name.endswith(".parquet") and name not in referenced:
-                os.unlink(full)
-                deleted.append(name)
+                if not _young(full):
+                    os.unlink(full)
+                    deleted.append(name)
         for name in os.listdir(self.log_dir):
             if name.startswith(".tmp-"):
-                os.unlink(os.path.join(self.log_dir, name))
+                full = os.path.join(self.log_dir, name)
+                if not _young(full):
+                    os.unlink(full)
         return deleted

@@ -156,9 +156,17 @@ def run_upsert_stream_tablelog(
         try:
             log.merge_upsert(batch.sparkSession, latest, key, txn=(app, batch_id))
         except CommitConflict:
-            # a concurrent retry of the SAME batch won the commit race:
-            # exactly-once is preserved, nothing to do
-            pass
+            # CommitConflict covers three cases: (a) a concurrent retry
+            # of the SAME batch won the race — exactly-once preserved,
+            # swallow; (b) a foreign writer invalidated our removes /
+            # overlapped our keys; (c) retry exhaustion. Swallowing (b)
+            # or (c) would let foreachBatch report success, advance the
+            # checkpoint, and PERMANENTLY drop the batch — so only
+            # swallow when the log's high-water mark proves this batch
+            # is already in.
+            done = log.last_txn(app)
+            if done is None or done < batch_id:
+                raise
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

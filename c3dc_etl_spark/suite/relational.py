@@ -1355,7 +1355,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pk AS p_partkey, supply_value
     FROM vals
-    WHERE supply_value > 0.001 * (SELECT SUM(supply_value) FROM vals)
+    WHERE supply_value > 0.001 *
+          (SELECT CAST(SUM(CAST(supply_value AS DECIMAL(18,4))) AS DOUBLE)
+           FROM vals)
     """,
     tags=("join", "agg", "tpch"),
 )

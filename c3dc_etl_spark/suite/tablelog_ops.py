@@ -13,6 +13,8 @@ thing under value-hash test, not just the final parquet scan.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +25,21 @@ from c3dc_etl_spark.suite.registry import load, query
 
 _COLS = ("o_orderkey", "o_totalprice", "o_orderstatus")
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch(prefix: str) -> str:
+    """A per-invocation scratch table dir, swept at process exit — the
+    returned DataFrames read these files LAZILY (the driver collects
+    after the query returns), so cleanup must outlive the query call."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(d)
+    return d
+
 
 def _build_logged_orders(spark: SparkSession, sf_dir: str) -> TableLog:
     """v0: append 'F' orders; v1: append 'O'; v2: compact (rewrites both
@@ -30,7 +47,7 @@ def _build_logged_orders(spark: SparkSession, sf_dir: str) -> TableLog:
     Every version stays readable: the compacted-away files are retained
     on disk until vacuum drops unreferenced ones."""
     orders = load(spark, sf_dir, "orders").select(*_COLS)
-    log = TableLog(tempfile.mkdtemp(prefix="tablelog_"))
+    log = TableLog(_scratch("tablelog_"))
     log.append(orders.filter(F.col("o_orderstatus") == "F"))
     log.append(orders.filter(F.col("o_orderstatus") == "O"))
     log.compact(spark, target_partitions=1)
@@ -54,7 +71,8 @@ def table_log_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot, proving the read plan's file list survives file-level
     garbage collection of everything older."""
     log = _build_logged_orders(spark, sf_dir)
-    log.vacuum(keep_versions=2)  # retains v2 (compact) + v3 file sets
+    # grace 0: single-process pipeline, no concurrent writer can exist
+    log.vacuum(keep_versions=2, grace_seconds=0)  # retains v2 (compact) + v3
     return log.read(spark)
 
 
@@ -73,7 +91,7 @@ def table_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical historical snapshot every table format owes its
     readers."""
     log = _build_logged_orders(spark, sf_dir)
-    log.vacuum(keep_versions=3)  # retains v1's file set
+    log.vacuum(keep_versions=3, grace_seconds=0)  # retains v1's file set
     return log.read(spark, version=1)
 
 
@@ -99,7 +117,7 @@ def table_log_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine."""
     orders = load(spark, sf_dir, "orders").select(*_COLS)
     log = TableLog(
-        tempfile.mkdtemp(prefix="tablelog_merge_"), stats_col="o_orderkey"
+        _scratch("tablelog_merge_"), stats_col="o_orderkey"
     )
     log.append(orders)
     updates = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
@@ -125,7 +143,7 @@ def table_log_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the residual BETWEEN filters inside the survivors."""
     orders = load(spark, sf_dir, "orders").select(*_COLS)
     log = TableLog(
-        tempfile.mkdtemp(prefix="tablelog_prune_"), stats_col="o_orderkey"
+        _scratch("tablelog_prune_"), stats_col="o_orderkey"
     )
     log.append(orders)
     return log.read(spark, key_between=(100, 500))

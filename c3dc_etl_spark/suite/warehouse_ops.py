@@ -23,12 +23,17 @@ WITH ev AS (
 marked AS (
     SELECT user_id, event_id, ts_us, event_type,
            LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+           LAG(1) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS has_prev
     FROM ev
 ),
 changes AS (
+    -- null-safe change detection, mirroring build_scd2: a NULL attr
+    -- period is a real version (IS DISTINCT FROM, never <>), and the
+    -- lag'd constant marks the true first row even under a NULL attr
     SELECT user_id, event_id, ts_us, event_type FROM marked
-    WHERE prev IS NULL OR prev <> event_type
+    WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type
 )
 SELECT user_id,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
@@ -597,12 +602,17 @@ WITH ev AS (
 marked AS (
     SELECT user_id, event_id, ts_us, event_type,
            LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+           LAG(1) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS has_prev
     FROM ev
 ),
 changes AS (
+    -- null-safe change detection, mirroring build_scd2: a NULL attr
+    -- period is a real version (IS DISTINCT FROM, never <>), and the
+    -- lag'd constant marks the true first row even under a NULL attr
     SELECT user_id, event_id, ts_us, event_type FROM marked
-    WHERE prev IS NULL OR prev <> event_type
+    WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type
 ),
 dim AS (
     SELECT user_id,

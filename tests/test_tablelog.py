@@ -55,13 +55,13 @@ def test_snapshot_isolated_from_concurrent_compact_and_vacuum(spark, tmp_path):
     # ...then the compactor rewrites the table AND vacuums under it
     log.compact(spark, target_partitions=1)
     log.append(orders.filter(F.col("o_orderstatus") == "P"))
-    deleted = log.vacuum(keep_versions=3)  # retains v1, v2, v3 file sets
+    deleted = log.vacuum(keep_versions=3, grace_seconds=0)  # retains v1, v2, v3 file sets
     # nothing the retained snapshots reference was deleted
     assert _rows(snap) == expected
     # v1's files ARE v0+v1's appends, so this vacuum deleted nothing
     assert deleted == []
     # tighter retention really drops the pre-compaction files...
-    deleted = log.vacuum(keep_versions=2)
+    deleted = log.vacuum(keep_versions=2, grace_seconds=0)
     assert deleted
     # ...and the latest snapshot (compacted + P append) is untouched
     assert _rows(log.read(spark)) == _rows(orders)
@@ -99,7 +99,7 @@ def test_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
     assert all(os.path.exists(os.path.join(log.table_dir, o)) for o in orphans)
     # readers never see them
     assert log.read(spark).count() == n
-    deleted = log.vacuum(keep_versions=2)
+    deleted = log.vacuum(keep_versions=2, grace_seconds=0)
     assert set(orphans) <= set(deleted)
     assert log.read(spark).count() == n
 
@@ -231,3 +231,85 @@ def test_schema_evolution_across_appends(spark, tmp_path):
     assert got == {1: ("a", None), 2: ("b", None), 3: ("c", "extra")}
     # time travel to v0 shows the original schema untouched
     assert log.read(spark, version=0).columns == ["k", "v"]
+
+
+def test_merge_detects_concurrent_overlapping_append(spark, tmp_path):
+    """Predicate-level OCC: an append landing between a merge's snapshot
+    resolution and its commit, containing one of the merged keys, must
+    fail the merge (CommitConflict) instead of leaving two rows for the
+    key."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderkey") < 500))
+    updates = orders.filter(F.col("o_orderkey") < 5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    # wrap commit so a racing append lands AFTER merge resolved its
+    # snapshot but BEFORE its commit validates
+    real_commit = log.commit
+    raced = {"done": False}
+
+    def racing_commit(**kw):
+        if not raced["done"] and kw.get("op") == "merge":
+            raced["done"] = True
+            racer = TableLog(log.table_dir, stats_col="o_orderkey")
+            racer.append(orders.filter(F.col("o_orderkey") < 3))
+        return real_commit(**kw)
+
+    log.commit = racing_commit
+    with pytest.raises(CommitConflict):
+        log.merge_upsert(spark, updates, "o_orderkey")
+    # a DISJOINT racing append does not block the merge
+    log.commit = real_commit
+    log2 = TableLog(str(tmp_path / "t2"), stats_col="o_orderkey")
+    log2.append(orders.filter(F.col("o_orderkey") < 500))
+    real2 = log2.commit
+    raced2 = {"done": False}
+
+    def racing_disjoint(**kw):
+        if not raced2["done"] and kw.get("op") == "merge":
+            raced2["done"] = True
+            racer = TableLog(log2.table_dir, stats_col="o_orderkey")
+            racer.append(orders.filter(F.col("o_orderkey").between(900, 950)))
+        return real2(**kw)
+
+    log2.commit = racing_disjoint
+    log2.merge_upsert(spark, updates, "o_orderkey")
+    got = log2.read(spark).groupBy("o_orderkey").count()
+    assert got.filter(F.col("count") > 1).count() == 0
+
+
+def test_empty_pruned_read_keeps_evolved_schema(spark, tmp_path):
+    log = TableLog(str(tmp_path / "t"), stats_col="k")
+    log.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    log.append(
+        spark.createDataFrame([(2, "b", "x")], "k int, v string, note string")
+    )
+    empty = log.read(spark, key_between=(10**9, 10**9 + 1), merge_schema=True)
+    full = log.read(spark, merge_schema=True)
+    assert empty.count() == 0
+    assert empty.columns == full.columns
+
+
+def test_vacuum_grace_protects_inflight_writer(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"))
+    log.append(orders.limit(5))
+    # in-flight writer: landed, not yet committed
+    pending = log._land_files(orders.limit(3))
+    deleted = log.vacuum(keep_versions=2)  # default grace
+    assert not (set(pending) & set(deleted)), "grace window violated"
+    # the writer's commit still succeeds and reads cleanly
+    log.commit(add=pending, op="append")
+    assert log.read(spark).count() == 8
+
+
+def test_stats_reject_non_orderable_key_types(spark, tmp_path):
+    import datetime
+
+    log = TableLog(str(tmp_path / "t"), stats_col="d")
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), 1)], "d date, v int"
+    )
+    with pytest.raises(Exception, match="non-JSON-orderable"):
+        log.append(df)

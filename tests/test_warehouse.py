@@ -244,3 +244,48 @@ def test_quantile_sketch_degenerate_domains(spark, tmp_path):
     sf2 = str(tmp_path / "empty")
     const.limit(0).write.parquet(f"{sf2}/events.parquet")
     assert REGISTRY["quantile_sketch_error"].fn(spark, sf2).count() == 0
+
+
+def test_scd2_null_semantics_match_duckdb_oracle_form(spark):
+    """The suite oracles mirror build_scd2 with LAG(1) + IS DISTINCT
+    FROM; pin that BOTH engines produce identical versions on a log
+    containing NULL attr values (the case the old `<>` form got wrong)."""
+    import duckdb
+
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, None), (1, 30, 3, None),
+        (1, 40, 4, "b"), (2, 10, 5, None), (2, 20, 6, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, tb int, attr string")
+    got = sorted(
+        (r["k"], r["version"], r["attr"])
+        for r in W.build_scd2(
+            df, key_col="k", ts_col="ts", tiebreak_col="tb", attr_col="attr"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(k INT, ts INT, tb INT, attr VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+            WITH marked AS (
+                SELECT k, ts, tb, attr,
+                       LAG(attr) OVER w AS prev,
+                       LAG(1) OVER w AS has_prev
+                FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, tb)
+            ),
+            changes AS (
+                SELECT k, ts, tb, attr FROM marked
+                WHERE has_prev IS NULL OR prev IS DISTINCT FROM attr
+            )
+            SELECT k, ROW_NUMBER() OVER (
+                       PARTITION BY k ORDER BY ts, tb) AS version, attr
+            FROM changes
+        """).fetchall()
+    )
+    assert got == want
+    # a -> NULL -> NULL -> b collapses the NULL run into ONE version
+    assert [a for k, v, a in got if k == 1] == ["a", None, "b"]
