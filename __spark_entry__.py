@@ -78,6 +78,7 @@ PRIORITY = [
     "table_log_time_travel",
     "table_log_merge_upsert",
     "table_log_pruned_read",
+    "triangle_count_coorder",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -106,3 +106,61 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping_pct=PR_DAMPING_PCT,
         iterations=PR_ITERATIONS,
     )
+
+
+_TRIANGLE_ORACLE = """
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                    GREATEST(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+    GROUP BY node
+),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+           CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+    FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT)
+           AS clustering_x1e6
+FROM stats, tri
+"""
+
+
+@query("triangle_count_coorder", oracle=_TRIANGLE_ORACLE, tags=("graph",))
+def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-order graph (parts are
+    adjacent when some order contains both): global triangle count +
+    clustering coefficient via DEGREE-ORIENTED wedge closing
+    (operators/graph.py triangle_count) — each triangle counted once
+    from its lowest-(degree, id) corner, wedge work bounded by
+    sum(out_deg^2) with out_deg <= O(sqrt(m)) under the orientation,
+    which is what survives a hub part ordered in half the corpus. The
+    oracle counts the SAME orientation-invariant quantities with the
+    simpler id-ordered formulation — equality is exact integers, no
+    rounding discipline needed."""
+    from c3dc_etl_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)

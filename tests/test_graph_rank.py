@@ -94,3 +94,39 @@ def test_pagerank_checkpoint_cadence_bounds_plan_and_preserves_values(spark):
     r3a = pagerank(edges, 4, iterations=3).collect()
     r3b = pagerank(edges, 4, iterations=3, checkpoint_every=0).collect()
     assert _rows_key(r3a) == _rows_key(r3b)
+
+
+def test_triangle_count_matches_bruteforce_and_is_orientation_invariant(spark):
+    """Random-ish small graph: degree-oriented count == brute-force
+    enumeration; duplicate/reversed/self edges are normalized away."""
+    from itertools import combinations
+
+    from c3dc_etl_spark.operators.graph import triangle_count
+
+    # deterministic pseudo-random edge set over 20 nodes
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in (
+            ((i * 7 + 3) % 20, (i * 11 + 5) % 20) for i in range(60)
+        )
+        if a != b
+    })
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    brute = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    # feed DIRTY edges: duplicates, reversals, self-loops
+    dirty = edges + [(v, u) for u, v in edges[:10]] + [(3, 3), (5, 5)]
+    df = spark.createDataFrame(dirty, "src long, dst long")
+    [row] = triangle_count(df).collect()
+    assert row["n_triangles"] == brute
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+    assert row["clustering_x1e6"] == (3 * brute * 1_000_000) // wedges

@@ -52,6 +52,8 @@ _BNLJ_ALLOWED = {
     # 1-row x 1-row scalar-aggregate combine (sketch stats x exact
     # counts): bounded by construction; a literal equi-key folds away
     "sketch_kmv_set_algebra",
+    # 1-row x 1-row combine of the degree stats and the triangle count
+    "triangle_count_coorder",
 }
 
 

@@ -73,6 +73,6 @@ def test_entry_contract():
         "q12_shipmode_priority", "q20_potential_promotion",
         "q21_suppliers_kept_waiting", "table_log_snapshot_read",
         "table_log_time_travel", "table_log_merge_upsert",
-        "table_log_pruned_read",
+        "table_log_pruned_read", "triangle_count_coorder",
     ):
         assert name in first50, name
