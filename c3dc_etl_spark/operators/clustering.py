@@ -222,3 +222,142 @@ def semantic_dedup(
             F.col("__dup").isNull().alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): train / encode / ADC search
+# ---------------------------------------------------------------------------
+
+
+def _seq_sqdist(a: list[float], b: list[float]) -> float:
+    """Driver-side squared L2 with the SAME left-to-right fold order as
+    _dist_sq_to_literal / the oracle's LIST_REDUCE — lookup-table
+    entries computed here must be bit-identical to an engine-side
+    re-derivation."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    dim: int,
+    m_subspaces: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train a product-quantization codebook (Jégou et al. 2011): split
+    the ``dim`` dimensions into ``m_subspaces`` contiguous slices and
+    run the deterministic Lloyd's k-means independently per slice.
+    Returns one codebook (list of (code_id, sub-centroid)) per subspace.
+
+    Scale: each training pass is the same narrow
+    assignment + k*subdim-keyed partial aggregation as lloyd_kmeans —
+    M small trainings over slices, never a joint (k^M)-codebook
+    problem; driver traffic is the M * k * subdim codebook floats."""
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces} subspaces")
+    width = dim // m_subspaces
+    books = []
+    v = F.col(vec_col).cast("array<double>")
+    for ms in range(m_subspaces):
+        sub = df.select(
+            F.col(id_col), F.slice(v, ms * width + 1, width).alias("__sub")
+        )
+        _, cents = lloyd_kmeans(
+            sub, k=k, iters=iters, id_col=id_col, vec_col="__sub",
+            round_dp=round_dp,
+        )
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector to M bigint codes (nearest sub-centroid per
+    subspace, ties to the smallest code id — the assign_to_centroids
+    total order). One narrow projection pass, no exchange: the encoded
+    table is M longs per row — the 8-32x footprint cut that lets a
+    100 TB embedding corpus fit a scan-based ANN budget."""
+    width = dim // len(codebooks)
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for ms, book in enumerate(codebooks):
+        sub = F.slice(v, ms * width + 1, width)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dist_sq_to_literal(sub, cv).alias("d"),
+                        F.lit(int(cid)).cast("bigint").alias("c"),
+                    )
+                    for cid, cv in book
+                ]
+            )
+        )
+        codes.append(best.getField("c").alias(f"code_{ms}"))
+    return df.select(F.col(id_col), *codes)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    *,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ codes: per query,
+    a lookup table of squared distances from the query's slice to each
+    sub-centroid is computed ONCE (M*K driver floats, exact sequential
+    folds), and every candidate's approximate distance is the M-term
+    sum of table entries selected by its codes — a pure projection over
+    M longs, no vector arithmetic per candidate, no join. Ranking is
+    salted two-phase top-k (operators.skew.salted_topk), so a query
+    never concentrates the corpus on one reducer.
+
+    Returns (query_id, candidate_id, adc_dist, rank); self-matches are
+    excluded (same contract as cosine_topk)."""
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    width = dim // len(codebooks)
+    frames = []
+    for qid, qv in queries:
+        adc = None
+        for ms, book in enumerate(codebooks):
+            qsub = qv[ms * width: (ms + 1) * width]
+            lut = F.array(
+                *[F.lit(_seq_sqdist(qsub, cv)) for _, cv in book]
+            )
+            term = F.element_at(lut, (F.col(f"code_{ms}") + 1).cast("int"))
+            adc = term if adc is None else adc + term
+        frames.append(
+            codes.filter(F.col(id_col) != qid).select(
+                F.lit(int(qid)).cast("bigint").alias("query_id"),
+                F.col(id_col).alias("candidate_id"),
+                adc.alias("adc_dist"),
+            )
+        )
+    import functools
+
+    scored = functools.reduce(DataFrame.unionByName, frames)
+    return salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist").asc(), F.col("candidate_id").asc()],
+        k,
+        salt=F.col("candidate_id"),
+        rank_col="rank",
+    )

@@ -269,3 +269,226 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: train -> encode -> ADC search -> measured recall
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_W = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 8  # codewords per subspace
+PQ_ITERS = 2
+
+
+def _fold_w(c: str, v: str, width: int) -> str:
+    """Sequential squared-L2 fold over ``width`` dims (see _dist_fold)."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1, {width + 1}),"
+        f" i -> ({c}[i] - {v}[i]) * ({c}[i] - {v}[i]))), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_ctes() -> str:
+    """Per-subspace slices, Lloyd's chains (PQ_ITERS assignment passes,
+    final codebook = c{PQ_ITERS-1}), and per-vector code assignment —
+    the oracle replay of pq_train + pq_encode."""
+    parts = []
+    for ms in range(PQ_M):
+        lo, hi = ms * PQ_W + 1, (ms + 1) * PQ_W
+        p = f"s{ms}"
+        parts.append(
+            f"e{p} AS MATERIALIZED (\n"
+            f"    SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v"
+            f" FROM embeddings\n)"
+        )
+        parts.append(
+            f"c0{p} AS MATERIALIZED (\n"
+            f"    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)"
+            f" AS cluster, v AS c\n"
+            f"    FROM e{p} QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)"
+            f" <= {PQ_K}\n)"
+        )
+        for n in range(1, PQ_ITERS):
+            parts.append(
+                f"a{n}{p} AS MATERIALIZED (\n"
+                f"    SELECT vec_id, v, cluster FROM (\n"
+                f"        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+                f" ORDER BY dist ASC, cluster ASC) AS rn\n"
+                f"        FROM (SELECT e.vec_id, e.v, c.cluster,"
+                f" {_fold_w('c.c', 'e.v', PQ_W)} AS dist\n"
+                f"              FROM e{p} e CROSS JOIN c{n - 1}{p} c)\n"
+                f"    ) WHERE rn = 1\n)"
+            )
+            parts.append(
+                f"m{n}{p} AS (\n"
+                f"    SELECT cluster, t.i AS pos, ROUND(AVG(v[t.i]), {MEAN_DP})"
+                f" AS mv\n"
+                f"    FROM a{n}{p}, GENERATE_SERIES(1, {PQ_W}) AS t(i)\n"
+                f"    GROUP BY cluster, t.i\n)"
+            )
+            parts.append(
+                f"c{n}{p} AS MATERIALIZED (\n"
+                f"    SELECT cluster, LIST(mv ORDER BY pos) AS c FROM m{n}{p}"
+                f" GROUP BY cluster\n"
+                f"    UNION ALL\n"
+                f"    SELECT cluster, c FROM c{n - 1}{p}\n"
+                f"    WHERE cluster NOT IN (SELECT cluster FROM m{n}{p})\n)"
+            )
+        parts.append(
+            f"code{p} AS MATERIALIZED (\n"
+            f"    SELECT vec_id, cluster AS code FROM (\n"
+            f"        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist ASC, cluster ASC) AS rn\n"
+            f"        FROM (SELECT e.vec_id, c.cluster,"
+            f" {_fold_w('c.c', 'e.v', PQ_W)} AS dist\n"
+            f"              FROM e{p} e CROSS JOIN c{PQ_ITERS - 1}{p} c)\n"
+            f"    ) WHERE rn = 1\n)"
+        )
+    return ",\n".join(parts)
+
+
+def _pq_adc_sum() -> str:
+    terms = [
+        f"{_fold_w(f'q{ms}.v', f'w{ms}.c', PQ_W)}" for ms in range(PQ_M)
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"  # left-assoc, matching the Spark chain
+    return expr
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH {_pq_ctes()},
+efull AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+exact AS MATERIALIZED (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS candidate_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_fold_w('q.v', 'e.v', EMB_DIM)} ASC,
+                            e.vec_id ASC) AS rn
+        FROM efull e
+        CROSS JOIN (SELECT * FROM efull WHERE vec_id < {N_QUERIES}) q
+        WHERE e.vec_id <> q.vec_id
+    ) WHERE rn <= {TOP_K}
+),
+adc AS (
+    SELECT q0.vec_id AS query_id, k0.vec_id AS candidate_id,
+           {_pq_adc_sum()} AS adc_dist
+    FROM codes0 k0
+    JOIN codes1 k1 ON k1.vec_id = k0.vec_id
+    JOIN codes2 k2 ON k2.vec_id = k0.vec_id
+    JOIN codes3 k3 ON k3.vec_id = k0.vec_id
+    JOIN c{PQ_ITERS - 1}s0 w0 ON w0.cluster = k0.code
+    JOIN c{PQ_ITERS - 1}s1 w1 ON w1.cluster = k1.code
+    JOIN c{PQ_ITERS - 1}s2 w2 ON w2.cluster = k2.code
+    JOIN c{PQ_ITERS - 1}s3 w3 ON w3.cluster = k3.code
+    CROSS JOIN (SELECT vec_id, v FROM es0 WHERE vec_id < {N_QUERIES}) q0
+    JOIN (SELECT vec_id, v FROM es1 WHERE vec_id < {N_QUERIES}) q1
+         ON q1.vec_id = q0.vec_id
+    JOIN (SELECT vec_id, v FROM es2 WHERE vec_id < {N_QUERIES}) q2
+         ON q2.vec_id = q0.vec_id
+    JOIN (SELECT vec_id, v FROM es3 WHERE vec_id < {N_QUERIES}) q3
+         ON q3.vec_id = q0.vec_id
+    WHERE k0.vec_id <> q0.vec_id
+),
+approx AS MATERIALIZED (
+    SELECT query_id, candidate_id FROM (
+        SELECT query_id, candidate_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, candidate_id ASC) AS rn
+        FROM adc
+    ) WHERE rn <= {TOP_K}
+),
+hits AS (
+    SELECT e.query_id, COUNT(*) AS n
+    FROM exact e
+    JOIN approx a
+      ON e.query_id = a.query_id AND e.candidate_id = a.candidate_id
+    GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n, 0) / {TOP_K}.0, 4) + 0.0 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
+@query(
+    "ann_pq_adc_recall",
+    oracle=_PQ_RECALL_ORACLE,
+    tags=("clustering", "similarity"),
+)
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end to end (Jégou et al. 2011): train
+    {PQ_M} per-subspace codebooks of {PQ_K} codewords (deterministic
+    Lloyd's), quantize every vector to {PQ_M} bigint codes (8-32x
+    footprint cut — the representation that fits a 100 TB embedding
+    corpus in a scan budget), search by asymmetric distance (per-query
+    lookup tables over the codes, a pure projection — no per-candidate
+    vector math), and measure recall@{TOP_K} against the exact
+    brute-force L2 ground truth. The oracle replays training, encoding,
+    and ADC as CTE chains with bit-shared doubles (sequential folds,
+    6dp-pinned means, left-assoc ADC sums)."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = C.pq_train(
+        emb, dim=EMB_DIM, m_subspaces=PQ_M, k=PQ_K, iters=PQ_ITERS,
+        round_dp=MEAN_DP,
+    )
+    codes = C.pq_encode(emb, books, dim=EMB_DIM)
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()  # bounded: the query batch
+    )
+    queries = [(int(r["vec_id"]), list(r["v"])) for r in qrows]
+    approx = C.pq_adc_topk(
+        codes, queries, books, dim=EMB_DIM, k=TOP_K
+    ).select("query_id", "candidate_id")
+
+    from c3dc_etl_spark.operators.clustering import _dist_sq_to_literal
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    cands = emb.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    import functools
+
+    from pyspark.sql import DataFrame as _DF
+
+    exact_frames = [
+        cands.filter(F.col("candidate_id") != qid).select(
+            F.lit(qid).cast("bigint").alias("query_id"),
+            "candidate_id",
+            _dist_sq_to_literal(F.col("cv"), qv).alias("d"),
+        )
+        for qid, qv in queries
+    ]
+    exact = salted_topk(
+        functools.reduce(_DF.unionByName, exact_frames),
+        ["query_id"],
+        [F.col("d").asc(), F.col("candidate_id").asc()],
+        TOP_K,
+        salt=F.col("candidate_id"),
+    ).select("query_id", "candidate_id")
+
+    hits = (
+        exact.join(approx, ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            n.cast("bigint").alias("n_hits"),
+            (F.round(n / float(TOP_K), 4) + F.lit(0.0)).alias("recall"),
+        )
+    )
