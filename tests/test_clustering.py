@@ -102,3 +102,46 @@ def test_lloyd_kmeans_partition_invariant(spark):
         for r in C.lloyd_kmeans(df.repartition(7), k=3, iters=3)[0].collect()
     )
     assert a == b
+
+
+def test_pq_encode_partition_invariant_and_adc_consistent(spark):
+    """PQ codes are a pure projection (identical on any partitioning),
+    and every ADC distance equals the independent sum of the candidate's
+    codeword distances — the lookup table is an optimization, not an
+    approximation of the quantized distance."""
+    from c3dc_etl_spark.operators import clustering as C
+    from c3dc_etl_spark.suite.registry import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    dim, m, k = 64, 4, 8
+    books = C.pq_train(emb, dim=dim, m_subspaces=m, k=k, iters=2)
+    assert len(books) == m and all(len(b) == k for b in books)
+    codes1 = {tuple(r) for r in C.pq_encode(emb, books, dim=dim).collect()}
+    codes2 = {
+        tuple(r)
+        for r in C.pq_encode(emb.repartition(13), books, dim=dim).collect()
+    }
+    assert codes1 == codes2
+    # ADC consistency on one query
+    q = emb.orderBy("vec_id").limit(1).select(
+        "vec_id", emb.embedding.cast("array<double>").alias("v")
+    ).collect()[0]
+    qid, qv = int(q["vec_id"]), list(q["v"])
+    top = C.pq_adc_topk(
+        C.pq_encode(emb, books, dim=dim), [(qid, qv)], books, dim=dim, k=5
+    ).collect()
+    assert len(top) == 5
+    code_by_id = {r[0]: r[1:] for r in codes1}
+    width = dim // m
+    for r in top:
+        cand = r["candidate_id"]
+        assert cand != qid  # self excluded
+        expect = 0.0
+        for ms in range(m):
+            cw = dict(books[ms])[code_by_id[cand][ms]]
+            sub = qv[ms * width:(ms + 1) * width]
+            expect = expect + C._seq_sqdist(sub, cw)
+        assert r["adc_dist"] == expect
+    # ranks are 1..5 by (dist, id)
+    ranks = [(r["rank"], r["adc_dist"], r["candidate_id"]) for r in top]
+    assert sorted(ranks) == ranks and [x[0] for x in sorted(ranks)] == [1, 2, 3, 4, 5]
