@@ -80,6 +80,7 @@ PRIORITY = [
     "table_log_pruned_read",
     "triangle_count_coorder",
     "ann_pq_adc_recall",
+    "ann_ivfpq_recall",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -492,3 +492,194 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(n / float(TOP_K), 4) + F.lit(0.0)).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer routes, ADC scores inside the probed cells
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+WITH {_kmeans_ctes()},
+{_pq_ctes()},
+efull AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+qfull AS (SELECT vec_id, v FROM efull WHERE vec_id < {N_QUERIES}),
+probes AS MATERIALIZED (
+    -- each query's {NPROBE} nearest coarse centroids (final codebook)
+    SELECT vec_id AS query_id, cluster FROM (
+        SELECT q.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_fold_w('q.v', 'c.c', EMB_DIM)} ASC,
+                            c.cluster ASC) AS rn
+        FROM qfull q CROSS JOIN c{ITERS - 1} c
+    ) WHERE rn <= {NPROBE}
+),
+exact AS MATERIALIZED (
+    SELECT query_id, candidate_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS candidate_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_fold_w('q.v', 'e.v', EMB_DIM)} ASC,
+                            e.vec_id ASC) AS rn
+        FROM efull e CROSS JOIN qfull q
+        WHERE e.vec_id <> q.vec_id
+    ) WHERE rn <= {TOP_K}
+),
+adc AS (
+    SELECT q0.vec_id AS query_id, k0.vec_id AS candidate_id,
+           {_pq_adc_sum()} AS adc_dist
+    FROM codes0 k0
+    JOIN codes1 k1 ON k1.vec_id = k0.vec_id
+    JOIN codes2 k2 ON k2.vec_id = k0.vec_id
+    JOIN codes3 k3 ON k3.vec_id = k0.vec_id
+    JOIN c{PQ_ITERS - 1}s0 w0 ON w0.cluster = k0.code
+    JOIN c{PQ_ITERS - 1}s1 w1 ON w1.cluster = k1.code
+    JOIN c{PQ_ITERS - 1}s2 w2 ON w2.cluster = k2.code
+    JOIN c{PQ_ITERS - 1}s3 w3 ON w3.cluster = k3.code
+    JOIN a{ITERS} asg ON asg.vec_id = k0.vec_id
+    CROSS JOIN (SELECT vec_id, v FROM es0 WHERE vec_id < {N_QUERIES}) q0
+    JOIN (SELECT vec_id, v FROM es1 WHERE vec_id < {N_QUERIES}) q1
+         ON q1.vec_id = q0.vec_id
+    JOIN (SELECT vec_id, v FROM es2 WHERE vec_id < {N_QUERIES}) q2
+         ON q2.vec_id = q0.vec_id
+    JOIN (SELECT vec_id, v FROM es3 WHERE vec_id < {N_QUERIES}) q3
+         ON q3.vec_id = q0.vec_id
+    JOIN probes p ON p.query_id = q0.vec_id AND p.cluster = asg.cluster
+    WHERE k0.vec_id <> q0.vec_id
+),
+approx AS MATERIALIZED (
+    SELECT query_id, candidate_id FROM (
+        SELECT query_id, candidate_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, candidate_id ASC) AS rn
+        FROM adc
+    ) WHERE rn <= {TOP_K}
+),
+hits AS (
+    SELECT e.query_id, COUNT(*) AS n
+    FROM exact e
+    JOIN approx a
+      ON e.query_id = a.query_id AND e.candidate_id = a.candidate_id
+    GROUP BY e.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n, 0) / {TOP_K}.0, 4) + 0.0 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""
+
+
+@query(
+    "ann_ivfpq_recall",
+    oracle=_IVFPQ_ORACLE,
+    tags=("clustering", "similarity"),
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical large-scale ANN index, composed end to end: an IVF
+    coarse quantizer (Lloyd's, {K} cells) routes each query to its
+    {NPROBE} nearest cells, and PQ asymmetric distance ranks ONLY the
+    vectors assigned there — I/O is nprobe/{K} of the corpus and the
+    per-candidate cost is a lookup-table projection over {PQ_M} bigint
+    codes (non-residual IVF+PQ; at 100 TB the cells are the partition
+    key, so a query touches nprobe partitions of codes, never the
+    corpus). Recall@{TOP_K} is measured against exact brute-force L2;
+    the oracle replays coarse training, routing, PQ training, encoding,
+    and ADC with bit-shared doubles."""
+    emb = load(spark, sf_dir, "embeddings")
+    from c3dc_etl_spark.operators.clustering import (
+        _dist_sq_to_literal,
+        _seq_sqdist,
+    )
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    _, coarse = C.lloyd_kmeans(emb, k=K, iters=ITERS, round_dp=MEAN_DP)
+    assigned = C.assign_to_centroids(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        coarse,
+        vec_col="v",
+        cluster_col="cc",
+    ).select("vec_id", "cc")
+    books = C.pq_train(
+        emb, dim=EMB_DIM, m_subspaces=PQ_M, k=PQ_K, iters=PQ_ITERS,
+        round_dp=MEAN_DP,
+    )
+    codes = C.pq_encode(emb, books, dim=EMB_DIM).join(assigned, "vec_id")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), list(r["v"])) for r in qrows]
+    width = EMB_DIM // PQ_M
+    import functools
+
+    from pyspark.sql import DataFrame as _DF
+
+    approx_frames = []
+    for qid, qv in queries:
+        # route: nprobe nearest coarse cells (ties to smaller cluster),
+        # computed driver-side with the shared sequential fold
+        ranked = sorted(
+            (( _seq_sqdist(qv, cv), cid) for cid, cv in coarse)
+        )[:NPROBE]
+        probed = [cid for _, cid in ranked]
+        adc = None
+        for ms, book in enumerate(books):
+            qsub = qv[ms * width:(ms + 1) * width]
+            lut = F.array(*[F.lit(_seq_sqdist(qsub, cv)) for _, cv in book])
+            term = F.element_at(lut, (F.col(f"code_{ms}") + 1).cast("int"))
+            adc = term if adc is None else adc + term
+        approx_frames.append(
+            codes.filter(
+                F.col("cc").isin(probed) & (F.col("vec_id") != qid)
+            ).select(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                F.col("vec_id").alias("candidate_id"),
+                adc.alias("adc_dist"),
+            )
+        )
+    approx = salted_topk(
+        functools.reduce(_DF.unionByName, approx_frames),
+        ["query_id"],
+        [F.col("adc_dist").asc(), F.col("candidate_id").asc()],
+        TOP_K,
+        salt=F.col("candidate_id"),
+    ).select("query_id", "candidate_id")
+
+    cands = emb.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    exact_frames = [
+        cands.filter(F.col("candidate_id") != qid).select(
+            F.lit(qid).cast("bigint").alias("query_id"),
+            "candidate_id",
+            _dist_sq_to_literal(F.col("cv"), qv).alias("d"),
+        )
+        for qid, qv in queries
+    ]
+    exact = salted_topk(
+        functools.reduce(_DF.unionByName, exact_frames),
+        ["query_id"],
+        [F.col("d").asc(), F.col("candidate_id").asc()],
+        TOP_K,
+        salt=F.col("candidate_id"),
+    ).select("query_id", "candidate_id")
+
+    hits = (
+        exact.join(approx, ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            n.cast("bigint").alias("n_hits"),
+            (F.round(n / float(TOP_K), 4) + F.lit(0.0)).alias("recall"),
+        )
+    )

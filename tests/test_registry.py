@@ -74,6 +74,6 @@ def test_entry_contract():
         "q21_suppliers_kept_waiting", "table_log_snapshot_read",
         "table_log_time_travel", "table_log_merge_upsert",
         "table_log_pruned_read", "triangle_count_coorder",
-        "ann_pq_adc_recall",
+        "ann_pq_adc_recall", "ann_ivfpq_recall",
     ):
         assert name in first50, name
