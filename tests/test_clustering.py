@@ -145,3 +145,14 @@ def test_pq_encode_partition_invariant_and_adc_consistent(spark):
     # ranks are 1..5 by (dist, id)
     ranks = [(r["rank"], r["adc_dist"], r["candidate_id"]) for r in top]
     assert sorted(ranks) == ranks and [x[0] for x in sorted(ranks)] == [1, 2, 3, 4, 5]
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest
+
+    from c3dc_etl_spark.operators import clustering as C
+    from c3dc_etl_spark.suite.registry import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        C.pq_train(emb, dim=64, m_subspaces=5, k=4, iters=1)
