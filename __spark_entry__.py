@@ -81,6 +81,11 @@ PRIORITY = [
     "triangle_count_coorder",
     "ann_pq_adc_recall",
     "ann_ivfpq_recall",
+    "dedup_containment",
+    "ann_filtered_topk",
+    "regressor_train_gd",
+    "regressor_eval_r2",
+    "classifier_train_stump",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

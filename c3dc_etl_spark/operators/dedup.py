@@ -315,43 +315,30 @@ def minhash_lsh_candidates(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_cooccurrence(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
-    shingle_k: int = 12,
-    min_jaccard: float = 0.0,
-    bucket_hashes: int = 2,
-    max_bucket_size: int = 200,
-    max_shingle_df: int = 0,
-) -> DataFrame:
-    """N-gram Jaccard over candidate pairs pre-bucketed by min-hash
-    (docs sharing a min-shingle permutation value get compared).
+    shingle_k: int,
+    bucket_hashes: int,
+    max_bucket_size: int,
+    max_shingle_df: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared candidate-generation + intersection-counting plumbing for
+    the set-overlap dedup family (Jaccard, containment). Returns
+    ``(pairs, co, sizes)``:
 
-    |A∩B| is counted by an inverted-index co-occurrence join: explode
-    the hashed shingle sets to bare (doc, h) rows, self-join on the
-    32-bit shingle hash, and count rows per (id_a, id_b). Only narrow
-    integer rows ever ride a shuffle — the shingle arrays themselves
-    stay in the persisted projection and never travel through the pair
-    joins (the previous array-rejoin design shipped both ~KB arrays per
-    candidate pair and was ~3x slower at sf0.1, worse with pair count).
-    |A∪B| = |A| + |B| - |A∩B| from a tiny per-doc size table.
+    - ``pairs`` — distinct min-hash-bucketed candidate (id_a, id_b),
+      id_a < id_b, bucket sizes capped;
+    - ``co`` — |A∩B| per candidate-reachable pair via the inverted-index
+      co-occurrence join (only narrow (doc, hash32) integer rows ride
+      the shuffles; the shingle arrays never travel through the joins);
+    - ``sizes`` — per-doc distinct-shingle counts.
 
-    Scale guards:
-    - ``max_bucket_size`` caps LSH candidate buckets (as in minhash);
-    - ``max_shingle_df`` (0 = off) drops shingles whose document
-      frequency exceeds the cap before the co-occurrence join — a
-      boilerplate 12-gram shared by d docs contributes C(d,2) joined
-      rows, so ubiquitous shingles are the skew/blow-up risk. Dropping
-      them only shrinks the intersection count (sizes are unchanged),
-      so capped Jaccard is a deterministic lower bound.
-
-    Hash collisions (~n^2/2^33 per pair) can perturb a count by 1 in
-    rare cases — deterministic, and mirrored exactly in the oracle.
-    Candidate pairs whose bucket collision came from an affine-map
-    collision rather than a shared shingle keep jaccard 0.0 via the
-    left join."""
+    Scale guards as documented on ngram_jaccard_pairs: bucket caps plus
+    the optional shingle document-frequency cap (a boilerplate shingle
+    shared by d docs contributes C(d,2) co-occurrence rows)."""
     normed = spread(df).select(
         F.col(id_col).alias("doc"), normalize_text(text_col).alias("__norm")
     )
@@ -408,9 +395,14 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = hashed.select(F.col("doc").alias("id"), F.size("hv").alias("n"))
-    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("double")
-    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
-    jac = F.round(inter / union, 4)
+    return pairs, co, sizes
+
+
+def _pairs_with_sizes(
+    pairs: DataFrame, co: DataFrame, sizes: DataFrame
+) -> DataFrame:
+    """Attach intersection counts + both docs' set sizes to candidate
+    pairs (left join so affine-collision-only candidates keep inter=0)."""
     return (
         pairs.join(co, ["id_a", "id_b"], "left")
         .join(
@@ -419,8 +411,109 @@ def ngram_jaccard_pairs(
         .join(
             sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b"
         )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 12,
+    min_jaccard: float = 0.0,
+    bucket_hashes: int = 2,
+    max_bucket_size: int = 200,
+    max_shingle_df: int = 0,
+) -> DataFrame:
+    """N-gram Jaccard over candidate pairs pre-bucketed by min-hash
+    (docs sharing a min-shingle permutation value get compared).
+
+    |A∩B| is counted by an inverted-index co-occurrence join (see
+    _shingle_cooccurrence — the previous array-rejoin design shipped
+    both ~KB arrays per candidate pair and was ~3x slower at sf0.1,
+    worse with pair count). |A∪B| = |A| + |B| - |A∩B| from the tiny
+    per-doc size table.
+
+    ``max_shingle_df`` (0 = off) drops shingles whose document
+    frequency exceeds the cap before the co-occurrence join; dropping
+    them only shrinks the intersection count (sizes are unchanged), so
+    capped Jaccard is a deterministic lower bound.
+
+    Hash collisions (~n^2/2^33 per pair) can perturb a count by 1 in
+    rare cases — deterministic, and mirrored exactly in the oracle.
+    Candidate pairs whose bucket collision came from an affine-map
+    collision rather than a shared shingle keep jaccard 0.0 via the
+    left join."""
+    pairs, co, sizes = _shingle_cooccurrence(
+        df,
+        text_col,
+        id_col,
+        shingle_k=shingle_k,
+        bucket_hashes=bucket_hashes,
+        max_bucket_size=max_bucket_size,
+        max_shingle_df=max_shingle_df,
+    )
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    jac = F.round(inter / union, 4)
+    return (
+        _pairs_with_sizes(pairs, co, sizes)
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 12,
+    min_containment: float = 0.0,
+    bucket_hashes: int = 2,
+    max_bucket_size: int = 200,
+    max_shingle_df: int = 0,
+) -> DataFrame:
+    """One-directional near-duplicate detection by shingle-set
+    CONTAINMENT: C(A,B) = |A∩B| / min(|A|,|B|) over the same min-hash
+    candidate buckets as ngram_jaccard_pairs.
+
+    Containment catches the quote-inclusion / wrapped-boilerplate case
+    Jaccard misses: a short document pasted verbatim inside a much
+    longer one has near-1.0 containment but tiny Jaccard (the union is
+    dominated by the long doc). Broder's resemblance-vs-containment
+    distinction (Broder 1997, "On the resemblance and containment of
+    documents") — the standard second metric a training-data dedup
+    pass runs beside Jaccard.
+
+    Identical scale posture: narrow integer co-occurrence shuffle,
+    bucket caps, optional shingle-df cap (capped containment is again a
+    deterministic lower bound since only intersections shrink). The
+    min-size denominator means containment of a pair is symmetric in
+    this formulation (the directional C(A,B)=|A∩B|/|A| is recoverable
+    from the emitted sizes)."""
+    pairs, co, sizes = _shingle_cooccurrence(
+        df,
+        text_col,
+        id_col,
+        shingle_k=shingle_k,
+        bucket_hashes=bucket_hashes,
+        max_bucket_size=max_bucket_size,
+        max_shingle_df=max_shingle_df,
+    )
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+    denom = F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    cont = F.round(inter / denom, 4)
+    return (
+        _pairs_with_sizes(pairs, co, sizes)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").alias("size_a"),
+            F.col("n_b").alias("size_b"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
     )
 
 

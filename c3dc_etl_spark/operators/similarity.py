@@ -42,29 +42,46 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 10,
     round_dp: int = 4,
+    match_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     queries is broadcast (ANN query batches are small); candidates stream
     through in one narrow pass, then a per-query window takes k. Rank key
-    is (rounded sim DESC, candidate id ASC) — fully deterministic."""
+    is (rounded sim DESC, candidate id ASC) — fully deterministic.
+
+    ``match_cols`` (optional) makes this FILTERED vector search: each
+    query only sees candidates whose metadata columns equal its own
+    (e.g. same label/tenant/language). The equality rides the broadcast
+    join CONDITION, so non-matching candidates are discarded before any
+    dot product is folded — pre-filtering, not post-filtering: top-k is
+    taken within the filtered set, so a query can never come back short
+    because its true neighbors were crowded out by filtered-away ones.
+    At scale the hash-join probe rejects non-matching rows at hashtable
+    lookup cost; the O(dim) scoring runs only on survivors."""
     # norms are materialized per ROW, not per pair: q·q would otherwise
     # be re-folded once per candidate (and c·c once per query). The
     # division consumes the same doubles either way, so results are
     # bit-identical — this is an O(pairs·dim) -> O(n·dim) cost cut.
+    mcols = list(match_cols or [])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
+        *[F.col(m).alias(f"q_{m}") for m in mcols],
     )
     c = candidates.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
+        *[F.col(m).alias(f"c_{m}") for m in mcols],
     )
+    cond = F.col("candidate_id") != F.col("query_id")
+    for m in mcols:
+        cond = cond & (F.col(f"c_{m}") == F.col(f"q_{m}"))
     sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
-        c.join(F.broadcast(q), F.col("candidate_id") != F.col("query_id"))
+        c.join(F.broadcast(q), cond)
         .withColumn("sim", F.round(sim, round_dp) + F.lit(0.0))
         .select("query_id", "candidate_id", "sim")
     )

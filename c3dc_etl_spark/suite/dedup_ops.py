@@ -136,10 +136,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(bucket_hashes: int = 2) -> str:
     mins = ", ".join(
         f"CAST(LIST_MIN(LIST_TRANSFORM(hv, v -> (v * {a} + {b}) % {P31})) AS VARCHAR)"
-        for a, b in D.perm_constants(2, "jb")
+        for a, b in D.perm_constants(bucket_hashes, "jb")
     )
     return f"[{mins}]"
 
@@ -205,6 +205,83 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
         shingle_k=SHINGLE_K,
+        max_bucket_size=MAX_BUCKET,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+
+
+MIN_CONTAINMENT = 0.5
+# containment needs MORE min-hash permutations than jaccard: for a
+# size-skewed pair (short doc inside long doc) the per-permutation
+# collision probability is ~|A∩B|/|A∪B| — tiny when |B| >> |A| even at
+# containment 1.0, exactly the pairs this metric exists for. 8 perms
+# keep candidate recall usable for such pairs (measured: the
+# doc-inside-doc unit fixture is missed at 2 and found at 8).
+CONTAINMENT_BUCKET_HASHES = 8
+
+_CONTAINMENT_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+hashed AS MATERIALIZED (
+    SELECT doc_id, LIST_DISTINCT({_HASHED}) AS hv FROM docs
+),
+buckets AS (
+    SELECT doc_id, UNNEST({_bucket_sql(CONTAINMENT_BUCKET_HASHES)}) AS bucket FROM hashed
+),
+capped AS (
+    SELECT doc_id, bucket FROM buckets
+    QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= {MAX_BUCKET}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+exploded AS (
+    SELECT doc_id, UNNEST(hv) AS h FROM hashed
+),
+rare AS (
+    SELECT doc_id, h FROM exploded
+    QUALIFY COUNT(*) OVER (PARTITION BY h) <= {MAX_SHINGLE_DF}
+),
+co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT * FROM (
+    SELECT p.id_a, p.id_b,
+           CAST(LEN(sa.hv) AS BIGINT) AS size_a,
+           CAST(LEN(sb.hv) AS BIGINT) AS size_b,
+           ROUND(CAST(COALESCE(co.inter, 0) AS DOUBLE)
+                 / CAST(LEAST(LEN(sa.hv), LEN(sb.hv)) AS DOUBLE), 4)
+               AS containment
+    FROM pairs p
+    LEFT JOIN co ON co.id_a = p.id_a AND co.id_b = p.id_b
+    JOIN hashed sa ON sa.doc_id = p.id_a
+    JOIN hashed sb ON sb.doc_id = p.id_b
+)
+WHERE containment >= {MIN_CONTAINMENT}
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set CONTAINMENT dedup (Broder 1997's second metric):
+    |A∩B| / min(|A|,|B|) over the same min-hash candidate buckets as
+    the Jaccard query — catches quote-inclusion / doc-inside-doc
+    near-dups whose Jaccard stays tiny because the union is dominated
+    by the longer document. Same narrow-row co-occurrence join and
+    boilerplate df cap (capped containment is a deterministic lower
+    bound: only intersections shrink, sizes don't)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.shingle_containment_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=SHINGLE_K,
+        min_containment=MIN_CONTAINMENT,
+        bucket_hashes=CONTAINMENT_BUCKET_HASHES,
         max_bucket_size=MAX_BUCKET,
         max_shingle_df=MAX_SHINGLE_DF,
     )

@@ -70,6 +70,48 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(queries, emb, k=TOP_K)
 
 
+_FILTERED_TOPK_ORACLE = f"""
+WITH q AS MATERIALIZED (
+    SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv,
+           SQRT({_fold_dot('(embedding::DOUBLE[])', '(embedding::DOUBLE[])')}) AS qn
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS MATERIALIZED (
+    SELECT vec_id AS candidate_id, label, embedding::DOUBLE[] AS cv,
+           SQRT({_fold_dot('(embedding::DOUBLE[])', '(embedding::DOUBLE[])')}) AS cn
+    FROM embeddings
+),
+scored AS (
+    SELECT query_id, candidate_id, ROUND({_COS}, 4) + 0.0 AS sim
+    FROM c JOIN q ON c.label = q.label
+    WHERE candidate_id <> query_id
+)
+SELECT query_id, candidate_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, candidate_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_filtered_topk", oracle=_FILTERED_TOPK_ORACLE, tags=("similarity",))
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact cosine top-k where each query only
+    retrieves candidates sharing its metadata (here ``label`` — the
+    same-tenant / same-language / same-category restriction every
+    production retrieval system needs). The filter is applied in the
+    broadcast-join CONDITION (pre-filtering): non-matching candidates
+    are rejected at hash-probe cost before any dot product folds, and
+    top-k ranks within the filtered set — never post-filtering an
+    unfiltered top-k (which returns short lists when near neighbors
+    fail the predicate)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.cosine_topk(queries, emb, k=TOP_K, match_cols=["label"])
+
+
 _PLANES = S.srp_planes(SRP_PLANES, EMB_DIM, "srp")
 
 

@@ -139,3 +139,36 @@ def test_kmv_sketch_estimate_accuracy(spark):
             assert est == exact
         else:
             assert 0.6 * exact <= est <= 1.4 * exact, (exact, est)
+
+
+def test_containment_doc_inside_doc(spark):
+    # short doc pasted verbatim inside a much longer one: containment
+    # must be ~1.0 while jaccard stays small (union dominated by the
+    # long doc) — the case the containment metric exists for.
+    short = "the quick brown fox jumps over the lazy dog"
+    longdoc = (
+        short
+        + " and then continues with a very long unrelated tail about "
+        + " ".join(f"token{i}" for i in range(40))
+    )
+    df = _docs(spark, [short, longdoc])
+    cont = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["size_a"], r["size_b"])
+        for r in D.shingle_containment_pairs(df, "txt", "id", bucket_hashes=8).collect()
+    }
+    c, sa, sb = cont[(0, 1)]
+    assert c == 1.0          # every shingle of the short doc is in the long one
+    assert sa < sb           # sizes emitted for directional recovery
+    # jaccard on the same pair is bounded by |A|/|B| (full containment):
+    # the union is dominated by the long doc, so jaccard misses this
+    # near-dup while containment flags it.
+    assert sa / sb < 0.2
+
+
+def test_containment_threshold_filters(spark):
+    short = "the quick brown fox jumps over the lazy dog"
+    df = _docs(spark, [short, short + " tail", "zzzz qqqq xxxx wwww ssss tttt"])
+    out = D.shingle_containment_pairs(
+        df, "txt", "id", min_containment=0.9, bucket_hashes=8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}

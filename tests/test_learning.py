@@ -1,0 +1,161 @@
+"""Unit tests for operators.learning (fixed-point GD + exact stump)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from c3dc_etl_spark.operators import learning as L
+
+
+# ---------------------------------------------------------------------------
+# _tdiv: must match Spark `div` / DuckDB `//` (truncate toward zero)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "a,b,expect",
+    [(7, 2, 3), (-7, 2, -3), (7, -2, -3), (-7, -2, 3), (5, 5, 1), (-1, 3, 0)],
+)
+def test_tdiv_truncates_toward_zero(a, b, expect):
+    assert L._tdiv(a, b) == expect
+
+
+def test_tdiv_matches_spark_div(spark):
+    cases = [(7, 2), (-7, 2), (7, -2), (-7, -2), (-1, 3), (100, 7), (-100, 7)]
+    df = spark.createDataFrame(cases, "a BIGINT, b BIGINT")
+    got = {
+        (r["a"], r["b"]): r["q"]
+        for r in df.select("a", "b", F.expr("a div b").alias("q")).collect()
+    }
+    for a, b in cases:
+        assert got[(a, b)] == L._tdiv(a, b), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# lsq_gd_train: convergence, partition invariance
+# ---------------------------------------------------------------------------
+
+
+def _toy_regression(spark, n_parts=1):
+    # y = 3*x + 10 exactly, centered x and a scale-matched bias column
+    # (feature scaling keeps plain GD well-conditioned): GD drives
+    # R^2 -> 1 and the weights to exact fixed-point values.
+    rows = [(3 * x + 10, 10, x) for x in range(-20, 21)]
+    df = spark.createDataFrame(rows, "y BIGINT, bias10 BIGINT, x BIGINT")
+    return df.repartition(n_parts) if n_parts > 1 else df
+
+
+def test_gd_converges_on_exact_line(spark):
+    df = _toy_regression(spark)
+    hist, w = L.lsq_gd_train(df, ["bias10", "x"], "y", iterations=25, lr_den=150)
+    r2 = L.lsq_r2(df, ["bias10", "x"], "y", w).first()["r2"]
+    assert r2 > 0.999
+    # slope == 3.0 and bias coefficient == 1.0 (x10 column) in micro-units
+    assert abs(w[1] - 3 * L.FP) <= 1
+    assert abs(w[0] - L.FP) <= 1
+
+
+def test_gd_history_shape_and_final_row(spark):
+    df = _toy_regression(spark)
+    hist, w = L.lsq_gd_train(df, ["bias10", "x"], "y", iterations=5, lr_den=150)
+    rows = hist.orderBy("iter").collect()
+    assert [r["iter"] for r in rows] == [1, 2, 3, 4, 5]
+    assert [rows[-1]["w_bias10"], rows[-1]["w_x"]] == w
+
+
+def test_gd_partition_invariant(spark):
+    # integer sums are order-independent: 1 partition == 16 partitions
+    _, w1 = L.lsq_gd_train(
+        _toy_regression(spark, 1), ["bias10", "x"], "y", iterations=6, lr_den=150
+    )
+    _, w16 = L.lsq_gd_train(
+        _toy_regression(spark, 16), ["bias10", "x"], "y", iterations=6, lr_den=150
+    )
+    assert w1 == w16
+
+
+# ---------------------------------------------------------------------------
+# batch perceptron (design note): full-batch perceptron OSCILLATES on
+# thin-margin data — the measured reason learning_ops ships GD + stump
+# instead. Pure-python pin of the phenomenon.
+# ---------------------------------------------------------------------------
+
+
+def test_batch_perceptron_oscillates_on_thin_margin():
+    # Threshold label at x >= 101 with a bias feature: the summed batch
+    # update overshoots every iteration and the weight vector ping-pongs
+    # between a "all-positive" and an "all-negative" regime forever
+    # (sign of w_x alternates; misclassified count never reaches 0).
+    # This is WHY learning_ops ships least-squares GD (strictly convex)
+    # and the exact stump instead of a batch perceptron.
+    data = [(1, 99, -1), (1, 100, -1), (1, 101, 1), (1, 102, 1)]
+    w = [0, 0]
+    signs = []
+    mis_hist = []
+    for _ in range(12):
+        g = [0, 0]
+        nm = 0
+        for b, x, y in data:
+            if y * (w[0] * b + w[1] * x) <= 0:
+                nm += 1
+                g[0] += y * b
+                g[1] += y * x
+        w = [w[0] + g[0], w[1] + g[1]]
+        signs.append(w[1] > 0)
+        mis_hist.append(nm)
+    # w_x's sign alternates every iteration after the first
+    assert all(signs[i] != signs[i + 1] for i in range(1, len(signs) - 1))
+    # and training error never reaches zero
+    assert min(mis_hist) > 0
+
+
+# ---------------------------------------------------------------------------
+# stump_train: matches a brute-force search; deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+
+def _brute_stump(rows, names):
+    pos = sum(1 for r in rows if r[0] == 1)
+    neg = len(rows) - pos
+    best = None
+    for j, name in enumerate(names, start=1):
+        for v in sorted({r[j] for r in rows}):
+            pl = sum(1 for r in rows if r[j] <= v and r[0] == 1)
+            nl = sum(1 for r in rows if r[j] <= v and r[0] == -1)
+            corr = max(pl, nl) + max(pos - pl, neg - nl)
+            key = (-corr, name, v)
+            if best is None or key < best:
+                best = key
+    return best
+
+
+def test_stump_matches_bruteforce(spark):
+    rows = [
+        (1 if (a >= 5) != (b % 3 == 0) else -1, a, b)
+        for a in range(10)
+        for b in range(7)
+    ]
+    df = spark.createDataFrame(rows, "y BIGINT, fa BIGINT, fb BIGINT")
+    got = L.stump_train(df, ["fa", "fb"], "y").first()
+    negc, feat, val = _brute_stump(rows, ["fa", "fb"])
+    assert (got["feature"], got["threshold"], got["n_correct"]) == (
+        feat,
+        val,
+        -negc,
+    )
+    assert got["n"] == len(rows)
+
+
+def test_stump_tiebreak_prefers_first_feature_then_lowest_threshold(spark):
+    # two identical features: every (feature, value) split scores the
+    # same, so the (correct DESC, feature ASC, val ASC) order must pick
+    # feature 'a' at its lowest optimal threshold — stable under
+    # repartition.
+    rows = [(1, 1, 1), (1, 2, 2), (-1, 3, 3), (-1, 4, 4)]
+    df = spark.createDataFrame(rows, "y BIGINT, a BIGINT, b BIGINT")
+    got = L.stump_train(df.repartition(8), ["a", "b"], "y").first()
+    assert got["feature"] == "a"
+    assert got["threshold"] == 2
+    assert got["n_correct"] == 4
+    assert got["left_label"] == 1 and got["right_label"] == -1

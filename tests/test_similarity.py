@@ -135,3 +135,23 @@ def test_quantize_int8_roundtrip_bounds(spark):
     assert rows[2]["qvec"] == [0, 0, 0, 0] and rows[2]["scale_code"] == 0
     assert rows[3]["qvec"] == [-127, 127, 64, -63]
     assert all(-127 <= v <= 127 for r in rows.values() for v in r["qvec"])
+
+
+def test_filtered_topk_restricts_to_matching_metadata(spark):
+    # labels split the space; each query must only see its own label's
+    # candidates, ranked within the filtered set (pre-filtering).
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [1.0, 0.01], "b"),   # closest vector overall, wrong label
+        (3, [0.0, 1.0], "a"),
+        (4, [0.5, 0.5], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = S.cosine_topk(
+        df.filter("vec_id = 0"), df, k=2, match_cols=["label"]
+    ).collect()
+    got = [(r["candidate_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, 1), (3, 2)]  # 2 and 4 excluded despite higher sim
