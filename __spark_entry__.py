@@ -86,6 +86,8 @@ PRIORITY = [
     "regressor_train_gd",
     "regressor_eval_r2",
     "classifier_train_stump",
+    "embedding_pca_covariance",
+    "table_log_optimize_zorder",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -378,3 +378,78 @@ def quantize_int8(
         .cast("bigint")
         .alias("scale_code"),
     )
+
+
+def covariance_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    scale: int = 1_000_000_000_000,
+    round_dp: int = 8,
+) -> DataFrame:
+    """One-pass empirical covariance matrix of an embedding column,
+    emitted as upper-triangle rows (dim_i, dim_j, cov), i <= j — the
+    d x d statistic PCA / whitening / Mahalanobis pipelines need.
+
+    Cross-engine exactness: per row, each pair product v_i*v_j and each
+    coordinate v_i are quantized to fixed-point BIGINTs (floor(x*scale
+    + 0.5), the engine-wide half-up idiom); the per-cell sums are then
+    order-independent integer sums, and cov = E[xy] - E[x]E[y] is ONE
+    identical IEEE expression over those exact integers in both
+    engines. Quantization error is deterministic and bounded by
+    0.5/scale per term (~5e-13) — far below the emitted 8dp rounding.
+
+    Shape at scale: pair generation is a per-row nested transform +
+    flatten + explode (no join, no driver), producing d(d+1)/2 narrow
+    struct rows per input row that collapse under map-side combine —
+    the shuffle carries only d(d+1)/2 cells per map task regardless of
+    corpus size. The O(n d^2) flatten work is the price of staying
+    declarative/JVM-side; for d in the thousands an Arrow-batched
+    outer-product kernel (mapInPandas accumulating X^T X per batch)
+    becomes the better trade — at d=64 (2,080 cells) codegen wins.
+    Downstream eigensolve is driver-side on the d x d result (bounded:
+    d^2 scalars), mirroring the k-means/GD "tiny state on the driver"
+    discipline."""
+    s = F.lit(float(scale))
+    v = F.col("__v")
+
+    def cell(i: Column, j: Column) -> Column:
+        vi = F.element_at(v, i)
+        vj = F.element_at(v, j)
+        return F.struct(
+            i.cast("int").alias("dim_i"),
+            j.cast("int").alias("dim_j"),
+            F.floor(vi * vj * s + F.lit(0.5)).cast("bigint").alias("p"),
+            F.floor(vi * s + F.lit(0.5)).cast("bigint").alias("xi"),
+            F.floor(vj * s + F.lit(0.5)).cast("bigint").alias("xj"),
+        )
+
+    pairs = (
+        df.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
+        )
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(dim)),
+                        lambda i: F.transform(
+                            F.sequence(i, F.lit(dim)), lambda j: cell(i, j)
+                        ),
+                    )
+                )
+            ).alias("c")
+        )
+        .select("c.*")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sp = F.sum("p").cast("double")
+    sxi = F.sum("xi").cast("double")
+    sxj = F.sum("xj").cast("double")
+    cov = sp / n / s - (sxi / n / s) * (sxj / n / s)
+    return (
+        pairs.groupBy("dim_i", "dim_j")
+        .agg((F.round(cov, round_dp) + F.lit(0.0)).alias("cov"))
+        .select("dim_i", "dim_j", "cov")
+    )

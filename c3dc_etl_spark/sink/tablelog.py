@@ -319,15 +319,23 @@ class TableLog:
 
     # -- data-file plumbing ------------------------------------------------
 
-    def _land_files(self, df: DataFrame) -> list[str]:
+    def _land_files(
+        self, df: DataFrame, *, preserve_layout: bool = False
+    ) -> list[str]:
         """Materialize ``df`` as immutable uniquely-named parquet files
         inside the table dir (NOT yet referenced by any manifest — a
         crash here leaves invisible orphans for vacuum). With a
         ``stats_col`` configured, files are range-partitioned on it so
         per-file [min, max] envelopes are tight and disjoint — the
-        layout that makes manifest-level file skipping bite."""
+        layout that makes manifest-level file skipping bite.
+        ``preserve_layout=True`` keeps the caller's partitioning/sort
+        (e.g. a Z-order rewrite) instead of re-range-partitioning."""
         staging = os.path.join(self.table_dir, f".staging-{uuid.uuid4().hex}")
-        if self.stats_col is not None and self.stats_col in df.columns:
+        if (
+            not preserve_layout
+            and self.stats_col is not None
+            and self.stats_col in df.columns
+        ):
             from pyspark.sql import functions as F
 
             df = df.repartitionByRange(
@@ -436,6 +444,65 @@ class TableLog:
             remove=current,
             op="compact",
             stats=self._file_stats(spark, compacted),
+        )
+
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        x_col: str,
+        y_col: str,
+        *,
+        bits: int = 8,
+        target_files: int = 8,
+    ) -> int:
+        """OPTIMIZE ZORDER BY (x_col, y_col): rewrite the current
+        snapshot clustered by the Morton interleave of both columns —
+        Delta's ``OPTIMIZE ... ZORDER BY`` as a transaction on this log.
+        Content is bit-identical (a pure layout rewrite); readers
+        holding any prior snapshot are untouched (immutable files +
+        manifest removes), and time travel to the pre-optimize version
+        keeps working until vacuum.
+
+        Layout mechanics: both columns are bucketed to ``bits`` bits
+        against their global maxima (ONE bounded 1-row collect), rows
+        are range-partitioned AND sorted by the interleaved key
+        (operators.warehouse.morton_key), so each landed file owns a
+        compact Z-range whose min/max envelope bounds BOTH dimensions —
+        a 2-D box predicate then skips most files, where a
+        single-column sort only prunes its leading key (file-count gap
+        asserted in tests/test_tablelog). ``preserve_layout`` landing
+        keeps the Z clustering instead of re-partitioning by stats_col;
+        manifest stats are still recorded per landed file."""
+        from pyspark.sql import functions as F
+
+        from c3dc_etl_spark.operators.warehouse import morton_key
+
+        current = self.files()
+        if not current:
+            raise ValueError(f"table {self.table_dir} has no committed data")
+        df = spark.read.parquet(
+            *[os.path.join(self.table_dir, n) for n in current]
+        )
+        width = 1 << bits
+        bounds = df.agg(
+            F.max(F.col(x_col)).alias("mx"), F.max(F.col(y_col)).alias("my")
+        ).first()
+        mx, my = int(bounds["mx"]), int(bounds["my"])
+        xb = F.floor(F.col(x_col) * float(width) / (mx + 1)).cast("bigint")
+        yb = F.floor(F.col(y_col) * float(width) / (my + 1)).cast("bigint")
+        z = morton_key(xb, yb, bits=bits)
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        rewritten = self._land_files(clustered, preserve_layout=True)
+        return self.commit(
+            add=rewritten,
+            remove=current,
+            op="optimize_zorder",
+            stats=self._file_stats(spark, rewritten),
         )
 
     def _touched_files(self, keys: list) -> list[str]:

@@ -514,3 +514,44 @@ def label_propagation_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+COV_SCALE = 1_000_000_000_000  # 1e12 fixed-point quantization for covariance
+
+
+_COV_ORACLE = f"""
+WITH e AS MATERIALIZED (
+    SELECT embedding::DOUBLE[] AS v FROM embeddings
+),
+cells AS (
+    SELECT t.i AS dim_i, u.j AS dim_j,
+           CAST(FLOOR(v[t.i] * v[u.j] * {COV_SCALE}.0 + 0.5) AS BIGINT) AS p,
+           CAST(FLOOR(v[t.i] * {COV_SCALE}.0 + 0.5) AS BIGINT) AS xi,
+           CAST(FLOOR(v[u.j] * {COV_SCALE}.0 + 0.5) AS BIGINT) AS xj
+    FROM e,
+         GENERATE_SERIES(1, {EMB_DIM}) AS t(i),
+         GENERATE_SERIES(1, {EMB_DIM}) AS u(j)
+    WHERE u.j >= t.i
+)
+SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+       ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {COV_SCALE}.0
+             - (CAST(SUM(xi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {COV_SCALE}.0)
+               * (CAST(SUM(xj) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {COV_SCALE}.0),
+             8) + 0.0 AS cov
+FROM cells
+GROUP BY 1, 2
+"""
+
+
+@query("embedding_pca_covariance", oracle=_COV_ORACLE, tags=("similarity",))
+def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass empirical covariance of the embedding space, emitted as
+    the d(d+1)/2 upper-triangle cells — the statistic a PCA / whitening
+    stage consumes (the driver-side eigensolve over this d x d result
+    is exercised in unit tests). Pair products are generated by a
+    per-row nested transform (no join), quantized to 1e-12 fixed point
+    (half-up, the engine-wide idiom) so the per-cell sums are exact
+    integers; map-side combine collapses the shuffle to d(d+1)/2 cells
+    per task at any corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.covariance_pairs(emb, dim=EMB_DIM, scale=COV_SCALE)

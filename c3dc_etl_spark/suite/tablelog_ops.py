@@ -147,3 +147,36 @@ def table_log_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log.append(orders)
     return log.read(spark, key_between=(100, 500))
+
+
+ZBOX = (40, 80, 40, 80)  # 8-bit bucket box: x in [40,80], y in [40,80]
+
+
+@query(
+    "table_log_optimize_zorder",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey BETWEEN 20 AND 60 AND l_suppkey BETWEEN 2 AND 6
+    """,
+    tags=("sink", "tablelog", "layout"),
+)
+def table_log_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY through the table log: the lineitem projection
+    is appended row-ordered, rewritten Z-clustered on (l_partkey,
+    l_suppkey) as a single transactional commit, and a 2-D box read of
+    the post-optimize snapshot must return content identical to the
+    source — the rewrite is layout-only. The measured point of the
+    layout (the box touches FEWER files' min/max envelopes than under
+    the pre-optimize layout, and the pre-optimize version stays
+    time-travel readable) is asserted in tests/test_tablelog; here the
+    value hash pins content preservation through the rewrite."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    log = TableLog(_scratch("tablelog_zorder_"))
+    log.append(li)
+    log.optimize_zorder(spark, "l_partkey", "l_suppkey", target_files=8)
+    return log.read(spark).filter(
+        F.col("l_partkey").between(20, 60) & F.col("l_suppkey").between(2, 6)
+    )

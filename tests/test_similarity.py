@@ -155,3 +155,42 @@ def test_filtered_topk_restricts_to_matching_metadata(spark):
     ).collect()
     got = [(r["candidate_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
     assert got == [(1, 1), (3, 2)]  # 2 and 4 excluded despite higher sim
+
+
+def test_covariance_pairs_small_exact(spark):
+    # hand-checkable 2-d case: cov([(1,2),(3,4),(5,6)]) has
+    # var(x)=var(y)=8/3, cov(x,y)=8/3 (population covariance)
+    df = _vecs(spark, [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    got = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in S.covariance_pairs(df, dim=2).collect()
+    }
+    expect = round(8 / 3, 8)
+    assert got == {(1, 1): expect, (1, 2): expect, (2, 2): expect}
+
+
+def test_covariance_power_iteration_finds_principal_axis(spark):
+    # vectors spread along the (1, 1)/sqrt(2) axis with small noise:
+    # the driver-side eigensolve over the d x d covariance result (the
+    # PCA step this operator feeds) must recover that axis, and the top
+    # eigenvalue must dominate every per-dim variance.
+    rows = []
+    for t in range(-10, 11):
+        rows.append([float(t) + 0.1, float(t) - 0.1])
+    df = _vecs(spark, rows)
+    cells = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in S.covariance_pairs(df, dim=2).collect()
+    }
+    cov = [
+        [cells[(1, 1)], cells[(1, 2)]],
+        [cells[(1, 2)], cells[(2, 2)]],
+    ]
+    v = [1.0, 0.0]
+    for _ in range(50):  # power iteration, driver-side on the 2x2 result
+        w = [sum(cov[i][j] * v[j] for j in range(2)) for i in range(2)]
+        nrm = (w[0] ** 2 + w[1] ** 2) ** 0.5
+        v = [x / nrm for x in w]
+    lam = sum(v[i] * sum(cov[i][j] * v[j] for j in range(2)) for i in range(2))
+    assert abs(abs(v[0]) - abs(v[1])) < 0.01          # the diagonal axis
+    assert lam > cov[0][0] and lam > cov[1][1]        # dominates axis variances

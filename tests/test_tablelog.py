@@ -313,3 +313,78 @@ def test_stats_reject_non_orderable_key_types(spark, tmp_path):
     )
     with pytest.raises(Exception, match="non-JSON-orderable"):
         log.append(df)
+
+
+def _lineitem(spark):
+    from c3dc_etl_spark.suite.registry import load
+
+    return load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+
+def _box_files_touched(spark, log, version, x_rng, y_rng):
+    """Files whose OWN (x, y) min/max envelope intersects the 2-D box —
+    the file-skipping measurement (computed from the actual files, per
+    input_file_name, not the single-column manifest stats)."""
+    snap = log.snapshot(version)
+    paths = [os.path.join(log.table_dir, n) for n in snap]
+    per_file = (
+        spark.read.parquet(*paths)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("l_partkey").alias("xmin"),
+            F.max("l_partkey").alias("xmax"),
+            F.min("l_suppkey").alias("ymin"),
+            F.max("l_suppkey").alias("ymax"),
+        )
+        .collect()
+    )
+    (xl, xh), (yl, yh) = x_rng, y_rng
+    touched = sum(
+        1
+        for r in per_file
+        if r["xmax"] >= xl and r["xmin"] <= xh and r["ymax"] >= yl and r["ymin"] <= yh
+    )
+    return touched, len(per_file)
+
+
+def test_optimize_zorder_preserves_content_and_history(spark, tmp_path):
+    li = _lineitem(spark)
+    log = TableLog(str(tmp_path / "z"))
+    log.append(li.repartition(8))  # row-ordered, 8 unclustered files
+    pre = _rows(log.read(spark))
+    v = log.optimize_zorder(spark, "l_partkey", "l_suppkey", target_files=8)
+    assert v == 1
+    assert _rows(log.read(spark)) == pre            # layout-only rewrite
+    assert _rows(log.read(spark, version=0)) == pre  # time travel intact
+    m = log._manifest(v)
+    assert m["op"] == "optimize_zorder"
+    assert m["remove"] and m["add"]
+
+
+def test_optimize_zorder_improves_2d_file_skipping(spark, tmp_path):
+    li = _lineitem(spark)
+    log = TableLog(str(tmp_path / "zskip"))
+    log.append(li.repartition(8))  # hash layout: every file spans both dims
+    box_x, box_y = (20, 50), (2, 3)
+    before, total_before = _box_files_touched(spark, log, 0, box_x, box_y)
+    v = log.optimize_zorder(spark, "l_partkey", "l_suppkey", target_files=8)
+    after, total_after = _box_files_touched(spark, log, v, box_x, box_y)
+    # unclustered: the box intersects every file's envelope; z-ordered:
+    # each file owns a compact Z-range bounding BOTH dims, so most skip
+    assert before == total_before
+    assert after < before
+    assert after <= total_after // 2
+
+
+def test_optimize_zorder_keeps_manifest_stats(spark, tmp_path):
+    li = _lineitem(spark)
+    log = TableLog(str(tmp_path / "zstats"), stats_col="l_partkey")
+    log.append(li)
+    v = log.optimize_zorder(spark, "l_partkey", "l_suppkey", target_files=4)
+    snap = log.snapshot(v)
+    assert snap and all(
+        st and "min" in st and "max" in st and st["rows"] > 0
+        for st in snap.values()
+    )
