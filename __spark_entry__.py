@@ -88,6 +88,8 @@ PRIORITY = [
     "classifier_train_stump",
     "embedding_pca_covariance",
     "table_log_optimize_zorder",
+    "table_log_delete_where",
+    "sample_temperature_mixture",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -247,3 +247,90 @@ def split_assign(
     for name, bound in reversed(conds):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    *,
+    alpha: float = 0.5,
+    seed: str = "tm",
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual/domain
+    mixing rule of T5 / mBERT-style pipelines): sample domains with
+    probability proportional to p_d^alpha instead of their natural
+    share p_d, flattening head domains and boosting the tail while
+    keeping the expected corpus size unchanged. Expected copies per row
+    of domain d: w_d = (p_d^alpha / sum_e p_e^alpha) / p_d; copies =
+    floor(w_d) + (hash_uniform < frac(w_d)), as in weighted_mixture —
+    but the weights are DERIVED IN-FRAME from the domain counts, so
+    nothing about the domain space ever reaches the driver (at 100 TB
+    the domain column can be a registrable-domain extraction with
+    millions of values).
+
+    Cross-engine determinism: the cross-domain normalizer sum_e p_e^alpha
+    is an order-dependent float reduction, so each p_d^alpha is first
+    quantized to fixed point (floor(x*scale + 0.5), the engine-wide
+    idiom) and the normalizer is an exact integer sum; w_d is then one
+    identical IEEE expression over exact integers. alpha=0.5 evaluates
+    via sqrt (correctly rounded everywhere); other alphas go through
+    pow, whose last ulp may differ across libm implementations — the
+    quantization usually absorbs that, but only 0.5 is contract-exact.
+
+    Shape: one groupBy(domain) count (map-side combined), two
+    unpartitioned window sums over the tiny per-domain frame, a
+    broadcast join back, then the narrow copy explode."""
+    from pyspark.sql import Window
+
+    dcol = F.col(domain_col)
+    counts = df.groupBy(dcol.alias("__d")).agg(F.count(F.lit(1)).alias("__n"))
+    everything = Window.partitionBy()
+    # NB: column names must differ case-INsensitively (__n vs __N is an
+    # AMBIGUOUS_REFERENCE under Spark's default caseSensitive=false)
+    with_total = counts.select(
+        "__d", "__n", F.sum("__n").over(everything).alias("__tot")
+    )
+    p = F.col("__n").cast("double") / F.col("__tot").cast("double")
+    powed = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(alpha))
+    with_s = with_total.select(
+        "__d",
+        "__n",
+        "__tot",
+        F.floor(powed * F.lit(float(scale)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__s"),
+    )
+    with_norm = with_s.select(
+        "__d",
+        "__n",
+        "__tot",
+        "__s",
+        F.sum("__s").over(everything).alias("__snorm"),
+    )
+    w = (F.col("__s").cast("double") / F.col("__snorm").cast("double")) * (
+        F.col("__tot").cast("double") / F.col("__n").cast("double")
+    )
+    wtab = with_norm.select("__d", w.alias("__w"))
+    joined = df.join(
+        F.broadcast(wtab), df[domain_col] == F.col("__d"), "inner"
+    ).drop("__d")
+    u = hash_uniform(F.col(key_col), seed)
+    n_copies = F.floor(F.col("__w")).cast("long") + F.when(
+        u < F.col("__w") - F.floor(F.col("__w")), 1
+    ).otherwise(0).cast("long")
+    return (
+        joined.withColumn("__ncopy", n_copies)
+        .filter(F.col("__ncopy") > 0)
+        .withColumn(
+            "copy_num",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("__ncopy") - F.lit(1).cast("long")
+                )
+            ),
+        )
+        .withColumn("mix_weight", F.round(F.col("__w"), 6) + F.lit(0.0))
+        .drop("__ncopy", "__w")
+    )

@@ -607,6 +607,71 @@ class TableLog:
             validate=_validate,
         )
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        key_between: tuple,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Copy-on-write DELETE of the ``stats_col`` range [lo, hi]:
+        rewrite ONLY the files whose stats envelope intersects the
+        range, dropping the matching rows; disjoint files survive by
+        name — the Delta ``DELETE WHERE`` shape, and the GDPR/retention
+        primitive a 100 TB corpus needs (a deletion touching 0.1 % of
+        the key space rewrites 0.1 % of the files).
+
+        Concurrency mirrors merge_upsert: on every commit retry, any
+        racer commit since this delete's base snapshot that ADDED a
+        file overlapping [lo, hi] raises CommitConflict (otherwise the
+        racer's rows in the deleted range would survive, silently
+        violating the delete's predicate). A no-file-touched delete
+        still lands an (empty) versioned commit so ``txn`` idempotence
+        has a ledger entry."""
+        from pyspark.sql import functions as F
+
+        if self.stats_col is None:
+            raise ValueError("delete_where requires a stats_col-configured table")
+        lo, hi = key_between
+        base = self.latest_version()
+
+        def _overlaps(st: dict) -> bool:
+            if not st or "min" not in st:
+                return True  # cannot prove disjointness
+            return st["max"] >= lo and st["min"] <= hi
+
+        def _validate(head):
+            if head is None:
+                return
+            for v in self.versions():
+                if (base is not None and v <= base) or v > head:
+                    continue
+                m = self._manifest(v)
+                st = m.get("stats", {})
+                hit = [n for n in m.get("add", ()) if _overlaps(st.get(n, {}))]
+                if hit:
+                    raise CommitConflict(
+                        f"concurrent commit {v} added files overlapping the "
+                        f"deleted range: {hit}; re-read and re-apply the delete"
+                    )
+
+        touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
+        if not touched:
+            return self.commit(op="delete", txn=txn, validate=_validate)
+        existing = spark.read.parquet(
+            *[os.path.join(self.table_dir, n) for n in touched]
+        )
+        keep = existing.filter(~F.col(self.stats_col).between(lo, hi))
+        adds = self._land_files(keep)
+        return self.commit(
+            add=adds,
+            remove=touched,
+            op="delete",
+            stats=self._file_stats(spark, adds),
+            txn=txn,
+            validate=_validate,
+        )
+
     def read(
         self,
         spark: SparkSession,

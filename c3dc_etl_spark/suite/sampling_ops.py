@@ -350,3 +350,58 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "lang", "es_key", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+TM_SEED = "tm"
+TM_SCALE = 1_000_000_000_000
+
+_TM_U = f"({_fold_h('h')}) / 4294967296.0"
+
+_TEMP_MIX_ORACLE = f"""
+WITH c AS (
+    SELECT lang AS d, COUNT(*) AS n FROM documents GROUP BY 1
+),
+t AS (
+    SELECT d, n, SUM(n) OVER () AS tot,
+           CAST(FLOOR(SQRT(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE))
+                      * {TM_SCALE}.0 + 0.5) AS BIGINT) AS s
+    FROM c
+),
+w AS (
+    SELECT d,
+           (CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE))
+           * (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)) AS w
+    FROM t
+),
+j AS (
+    SELECT doc_id, lang, w.w,
+           MD5('{TM_SEED}:' || CAST(doc_id AS STRING)) AS h
+    FROM documents JOIN w ON lang = w.d
+),
+n2 AS (
+    SELECT doc_id, lang, w,
+           CAST(FLOOR(w) AS BIGINT)
+           + (CASE WHEN {_TM_U} < w - FLOOR(w) THEN 1 ELSE 0 END) AS n_copies
+    FROM j
+)
+SELECT doc_id, lang, UNNEST(RANGE(0, n_copies)) AS copy_num,
+       ROUND(w, 6) + 0.0 AS mix_weight
+FROM n2
+WHERE n_copies > 0
+"""
+
+
+@query("sample_temperature_mixture", oracle=_TEMP_MIX_ORACLE, tags=("sampling",))
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (alpha = 0.5, the T5-style
+    multilingual mixing rule): per-language weights derived IN-FRAME
+    from the domain counts — w_d = (sqrt(p_d) / sum sqrt(p_e)) / p_d,
+    flattening the 'en' head and boosting the tail with the expected
+    corpus size unchanged. The cross-domain normalizer is quantized to
+    an exact integer sum (order-independent); copies come from the
+    engine-wide hash-uniform threshold. Nothing about the domain space
+    touches the driver — the operator holds at millions of domains."""
+    docs = load(spark, sf_dir, "documents")
+    return SA.temperature_mixture(
+        docs, "doc_id", "lang", alpha=0.5, seed=TM_SEED, scale=TM_SCALE
+    ).select("doc_id", "lang", "copy_num", "mix_weight")

@@ -180,3 +180,26 @@ def table_log_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.read(spark).filter(
         F.col("l_partkey").between(20, 60) & F.col("l_suppkey").between(2, 6)
     )
+
+
+@query(
+    "table_log_delete_where",
+    oracle=f"""
+    SELECT {', '.join(_COLS)} FROM orders
+    WHERE o_orderkey NOT BETWEEN 100 AND 500
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE WHERE through the table log: rows with
+    o_orderkey in [100, 500] are deleted by rewriting ONLY the files
+    whose manifest stats envelope intersects the range (disjoint files
+    survive by name — asserted in tests/test_tablelog, along with the
+    pre-delete snapshot staying time-travel readable and concurrent
+    overlapping appends raising CommitConflict). The read-back must be
+    exactly the source minus the deleted range."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_delete_"), stats_col="o_orderkey")
+    log.append(orders)
+    log.delete_where(spark, (100, 500))
+    return log.read(spark)

@@ -217,3 +217,44 @@ def test_leakage_safe_split_groups_near_dups(spark):
     assert rows[0][0] == rows[1][0] == rows[2][0] == 0
     assert rows[0][1] == rows[1][1] == rows[2][1]  # no straddle
     assert rows[3][0] == 3
+
+
+def test_temperature_mixture_flattens_head_boosts_tail(spark):
+    from c3dc_etl_spark.operators.sampling import temperature_mixture
+
+    # 80/20 head-tail split: alpha=0.5 must downweight the head (w<1)
+    # and upweight the tail (w>1), keeping expected size ~constant
+    rows = [(i, "head" if i < 80 else "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    out = temperature_mixture(df, "id", "dom", alpha=0.5)
+    got = out.groupBy("dom").count().collect()
+    weights = {
+        r["dom"]: r["mix_weight"]
+        for r in out.select("dom", "mix_weight").distinct().collect()
+    }
+    assert weights["head"] < 1.0 < weights["tail"]
+    counts = {r["dom"]: r["count"] for r in got}
+    # exact expectation: sqrt rebalancing gives q_head = 2/3, q_tail = 1/3
+    assert counts["head"] < 80 and counts["tail"] > 20
+    total = counts["head"] + counts["tail"]
+    assert 85 <= total <= 115  # expected size preserved up to hash noise
+
+
+def test_temperature_mixture_partition_invariant(spark):
+    from c3dc_etl_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, f"d{i % 7}") for i in range(200)]
+    a = spark.createDataFrame(rows, "id long, dom string")
+    one = sorted(
+        tuple(r)
+        for r in temperature_mixture(a, "id", "dom").select(
+            "id", "dom", "copy_num"
+        ).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in temperature_mixture(a.repartition(16), "id", "dom").select(
+            "id", "dom", "copy_num"
+        ).collect()
+    )
+    assert one == many

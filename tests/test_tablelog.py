@@ -388,3 +388,57 @@ def test_optimize_zorder_keeps_manifest_stats(spark, tmp_path):
         st and "min" in st and "max" in st and st["rows"] > 0
         for st in snap.values()
     )
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "del"), stats_col="o_orderkey")
+    log.append(orders)
+    before = log.snapshot()
+    touched = {
+        n for n, st in before.items() if st["max"] >= 100 and st["min"] <= 500
+    }
+    assert touched and touched != set(before)  # range-partitioned landing
+    pre = _rows(log.read(spark))
+    v = log.delete_where(spark, (100, 500))
+    after = log.snapshot(v)
+    # untouched files survive BY NAME; touched ones are gone
+    assert set(before) - touched <= set(after)
+    assert not (touched & set(after))
+    got = _rows(log.read(spark))
+    assert got == [r for r in pre if not (100 <= r[0] <= 500)]
+    assert _rows(log.read(spark, version=0)) == pre  # time travel intact
+
+
+def test_delete_where_conflicts_with_overlapping_append(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "delc"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderkey") > 1000))
+    base = log.latest_version()
+
+    class RacingLog(TableLog):
+        calls = 0
+
+        def _try_link(self, tmp, version):
+            # a racer appends rows INSIDE the deleted range between this
+            # delete's validation and its CAS — exactly once
+            if RacingLog.calls == 0:
+                RacingLog.calls += 1
+                other = TableLog(self.table_dir, stats_col="o_orderkey")
+                other.append(orders.filter(F.col("o_orderkey").between(100, 500)))
+            return super()._try_link(tmp, version)
+
+    racing = RacingLog(str(tmp_path / "delc"), stats_col="o_orderkey")
+    with pytest.raises(CommitConflict, match="overlapping the deleted range"):
+        racing.delete_where(spark, (100, 500))
+    assert base == 0 and log.latest_version() == 1  # only the racer landed
+
+
+def test_delete_where_no_touched_files_still_commits(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "delnoop"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderkey") > 1000))
+    pre = _rows(log.read(spark))
+    v = log.delete_where(spark, (1, 5))
+    assert log._manifest(v)["op"] == "delete"
+    assert _rows(log.read(spark)) == pre
