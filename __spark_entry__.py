@@ -90,6 +90,8 @@ PRIORITY = [
     "table_log_optimize_zorder",
     "table_log_delete_where",
     "sample_temperature_mixture",
+    "event_transition_matrix",
+    "link_prediction_common_neighbors",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -72,6 +72,12 @@ HEADLINE = [
     "q10_returned_items",
     "q21_suppliers_kept_waiting",
     "table_log_merge_upsert",
+    # round 5 session 4: containment dedup, one-pass covariance, the
+    # GD training loop, temperature mixing
+    "dedup_containment",
+    "embedding_pca_covariance",
+    "regressor_train_gd",
+    "sample_temperature_mixture",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is
@@ -86,6 +92,7 @@ SCALE_QUERIES = [
     "rolling_time_stats",
     "pagerank_purchase_graph",
     "q12_shipmode_priority",
+    "dedup_containment",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

@@ -164,3 +164,110 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+LP_HUB_CAP = 200   # middle-role degree cap: a hub part ordered in half
+LP_TOP_K = 50      # the corpus carries ~no link signal but C(deg,2) cost
+
+
+_LINK_PRED_ORACLE = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+edges AS (
+    SELECT DISTINCT a.pk AS u, b.pk AS v
+    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+    ) GROUP BY 1
+),
+adj AS (
+    SELECT u AS m, v AS n FROM edges UNION ALL SELECT v, u FROM edges
+),
+mid AS (
+    SELECT adj.m, adj.n FROM adj JOIN deg ON adj.m = deg.node
+    WHERE deg.d <= {LP_HUB_CAP}
+),
+wedge AS (
+    SELECT a.n AS x, b.n AS y, COUNT(*) AS cn
+    FROM mid a JOIN mid b ON a.m = b.m AND a.n < b.n
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT w.x, w.y, w.cn FROM wedge w
+    LEFT JOIN edges e ON e.u = w.x AND e.v = w.y
+    WHERE e.u IS NULL
+)
+SELECT CAST(x AS BIGINT) AS part_a, CAST(y AS BIGINT) AS part_b,
+       CAST(cn AS BIGINT) AS common_neighbors
+FROM cand
+ORDER BY cn DESC, x ASC, y ASC
+LIMIT {LP_TOP_K}
+"""
+
+
+@query(
+    "link_prediction_common_neighbors",
+    oracle=_LINK_PRED_ORACLE,
+    tags=("graph",),
+)
+def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-order graph: for part pairs NOT
+    yet co-ordered, count common neighbors (parts co-ordered with
+    both) and emit the top-k strongest predicted links — the classic
+    common-neighbors recommender. Wedge enumeration goes through the
+    MIDDLE node, whose degree is capped at {LP_HUB_CAP} (the shingle
+    df-cap move: a hub ordered with half the catalog contributes
+    C(deg,2) wedges and near-zero link signal — dropping the hub
+    middles makes the count a deterministic lower bound and bounds the
+    join at middles * cap^2). Counts are exact integers; the top-k is
+    a TakeOrdered with a full deterministic tiebreak."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.select("ok", F.col("pk").alias("u"))
+    b = li.select("ok", F.col("pk").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    from c3dc_etl_spark.operators.dedup import drop_oversized_groups
+    from c3dc_etl_spark.pinning import pin
+
+    edges = pin(edges)
+    adj = edges.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    # degree cap on the middle role == group-size cap on m (map-side
+    # combined count + anti-join, never a partitionBy(m) window)
+    mid = drop_oversized_groups(adj, ["m"], LP_HUB_CAP)
+    wa = mid.select("m", F.col("n").alias("x"))
+    wb = mid.select("m", F.col("n").alias("y"))
+    wedges = (
+        wa.join(wb, "m")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedges.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("x").cast("bigint").alias("part_a"),
+            F.col("y").cast("bigint").alias("part_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(LP_TOP_K)
+    )

@@ -738,3 +738,65 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_ts")
     )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY EPOCH_US(ts), event_id)
+               AS next_type
+    FROM events
+),
+t AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+           + 0.0 AS prob
+FROM t
+"""
+
+
+@query("event_transition_matrix", oracle=_TRANSITION_ORACLE, tags=("temporal",))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: LEAD over the (ts, event_id)-ordered per-user stream
+    pairs each event with its successor, one map-side-combined groupBy
+    counts (from, to) transitions, and row-normalized probabilities
+    come from a per-from window over the TINY |types|^2 transition
+    table — never the event stream. One user-keyed exchange for the
+    sequence window, one for the count; at 100 TB the second input is
+    |types|^2 rows. The standard next-event model / journey-analysis
+    statistic."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts_us")
+    seq = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(seq))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(per_from).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("prob"),
+    )
