@@ -92,6 +92,7 @@ PRIORITY = [
     "sample_temperature_mixture",
     "event_transition_matrix",
     "link_prediction_common_neighbors",
+    "table_log_change_feed",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

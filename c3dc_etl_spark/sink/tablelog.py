@@ -735,6 +735,46 @@ class TableLog:
                 df = df.filter(F.col(self.stats_col).between(lo, hi))
         return df
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        *,
+        since_version: int,
+        until_version: int | None = None,
+    ) -> DataFrame:
+        """Incremental (change-feed) read: the rows ADDED by commits in
+        ``(since_version, until_version]`` — what a downstream
+        incremental job consumes instead of re-scanning the table
+        (the append-side of Delta's change data feed).
+
+        Contract: every commit in the range must be an APPEND (or a
+        data-free ledger commit). Compaction and OPTIMIZE rewrites are
+        fine BEFORE ``since_version`` (they don't change content), but
+        a merge/delete/overwrite/compact INSIDE the range means added
+        files are not new rows (rewrites re-add old rows) — full CDF
+        needs row-level tracking this log does not do, so the read
+        REFUSES loudly instead of double-counting."""
+        head = self.latest_version()
+        hi = head if until_version is None else until_version
+        adds: list[str] = []
+        for v in self.versions():
+            if v <= since_version or v > hi:
+                continue
+            m = self._manifest(v)
+            if m.get("add") and m["op"] != "append":
+                raise ValueError(
+                    f"read_changes: commit {v} is op={m['op']!r}; only "
+                    "append commits can be read as a change feed "
+                    "(rewrites re-add existing rows)"
+                )
+            adds.extend(m.get("add", ()))
+        if not adds:
+            # empty feed with the CURRENT snapshot's schema
+            return self.read(spark, hi).filter("1 = 0")
+        return spark.read.parquet(
+            *[os.path.join(self.table_dir, n) for n in adds]
+        )
+
     def pruned_file_count(
         self, key_between: tuple, version: int | None = None
     ) -> tuple[int, int]:

@@ -203,3 +203,26 @@ def table_log_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     log.append(orders)
     log.delete_where(spark, (100, 500))
     return log.read(spark)
+
+
+@query(
+    "table_log_change_feed",
+    oracle=f"""
+    SELECT {', '.join(_COLS)} FROM orders
+    WHERE o_orderstatus IN ('O', 'P')
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change-feed read: three append commits land the 'F',
+    'O', 'P' order slices; a downstream consumer that has processed
+    through version 0 reads exactly the rows added by versions 1-2 —
+    never re-scanning the table. (Rewriting commits inside the range
+    make the feed refuse loudly instead of double-counting — asserted
+    in tests/test_tablelog.)"""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_cdf_"))
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))   # v0
+    log.append(orders.filter(F.col("o_orderstatus") == "O"))   # v1
+    log.append(orders.filter(F.col("o_orderstatus") == "P"))   # v2
+    return log.read_changes(spark, since_version=0)

@@ -159,3 +159,31 @@ def test_stump_tiebreak_prefers_first_feature_then_lowest_threshold(spark):
     assert got["threshold"] == 2
     assert got["n_correct"] == 4
     assert got["left_label"] == 1 and got["right_label"] == -1
+
+
+# ---------------------------------------------------------------------------
+# corpus-level floors (the suite queries' docstring claims, pinned)
+# ---------------------------------------------------------------------------
+
+
+def test_gd_converges_on_documents_corpus(spark):
+    from c3dc_etl_spark.suite.learning_ops import (
+        GD_FEATURES,
+        ITERS,
+        LR_DEN,
+        _gd_features,
+    )
+
+    feats = _gd_features(spark, "/root/testdata/sf0.001")
+    _, w = L.lsq_gd_train(feats, GD_FEATURES, "y", iterations=ITERS, lr_den=LR_DEN)
+    r2 = L.lsq_r2(feats, GD_FEATURES, "y", w).first()["r2"]
+    assert r2 > 0.97  # n_chars is ~linear in token counts; GD must find it
+
+
+def test_stump_high_accuracy_on_documents_corpus(spark):
+    from c3dc_etl_spark.suite.learning_ops import classifier_train_stump
+
+    got = classifier_train_stump(spark, "/root/testdata/sf0.001")
+    row = got.first()
+    assert row["accuracy"] > 0.95
+    assert row["feature"] == "n_chars"  # the gate's dominant condition

@@ -442,3 +442,23 @@ def test_delete_where_no_touched_files_still_commits(spark, tmp_path):
     v = log.delete_where(spark, (1, 5))
     assert log._manifest(v)["op"] == "delete"
     assert _rows(log.read(spark)) == pre
+
+
+def test_read_changes_append_feed_and_rewrite_refusal(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "cdf"))
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))   # v0
+    log.append(orders.filter(F.col("o_orderstatus") == "O"))   # v1
+    feed = _rows(log.read_changes(spark, since_version=0))
+    assert feed == _rows(orders.filter(F.col("o_orderstatus") == "O"))
+    # empty range -> empty frame, schema intact
+    empty = log.read_changes(spark, since_version=1)
+    assert empty.count() == 0 and empty.columns == log.read(spark).columns
+    # compaction BEFORE since is fine; INSIDE the range refuses
+    v2 = log.compact(spark, target_partitions=1)
+    after_compact = log.append(orders.filter(F.col("o_orderstatus") == "P"))
+    ok = _rows(log.read_changes(spark, since_version=v2))
+    assert ok == _rows(orders.filter(F.col("o_orderstatus") == "P"))
+    with pytest.raises(ValueError, match="only append commits"):
+        log.read_changes(spark, since_version=1)
+    assert after_compact == 3
