@@ -462,3 +462,73 @@ def test_read_changes_append_feed_and_rewrite_refusal(spark, tmp_path):
     with pytest.raises(ValueError, match="only append commits"):
         log.read_changes(spark, since_version=1)
     assert after_compact == 3
+
+
+def test_model_based_op_sequence_every_version_matches(spark, tmp_path):
+    """Model-based protocol check: a scripted interleaving of every
+    mutating operation (append / merge / delete / compact / optimize)
+    is mirrored against an in-memory dict model keyed by o_orderkey;
+    after EVERY commit the latest read must equal the model, and at the
+    end every recorded historical version must still replay to the
+    state the model had at that point (time travel over the whole
+    mixed-op history, not just one rewrite)."""
+    orders = _orders(spark)
+    rows = {r[0]: tuple(r) for r in orders.collect()}
+    keys = sorted(rows)
+    third = len(keys) // 3
+
+    log = TableLog(str(tmp_path / "model"), stats_col="o_orderkey")
+    model: dict[int, tuple] = {}
+    history: list[tuple[int, dict[int, tuple]]] = []
+
+    def snap_df(key_set):
+        ks = list(key_set)
+        return orders.filter(F.col("o_orderkey").isin(ks))
+
+    def record(version):
+        history.append((version, dict(model)))
+        got = {r[0]: tuple(r) for r in log.read(spark).collect()}
+        assert got == model, f"divergence at v{version}"
+
+    # append first third
+    a1 = set(keys[:third])
+    model.update({k: rows[k] for k in a1})
+    record(log.append(snap_df(a1)))
+    # append second third
+    a2 = set(keys[third : 2 * third])
+    model.update({k: rows[k] for k in a2})
+    record(log.append(snap_df(a2)))
+    # merge: bump totalprice for every 7th key of the first third,
+    # plus insert a few unseen keys from the last third
+    upd_keys = sorted(a1)[::7] + sorted(keys[2 * third :])[:5]
+    updates = orders.filter(F.col("o_orderkey").isin(upd_keys)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    for k in upd_keys:
+        r = rows[k]
+        model[k] = (r[0], r[1] + 10.0, r[2])
+    record(log.merge_upsert(spark, updates, "o_orderkey"))
+    # range delete
+    lo, hi = keys[third // 2], keys[third + third // 2]
+    for k in [k for k in model if lo <= k <= hi]:
+        del model[k]
+    record(log.delete_where(spark, (lo, hi)))
+    # compact (content no-op)
+    record(log.compact(spark, target_partitions=2))
+    # append the rest of the last third
+    a3 = set(keys[2 * third :]) - set(upd_keys)
+    model.update({k: rows[k] for k in a3})
+    record(log.append(snap_df(a3)))
+    # optimize (content no-op, layout rewrite)
+    record(log.optimize_zorder(spark, "o_orderkey", "o_orderkey", target_files=4))
+
+    # full-history time travel
+    for version, expected in history:
+        got = {r[0]: tuple(r) for r in log.read(spark, version=version).collect()}
+        assert got == expected, f"time travel diverged at v{version}"
+
+    # vacuum keeping every version in history must not break any replay
+    log.vacuum(keep_versions=len(history) + 1, grace_seconds=0)
+    v0, expected0 = history[0]
+    got0 = {r[0]: tuple(r) for r in log.read(spark, version=v0).collect()}
+    assert got0 == expected0
