@@ -93,6 +93,7 @@ PRIORITY = [
     "event_transition_matrix",
     "link_prediction_common_neighbors",
     "table_log_change_feed",
+    "table_log_zorder_pruned_read",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

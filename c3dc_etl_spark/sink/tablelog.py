@@ -89,11 +89,18 @@ class TableLog:
         table_dir: str,
         *,
         stats_col: str | None = None,
+        extra_stats_cols: list[str] | None = None,
         checkpoint_interval: int = 10,
     ):
         self.table_dir = table_dir.rstrip("/")
         self.log_dir = os.path.join(self.table_dir, "_log")
         self.stats_col = stats_col
+        # secondary per-file [min, max] envelopes (no landing-layout
+        # role, unlike stats_col): recorded in the same one-job stats
+        # pass, consumed by multi-column manifest pruning (read
+        # col_between) — the companion of optimize_zorder, whose
+        # clustered files get tight envelopes on BOTH dimensions
+        self.extra_stats_cols = list(extra_stats_cols or [])
         self.checkpoint_interval = checkpoint_interval
         os.makedirs(self.log_dir, exist_ok=True)
 
@@ -357,8 +364,10 @@ class TableLog:
     def _file_stats(
         self, spark: SparkSession, names: list[str]
     ) -> dict[str, dict]:
-        """min/max/rows of ``stats_col`` per landed file, in ONE Spark
-        job (group by input_file_name over a single multi-file scan)."""
+        """min/max/rows of ``stats_col`` per landed file — plus [min,
+        max] envelopes for every ``extra_stats_cols`` column present —
+        in ONE Spark job (group by input_file_name over a single
+        multi-file scan)."""
         if self.stats_col is None or not names:
             return {}
         from pyspark.sql import functions as F
@@ -367,6 +376,7 @@ class TableLog:
         scan = spark.read.parquet(*paths)
         if self.stats_col not in scan.columns:
             return {}
+        extras = [c for c in self.extra_stats_cols if c in scan.columns]
         rows = (
             scan.groupBy(
                 F.element_at(
@@ -377,6 +387,14 @@ class TableLog:
                 F.min(self.stats_col).alias("mn"),
                 F.max(self.stats_col).alias("mx"),
                 F.count(F.lit(1)).alias("rows"),
+                *[
+                    x
+                    for c in extras
+                    for x in (
+                        F.min(c).alias(f"mn_{c}"),
+                        F.max(c).alias(f"mx_{c}"),
+                    )
+                ],
             )
             .collect()  # bounded: one row per landed file
         )
@@ -394,15 +412,24 @@ class TableLog:
                 "(cast dates/timestamps to epoch days/micros upstream)"
             )
 
-        return {
-            r["__file"]: {
+        out: dict[str, dict] = {}
+        for r in rows:
+            st = {
                 "col": self.stats_col,
                 "min": _plain(r["mn"]),
                 "max": _plain(r["mx"]),
                 "rows": r["rows"],
             }
-            for r in rows
-        }
+            if extras:
+                st["cols"] = {
+                    c: {
+                        "min": _plain(r[f"mn_{c}"]),
+                        "max": _plain(r[f"mx_{c}"]),
+                    }
+                    for c in extras
+                }
+            out[r["__file"]] = st
+        return out
 
     # -- table operations --------------------------------------------------
 
@@ -678,6 +705,7 @@ class TableLog:
         version: int | None = None,
         *,
         key_between: tuple | None = None,
+        col_between: dict[str, tuple] | None = None,
         merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read (time travel when ``version`` is given): the
@@ -691,6 +719,15 @@ class TableLog:
         residual BETWEEN filter, which parquet row-group pruning then
         pushes inside the surviving files.
 
+        ``col_between={col: (lo, hi), ...}`` is the MULTI-column form
+        over the ``extra_stats_cols`` envelopes: a file is skipped when
+        ANY constrained column's recorded envelope misses its range
+        (files lacking an envelope for a column are conservatively
+        kept). With an ``optimize_zorder`` layout on the constrained
+        columns, every surviving file owns a compact Z-range bounding
+        both dimensions — this is what makes a 2-D box predicate prune
+        at the MANIFEST level, before any parquet footer opens.
+
         ``merge_schema=True`` unions the per-file schemas (parquet
         mergeSchema): columns added by later appends read as NULL in
         older files — additive schema evolution without rewriting
@@ -701,19 +738,26 @@ class TableLog:
                 f"table {self.table_dir} has no committed data"
                 + (f" at version {version}" if version is not None else "")
             )
-        if key_between is not None and self.stats_col is None:
-            raise ValueError("key_between requires a stats_col-configured table")
+        if (key_between is not None or col_between) and self.stats_col is None:
+            raise ValueError(
+                "key_between/col_between require a stats_col-configured table"
+            )
+
+        def _survives(st: dict) -> bool:
+            if key_between is not None:
+                lo, hi = key_between
+                if st and "min" in st and not (st["max"] >= lo and st["min"] <= hi):
+                    return False
+            for c, (lo, hi) in (col_between or {}).items():
+                env = (st or {}).get("cols", {}).get(c)
+                if env is not None and not (env["max"] >= lo and env["min"] <= hi):
+                    return False
+            return True
+
         names = list(snap)
         all_pruned = False
-        if key_between is not None:
-            lo, hi = key_between
-            names = [
-                n
-                for n, st in snap.items()
-                if not st
-                or "min" not in st
-                or (st["max"] >= lo and st["min"] <= hi)
-            ]
+        if key_between is not None or col_between:
+            names = [n for n, st in snap.items() if _survives(st)]
             if not names:
                 # every file pruned: still return a frame with the SAME
                 # schema a non-empty read would have (full file list,
@@ -726,13 +770,19 @@ class TableLog:
         df = reader.parquet(
             *[os.path.join(self.table_dir, n) for n in names]
         )
-        if key_between is not None:
+        if key_between is not None or col_between:
             from pyspark.sql import functions as F
 
             if all_pruned:
                 df = df.filter(F.lit(False))
-            elif self.stats_col in df.columns:
-                df = df.filter(F.col(self.stats_col).between(lo, hi))
+            else:
+                if key_between is not None and self.stats_col in df.columns:
+                    df = df.filter(
+                        F.col(self.stats_col).between(*key_between)
+                    )
+                for c, (lo, hi) in (col_between or {}).items():
+                    if c in df.columns:
+                        df = df.filter(F.col(c).between(lo, hi))
         return df
 
     def read_changes(
@@ -787,6 +837,25 @@ class TableLog:
             for st in snap.values()
             if not st or "min" not in st or (st["max"] >= lo and st["min"] <= hi)
         )
+        return opened, len(snap)
+
+    def pruned_file_count_multi(
+        self, col_between: dict[str, tuple], version: int | None = None
+    ) -> tuple[int, int]:
+        """(files opened, files total) for a multi-column manifest-
+        pruned read: a file survives only if EVERY constrained column's
+        recorded envelope intersects its range (missing envelopes keep
+        the file conservatively)."""
+        snap = self.snapshot(version)
+        opened = 0
+        for st in snap.values():
+            keep = True
+            for c, (lo, hi) in col_between.items():
+                env = (st or {}).get("cols", {}).get(c)
+                if env is not None and not (env["max"] >= lo and env["min"] <= hi):
+                    keep = False
+                    break
+            opened += keep
         return opened, len(snap)
 
     def vacuum(

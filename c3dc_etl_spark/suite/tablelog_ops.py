@@ -226,3 +226,35 @@ def table_log_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     log.append(orders.filter(F.col("o_orderstatus") == "O"))   # v1
     log.append(orders.filter(F.col("o_orderstatus") == "P"))   # v2
     return log.read_changes(spark, since_version=0)
+
+
+@query(
+    "table_log_zorder_pruned_read",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey BETWEEN 20 AND 60 AND l_suppkey BETWEEN 2 AND 6
+    """,
+    tags=("sink", "tablelog", "layout"),
+)
+def table_log_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level 2-D file skipping: the table carries [min, max]
+    envelopes for BOTH (l_partkey, l_suppkey) in its commit manifests
+    (extra_stats_cols), the OPTIMIZE ZORDER rewrite clusters files into
+    compact Z-ranges bounding both dimensions, and the box read prunes
+    files from the MANIFEST — before any parquet footer opens — then
+    applies the residual filters (file-count gap asserted in
+    tests/test_tablelog). Content must equal the source box exactly."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    log = TableLog(
+        _scratch("tablelog_zprune_"),
+        stats_col="l_orderkey",
+        extra_stats_cols=["l_partkey", "l_suppkey"],
+    )
+    log.append(li)
+    log.optimize_zorder(spark, "l_partkey", "l_suppkey", target_files=8)
+    return log.read(
+        spark, col_between={"l_partkey": (20, 60), "l_suppkey": (2, 6)}
+    )

@@ -532,3 +532,35 @@ def test_model_based_op_sequence_every_version_matches(spark, tmp_path):
     v0, expected0 = history[0]
     got0 = {r[0]: tuple(r) for r in log.read(spark, version=v0).collect()}
     assert got0 == expected0
+
+
+def test_multi_column_stats_manifest_pruning_after_zorder(spark, tmp_path):
+    li = _lineitem(spark)
+    log = TableLog(
+        str(tmp_path / "zp"),
+        stats_col="l_orderkey",
+        extra_stats_cols=["l_partkey", "l_suppkey"],
+    )
+    log.append(li.repartition(8))
+    box = {"l_partkey": (20, 50), "l_suppkey": (2, 3)}
+    before, total_b = log.pruned_file_count_multi(box)
+    assert before == total_b  # hash layout: nothing prunable
+    v = log.optimize_zorder(spark, "l_partkey", "l_suppkey", target_files=8)
+    after, total_a = log.pruned_file_count_multi(box, version=v)
+    assert after < before and after <= total_a // 2
+    # pruned read returns exactly the box content
+    got = _rows(log.read(spark, col_between=box))
+    want = _rows(
+        li.filter(
+            F.col("l_partkey").between(20, 50) & F.col("l_suppkey").between(2, 3)
+        )
+    )
+    assert got == want
+    # a file lacking envelopes (e.g. landed before extra_stats_cols was
+    # configured) is conservatively kept
+    plain = TableLog(str(tmp_path / "zp"), stats_col="l_orderkey")
+    plain.append(li.limit(5))
+    opened, total = log.pruned_file_count_multi(box)
+    # every envelope-less new file is kept; the z-ordered ones still prune
+    assert total > total_a
+    assert opened - after == total - total_a
