@@ -94,6 +94,7 @@ PRIORITY = [
     "link_prediction_common_neighbors",
     "table_log_change_feed",
     "table_log_zorder_pruned_read",
+    "feature_winsorize_clip",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

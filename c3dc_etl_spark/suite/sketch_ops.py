@@ -591,3 +591,109 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_intersect_centi"),
     )
+
+
+def _select_kth(cents, k: int, lo: int, hi: int) -> int:
+    """k-th (1-indexed) order statistic of a pinned integer column by
+    value-domain binary search — one count-below aggregate per round,
+    the same distributed-selection scheme as exact_median_selection."""
+    while lo < hi:
+        mid = (lo + hi) // 2
+        below = cents.filter(F.col("cents") <= mid).count()
+        if below >= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+_WINSOR_ORACLE = """
+WITH cents AS (
+    SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+ranked AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS n
+    FROM cents
+),
+ks AS (
+    SELECT n, (n * 5 + 99) // 100 AS k05, (n * 95 + 99) // 100 AS k95
+    FROM (SELECT DISTINCT n FROM ranked)
+),
+cuts AS (
+    SELECT ks.n,
+           (SELECT c FROM ranked WHERE rn = ks.k05) AS p05,
+           (SELECT c FROM ranked WHERE rn = ks.k95) AS p95
+    FROM ks
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(p05 AS BIGINT) AS p05_cents,
+       CAST(p95 AS BIGINT) AS p95_cents,
+       CAST((SELECT COUNT(*) FROM cents WHERE c < p05) AS BIGINT) AS n_low,
+       CAST((SELECT COUNT(*) FROM cents WHERE c > p95) AS BIGINT) AS n_high,
+       CAST((SELECT SUM(CASE WHEN c < p05 THEN p05
+                             WHEN c > p95 THEN p95 ELSE c END)
+             FROM cents) AS BIGINT) AS sum_clipped_cents
+FROM cuts
+"""
+
+
+@query("feature_winsorize_clip", oracle=_WINSOR_ORACLE, tags=("sketch", "quality"))
+def feature_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling by winsorization: EXACT p05/p95 cut
+    points via distributed selection (value-domain binary search — one
+    partial-agg count per round over the pinned cents column, never a
+    global sort), then one aggregate proving the clip (outlier counts
+    on both sides + the exact clipped integer sum). The oracle's
+    ROW_NUMBER order statistics are precisely the sort-based shape the
+    selection scheme replaces at 100 TB. All integer cents — no
+    rounding discipline needed."""
+    from c3dc_etl_spark.pinning import pin
+
+    li = load(spark, sf_dir, "lineitem")
+    cents = pin(
+        li.filter(F.col("l_extendedprice").isNotNull()).select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    row = cents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = row["n"], row["lo"], row["hi"]
+    if n == 0:
+        return spark.range(0).select(
+            *[
+                F.lit(0).cast("bigint").alias(c)
+                for c in (
+                    "n_rows",
+                    "p05_cents",
+                    "p95_cents",
+                    "n_low",
+                    "n_high",
+                    "sum_clipped_cents",
+                )
+            ]
+        )
+    k05 = (n * 5 + 99) // 100
+    k95 = (n * 95 + 99) // 100
+    p05 = _select_kth(cents, k05, lo, hi)
+    p95 = _select_kth(cents, k95, p05, hi)  # p95 >= p05: reuse the bound
+    clipped = F.when(F.col("cents") < p05, F.lit(p05)).when(
+        F.col("cents") > p95, F.lit(p95)
+    ).otherwise(F.col("cents"))
+    return cents.agg(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.lit(p05).cast("bigint").alias("p05_cents"),
+        F.lit(p95).cast("bigint").alias("p95_cents"),
+        F.coalesce(F.sum(F.when(F.col("cents") < p05, F.lit(1))), F.lit(0))
+        .cast("bigint")
+        .alias("n_low"),
+        F.coalesce(F.sum(F.when(F.col("cents") > p95, F.lit(1))), F.lit(0))
+        .cast("bigint")
+        .alias("n_high"),
+        F.sum(clipped).cast("bigint").alias("sum_clipped_cents"),
+    )
