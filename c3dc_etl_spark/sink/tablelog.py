@@ -512,8 +512,20 @@ class TableLog:
         )
         width = 1 << bits
         bounds = df.agg(
-            F.max(F.col(x_col)).alias("mx"), F.max(F.col(y_col)).alias("my")
+            F.min(F.col(x_col)).alias("nx"),
+            F.max(F.col(x_col)).alias("mx"),
+            F.min(F.col(y_col)).alias("ny"),
+            F.max(F.col(y_col)).alias("my"),
         ).first()
+        if bounds["mx"] is None or bounds["my"] is None:
+            raise ValueError("optimize_zorder: z-order columns are all-NULL")
+        if bounds["nx"] < 0 or bounds["ny"] < 0:
+            # Morton interleave is defined over non-negative bucket ids;
+            # a negative value would shift garbage into the key
+            raise ValueError(
+                "optimize_zorder requires non-negative z-order columns "
+                "(offset/clamp negatives upstream)"
+            )
         mx, my = int(bounds["mx"]), int(bounds["my"])
         xb = F.floor(F.col(x_col) * float(width) / (mx + 1)).cast("bigint")
         yb = F.floor(F.col(y_col) * float(width) / (my + 1)).cast("bigint")
@@ -811,7 +823,10 @@ class TableLog:
             if v <= since_version or v > hi:
                 continue
             m = self._manifest(v)
-            if m.get("add") and m["op"] != "append":
+            # any data-carrying non-append invalidates the feed: adds
+            # from a rewrite re-add old rows, and a remove-only commit
+            # (e.g. an overwrite to empty) changes content invisibly
+            if (m.get("add") or m.get("remove")) and m["op"] != "append":
                 raise ValueError(
                     f"read_changes: commit {v} is op={m['op']!r}; only "
                     "append commits can be read as a change feed "
