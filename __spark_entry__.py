@@ -95,6 +95,7 @@ PRIORITY = [
     "table_log_change_feed",
     "table_log_zorder_pruned_read",
     "feature_winsorize_clip",
+    "market_basket_rules",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from c3dc_etl_spark.pinning import pin
 from c3dc_etl_spark.suite.registry import davg, dec, dsum, load, query
 
 
@@ -1633,3 +1634,93 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
+
+
+MB_TOP_K = 40
+
+_BASKET_ORACLE = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+item AS (SELECT pk, COUNT(*) AS cnt FROM li GROUP BY 1),
+pair AS (
+    SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS co
+    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2
+)
+SELECT part_a, part_b,
+       CAST(co AS BIGINT) AS co_orders,
+       ROUND(CAST(co AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6) + 0.0
+           AS conf_a_to_b,
+       ROUND(CAST(co AS DOUBLE) / CAST(ib.cnt AS DOUBLE), 6) + 0.0
+           AS conf_b_to_a,
+       ROUND(CAST(co AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 6) + 0.0
+           AS lift
+FROM pair
+JOIN item ia ON ia.pk = part_a
+JOIN item ib ON ib.pk = part_b
+CROSS JOIN n
+ORDER BY co DESC, part_a ASC, part_b ASC
+LIMIT {MB_TOP_K}
+"""
+
+
+@query("market_basket_rules", oracle=_BASKET_ORACLE, tags=("relational", "graph"))
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: top-{MB_TOP_K} part
+    pairs by co-order support, with both conditional confidences and
+    lift. The pair table comes from the basket self-join on the order
+    key (co-partitioned equi-join, map-side-combined counts); item
+    counts and the global basket count attach to the PAIR table
+    (|parts|² at most, in practice the co-ordered subset), never the
+    line-item stream. Metrics are single IEEE divisions of exact
+    integer counts, rounded — deterministic; the top-k carries a full
+    (support, part_a, part_b) total order."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    li = pin(li)
+    n_orders = li.select("ok").distinct().count()  # bounded: one scalar
+    item = li.groupBy(F.col("pk")).agg(F.count(F.lit(1)).alias("cnt"))
+    a = li.select("ok", F.col("pk").alias("part_a"))
+    b = li.select("ok", F.col("pk").alias("part_b"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("cnt").alias("ca"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("cnt").alias("cb"))
+    co_d = F.col("co").cast("double")
+    out = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co").cast("bigint").alias("co_orders"),
+            (F.round(co_d / F.col("ca").cast("double"), 6) + F.lit(0.0)).alias(
+                "conf_a_to_b"
+            ),
+            (F.round(co_d / F.col("cb").cast("double"), 6) + F.lit(0.0)).alias(
+                "conf_b_to_a"
+            ),
+            (
+                F.round(
+                    co_d
+                    * F.lit(float(n_orders))
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("co_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(MB_TOP_K)
