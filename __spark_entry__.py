@@ -96,6 +96,7 @@ PRIORITY = [
     "table_log_zorder_pruned_read",
     "feature_winsorize_clip",
     "market_basket_rules",
+    "classifier_train_tree2",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from c3dc_etl_spark.pinning import pin
 
 FP = 1_000_000  # fixed-point scale: weights in micro-units
+STUMP_SCALE = 1_000_000_000  # purity-score fixed-point (see stump_train)
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -169,11 +170,28 @@ def stump_train(
     """Exact greedy decision-stump training over a ±1 label.
 
     Every (feature, distinct value) pair is a candidate split
-    ``x <= v``; the winner maximizes training accuracy with the
-    deterministic tiebreak (correct DESC, feature ASC, threshold ASC).
+    ``x <= v``; the winner maximizes the Gini-style PURITY score
+
+        (pos_l² + neg_l²) * S div n_l  +  (pos_r² + neg_r²) * S div n_r
+
+    (the maximization form of weighted-Gini minimization; an empty
+    right side contributes 0). Purity, not raw accuracy, because
+    accuracy has PLATEAUS — on a conjunctive label every threshold
+    inside the majority region ties on accuracy and the (feature, val)
+    tiebreak then picks a degenerate boundary split, which poisons the
+    greedy recursion (measured in tests: the depth-2 tree under the
+    accuracy criterion missed the conjunction the purity criterion
+    nails). The S=1e9 scaling with TRUNCATED integer division keeps
+    the whole argmax in exact BIGINTs (Spark div == DuckDB //), so the
+    chosen split is deterministic cross-engine; (pos² * S) holds
+    BIGINT to ~3e6 rows per side — past that promote the score to
+    decimal(38,0), as with the GD gradient sums. Deterministic
+    tiebreak (score DESC, feature ASC, threshold ASC).
+
     Emits one row: (feature, threshold, left_label, right_label,
     n_correct, n, accuracy), where each side predicts its majority
-    class (ties -> +1).
+    class (ties -> +1) and n_correct/accuracy report the training
+    accuracy OF the purity-chosen split.
 
     Distribution shape: melt to (feature, value, y) — a generate, not a
     shuffle — then ONE groupBy(feature, value) with map-side combine
@@ -221,16 +239,34 @@ def stump_train(
         F.greatest(F.col("pl"), F.col("nl"))
         + F.greatest(F.col("tp") - F.col("pl"), F.col("tn") - F.col("nl")),
     )
+    pr = F.col("tp") - F.col("pl")
+    nr = F.col("tn") - F.col("nl")
+    n_l = F.col("pl") + F.col("nl")
+    n_r = pr + nr
+    scored = (
+        scored.withColumn(
+            "__lsq", F.col("pl") * F.col("pl") + F.col("nl") * F.col("nl")
+        )
+        .withColumn("__rsq", pr * pr + nr * nr)
+        .withColumn(
+            "score",
+            F.expr(f"(__lsq * {STUMP_SCALE}L) div (pl + nl)")
+            + F.when(n_r == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(f"(__rsq * {STUMP_SCALE}L) div ((tp - pl) + (tn - nl))")
+            ),
+        )
+    )
     # single-row argmax: struct comparison is lexicographic, and
     # (feature, val) is unique per row, so the ordering prefix
-    # (-correct, feature, val) is a total order — the trailing payload
+    # (-score, feature, val) is a total order — the trailing payload
     # fields can never influence which row wins.
     best = scored.agg(
         F.min(
             F.struct(
-                (-F.col("correct")).alias("negc"),
+                (-F.col("score")).alias("negs"),
                 "feature",
                 "val",
+                "correct",
                 "pl",
                 "nl",
                 "tp",
@@ -247,10 +283,48 @@ def stump_train(
         maj(F.col("tp") - F.col("pl"), F.col("tn") - F.col("nl"))
         .cast("bigint")
         .alias("right_label"),
-        (-F.col("negc")).cast("bigint").alias("n_correct"),
+        F.col("correct").cast("bigint").alias("n_correct"),
         n_all.cast("bigint").alias("n"),
         (
-            F.round((-F.col("negc")).cast("double") / n_all.cast("double"), 4)
+            F.round(F.col("correct").cast("double") / n_all.cast("double"), 4)
             + F.lit(0.0)
         ).alias("accuracy"),
     )
+
+
+def tree2_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Depth-2 decision tree by greedy recursion over the exact stump:
+    train the root split on all rows, then one independent exact stump
+    per side — three stump_train passes, each fully distributed, with
+    only the root's (feature, threshold) pair crossing the driver.
+    Emits one row per node (node in root/left/right) with each node's
+    split and ITS OWN training accuracy over the rows it sees; the
+    depth-2 tree's accuracy is (left.n_correct + right.n_correct) /
+    root.n. A side the root leaves empty yields no row (the tree
+    degenerates to the stump — deterministic, mirrored by the oracle).
+
+    Same exactness contract as stump_train: pure counting, no floats
+    until the final rounded accuracy."""
+    root = stump_train(df, feature_cols, label_col).first()
+    f, t = root["feature"], root["threshold"]
+    sides = [
+        ("left", df.filter(F.col(f) <= F.lit(t))),
+        ("right", df.filter(F.col(f) > F.lit(t))),
+    ]
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [("root", *tuple(root))],
+        "node STRING, feature STRING, threshold BIGINT, left_label BIGINT, "
+        "right_label BIGINT, n_correct BIGINT, n BIGINT, accuracy DOUBLE",
+    )
+    for name, side in sides:
+        part = stump_train(side, feature_cols, label_col).withColumn(
+            "node", F.lit(name)
+        )
+        out = out.unionByName(part.select(*out.columns))
+    # empty sides produce an all-null struct from the agg; drop them
+    return out.filter(F.col("feature").isNotNull())

@@ -198,9 +198,13 @@ scored AS (
     FROM counts
 ),
 best AS (
-    SELECT *, GREATEST(pl, nl) + GREATEST(tp - pl, tn - nl) AS correct
+    SELECT *, GREATEST(pl, nl) + GREATEST(tp - pl, tn - nl) AS correct,
+           ((pl * pl + nl * nl) * 1000000000) // (pl + nl)
+           + CASE WHEN (tp - pl) + (tn - nl) = 0 THEN 0
+                  ELSE ((tp - pl) * (tp - pl) + (tn - nl) * (tn - nl))
+                       * 1000000000 // ((tp - pl) + (tn - nl)) END AS score
     FROM scored
-    ORDER BY correct DESC, feature ASC, val ASC
+    ORDER BY score DESC, feature ASC, val ASC
     LIMIT 1
 )
 SELECT feature,
@@ -238,3 +242,112 @@ def classifier_train_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nu().alias("n_unique"),
     )
     return L.stump_train(feats, STUMP_FEATURES, "y")
+
+
+def _stump_chain(prefix: str, from_sql: str) -> str:
+    """The stump oracle as a reusable CTE chain over ``{from_sql}``
+    (which must expose y plus the STUMP_FEATURES columns): emits
+    ``{prefix}best`` holding the single winning split."""
+    melted = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {name} AS val, y FROM {prefix}src"
+        for name in STUMP_FEATURES
+    )
+    return f"""
+{prefix}src AS ({from_sql}),
+{prefix}melted AS ({melted}),
+{prefix}counts AS (
+    SELECT feature, val,
+           COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS pos,
+           COALESCE(SUM(CASE WHEN y = -1 THEN 1 END), 0) AS neg
+    FROM {prefix}melted GROUP BY 1, 2
+),
+{prefix}scored AS (
+    SELECT feature, val,
+           SUM(pos) OVER (PARTITION BY feature ORDER BY val
+                          ROWS UNBOUNDED PRECEDING) AS pl,
+           SUM(neg) OVER (PARTITION BY feature ORDER BY val
+                          ROWS UNBOUNDED PRECEDING) AS nl,
+           SUM(pos) OVER (PARTITION BY feature) AS tp,
+           SUM(neg) OVER (PARTITION BY feature) AS tn
+    FROM {prefix}counts
+),
+{prefix}best AS (
+    SELECT *, GREATEST(pl, nl) + GREATEST(tp - pl, tn - nl) AS correct,
+           ((pl * pl + nl * nl) * 1000000000) // (pl + nl)
+           + CASE WHEN (tp - pl) + (tn - nl) = 0 THEN 0
+                  ELSE ((tp - pl) * (tp - pl) + (tn - nl) * (tn - nl))
+                       * 1000000000 // ((tp - pl) + (tn - nl)) END AS score
+    FROM {prefix}scored
+    ORDER BY score DESC, feature ASC, val ASC
+    LIMIT 1
+)"""
+
+
+def _node_select(node: str, prefix: str) -> str:
+    return f"""
+SELECT '{node}' AS node, feature,
+       CAST(val AS BIGINT) AS threshold,
+       CAST(CASE WHEN pl >= nl THEN 1 ELSE -1 END AS BIGINT) AS left_label,
+       CAST(CASE WHEN tp - pl >= tn - nl THEN 1 ELSE -1 END AS BIGINT)
+           AS right_label,
+       CAST(correct AS BIGINT) AS n_correct,
+       CAST(tp + tn AS BIGINT) AS n,
+       ROUND(CAST(correct AS DOUBLE) / CAST(tp + tn AS DOUBLE), 4) + 0.0
+           AS accuracy
+FROM {prefix}best"""
+
+
+_FEAT_SELECT = (
+    f"SELECT {_STUMP_LABEL_SQL} AS y, "
+    + ", ".join(f"{sql} AS {name}" for name, sql in _STUMP_FEAT_SQL.items())
+    + " FROM documents"
+)
+
+_ROOT_VAL = (
+    "CASE rb.feature "
+    + " ".join(f"WHEN '{n}' THEN f.{n}" for n in STUMP_FEATURES)
+    + " END"
+)
+
+_TREE2_ORACLE = f"""
+WITH {_stump_chain("r_", _FEAT_SELECT)},
+{_stump_chain(
+    "l_",
+    f"SELECT f.* FROM r_src f CROSS JOIN r_best rb WHERE {_ROOT_VAL} <= rb.val",
+)},
+{_stump_chain(
+    "g_",
+    f"SELECT f.* FROM r_src f CROSS JOIN r_best rb WHERE {_ROOT_VAL} > rb.val",
+)}
+{_node_select("root", "r_")}
+UNION ALL
+{_node_select("left", "l_")}
+UNION ALL
+{_node_select("right", "g_")}
+"""
+
+
+@query("classifier_train_tree2", oracle=_TREE2_ORACLE, tags=("learning",))
+def classifier_train_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 decision tree by greedy recursion over the exact stump:
+    root split on the full corpus, then one independent exact stump per
+    side — three fully distributed counting passes with only the root's
+    (feature, threshold) crossing the driver. Each node row carries its
+    own split and accuracy; the oracle replays the recursion as three
+    chained stump CTE blocks, the side filters referencing the root's
+    winning split through a CROSS JOIN (the same greedy choice, made by
+    SQL). Proves the exact split finder COMPOSES — the building block
+    of depth-d trees and boosting."""
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.when(
+            (F.col("n_chars") >= 300) & (_nt() >= 55), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        _nt().alias("n_tokens"),
+        _nu().alias("n_unique"),
+    )
+    return L.tree2_train(feats, STUMP_FEATURES, "y")

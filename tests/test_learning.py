@@ -115,7 +115,13 @@ def test_batch_perceptron_oscillates_on_thin_margin():
 # ---------------------------------------------------------------------------
 
 
+SC = 1_000_000_000
+
+
 def _brute_stump(rows, names):
+    """Purity-criterion reference: maximize the scaled integer score
+    (pl^2+nl^2)*SC // n_l + (pr^2+nr^2)*SC // n_r (empty side -> 0),
+    tiebreak (feature, val) — mirrors operators.learning.stump_train."""
     pos = sum(1 for r in rows if r[0] == 1)
     neg = len(rows) - pos
     best = None
@@ -123,8 +129,12 @@ def _brute_stump(rows, names):
         for v in sorted({r[j] for r in rows}):
             pl = sum(1 for r in rows if r[j] <= v and r[0] == 1)
             nl = sum(1 for r in rows if r[j] <= v and r[0] == -1)
-            corr = max(pl, nl) + max(pos - pl, neg - nl)
-            key = (-corr, name, v)
+            pr, nr = pos - pl, neg - nl
+            score = (pl * pl + nl * nl) * SC // (pl + nl)
+            if pr + nr:
+                score += (pr * pr + nr * nr) * SC // (pr + nr)
+            corr = max(pl, nl) + max(pr, nr)
+            key = (-score, name, v, corr)
             if best is None or key < best:
                 best = key
     return best
@@ -138,11 +148,11 @@ def test_stump_matches_bruteforce(spark):
     ]
     df = spark.createDataFrame(rows, "y BIGINT, fa BIGINT, fb BIGINT")
     got = L.stump_train(df, ["fa", "fb"], "y").first()
-    negc, feat, val = _brute_stump(rows, ["fa", "fb"])
+    _negs, feat, val, corr = _brute_stump(rows, ["fa", "fb"])
     assert (got["feature"], got["threshold"], got["n_correct"]) == (
         feat,
         val,
-        -negc,
+        corr,
     )
     assert got["n"] == len(rows)
 
@@ -187,3 +197,33 @@ def test_stump_high_accuracy_on_documents_corpus(spark):
     row = got.first()
     assert row["accuracy"] > 0.95
     assert row["feature"] == "n_chars"  # the gate's dominant condition
+
+
+def test_tree2_improves_on_stump_for_xor_ish_label(spark):
+    # conjunction label (a >= 5 AND b >= 3): a single stump cannot
+    # express it, the depth-2 greedy tree can get close/exact
+    rows = [
+        (1 if (a >= 5 and b >= 3) else -1, a, b)
+        for a in range(10)
+        for b in range(6)
+    ]
+    df = spark.createDataFrame(rows, "y BIGINT, fa BIGINT, fb BIGINT")
+    stump = L.stump_train(df, ["fa", "fb"], "y").first()
+    nodes = {r["node"]: r for r in L.tree2_train(df, ["fa", "fb"], "y").collect()}
+    assert set(nodes) == {"root", "left", "right"}
+    tree_correct = nodes["left"]["n_correct"] + nodes["right"]["n_correct"]
+    assert tree_correct > stump["n_correct"]
+    assert tree_correct == len(rows)  # conjunction is exactly depth-2
+    assert nodes["left"]["n"] + nodes["right"]["n"] == nodes["root"]["n"]
+
+
+def test_tree2_degenerates_when_a_side_is_empty(spark):
+    # all values <= the best threshold on one feature: the right side
+    # is empty -> no 'right' row, tree == stump on the left
+    rows = [(1, 1), (1, 2), (-1, 3), (-1, 4)]
+    df = spark.createDataFrame(rows, "y BIGINT, fa BIGINT")
+    nodes = {r["node"]: r for r in L.tree2_train(df, ["fa"], "y").collect()}
+    assert "root" in nodes
+    # root threshold 2 separates perfectly; both sides pure -> each
+    # side's stump is trivial but non-empty
+    assert nodes["root"]["n_correct"] == 4
