@@ -97,6 +97,7 @@ PRIORITY = [
     "feature_winsorize_clip",
     "market_basket_rules",
     "classifier_train_tree2",
+    "bootstrap_mean_ci",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -697,3 +697,127 @@ def feature_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_high"),
         F.sum(clipped).cast("bigint").alias("sum_clipped_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap (the scale-friendly bootstrap: per-row independent
+# Poisson(1) resample weights instead of a global n-with-replacement
+# draw, so no resample ever needs global coordination)
+# --------------------------------------------------------------------------
+
+BOOT_B = 32  # resamples
+# Poisson(1) CDF cutpoints as exact double literals (identical in both
+# engines; weights above the last cutpoint clamp to 7)
+_POIS_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+]
+
+
+def _pois_case(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {arms} ELSE {len(_POIS_CDF)} END)"
+
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+    SELECT l_orderkey * 10 + l_linenumber AS rid,
+           CAST(l_quantity AS DECIMAL(18,2)) AS q
+    FROM lineitem WHERE l_quantity IS NOT NULL
+),
+w AS (
+    SELECT r, q,
+           {_pois_case(
+               "(CAST(CONCAT('0x', SUBSTR(MD5('bs:' || CAST(rid AS STRING)"
+               " || ':' || CAST(r AS STRING)), 1, 8)) AS BIGINT)"
+               " / 4294967296.0)"
+           )} AS wt
+    FROM base, UNNEST(RANGE(0, {BOOT_B})) AS t(r)
+),
+means AS (
+    SELECT r,
+           CAST(SUM(wt * q) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS m
+    FROM w WHERE wt > 0 GROUP BY r
+),
+ranked AS (
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn FROM means
+),
+full_mean AS (
+    SELECT CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fm FROM base
+)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_resamples,
+       ROUND((SELECT m FROM ranked WHERE rn = 2), 6) + 0.0 AS mean_lo,
+       ROUND((SELECT m FROM ranked WHERE rn = {BOOT_B} - 1), 6) + 0.0 AS mean_hi,
+       ROUND(fm, 6) + 0.0 AS mean_full
+FROM full_mean
+"""
+
+
+@query("bootstrap_mean_ci", oracle=_BOOT_ORACLE, tags=("sketch", "stats"))
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON bootstrap confidence interval for mean(l_quantity): each
+    (row, resample) pair draws an independent Poisson(1) weight from
+    the engine-wide hash-uniform (inverse-CDF over exact double
+    cutpoints), so resampling needs NO global coordination — the
+    at-scale bootstrap formulation (each resample's total weight
+    concentrates at n, and no executor ever materializes a resample).
+    Per-resample means come from exact decimal sums; the tiny B-row
+    mean table sorts for the percentile CI. One explode (factor B) of
+    a narrow (id-hash, decimal) projection, map-side combine to B rows
+    per task."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+    )
+    u = (
+        hash32(
+            F.concat(
+                F.lit("bs:"),
+                F.col("rid").cast("string"),
+                F.lit(":"),
+                F.col("r").cast("string"),
+            )
+        )
+        / F.lit(4294967296.0)
+    )
+    wt = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wt = F.when(u < F.lit(float(_POIS_CDF[k])), F.lit(k)).otherwise(wt)
+    weighted = (
+        base.select("rid", "q", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"))
+        .withColumn("wt", wt)
+        .filter(F.col("wt") > 0)
+    )
+    means = weighted.groupBy("r").agg(
+        (
+            F.sum(F.col("wt") * F.col("q")).cast("double")
+            / F.sum("wt").cast("double")
+        ).alias("m")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = means.select(
+        "m", F.row_number().over(W.orderBy(F.col("m").asc(), F.col("r").asc())).alias("rn")
+    )
+    lo = ranked.filter(F.col("rn") == 2).select("m")
+    hi = ranked.filter(F.col("rn") == BOOT_B - 1).select("m")
+    full = base.agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")).alias("fm")
+    )
+    lo_v = lo.first()["m"]
+    hi_v = hi.first()["m"]
+    return full.select(
+        F.lit(BOOT_B).cast("bigint").alias("n_resamples"),
+        (F.round(F.lit(lo_v), 6) + F.lit(0.0)).alias("mean_lo"),
+        (F.round(F.lit(hi_v), 6) + F.lit(0.0)).alias("mean_hi"),
+        (F.round(F.col("fm"), 6) + F.lit(0.0)).alias("mean_full"),
+    )

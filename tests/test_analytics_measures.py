@@ -74,3 +74,18 @@ def test_exact_median_selection_matches_sorted(spark):
     k = (len(vals) + 1) // 2
     assert got["n_rows"] == len(vals)
     assert got["median_cents"] == vals[k - 1]
+
+
+def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark):
+    from c3dc_etl_spark.suite.registry import REGISTRY
+
+    fn = REGISTRY["bootstrap_mean_ci"].fn
+    small = fn(spark, "/root/testdata/sf0.001").first()
+    big = fn(spark, "/root/testdata/sf0.01").first()
+    for r in (small, big):
+        assert r["mean_lo"] <= r["mean_full"] <= r["mean_hi"]
+    # 10x the sample -> the percentile CI must tighten (sqrt(n) law;
+    # the gap is large enough that hash noise cannot flip it)
+    assert (big["mean_hi"] - big["mean_lo"]) < (
+        small["mean_hi"] - small["mean_lo"]
+    )
