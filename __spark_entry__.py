@@ -98,6 +98,8 @@ PRIORITY = [
     "market_basket_rules",
     "classifier_train_tree2",
     "bootstrap_mean_ci",
+    "mannwhitney_u_events",
+    "chi2_independence",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -821,3 +821,200 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.lit(hi_v), 6) + F.lit(0.0)).alias("mean_hi"),
         (F.round(F.col("fm"), 6) + F.lit(0.0)).alias("mean_full"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rank statistics without a global sort: Mann-Whitney U over per-value
+# aggregated counts (the nonparametric A/B companion of ab_test_stats)
+# --------------------------------------------------------------------------
+
+MW_GROUP_A = "purchase"
+MW_GROUP_B = "click"
+
+_MW_ORACLE = f"""
+WITH v AS (
+    SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(event_type = '{MW_GROUP_A}' AS INT) AS is_a
+    FROM events WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+          AND value IS NOT NULL
+),
+cnt AS (
+    SELECT cents,
+           COALESCE(SUM(is_a), 0) AS ca,
+           COALESCE(SUM(1 - is_a), 0) AS cb
+    FROM v GROUP BY 1
+),
+cum AS (
+    SELECT cents, ca, cb,
+           COALESCE(SUM(cb) OVER (ORDER BY cents
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cb_less,
+           ca + cb AS t
+    FROM cnt
+),
+agg AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na,
+           CAST(SUM(cb) AS BIGINT) AS nb,
+           CAST(SUM(ca * (2 * cb_less + cb)) AS BIGINT) AS u2,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS ties3
+    FROM cum
+)
+SELECT na AS n_a, nb AS n_b, u2,
+       ROUND(
+         (CAST(u2 AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+         / SQRT(
+             CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+             * ((CAST(na + nb AS DOUBLE) + 1.0)
+                - CAST(ties3 AS DOUBLE)
+                  / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))
+           ),
+         6) + 0.0 AS z
+FROM agg
+"""
+
+
+@query("mannwhitney_u_events", oracle=_MW_ORACLE, tags=("sketch", "stats"))
+def mannwhitney_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing event values across
+    two groups WITHOUT a global sort: per-value (a, b) counts with
+    map-side combine, one ordered window over the AGGREGATED value
+    table (bounded by value cardinality, not event count) for the
+    cumulative below-counts, then U — doubled to stay integer through
+    the half-credit tie term — and the tie-corrected normal
+    approximation z as one IEEE expression over exact integers. The
+    nonparametric companion of the Welch ab_test_stats query."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B)
+        & F.col("value").isNotNull()
+    )
+    v = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("event_type") == MW_GROUP_A).cast("int").alias("is_a"),
+    )
+    cnt = v.groupBy("cents").agg(
+        F.coalesce(F.sum("is_a"), F.lit(0)).alias("ca"),
+        F.coalesce(F.sum(F.lit(1) - F.col("is_a")), F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cnt.select(
+        "cents",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).alias("cb_less"),
+        (F.col("ca") + F.col("cb")).alias("t"),
+    )
+    agg = cum.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cb_less") + F.col("cb")))
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties3"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    n_d = (F.col("na") + F.col("nb")).cast("double")
+    z = (
+        F.col("u2").cast("double") / F.lit(2.0) - na_d * nb_d / F.lit(2.0)
+    ) / F.sqrt(
+        na_d
+        * nb_d
+        / F.lit(12.0)
+        * (
+            (n_d + F.lit(1.0))
+            - F.col("ties3").cast("double") / (n_d * (n_d - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "u2",
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+CHI2_SCALE = 1_000_000_000
+
+_CHI2_ORACLE = f"""
+WITH cells AS (
+    SELECT lang, source, COUNT(*) AS nij FROM documents GROUP BY 1, 2
+),
+rowm AS (
+    SELECT lang, source, nij,
+           SUM(nij) OVER (PARTITION BY lang) AS ri,
+           SUM(nij) OVER (PARTITION BY source) AS cj,
+           SUM(nij) OVER () AS nn
+    FROM cells
+),
+contrib AS (
+    SELECT lang, source,
+           CAST(FLOOR(
+             (CAST(nn * nij - ri * cj AS DOUBLE)
+              * CAST(nn * nij - ri * cj AS DOUBLE))
+             / (CAST(nn AS DOUBLE) * CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE))
+             * {CHI2_SCALE} + 0.5) AS BIGINT) AS c_fp
+    FROM rowm
+)
+SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_rows_dim,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_cols_dim,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT)
+           AS dof,
+       CAST(SUM(c_fp) AS BIGINT) AS chi2_fp,
+       ROUND(CAST(SUM(c_fp) AS DOUBLE) / {CHI2_SCALE}, 4) + 0.0 AS chi2
+FROM contrib
+"""
+
+
+@query("chi2_independence", oracle=_CHI2_ORACLE, tags=("sketch", "stats"))
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence statistic for the lang x source
+    contingency table — the categorical drift/association check beside
+    PSI (corpus_drift_psi). Each cell's contribution is computed as the
+    exact-rational form (n*nij - ri*cj)^2 / (n*ri*cj) — one IEEE
+    expression over exact integer marginals, identical cross-engine —
+    then QUANTIZED to 1e-9 fixed point so the cross-cell sum is an
+    exact integer (a raw double sum would be addend-order-dependent).
+    Only OBSERVED cells contribute (absent cells have nij = 0 pairs
+    with nonzero expectation — with this synthetic full cross product
+    every cell is present; the dof columns pin the table shape so a
+    sparse table is visible). Cost: one groupBy over |lang|x|source|
+    cells, three windows over that tiny cell table."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("nij"))
+    rowm = cells.select(
+        "lang",
+        "source",
+        "nij",
+        F.sum("nij").over(Window.partitionBy("lang")).alias("ri"),
+        F.sum("nij").over(Window.partitionBy("source")).alias("cj"),
+        F.sum("nij").over(Window.partitionBy()).alias("nn"),
+    )
+    diff = (F.col("nn") * F.col("nij") - F.col("ri") * F.col("cj")).cast("double")
+    c_fp = F.floor(
+        diff
+        * diff
+        / (
+            F.col("nn").cast("double")
+            * F.col("ri").cast("double")
+            * F.col("cj").cast("double")
+        )
+        * F.lit(CHI2_SCALE)
+        + F.lit(0.5)
+    ).cast("bigint")
+    contrib = rowm.select("lang", "source", c_fp.alias("c_fp"))
+    return contrib.agg(
+        F.countDistinct("lang").cast("bigint").alias("n_rows_dim"),
+        F.countDistinct("source").cast("bigint").alias("n_cols_dim"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.sum("c_fp").cast("bigint").alias("chi2_fp"),
+        (
+            F.round(F.sum("c_fp").cast("double") / F.lit(CHI2_SCALE), 4)
+            + F.lit(0.0)
+        ).alias("chi2"),
+    )
