@@ -100,6 +100,8 @@ PRIORITY = [
     "bootstrap_mean_ci",
     "mannwhitney_u_events",
     "chi2_independence",
+    "ks_two_sample",
+    "spearman_rank_corr",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -1018,3 +1018,201 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("chi2"),
     )
+
+
+_KS_ORACLE = f"""
+WITH v AS (
+    SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(event_type = '{MW_GROUP_A}' AS INT) AS is_a
+    FROM events WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+          AND value IS NOT NULL
+),
+cnt AS (
+    SELECT cents,
+           COALESCE(SUM(is_a), 0) AS ca,
+           COALESCE(SUM(1 - is_a), 0) AS cb
+    FROM v GROUP BY 1
+),
+cum AS (
+    SELECT cents,
+           SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cuma,
+           SUM(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumb,
+           SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+    FROM cnt
+),
+gaps AS (
+    SELECT cents, na, nb, ABS(cuma * nb - cumb * na) AS gap
+    FROM cum
+),
+best AS (
+    SELECT * FROM gaps ORDER BY gap DESC, cents ASC LIMIT 1
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(gap AS BIGINT) AS d_num,
+       CAST(na * nb AS BIGINT) AS d_den,
+       ROUND(CAST(gap AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)),
+             6) + 0.0 AS d,
+       CAST(cents AS BIGINT) AS at_cents
+FROM best
+"""
+
+
+@query("ks_two_sample", oracle=_KS_ORACLE, tags=("sketch", "stats"))
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over the same per-value
+    aggregated cumsum machinery as Mann-Whitney: D = max |F_A - F_B| is
+    found as an EXACT INTEGER argmax of |cumA*nB - cumB*nA| (cross-
+    multiplied, so no float compare decides the supremum location),
+    then one division for the reported D. Emits the witness value
+    (at_cents) along with the exact rational (d_num, d_den). The
+    distribution-shift detector beside PSI/chi2 — sensitive to any CDF
+    difference, not just binned mass."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B)
+        & F.col("value").isNotNull()
+    )
+    v = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("event_type") == MW_GROUP_A).cast("int").alias("is_a"),
+    )
+    cnt = v.groupBy("cents").agg(
+        F.coalesce(F.sum("is_a"), F.lit(0)).alias("ca"),
+        F.coalesce(F.sum(F.lit(1) - F.col("is_a")), F.lit(0)).alias("cb"),
+    )
+    cumw = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    allw = Window.partitionBy()
+    cum = cnt.select(
+        "cents",
+        F.sum("ca").over(cumw).alias("cuma"),
+        F.sum("cb").over(cumw).alias("cumb"),
+        F.sum("ca").over(allw).alias("na"),
+        F.sum("cb").over(allw).alias("nb"),
+    )
+    gaps = cum.select(
+        "cents",
+        "na",
+        "nb",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias(
+            "gap"
+        ),
+    )
+    best = gaps.agg(
+        F.min(
+            F.struct((-F.col("gap")).alias("negg"), "cents", "na", "nb")
+        ).alias("b")
+    ).select("b.*")
+    return best.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        (-F.col("negg")).cast("bigint").alias("d_num"),
+        (F.col("na") * F.col("nb")).cast("bigint").alias("d_den"),
+        (
+            F.round(
+                (-F.col("negg")).cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("d"),
+        F.col("cents").cast("bigint").alias("at_cents"),
+    )
+
+
+def _rank2_sql(src: str, col: str) -> str:
+    """Doubled average midrank per distinct value: 2*|smaller| + t + 1
+    (t = multiplicity) — integer-exact tie handling."""
+    return f"""(
+    SELECT {col} AS v,
+           2 * COALESCE(SUM(t) OVER (ORDER BY {col}
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) + t + 1 AS r2
+    FROM (SELECT {col}, COUNT(*) AS t FROM {src} GROUP BY 1)
+)"""
+
+
+_SPEARMAN_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+xr AS {_rank2_sql("base", "x")},
+yr AS {_rank2_sql("base", "y")},
+j AS (
+    SELECT xr.r2 AS a, yr.r2 AS b
+    FROM base JOIN xr ON base.x = xr.v JOIN yr ON base.y = yr.v
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(a AS HUGEINT)) AS DOUBLE) AS sa,
+           CAST(SUM(CAST(b AS HUGEINT)) AS DOUBLE) AS sb,
+           CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab,
+           CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS sa2,
+           CAST(SUM(CAST(b AS HUGEINT) * b) AS DOUBLE) AS sb2
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sab - sa * sb)
+             / SQRT((n * sa2 - sa * sa) * (n * sb2 - sb * sb)), 6) + 0.0
+           AS spearman_rho
+FROM s
+"""
+
+
+@query("spearman_rank_corr", oracle=_SPEARMAN_ORACLE, tags=("sketch", "stats"))
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of (l_quantity, l_extendedprice)
+    WITHOUT a global sort: doubled average midranks (2*|smaller| + t +
+    1 — integers even under ties) come from per-value aggregated
+    tables, join back to the rows, and rho is Pearson over exact
+    decimal rank sums — one IEEE expression at the end. The monotonic-
+    association check that catches what linear correlation misses; at
+    scale the rank tables are value-cardinality-sized and the two
+    joins are broadcastable."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        cnt = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("t")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return cnt.select(
+            "v",
+            (
+                2 * F.coalesce(F.sum("t").over(w), F.lit(0))
+                + F.col("t")
+                + F.lit(1)
+            ).alias("r2"),
+        )
+
+    xr = rank2("x").select(F.col("v").alias("x"), F.col("r2").alias("a"))
+    yr = rank2("y").select(F.col("v").alias("y"), F.col("r2").alias("b"))
+    j = base.join(xr, "x").join(yr, "y")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d(F.col("a"))).cast("double").alias("sa"),
+        F.sum(d(F.col("b"))).cast("double").alias("sb"),
+        F.sum(d(F.col("a")) * d(F.col("b"))).cast("double").alias("sab"),
+        F.sum(d(F.col("a")) * d(F.col("a"))).cast("double").alias("sa2"),
+        F.sum(d(F.col("b")) * d(F.col("b"))).cast("double").alias("sb2"),
+    )
+    rho = (
+        F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    ) / F.sqrt(
+        (F.col("n") * F.col("sa2") - F.col("sa") * F.col("sa"))
+        * (F.col("n") * F.col("sb2") - F.col("sb") * F.col("sb"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.round(rho, 6) + F.lit(0.0)).alias("spearman_rho"),
+    )

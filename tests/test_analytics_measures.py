@@ -89,3 +89,43 @@ def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark):
     assert (big["mean_hi"] - big["mean_lo"]) < (
         small["mean_hi"] - small["mean_lo"]
     )
+
+
+def test_spearman_detects_monotone_and_ties(spark):
+    from c3dc_etl_spark.suite.sketch_ops import _SPEARMAN_ORACLE  # noqa: F401
+    from c3dc_etl_spark.suite.registry import REGISTRY  # noqa: F401
+    # operator-level check via the same construction the query uses:
+    # monotone (x, x^2) must give rho = 1 even with duplicated values
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(x, x * x) for x in range(1, 30)] + [(5, 25), (10, 100)]
+    base = spark.createDataFrame(rows, "x BIGINT, y BIGINT")
+
+    def rank2(col):
+        cnt = base.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return cnt.select(
+            "v",
+            (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + F.lit(1)).alias("r2"),
+        )
+
+    xr = rank2("x").select(F.col("v").alias("x"), F.col("r2").alias("a"))
+    yr = rank2("y").select(F.col("v").alias("y"), F.col("r2").alias("b"))
+    j = base.join(xr, "x").join(yr, "y")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d(F.col("a"))).cast("double").alias("sa"),
+        F.sum(d(F.col("b"))).cast("double").alias("sb"),
+        F.sum(d(F.col("a")) * d(F.col("b"))).cast("double").alias("sab"),
+        F.sum(d(F.col("a")) * d(F.col("a"))).cast("double").alias("sa2"),
+        F.sum(d(F.col("b")) * d(F.col("b"))).cast("double").alias("sb2"),
+    ).first()
+    n, sa, sb, sab, sa2, sb2 = (
+        s["n"], s["sa"], s["sb"], s["sab"], s["sa2"], s["sb2"]
+    )
+    rho = (n * sab - sa * sb) / (
+        ((n * sa2 - sa * sa) * (n * sb2 - sb * sb)) ** 0.5
+    )
+    assert abs(rho - 1.0) < 1e-12  # x -> x^2 is strictly monotone
