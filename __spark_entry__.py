@@ -102,6 +102,7 @@ PRIORITY = [
     "chi2_independence",
     "ks_two_sample",
     "spearman_rank_corr",
+    "benford_first_digit",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -609,3 +609,88 @@ def dedup_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(
         docs, "text", "doc_id", span_words=_SPAN_W, max_docs_per_span=1
     )
+
+
+# Benford's law first-digit expectations log10(1 + 1/d) as exact double
+# literals — constants, identical in both engines.
+_BENFORD_P = [
+    "0.3010299956639812",
+    "0.17609125905568124",
+    "0.12493873660829992",
+    "0.09691001300805642",
+    "0.07918124604762482",
+    "0.06694678963061322",
+    "0.05799194697768673",
+    "0.05115252244738129",
+    "0.04575749056067514",
+]
+
+# CAST each arm: a bare decimal literal parses as DECIMAL in DuckDB and
+# stays DECIMAL through ROUND/+0.0, hash-mismatching Spark's double
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {i + 1} THEN CAST({p} AS DOUBLE)" for i, p in enumerate(_BENFORD_P)
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+    SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1)
+                AS BIGINT) AS d
+    FROM orders WHERE o_totalprice >= 1
+),
+cnt AS (
+    SELECT d, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total FROM digits
+    GROUP BY 1
+)
+SELECT CAST(d AS BIGINT) AS digit,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0 AS observed_p,
+       ROUND({_BENFORD_CASE}, 6) + 0.0 AS expected_p,
+       CAST(FLOOR(
+         (CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - ({_BENFORD_CASE}))
+         * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - ({_BENFORD_CASE}))
+         / ({_BENFORD_CASE}) * 1000000000 + 0.5) AS BIGINT) AS chi_term_fp
+FROM cnt
+"""
+
+
+@query("benford_first_digit", oracle=_BENFORD_ORACLE, tags=("quality", "stats"))
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the classic
+    fabricated-data / unit-mixing forensic check a data-quality layer
+    runs on monetary columns. First digits by string head of the
+    floored integer (no log10 on data values — the only logarithms are
+    the nine EXPECTED proportions, compile-time double literals);
+    per-digit observed vs expected proportion plus the chi-square term
+    quantized to 1e-9 fixed point (the cross-digit SUM is then exact —
+    same discipline as chi2_independence). One groupBy over 9 digit
+    groups; the window total rides the 9-row table."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    from pyspark.sql import Window as W
+
+    cnt = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n")).select(
+        "d", "n", F.sum("n").over(W.partitionBy()).alias("total")
+    )
+    expected = F.lit(None).cast("double")
+    for i, p in enumerate(_BENFORD_P):
+        expected = F.when(F.col("d") == i + 1, F.lit(float(p))).otherwise(
+            expected
+        )
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    chi_term = F.floor(
+        (obs - expected) * (obs - expected) / expected * F.lit(1000000000)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return cnt.select(
+        F.col("d").cast("bigint").alias("digit"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(obs, 6) + F.lit(0.0)).alias("observed_p"),
+        (F.round(expected, 6) + F.lit(0.0)).alias("expected_p"),
+        chi_term.alias("chi_term_fp"),
+    )
