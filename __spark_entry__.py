@@ -103,6 +103,7 @@ PRIORITY = [
     "ks_two_sample",
     "spearman_rank_corr",
     "benford_first_digit",
+    "cusum_changepoint",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

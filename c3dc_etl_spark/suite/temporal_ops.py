@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from c3dc_etl_spark.suite.registry import dec, dsum, load, query
+from c3dc_etl_spark.suite.registry import day_bucket, dec, dsum, load, query
 
 # --------------------------------------------------------------------------
 # As-of join: each purchase -> most recent strictly-prior click, per user
@@ -799,4 +799,84 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("prob"),
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day, COUNT(*) AS c
+    FROM events GROUP BY 1
+),
+seq AS (
+    SELECT day, c,
+           ROW_NUMBER() OVER (ORDER BY day) AS i,
+           SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER () AS total,
+           COUNT(*) OVER () AS nd
+    FROM daily
+),
+dev AS (
+    SELECT day, i, nd, total,
+           ABS(nd * cum - i * total) AS snum
+    FROM seq
+),
+best AS (
+    SELECT * FROM dev ORDER BY snum DESC, day ASC LIMIT 1
+)
+SELECT CAST(day AS BIGINT) AS change_day,
+       CAST(nd AS BIGINT) AS n_days,
+       CAST(total AS BIGINT) AS n_events,
+       CAST(snum AS BIGINT) AS cusum_num,
+       ROUND(CAST(snum AS DOUBLE) / CAST(nd AS DOUBLE), 4) + 0.0
+           AS cusum_peak
+FROM best
+"""
+
+
+@query("cusum_changepoint", oracle=_CUSUM_ORACLE, tags=("temporal", "stats"))
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point localization over the daily event-count
+    series: the peak of |S_i| = |sum_{j<=i}(c_j - mean)| marks the most
+    likely rate change. The argmax is EXACT-INTEGER — S_i * n_days =
+    n_days*cum_i - i*total, cross-multiplied so no float decides the
+    witness day (the KS-supremum discipline applied to time series);
+    one division reports the peak. Day bucketing via the engine-wide
+    ts_us div idiom; the windows ride the tiny per-day table."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(day_bucket().alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ow = Window.orderBy("day")
+    cumw = ow.rowsBetween(Window.unboundedPreceding, 0)
+    allw = Window.partitionBy()
+    seq = daily.select(
+        "day",
+        F.row_number().over(ow).alias("i"),
+        F.sum("c").over(cumw).alias("cum"),
+        F.sum("c").over(allw).alias("total"),
+        F.count(F.lit(1)).over(allw).alias("nd"),
+    )
+    dev = seq.select(
+        "day",
+        "i",
+        "nd",
+        "total",
+        F.abs(F.col("nd") * F.col("cum") - F.col("i") * F.col("total")).alias(
+            "snum"
+        ),
+    )
+    best = dev.agg(
+        F.min(
+            F.struct((-F.col("snum")).alias("negs"), "day", "nd", "total")
+        ).alias("b")
+    ).select("b.*")
+    return best.select(
+        F.col("day").cast("bigint").alias("change_day"),
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.col("total").cast("bigint").alias("n_events"),
+        (-F.col("negs")).cast("bigint").alias("cusum_num"),
+        (
+            F.round((-F.col("negs")).cast("double") / F.col("nd").cast("double"), 4)
+            + F.lit(0.0)
+        ).alias("cusum_peak"),
     )
