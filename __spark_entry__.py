@@ -104,6 +104,10 @@ PRIORITY = [
     "spearman_rank_corr",
     "benford_first_digit",
     "cusum_changepoint",
+    "acf_daily_events",
+    "seasonal_naive_backtest",
+    "theilsen_trend",
+    "anomaly_mad_daily",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

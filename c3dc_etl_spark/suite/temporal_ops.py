@@ -880,3 +880,360 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cusum_peak"),
     )
+
+
+# --------------------------------------------------------------------------
+# T131: autocorrelation function (lags 1..7) of the daily event series
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = """
+WITH daily AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day, COUNT(*) AS c
+    FROM events GROUP BY 1
+),
+st AS (SELECT COUNT(*) AS n, SUM(c) AS t FROM daily),
+dev AS (
+    SELECT day, st.n, (st.n * c - st.t) AS d FROM daily, st
+),
+led AS (
+    SELECT n, d,
+           LEAD(d, 1) OVER w AS d1, LEAD(d, 2) OVER w AS d2,
+           LEAD(d, 3) OVER w AS d3, LEAD(d, 4) OVER w AS d4,
+           LEAD(d, 5) OVER w AS d5, LEAD(d, 6) OVER w AS d6,
+           LEAD(d, 7) OVER w AS d7
+    FROM dev WINDOW w AS (ORDER BY day)
+),
+den AS (SELECT SUM(d * d) AS dd FROM dev),
+nums AS (
+              SELECT 1 AS lag, COALESCE(SUM(d * d1), 0) AS num FROM led
+    UNION ALL SELECT 2, COALESCE(SUM(d * d2), 0) FROM led
+    UNION ALL SELECT 3, COALESCE(SUM(d * d3), 0) FROM led
+    UNION ALL SELECT 4, COALESCE(SUM(d * d4), 0) FROM led
+    UNION ALL SELECT 5, COALESCE(SUM(d * d5), 0) FROM led
+    UNION ALL SELECT 6, COALESCE(SUM(d * d6), 0) FROM led
+    UNION ALL SELECT 7, COALESCE(SUM(d * d7), 0) FROM led
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST((SELECT n FROM st) AS BIGINT) AS n_days,
+       CAST(num AS DOUBLE) AS acf_num,
+       CAST((SELECT dd FROM den) AS DOUBLE) AS acf_den,
+       ROUND(CAST(num AS DOUBLE) / CAST((SELECT dd FROM den) AS DOUBLE), 6)
+           + 0.0 AS acf
+FROM nums
+"""
+
+
+@query("acf_daily_events", oracle=_ACF_ORACLE, tags=("temporal", "stats"))
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..7) of the daily event-count
+    series — the seasonality detector behind any forecasting stage.
+    Integer-exact throughout: with mean = T/n, the deviation is scaled
+    to d_i = n*c_i - T (an integer), so r_k = sum(d_i * d_{i+k}) /
+    sum(d_i^2) is a ratio of exact integers and ONE double division
+    reports each lag (< 2^53 while n_days * total_events < ~3e9; past
+    that the documented upgrade is decimal(38,0) product sums). All
+    seven LEADs ride ONE WindowExec over the tiny per-day table; the
+    event-stream exchange is the single groupBy(day) partial agg."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(day_bucket().alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    allw = Window.partitionBy()
+    ow = Window.orderBy("day")
+    dev = daily.select(
+        "day",
+        (F.count(F.lit(1)).over(allw) * F.col("c") - F.sum("c").over(allw)).alias(
+            "d"
+        ),
+        F.count(F.lit(1)).over(allw).alias("n"),
+    )
+    led = dev.select(
+        "n",
+        "d",
+        *[F.lead("d", k).over(ow).alias(f"d{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+        F.sum(F.col("d") * F.col("d")).over(allw).alias("dd"),
+    )
+    stack_args = ", ".join(f"{k}, d * d{k}" for k in range(1, _ACF_MAX_LAG + 1))
+    stacked = led.select(
+        "n",
+        "dd",
+        F.expr(f"stack({_ACF_MAX_LAG}, {stack_args}) as (lag, prod)"),
+    )
+    return (
+        stacked.groupBy("lag")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("dd").alias("dd"),
+            F.coalesce(F.sum("prod"), F.lit(0)).alias("num"),
+        )
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("num").cast("double").alias("acf_num"),
+            F.col("dd").cast("double").alias("acf_den"),
+            (
+                F.round(F.col("num").cast("double") / F.col("dd").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("acf"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# T132: seasonal-naive forecast backtest (lag-7) with MASE vs naive-1
+# --------------------------------------------------------------------------
+
+_BACKTEST_ORACLE = """
+WITH daily AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day, COUNT(*) AS c
+    FROM events GROUP BY 1
+),
+led AS (
+    SELECT day, c,
+           LAG(c, 7) OVER (ORDER BY day) AS f7,
+           LAG(c, 1) OVER (ORDER BY day) AS f1
+    FROM daily
+),
+ev AS (SELECT * FROM led WHERE f7 IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(ABS(c - f7)) AS BIGINT) AS mae7_num,
+       CAST(SUM(ABS(c - f1)) AS BIGINT) AS mae1_num,
+       ROUND(CAST(SUM(ABS(c - f7)) AS DOUBLE) / COUNT(*), 4) + 0.0 AS mae7,
+       ROUND(CAST(SUM(ABS(c - f7)) AS DOUBLE)
+             / CAST(SUM(ABS(c - f1)) AS DOUBLE), 6) + 0.0 AS mase,
+       ROUND(CAST(SUM(CAST(FLOOR(1e9 * ABS(c - f7) / c + 0.5) AS BIGINT))
+                  AS DOUBLE) / (1e9 * COUNT(*)), 6) + 0.0 AS mape
+FROM ev
+"""
+
+
+@query("seasonal_naive_backtest", oracle=_BACKTEST_ORACLE, tags=("temporal", "stats"))
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast backtest over the daily event
+    series: MAE as an exact integer sum, MASE as the ratio of the
+    seasonal MAE to the naive-1 MAE on the SAME evaluation rows (the
+    scale-free forecast-quality standard — the integer numerators make
+    it a ratio of exact counts), and MAPE with each per-day term
+    quantized to 1e-9 fixed point before summation (per-term division
+    of exact integers is correctly rounded and identical cross-engine;
+    the quantized terms then sum exactly). Daily counts are >= 1 by
+    construction so the MAPE denominator never divides by zero. Both
+    LAGs share one WindowExec over the per-day table."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(day_bucket().alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ow = Window.orderBy("day")
+    led = daily.select(
+        "c",
+        F.lag("c", 7).over(ow).alias("f7"),
+        F.lag("c", 1).over(ow).alias("f1"),
+    ).filter(F.col("f7").isNotNull())
+    mape_q9 = F.floor(
+        F.lit(1e9) * F.abs(F.col("c") - F.col("f7")) / F.col("c") + F.lit(0.5)
+    ).cast("bigint")
+    return led.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.abs(F.col("c") - F.col("f7"))).cast("bigint").alias("mae7_num"),
+        F.sum(F.abs(F.col("c") - F.col("f1"))).cast("bigint").alias("mae1_num"),
+        (
+            F.round(
+                F.sum(F.abs(F.col("c") - F.col("f7"))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("mae7"),
+        (
+            F.round(
+                F.sum(F.abs(F.col("c") - F.col("f7"))).cast("double")
+                / F.sum(F.abs(F.col("c") - F.col("f1"))).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mase"),
+        (
+            F.round(
+                F.sum(mape_q9).cast("double") / (F.lit(1e9) * F.count(F.lit(1))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mape"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T133: Theil-Sen robust trend (median of pairwise slopes) of daily counts
+# --------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day, COUNT(*) AS c
+    FROM events GROUP BY 1
+),
+seq AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, c FROM daily),
+pairs AS (
+    SELECT a.i AS i, b.i AS j,
+           CAST(FLOOR(1e9 * (b.c - a.c) / (b.i - a.i) + 0.5) AS BIGINT) AS sq9
+    FROM seq a JOIN seq b ON b.i > a.i
+),
+ranked AS (
+    SELECT i, j, sq9,
+           ROW_NUMBER() OVER (ORDER BY sq9, i, j) AS rn,
+           COUNT(*) OVER () AS m
+    FROM pairs
+)
+SELECT CAST((SELECT COUNT(*) FROM seq) AS BIGINT) AS n_days,
+       CAST(m AS BIGINT) AS n_pairs,
+       CAST(sq9 AS BIGINT) AS slope_q9,
+       ROUND(sq9 / 1e9, 6) + 0.0 AS slope_per_day,
+       CAST(i AS BIGINT) AS witness_i,
+       CAST(j AS BIGINT) AS witness_j
+FROM ranked WHERE rn = (m + 1) // 2
+"""
+
+
+@query("theilsen_trend", oracle=_THEILSEN_ORACLE, tags=("temporal", "stats"))
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate over the daily event series: the
+    median of all pairwise slopes (c_j - c_i)/(j - i), the classic
+    outlier-resistant alternative to least-squares (breakdown point
+    ~29%). Each slope is quantized to 1e-9 fixed point at the PAIR (one
+    exact-integer-operand division per pair, correctly rounded and
+    identical cross-engine), so the median is an exact-integer order
+    statistic with a (slope, i, j) total order — no float compare
+    decides it. Pair generation is a nested array transform over the
+    collected per-day sequence (bounded by n_days^2 PAIRS OF DAYS,
+    never events — ~90 days -> ~4k pairs at any corpus size), so the
+    event-stream exchange is the single groupBy(day); the oracle uses
+    the equivalent self-join spelling."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(day_bucket().alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ow = Window.orderBy("day")
+    seq = daily.select(F.row_number().over(ow).alias("i"), "c")
+    arr = seq.agg(
+        F.array_sort(F.collect_list(F.struct("i", "c"))).alias("a")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(a, (x, ix) -> "
+                "transform(slice(a, ix + 2, size(a)), y -> "
+                "struct(x.i as i, y.i as j, "
+                "cast(floor(1e9 * (y.c - x.c) / (y.i - x.i) + 0.5) as bigint)"
+                " as sq9))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    rw = Window.orderBy("sq9", "i", "j")
+    allw = Window.partitionBy()
+    ranked = pairs.select(
+        "i",
+        "j",
+        "sq9",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(allw).alias("m"),
+        F.max(F.col("j")).over(allw).alias("nd"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(m + 1) div 2")
+    ).select(
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.col("sq9").cast("bigint").alias("slope_q9"),
+        (F.round(F.col("sq9") / F.lit(1e9), 6) + F.lit(0.0)).alias("slope_per_day"),
+        F.col("i").cast("bigint").alias("witness_i"),
+        F.col("j").cast("bigint").alias("witness_j"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T134: rolling-median/MAD anomaly flags over the daily event series
+# --------------------------------------------------------------------------
+
+_MAD_WIN = 15  # preceding days in the baseline window
+_MAD_MIN = 8  # minimum history before a flag can fire
+_MAD_K = 3  # flag when |c - med| > K * MAD
+
+_MAD_ORACLE = f"""
+WITH daily AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day, COUNT(*) AS c
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT day, c,
+           LIST(c) OVER (ORDER BY day
+                         ROWS BETWEEN {_MAD_WIN} PRECEDING AND 1 PRECEDING)
+               AS l
+    FROM daily
+),
+m AS (
+    SELECT day, c, l,
+           CASE WHEN len(l) >= {_MAD_MIN}
+                THEN list_sort(l)[(len(l) + 1) // 2] END AS med
+    FROM w
+),
+d AS (
+    SELECT day, c, med,
+           CASE WHEN med IS NOT NULL
+                THEN list_sort(list_transform(l, x -> abs(x - med)))
+                         [(len(l) + 1) // 2] END AS mad
+    FROM m
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(c AS BIGINT) AS c,
+       CAST(med AS BIGINT) AS baseline_med,
+       CAST(mad AS BIGINT) AS baseline_mad,
+       CASE WHEN med IS NULL THEN FALSE
+            ELSE ABS(c - med) > {_MAD_K} * mad END AS is_anomaly
+FROM d
+"""
+
+
+@query("anomaly_mad_daily", oracle=_MAD_ORACLE, tags=("temporal", "stats"))
+def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags over the daily event series: each day is
+    scored against the median and MAD (median absolute deviation) of
+    its preceding 15-day window — the standard robust z-score
+    (|c - med| > 3*MAD) that a mean/stddev detector gets wrong
+    whenever the baseline itself contains spikes. The window list is
+    bounded at 15 elements so the per-row sort is O(1); both
+    median and MAD are exact integer order statistics (lower median —
+    no float interpolation), bit-comparable cross-engine. Days with
+    under 8 prior days emit NULL baselines and never flag.
+    The event-stream exchange is the single groupBy(day); everything
+    after rides the tiny per-day table."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(day_bucket().alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ww = Window.orderBy("day").rowsBetween(-_MAD_WIN, -1)
+    w = daily.select("day", "c", F.collect_list("c").over(ww).alias("l"))
+    med = F.when(
+        F.size("l") >= _MAD_MIN,
+        F.element_at(F.array_sort("l"), F.expr("(size(l) + 1) div 2").cast("int")),
+    )
+    m = w.select("day", "c", "l", med.alias("med"))
+    mad = F.when(
+        F.col("med").isNotNull(),
+        F.element_at(
+            F.array_sort(F.expr("transform(l, x -> abs(x - med))")),
+            F.expr("(size(l) + 1) div 2").cast("int"),
+        ),
+    )
+    d = m.select("day", "c", "med", mad.alias("mad"))
+    return d.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("med").cast("bigint").alias("baseline_med"),
+        F.col("mad").cast("bigint").alias("baseline_mad"),
+        F.when(F.col("med").isNull(), F.lit(False))
+        .otherwise(
+            F.abs(F.col("c") - F.col("med")) > F.lit(_MAD_K) * F.col("mad")
+        )
+        .alias("is_anomaly"),
+    )

@@ -129,3 +129,84 @@ def test_spearman_detects_monotone_and_ties(spark):
         ((n * sa2 - sa * sa) * (n * sb2 - sb * sb)) ** 0.5
     )
     assert abs(rho - 1.0) < 1e-12  # x -> x^2 is strictly monotone
+
+
+def _daily_counts(spark, sf_dir=SF) -> list[int]:
+    """Per-day event counts in day order (pure-python ground truth)."""
+    from c3dc_etl_spark.suite.registry import DAY_US, load
+
+    rows = load(spark, sf_dir, "events").select("ts_us").collect()
+    by_day: dict[int, int] = {}
+    for r in rows:
+        d = int(r["ts_us"]) // DAY_US
+        by_day[d] = by_day.get(d, 0) + 1
+    return [by_day[d] for d in sorted(by_day)]
+
+
+def test_acf_matches_python_recompute(spark):
+    cs = _daily_counts(spark)
+    n, t = len(cs), sum(cs)
+    dev = [n * c - t for c in cs]  # integer-scaled deviations
+    dd = sum(d * d for d in dev)
+    got = {r["lag"]: r for r in REGISTRY["acf_daily_events"].fn(spark, SF).collect()}
+    assert set(got) == set(range(1, 8))
+    for k in range(1, 8):
+        num = sum(dev[i] * dev[i + k] for i in range(n - k))
+        r = got[k]
+        assert r["n_days"] == n
+        assert r["acf_num"] == float(num)
+        assert r["acf_den"] == float(dd)
+        assert r["acf"] == round(num / dd, 6) + 0.0
+        assert -1.0 <= r["acf"] <= 1.0  # Cauchy-Schwarz bound
+
+
+def test_seasonal_backtest_matches_python_recompute(spark):
+    cs = _daily_counts(spark)
+    ev = [(cs[i], cs[i - 7], cs[i - 1]) for i in range(7, len(cs))]
+    mae7_num = sum(abs(c - f7) for c, f7, _ in ev)
+    mae1_num = sum(abs(c - f1) for c, _, f1 in ev)
+    got = REGISTRY["seasonal_naive_backtest"].fn(spark, SF).first()
+    assert got["n_eval"] == len(ev)
+    assert got["mae7_num"] == mae7_num
+    assert got["mae1_num"] == mae1_num
+    assert got["mase"] == round(mae7_num / mae1_num, 6) + 0.0
+    q9 = sum(int(1e9 * abs(c - f7) / c + 0.5) for c, f7, _ in ev)
+    assert got["mape"] == round(q9 / (1e9 * len(ev)), 6) + 0.0
+
+
+def test_theilsen_matches_python_recompute(spark):
+    cs = _daily_counts(spark)
+    pairs = []
+    for i in range(len(cs)):
+        for j in range(i + 1, len(cs)):
+            q9 = int(
+                math.floor(1e9 * (cs[j] - cs[i]) / (j - i) + 0.5)
+            )
+            pairs.append((q9, i + 1, j + 1))
+    pairs.sort()
+    m = len(pairs)
+    med = pairs[(m + 1) // 2 - 1]
+    got = REGISTRY["theilsen_trend"].fn(spark, SF).first()
+    assert got["n_days"] == len(cs)
+    assert got["n_pairs"] == m
+    assert (got["slope_q9"], got["witness_i"], got["witness_j"]) == med
+
+
+def test_mad_anomaly_matches_python_recompute(spark):
+    cs = _daily_counts(spark)
+    got = sorted(
+        REGISTRY["anomaly_mad_daily"].fn(spark, SF).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(got) == len(cs)
+    lower_med = lambda xs: sorted(xs)[(len(xs) + 1) // 2 - 1]  # noqa: E731
+    for idx, r in enumerate(got):
+        win = cs[max(0, idx - 15) : idx]
+        if len(win) < 8:
+            assert r["baseline_med"] is None and not r["is_anomaly"]
+            continue
+        med = lower_med(win)
+        mad = lower_med([abs(x - med) for x in win])
+        assert r["baseline_med"] == med
+        assert r["baseline_mad"] == mad
+        assert r["is_anomaly"] == (abs(cs[idx] - med) > 3 * mad)
