@@ -108,6 +108,9 @@ PRIORITY = [
     "seasonal_naive_backtest",
     "theilsen_trend",
     "anomaly_mad_daily",
+    "interval_concurrency_sweep",
+    "attribution_first_last_touch",
+    "dedup_prefix_filter",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

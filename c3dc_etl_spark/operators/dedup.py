@@ -707,3 +707,111 @@ def snapshot_delta(
     return o.join(n, "__id", "full_outer").select(
         F.col("__id").alias(id_col), status.alias("status")
     )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (the AllPairs
+    family — Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06): every
+    pair of documents whose distinct-word-set Jaccard is >= t, with NO
+    candidate loss — the lossless counterpart to the min-hash bucketing
+    in ngram_jaccard_pairs (whose recall is probabilistic).
+
+    Algorithm: order the vocabulary rarest-first (df asc, token asc —
+    a deterministic total order), keep each doc's first
+    L = s - ceil(t*s) + 1 tokens in that order as its PREFIX, and join
+    prefixes: any pair with J >= t MUST share a prefix token (if all
+    shared tokens sat past both prefixes, the overlap could be at most
+    s - L < ceil(t*s) — too small), so the prefix join plus the length
+    filter den*min(sa,sb) >= num*max(sa,sb) yields a complete candidate
+    set. Candidates are then verified exactly with an intersection
+    count restricted to candidate pairs.
+
+    Everything that decides membership is integer: prefix length uses
+    ceil(num*s/den) = (num*s + den - 1) div den, the final test is the
+    cross-multiplied den*inter >= num*(sa + sb - inter) — no float
+    compare anywhere; the reported jaccard is display-only rounding.
+
+    Scale shape: rarest-first prefixes keep the candidate join's
+    per-token fan-out bounded by the df of RARE tokens (the design's
+    whole point); clusters of genuinely-similar docs cost their output
+    size, which no exact algorithm avoids. The vocabulary ranking is a
+    vocab-sized global row_number (bounded by distinct words, not
+    corpus rows); at vocabularies past one task, swap in the two-phase
+    distributed numbering used by sample_token_budget."""
+    from pyspark.sql import Window
+    from c3dc_etl_spark.operators.text import lower_tokens
+
+    num, den = threshold_num, threshold_den
+    # pinned: toks feeds the ranking, the prefix table, the two
+    # verification probes, and the size table — five consumers; without
+    # the pin each re-scans and re-tokenizes the full corpus.
+    toks = pin(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(lower_tokens(text_col))).alias("token"),
+        )
+    )
+    rank = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "token", F.row_number().over(Window.orderBy("df", "token")).alias("rk")
+        )
+    )
+    dw = Window.partitionBy("doc_id")
+    pw = dw.orderBy("rk")
+    pos = toks.join(rank, "token").select(
+        "doc_id",
+        "token",
+        F.row_number().over(pw).alias("p"),
+        F.count(F.lit(1)).over(dw).alias("s"),
+    )
+    pref = pos.filter(
+        F.col("p") <= F.col("s") - F.expr(f"({num} * s + {den - 1}) div {den}") + 1
+    ).select("doc_id", "token", "s")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(den) * F.least(F.col("a.s"), F.col("b.s"))
+                >= F.lit(num) * F.greatest(F.col("a.s"), F.col("b.s"))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    union = F.col("sa") + F.col("sb") - F.col("inter")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * union)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("sa").cast("bigint").alias("size_a"),
+            F.col("sb").cast("bigint").alias("size_b"),
+            F.round(F.col("inter").cast("double") / union.cast("double"), 4).alias(
+                "jaccard"
+            ),
+        )
+    )

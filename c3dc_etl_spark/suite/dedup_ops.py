@@ -711,3 +711,76 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# T137: exact set-similarity self-join by prefix filtering (AllPairs)
+# --------------------------------------------------------------------------
+
+PREFIX_T_NUM = 19
+PREFIX_T_DEN = 20  # Jaccard threshold 0.95 — the corpus is heavily
+# templated at the word-SET level, so lower thresholds select most of
+# the quadratic pair space; 0.95 keeps output the genuine near-dup set.
+
+_PREFIX_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_DISTINCT(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+'),
+               t -> t <> ''))) AS token
+    FROM documents
+),
+rk AS (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*), token) AS rk
+    FROM toks GROUP BY token
+),
+pos AS (
+    SELECT doc_id, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rk) AS p,
+           COUNT(*) OVER (PARTITION BY doc_id) AS s
+    FROM toks JOIN rk USING (token)
+),
+pref AS (
+    SELECT doc_id, token, s FROM pos
+    WHERE p <= s - ({PREFIX_T_NUM} * s + {PREFIX_T_DEN - 1}) // {PREFIX_T_DEN} + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN pref b
+      ON a.token = b.token AND a.doc_id < b.doc_id
+     AND {PREFIX_T_DEN} * LEAST(a.s, b.s) >= {PREFIX_T_NUM} * GREATEST(a.s, b.s)
+),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.id_a
+    JOIN toks tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS s FROM toks GROUP BY doc_id)
+SELECT i.id_a, i.id_b,
+       CAST(sa.s AS BIGINT) AS size_a,
+       CAST(sb.s AS BIGINT) AS size_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(sa.s + sb.s - inter AS DOUBLE), 4)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE {PREFIX_T_DEN} * inter >= {PREFIX_T_NUM} * (sa.s + sb.s - inter)
+"""
+
+
+@query("dedup_prefix_filter", oracle=_PREFIX_ORACLE, tags=("dedup",))
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-set Jaccard self-join (threshold 0.95) by prefix
+    filtering — the lossless AllPairs complement to the min-hash
+    candidate generation used elsewhere in this family: every
+    qualifying pair is found, by construction, not with high
+    probability (losslessness is pinned against brute force in
+    tests/test_dedup.py). See operators.dedup.prefix_filter_jaccard_join
+    for the algorithm and the integer-only membership discipline."""
+    docs = load(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_join(
+        docs, "text", "doc_id",
+        threshold_num=PREFIX_T_NUM, threshold_den=PREFIX_T_DEN,
+    )

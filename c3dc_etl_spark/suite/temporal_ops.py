@@ -1237,3 +1237,197 @@ def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# T135: per-day max-concurrency via a partitioned sweep-line
+# --------------------------------------------------------------------------
+
+_SWEEP_ORACLE = """
+WITH iv AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day, user_id,
+           MIN(EPOCH_US(ts)) AS s, MAX(EPOCH_US(ts)) AS e
+    FROM events GROUP BY 1, 2
+),
+pts AS (
+    SELECT day, s AS t, 1 AS d FROM iv
+    UNION ALL
+    SELECT day, e + 1, -1 FROM iv
+),
+merged AS (
+    SELECT day, t, SUM(d) AS d,
+           SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS starts
+    FROM pts GROUP BY day, t
+),
+run AS (
+    SELECT day, t, starts,
+           SUM(d) OVER (PARTITION BY day ORDER BY t) AS active
+    FROM merged
+),
+mx AS (
+    SELECT day, t, starts, active,
+           MAX(active) OVER (PARTITION BY day) AS peak
+    FROM run
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(SUM(starts) AS BIGINT) AS n_intervals,
+       CAST(MAX(peak) AS BIGINT) AS max_concurrent,
+       CAST(MIN(CASE WHEN active = peak THEN t END) AS BIGINT)
+           AS witness_ts_us
+FROM mx GROUP BY day
+"""
+
+
+@query("interval_concurrency_sweep", oracle=_SWEEP_ORACLE, tags=("temporal",))
+def interval_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrency by sweep-line: each user's activity on a
+    day is the inclusive interval [first event, last event]; the sweep
+    emits +1 at start and -1 at end+1, collapses same-timestamp deltas
+    with a pre-aggregation (so no intra-timestamp ordering ever decides
+    the result), and a running sum finds the peak and its earliest
+    witness timestamp. The count/sum/max pipeline is pure integers.
+
+    Scale shape: the sweep WINDOW is partitioned by day — intervals
+    never cross days by construction — so unlike the classic global
+    sweep-line this parallelizes to any date range (each day's point
+    list is bounded by 2x its distinct users). ONE scan: the interval
+    count rides the sweep itself as the per-day sum of start points,
+    so no second aggregate/join re-reads the events table; the final
+    day rollup reuses the window's day-hash partitioning exchange-free."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.groupBy(day_bucket().alias("day"), "user_id").agg(
+        F.min("ts_us").alias("s"), F.max("ts_us").alias("e")
+    )
+    # explode, not union: a union of two selects over iv would make
+    # Catalyst split the min/max aggregation into two per-branch
+    # aggregations — two full scans + two (day,user) shuffles of the
+    # event stream. One row -> two sweep points keeps ONE of each.
+    pts = iv.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct((F.col("e") + 1).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("p"),
+    ).select("day", "p.t", "p.d")
+    merged = pts.groupBy("day", "t").agg(
+        F.sum("d").alias("d"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("starts"),
+    )
+    run = merged.select(
+        "day",
+        "t",
+        "starts",
+        F.sum("d").over(Window.partitionBy("day").orderBy("t")).alias("active"),
+    )
+    dw = Window.partitionBy("day")
+    mx = run.select(
+        "day",
+        "t",
+        "starts",
+        "active",
+        F.max("active").over(dw).alias("peak"),
+    )
+    return mx.groupBy("day").agg(
+        F.sum("starts").cast("bigint").alias("n_intervals"),
+        F.max("peak").cast("bigint").alias("max_concurrent"),
+        F.min(F.when(F.col("active") == F.col("peak"), F.col("t")))
+        .cast("bigint")
+        .alias("witness_ts_us"),
+    ).select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_intervals",
+        "max_concurrent",
+        "witness_ts_us",
+    )
+
+
+# --------------------------------------------------------------------------
+# T136: first/last-touch revenue attribution with a 7-day lookback
+# --------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 86_400_000_000
+
+_ATTR_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, EPOCH_US(ts) AS ts_us, event_type, value,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k
+    FROM events
+),
+touched AS (
+    SELECT user_id, ts_us, event_type, value,
+           MIN(CASE WHEN event_type = 'click' THEN
+                   struct_pack(ts := ts_us, ch := ['email','search','social','direct'][(k % 4) + 1])
+               END) OVER w AS ft,
+           MAX(CASE WHEN event_type = 'click' THEN
+                   struct_pack(ts := ts_us, ch := ['email','search','social','direct'][(k % 4) + 1])
+               END) OVER w AS lt
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING AND CURRENT ROW)
+),
+models AS (
+    SELECT 'first_touch' AS model, COALESCE(ft.ch, 'none') AS channel, value
+    FROM touched WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'last_touch', COALESCE(lt.ch, 'none'), value
+    FROM touched WHERE event_type = 'purchase'
+)
+SELECT model, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM models GROUP BY model, channel
+"""
+
+
+@query("attribution_first_last_touch", oracle=_ATTR_ORACLE, tags=("temporal",))
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style revenue attribution: each purchase credits the
+    FIRST and the LAST click of the same user within a 7-day lookback
+    (channel derived from the click's props.k), 'none' when the window
+    holds no click. Both models ride ONE user-partitioned range-frame
+    WindowExec — min(struct) is the earliest touch and max(struct) the
+    latest (ties at equal timestamps break on the channel string, the
+    same total order both engines give struct comparison), and the
+    aggregate MIN/MAX skip non-click rows through the CASE/when NULL.
+    Revenue sums in decimal cents (order-independent, exact). One
+    user-hash exchange + one small rollup exchange; no self-join, no
+    per-purchase click scan — the scale-correct attribution shape."""
+    ch = F.element_at(
+        F.array(*[F.lit(c) for c in ("email", "search", "social", "direct")]),
+        (F.get_json_object("props", "$.k").cast("bigint") % 4 + 1).cast("int"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", F.struct(F.col("ts_us").alias("ts"), ch.alias("ch"))).alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_LOOKBACK_US, 0)
+    )
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.min("t").over(w).alias("ft"),
+        F.max("t").over(w).alias("lt"),
+    ).filter(F.col("event_type") == "purchase")
+    models = touched.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce(F.col("ft.ch"), F.lit("none")).alias("channel"),
+        "value",
+    ).unionAll(
+        touched.select(
+            F.lit("last_touch").alias("model"),
+            F.coalesce(F.col("lt.ch"), F.lit("none")).alias("channel"),
+            "value",
+        )
+    )
+    return models.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        dsum("value").alias("revenue"),
+    )

@@ -210,3 +210,85 @@ def test_mad_anomaly_matches_python_recompute(spark):
         assert r["baseline_med"] == med
         assert r["baseline_mad"] == mad
         assert r["is_anomaly"] == (abs(cs[idx] - med) > 3 * mad)
+
+
+def test_concurrency_sweep_matches_python_recompute(spark):
+    from c3dc_etl_spark.suite.registry import DAY_US, load
+
+    rows = load(spark, SF, "events").select("ts_us", "user_id").collect()
+    iv: dict[tuple[int, int], list[int]] = {}
+    for r in rows:
+        key = (int(r["ts_us"]) // DAY_US, r["user_id"])
+        t = int(r["ts_us"])
+        if key in iv:
+            iv[key][0] = min(iv[key][0], t)
+            iv[key][1] = max(iv[key][1], t)
+        else:
+            iv[key] = [t, t]
+    got = {
+        r["day"]: r
+        for r in REGISTRY["interval_concurrency_sweep"].fn(spark, SF).collect()
+    }
+    days = {d for d, _ in iv}
+    assert set(got) == days
+    for day in days:
+        pts: dict[int, int] = {}
+        n = 0
+        for (d, _), (s, e) in iv.items():
+            if d != day:
+                continue
+            n += 1
+            pts[s] = pts.get(s, 0) + 1
+            pts[e + 1] = pts.get(e + 1, 0) - 1
+        run, peak, witness = 0, 0, None
+        for t in sorted(pts):
+            run += pts[t]
+            if run > peak:
+                peak, witness = run, t
+        r = got[day]
+        assert r["n_intervals"] == n
+        assert r["max_concurrent"] == peak
+        assert r["witness_ts_us"] == witness
+
+
+def test_attribution_models_match_python_recompute(spark):
+    import json as _json
+
+    from c3dc_etl_spark.suite.registry import load
+    from c3dc_etl_spark.suite.temporal_ops import _ATTR_LOOKBACK_US
+
+    chs = ("email", "search", "social", "direct")
+    rows = load(spark, SF, "events").select(
+        "user_id", "ts_us", "event_type", "value", "props"
+    ).collect()
+    clicks: dict[int, list[tuple[int, str]]] = {}
+    for r in rows:
+        if r["event_type"] == "click":
+            k = _json.loads(r["props"])["k"]
+            clicks.setdefault(r["user_id"], []).append(
+                (int(r["ts_us"]), chs[k % 4])
+            )
+    agg: dict[tuple[str, str], list] = {}
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        t = int(r["ts_us"])
+        win = [
+            c
+            for c in clicks.get(r["user_id"], [])
+            if t - _ATTR_LOOKBACK_US <= c[0] <= t
+        ]
+        for model, pick in (
+            ("first_touch", min(win) if win else None),
+            ("last_touch", max(win) if win else None),
+        ):
+            key = (model, pick[1] if pick else "none")
+            cell = agg.setdefault(key, [0, 0])
+            cell[0] += 1
+            cell[1] += round(r["value"] * 100)
+    got = REGISTRY["attribution_first_last_touch"].fn(spark, SF).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        n, cents = agg[(r["model"], r["channel"])]
+        assert r["n_purchases"] == n
+        assert r["revenue"] == cents / 100.0

@@ -172,3 +172,32 @@ def test_containment_threshold_filters(spark):
         df, "txt", "id", min_containment=0.9, bucket_hashes=8
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+def test_prefix_filter_is_lossless_vs_brute_force(spark):
+    """AllPairs prefix filtering must find EVERY pair with J >= t — the
+    algorithm's defining property, checked against an exhaustive
+    python recompute of all C(n,2) word-set Jaccards."""
+    from c3dc_etl_spark.suite.dedup_ops import PREFIX_T_DEN, PREFIX_T_NUM
+    from c3dc_etl_spark.suite.registry import REGISTRY, load
+
+    SF = "/root/testdata/sf0.001"
+    rows = load(spark, SF, "documents").select("doc_id", "text").collect()
+    sets = {
+        r["doc_id"]: set(t for t in r["text"].lower().split() if t)
+        for r in rows
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and PREFIX_T_DEN * inter >= PREFIX_T_NUM * union:
+                want[(a, b)] = (len(sets[a]), len(sets[b]), round(inter / union, 4))
+    got = {
+        (r["id_a"], r["id_b"]): (r["size_a"], r["size_b"], r["jaccard"])
+        for r in REGISTRY["dedup_prefix_filter"].fn(spark, SF).collect()
+    }
+    assert want, "fixture corpus must contain qualifying pairs"
+    assert got == want  # complete AND exact: no missed pair, no extras
