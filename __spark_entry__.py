@@ -111,6 +111,7 @@ PRIORITY = [
     "interval_concurrency_sweep",
     "attribution_first_last_touch",
     "dedup_prefix_filter",
+    "dedup_edit_distance",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

@@ -815,3 +815,101 @@ def prefix_filter_jaccard_join(
             ),
         )
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_dist: int = 8,
+    q: int = 3,
+) -> DataFrame:
+    """EXACT bounded edit-distance self-join (the Ed-Join family — Xiao
+    et al., VLDB'08): every pair of documents whose Levenshtein distance
+    is <= max_dist, with NO candidate loss.
+
+    Filtering theorem (distinct positional q-grams over the
+    sentinel-padded string): one edit overwrites at most q gram
+    positions, so <= d edits can fully destroy at most d*q DISTINCT
+    grams — |G(a) ∩ G(b)| >= max(|G(a)|, |G(b)|) - d*q whenever
+    ed(a, b) <= d. Under a global rarest-first gram order the standard
+    prefix lemma then guarantees any qualifying pair shares a gram
+    within both docs' first d*q + 1 grams, so the candidate set from
+    the prefix join (plus the |len_a - len_b| <= d length filter) is
+    complete. Candidates are verified with an exact levenshtein()
+    (identical classic unit-cost semantics in Spark and DuckDB).
+
+    Scale shape mirrors prefix_filter_jaccard_join: the candidate
+    join's fan-out is bounded by the document frequency of RARE grams;
+    the vocabulary rank is a vocab-sized global row_number (bounded by
+    distinct q-grams, not corpus rows). Verification cost is
+    O(len^2) per CANDIDATE — the filters exist to make candidates,
+    not the corpus square, pay it. Null texts drop out (null gram
+    arrays explode to nothing on both engines)."""
+    from pyspark.sql import Window
+
+    d = max_dist
+    prefix_len = d * q + 1
+    pad = "\x1f" * (q - 1)
+    padded = F.concat(F.lit(pad), F.col(text_col), F.lit(pad))
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, length(__padded) - {q} + 1),"
+            f" i -> substring(__padded, i, {q}))"
+        )
+    )
+    toks = pin(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).alias("len"),
+            padded.alias("__padded"),
+        ).select("doc_id", "len", F.explode(grams).alias("gram"))
+    )
+    rank = (
+        toks.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "gram",
+            F.row_number().over(Window.orderBy("df", "gram")).alias("rk"),
+        )
+    )
+    pos = toks.join(rank, "gram").select(
+        "doc_id",
+        "len",
+        "gram",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("rk"))
+        .alias("p"),
+    )
+    pref = pos.filter(F.col("p") <= prefix_len).select("doc_id", "len", "gram")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "gram")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= d)
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.len").alias("len_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.len").alias("len_b"),
+        )
+        .distinct()
+    )
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= d)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("len_a").cast("bigint").alias("len_a"),
+            F.col("len_b").cast("bigint").alias("len_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+    )

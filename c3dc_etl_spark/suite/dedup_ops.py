@@ -784,3 +784,71 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         threshold_num=PREFIX_T_NUM, threshold_den=PREFIX_T_DEN,
     )
+
+
+# --------------------------------------------------------------------------
+# T138: exact bounded edit-distance self-join (Ed-Join q-gram prefix)
+# --------------------------------------------------------------------------
+
+ED_MAX_DIST = 8
+ED_Q = 3  # q-gram width; prefix length = ED_MAX_DIST * ED_Q + 1
+
+_ED_PAD = "\x1f" * (ED_Q - 1)
+
+_ED_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, text, LENGTH(text) AS len,
+           '{_ED_PAD}' || text || '{_ED_PAD}' AS padded
+    FROM documents
+    WHERE text IS NOT NULL
+),
+toks AS (
+    SELECT doc_id, len,
+           UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LENGTH(padded) - {ED_Q} + 1),
+               i -> SUBSTR(padded, i, {ED_Q})))) AS gram
+    FROM base
+),
+rk AS (
+    SELECT gram, ROW_NUMBER() OVER (ORDER BY COUNT(*), gram) AS rk
+    FROM toks GROUP BY gram
+),
+pos AS (
+    SELECT doc_id, len, gram,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rk) AS p
+    FROM toks JOIN rk USING (gram)
+),
+pref AS (
+    SELECT doc_id, len, gram FROM pos WHERE p <= {ED_MAX_DIST * ED_Q + 1}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, a.len AS len_a,
+                    b.doc_id AS id_b, b.len AS len_b
+    FROM pref a JOIN pref b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+     AND ABS(a.len - b.len) <= {ED_MAX_DIST}
+)
+SELECT c.id_a, c.id_b,
+       CAST(c.len_a AS BIGINT) AS len_a,
+       CAST(c.len_b AS BIGINT) AS len_b,
+       CAST(LEVENSHTEIN(ta.text, tb.text) AS BIGINT) AS dist
+FROM cand c
+JOIN base ta ON ta.doc_id = c.id_a
+JOIN base tb ON tb.doc_id = c.id_b
+WHERE LEVENSHTEIN(ta.text, tb.text) <= {ED_MAX_DIST}
+"""
+
+
+@query("dedup_edit_distance", oracle=_ED_ORACLE, tags=("dedup",))
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT bounded Levenshtein self-join (distance <= 8) by Ed-Join
+    q-gram prefix filtering — character-level near-dup detection that
+    catches small in-place edits n-gram Jaccard treats as identical
+    and MinHash only finds probabilistically. Losslessness is pinned
+    against a brute-force banded-DP recompute in tests/test_dedup.py.
+    See operators.dedup.edit_distance_join for the destroy-bound
+    theorem and the prefix construction."""
+    docs = load(spark, sf_dir, "documents")
+    return D.edit_distance_join(
+        docs, "text", "doc_id", max_dist=ED_MAX_DIST, q=ED_Q
+    )

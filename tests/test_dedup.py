@@ -201,3 +201,49 @@ def test_prefix_filter_is_lossless_vs_brute_force(spark):
     }
     assert want, "fixture corpus must contain qualifying pairs"
     assert got == want  # complete AND exact: no missed pair, no extras
+
+
+def test_edit_distance_join_is_lossless_vs_brute_force(spark):
+    """Ed-Join prefix filtering must find EVERY pair within the distance
+    bound — checked against a banded-DP recompute over all length-
+    compatible pairs (the length filter is part of the theorem, so
+    pruning on it keeps the recompute exhaustive)."""
+    from c3dc_etl_spark.suite.dedup_ops import ED_MAX_DIST
+    from c3dc_etl_spark.suite.registry import REGISTRY, load
+
+    SF = "/root/testdata/sf0.001"
+    rows = load(spark, SF, "documents").select("doc_id", "text").collect()
+    docs = [(r["doc_id"], r["text"]) for r in rows]
+
+    def ed_bounded(a: str, b: str, lim: int) -> int:
+        if abs(len(a) - len(b)) > lim:
+            return lim + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            mn = lim + 1
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                mn = min(mn, cur[j])
+            if mn > lim:
+                return lim + 1
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i in range(len(docs)):
+        ia, ta = docs[i]
+        for j in range(i + 1, len(docs)):
+            ib, tb = docs[j]
+            if abs(len(ta) - len(tb)) > ED_MAX_DIST:
+                continue
+            d = ed_bounded(ta, tb, ED_MAX_DIST)
+            if d <= ED_MAX_DIST:
+                key = (ia, ib) if ia < ib else (ib, ia)
+                want[key] = d
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in REGISTRY["dedup_edit_distance"].fn(spark, SF).collect()
+    }
+    assert want, "fixture corpus must contain qualifying pairs"
+    assert got == want  # complete AND exact: no missed pair, no extras
