@@ -112,6 +112,7 @@ PRIORITY = [
     "attribution_first_last_touch",
     "dedup_prefix_filter",
     "dedup_edit_distance",
+    "view_incremental_maintenance",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

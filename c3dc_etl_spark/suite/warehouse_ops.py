@@ -675,3 +675,104 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts_us", "version", "attr_at_time")
     )
+
+
+# --------------------------------------------------------------------------
+# T139: incremental view maintenance (bilinear delta rule, both sides)
+# --------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+WITH o1 AS (
+    SELECT o_custkey AS c_custkey, STRFTIME(o_orderdate, '%Y-%m') AS month,
+           o_totalprice AS price
+    FROM orders WHERE o_orderkey % 20 <> 0
+    UNION ALL
+    SELECT o_custkey, STRFTIME(o_orderdate, '%Y-%m'), o_totalprice + 10.0
+    FROM orders WHERE o_orderkey % 20 = 1
+),
+c1 AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 25 = 3 THEN (c_nationkey + 7) % 25
+                ELSE c_nationkey END AS c_nationkey
+    FROM customer
+)
+SELECT n_name, month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM o1 JOIN c1 USING (c_custkey)
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name, month
+"""
+
+
+@query(
+    "view_incremental_maintenance",
+    oracle=_IVM_ORACLE,
+    tags=("warehouse", "incremental"),
+)
+def view_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained monthly-revenue-by-nation view under a
+    mixed delta batch touching BOTH join sides: order deletions
+    (o_orderkey % 20 = 0), re-keyed order insertions with a price bump
+    (% 20 = 1), and customer nation reassignments (c_custkey % 25 = 3,
+    expressed as a -1/+1 retraction pair). The Spark side runs the
+    bilinear IVM rule — ΔF⋈D0 + F0⋈ΔD + ΔF⋈ΔD with multiplying signs,
+    merged into the stored base aggregate, zero-count groups retracted
+    (operators.warehouse.delta_join_agg_view); the oracle recomputes
+    the view directly from the UPDATED tables, so the hash match IS the
+    proof that incremental maintenance equals full recomputation. The
+    delta terms read only pushed-filter |Δ|-sized scans; the fact table
+    is never rescanned for maintenance — the O(|Δ|) shape that makes a
+    100 TB materialized view refreshable per-batch."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").alias("price"),
+    )
+    fact0 = orders.select("c_custkey", "month", "price")
+    dfact = (
+        orders.filter(F.col("o_orderkey") % 20 == 0)
+        .select("c_custkey", "month", "price", F.lit(-1).alias("__sign"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 20 == 1).select(
+                "c_custkey",
+                "month",
+                (F.col("price") + F.lit(10.0)).alias("price"),
+                F.lit(1).alias("__sign"),
+            )
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    moved = cust.filter(F.col("c_custkey") % 25 == 3)
+    ddim = moved.select(
+        "c_custkey", "c_nationkey", F.lit(-1).alias("__sign")
+    ).unionByName(
+        moved.select(
+            "c_custkey",
+            ((F.col("c_nationkey") + 7) % 25).alias("c_nationkey"),
+            F.lit(1).alias("__sign"),
+        )
+    )
+    view = W.delta_join_agg_view(
+        fact0,
+        dfact,
+        cust,
+        ddim,
+        "c_custkey",
+        ["c_nationkey", "month"],
+        dec("price"),
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        view.join(
+            F.broadcast(nation),
+            view["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            "n_name",
+            "month",
+            F.col("n_rows").alias("n_orders"),
+            F.col("measure_sum").cast("double").alias("revenue"),
+        )
+    )

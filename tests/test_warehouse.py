@@ -289,3 +289,98 @@ def test_scd2_null_semantics_match_duckdb_oracle_form(spark):
     assert got == want
     # a -> NULL -> NULL -> b collapses the NULL run into ONE version
     assert [a for k, v, a in got if k == 1] == ["a", None, "b"]
+
+
+def test_ivm_incremental_equals_direct_recompute(spark):
+    """The maintained view must equal a from-scratch aggregation over
+    the post-delta tables — recomputed here INSIDE Spark (the oracle
+    proves the same fact cross-engine)."""
+    orders = REGISTRY["view_incremental_maintenance"].fn(spark, SF)
+    got = {
+        (r["n_name"], r["month"]): (r["n_orders"], round(r["revenue"], 2))
+        for r in orders.collect()
+    }
+    from c3dc_etl_spark.suite.registry import dec, load
+
+    o = load(spark, SF, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").alias("price"),
+    )
+    o1 = o.filter(F.col("o_orderkey") % 20 != 0).unionByName(
+        o.filter(F.col("o_orderkey") % 20 == 1).withColumn(
+            "price", F.col("price") + F.lit(10.0)
+        )
+    )
+    c1 = load(spark, SF, "customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 25 == 3, (F.col("c_nationkey") + 7) % 25
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+    )
+    n = load(spark, SF, "nation")
+    want = {
+        (r["n_name"], r["month"]): (r["n_orders"], round(r["revenue"], 2))
+        for r in o1.join(c1, "c_custkey")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(dec("price")).cast("double").alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_ivm_retraction_drains_group(spark):
+    """A delta deleting every row of a group must remove the group from
+    the maintained view entirely (retraction, not a zero row)."""
+    fact0 = spark.createDataFrame(
+        [(1, "g1", 5.0), (1, "g1", 7.0), (2, "g2", 3.0)],
+        "k int, grp string, price double",
+    )
+    dim0 = spark.createDataFrame([(1,), (2,)], "k int")
+    dfact = spark.createDataFrame(
+        [(1, "g1", 5.0, -1), (1, "g1", 7.0, -1)],
+        "k int, grp string, price double, __sign int",
+    )
+    ddim = spark.createDataFrame([], "k int, __sign int")
+    out = W.delta_join_agg_view(
+        fact0, dfact, dim0, ddim, "k", ["grp"], F.col("price").cast("decimal(18,2)")
+    ).collect()
+    assert {r["grp"] for r in out} == {"g2"}
+    (g2,) = out
+    assert g2["n_rows"] == 1 and float(g2["measure_sum"]) == 3.0
+
+
+def test_ivm_interaction_term_signs_multiply(spark):
+    """An insert of a fact row whose dim row is simultaneously updated
+    must credit the NEW dim group once and the old group never — only
+    correct if the ΔF⋈ΔD term multiplies signs."""
+    fact0 = spark.createDataFrame([], "k int, grp_unused string, price double")
+    # dim carries the group; fact carries the measure
+    dim0 = spark.createDataFrame([(1, "old")], "k int, grp string")
+    dfact = spark.createDataFrame(
+        [(1, 9.0, 1)], "k int, price double, __sign int"
+    )
+    ddim = spark.createDataFrame(
+        [(1, "old", -1), (1, "new", 1)], "k int, grp string, __sign int"
+    )
+    out = W.delta_join_agg_view(
+        fact0.select("k", "price"),
+        dfact,
+        dim0,
+        ddim,
+        "k",
+        ["grp"],
+        F.col("price").cast("decimal(18,2)"),
+    ).collect()
+    # ΔF⋈D0(old): +9 ; ΔF⋈ΔD: (+1)(-1) old -9, (+1)(+1) new +9
+    # → old nets to zero rows and retracts; new holds the row.
+    assert {(r["grp"], r["n_rows"], float(r["measure_sum"])) for r in out} == {
+        ("new", 1, 9.0)
+    }
