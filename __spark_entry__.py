@@ -113,6 +113,11 @@ PRIORITY = [
     "dedup_prefix_filter",
     "dedup_edit_distance",
     "view_incremental_maintenance",
+    "search_inverted_index",
+    "search_conjunctive",
+    "search_bm25_topk",
+    "search_phrase_positions",
+    "search_proximity_window",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",
