@@ -118,6 +118,13 @@ PRIORITY = [
     "search_bm25_topk",
     "search_phrase_positions",
     "search_proximity_window",
+    "similarity_tfidf_pairs",
+    "graph_bfs_hops",
+    "skyline_pareto_parts",
+    "rolling_distinct_users",
+    "set_ops_bag_semantics",
+    "text_pmi_collocations",
+    "graph_sssp_bounded",
     # --- r2-green: oldest surviving driver rows ---
     "engine_lookup_macros",
     "engine_subrecord_explode",

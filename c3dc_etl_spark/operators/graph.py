@@ -112,6 +112,95 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def bfs_hops(
+    edges: DataFrame,
+    source: str,
+    *,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hops): minimum hop count from ``source`` to every node
+    reachable within ``max_hops`` over the directed edge list —
+    single-source unweighted shortest paths by frontier BFS.
+
+    Per round: ONE equi-join frontier x edges + a distinct + an anti
+    join against the visited set, each round ``localCheckpoint``-ed
+    (module scale notes — lineage stays constant in round count).
+    Shuffle volume per round is O(edges incident to the frontier);
+    the visited set is the only growing state and is exactly the
+    output. A node is labeled with its FIRST discovery round, which is
+    the minimum hop count by BFS invariant — equivalently the DuckDB
+    recursive-CTE formulation ``MIN(hops) GROUP BY node`` over the
+    deduplicated level-expansion (the oracle's form).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0)], "node STRING, hops BIGINT"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("bigint").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source: str,
+    *,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, dist): cheapest path cost from ``source`` using at most
+    ``rounds`` edges — Bellman-Ford relaxation with a bounded round
+    count (integer weights, so distances are exact BIGINTs and the
+    oracle can replay the identical rounds as a CTE chain, the
+    pagerank unroll pattern).
+
+    Per round: one equi-join of the current distance frame with the
+    static edge list + one node-keyed min aggregation (map-side
+    partial), then ``localCheckpoint`` — plan size constant in round
+    count. Unlike bfs_hops there is no visited-set anti-join: a node's
+    distance can improve in a later round (cheaper long path), so every
+    round re-relaxes the full frame; the frame is bounded by the
+    reachable node set."""
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        F.col(weight).cast("bigint").alias("w"),
+    ).localCheckpoint(eager=True)
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node STRING, dist BIGINT"
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = dist.join(e, dist["node"] == e["u"]).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def dedup_assignment(
     nodes: DataFrame,
     edges: DataFrame,

@@ -171,6 +171,93 @@ def conjunctive_match(tf: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+TFIDF_SCALE = 100  # fixed-point scale for integer-exact tf-idf weights
+
+
+def tfidf_weights(tf: DataFrame, n_docs: int) -> DataFrame:
+    """(doc_id, token, w): integer-exact tf-idf weights. w = tf *
+    rational_idf quantized via integral division — ``(tf * (2N - 2df +
+    1) * SCALE) div (2df + 1)`` — so every downstream dot product /
+    norm is an exact BIGINT sum (engine- and order-independent). All
+    operands are positive, so Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree. df comes from a vocabulary-sized aggregate
+    broadcast back onto the postings."""
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    w = F.expr(
+        f"(tf * (2 * {n_docs} - 2 * df + 1) * {TFIDF_SCALE})"
+        " div (2 * df + 1)"
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select("doc_id", "token", w.cast("bigint").alias("w"), "df")
+    )
+
+
+def tfidf_cosine_pairs(
+    tf: DataFrame, n_docs: int, *, df_cap_pct: int = 6
+) -> DataFrame:
+    """Lexical "more-like-this": full tf-idf cosine between every pair
+    of documents sharing at least one RARE token (df <= df_cap_pct% of
+    the corpus). The rare-token gate is the candidate generator — the
+    same discriminative-feature blocking as minhash banding, but
+    df-driven: stop-wordy tokens never generate pairs (a stop token's
+    posting self-join is |corpus|^2 at 100 TB), while the cosine itself
+    is computed over ALL shared tokens of each candidate pair, so the
+    emitted similarity is exact, not an approximation over rare terms.
+
+    dot/norms are exact BIGINT sums of fixed-point weights
+    (tfidf_weights); cosine = dot / (sqrt(na2) * sqrt(nb2)) is three
+    correctly-rounded IEEE ops off exact integers — bit-stable across
+    engines."""
+    weights = tfidf_weights(tf, n_docs)
+    cap = max(1, n_docs * df_cap_pct // 100)
+    rare = weights.filter(F.col("df") <= cap).select("doc_id", "token")
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    wa = weights.select(F.col("doc_id").alias("da"), "token", F.col("w").alias("wa"))
+    wb = weights.select(F.col("doc_id").alias("db"), "token", F.col("w").alias("wb"))
+    dot = (
+        pairs.join(wa, "da")
+        .join(wb, ["db", "token"])
+        .groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot_fp"),
+        )
+    )
+    n2 = weights.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+    )
+    na = n2.select(F.col("doc_id").alias("da"), F.col("n2").alias("na2"))
+    nb = n2.select(F.col("doc_id").alias("db"), F.col("n2").alias("nb2"))
+    return (
+        dot.join(na, "da")
+        .join(nb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "n_shared",
+            "dot_fp",
+            (
+                F.col("dot_fp").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
 def bm25_topk(
     tf: DataFrame,
     terms: list[str],

@@ -271,3 +271,128 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .limit(LP_TOP_K)
     )
+
+
+BFS_SOURCE = "c:1"
+BFS_MAX_HOPS = 3
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT 'c:' || CAST(ck AS STRING) AS src,
+           's:' || CAST(sk AS STRING) AS dst FROM pairs
+    UNION ALL
+    SELECT 's:' || CAST(sk AS STRING),
+           'c:' || CAST(ck AS STRING) FROM pairs
+),
+walk(node, hops) AS (
+    SELECT '{BFS_SOURCE}' AS node, 0 AS hops
+    UNION
+    SELECT e.dst, w.hops + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+
+@query("graph_bfs_hops", oracle=_BFS_ORACLE, tags=("graph",))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source unweighted shortest paths (BFS hop counts) from
+    one customer over the mirrored purchase graph, depth-capped at
+    BFS_MAX_HOPS. Spark runs frontier BFS (operators/graph.py:bfs_hops
+    — per-round join + anti-join, localCheckpoint lineage discipline);
+    the oracle is the SAME computation as a DuckDB recursive CTE whose
+    UNION-dedup level expansion is bounded by n_nodes x max_hops rows,
+    with MIN(hops) collapsing rediscoveries — first-discovery BFS and
+    min-over-all-walks agree exactly, so the hash compare pins the
+    iterative loop against ANSI recursion semantics."""
+    from c3dc_etl_spark.operators.graph import bfs_hops
+    from c3dc_etl_spark.pinning import pin
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = pin(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return bfs_hops(edges, BFS_SOURCE, max_hops=BFS_MAX_HOPS)
+
+
+SSSP_ROUNDS = 3
+
+
+def _sssp_oracle(rounds: int = SSSP_ROUNDS) -> str:
+    head = f"""
+WITH pairs AS (
+    SELECT o_custkey AS ck, l_suppkey AS sk,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS cnt
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT 'c:' || CAST(ck AS STRING) AS src,
+           's:' || CAST(sk AS STRING) AS dst,
+           CAST(1 + (cnt % 5) AS BIGINT) AS w FROM pairs
+    UNION ALL
+    SELECT 's:' || CAST(sk AS STRING),
+           'c:' || CAST(ck AS STRING),
+           CAST(1 + (cnt % 5) AS BIGINT) FROM pairs
+),
+d0(node, dist) AS (SELECT '{BFS_SOURCE}', CAST(0 AS BIGINT))"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+d{i} AS (
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst, d.dist + e.w
+        FROM d{i - 1} d JOIN edges e ON e.src = d.node
+    ) GROUP BY node
+)""")
+    return head + "".join(steps) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+@query("graph_sssp_bounded", oracle=_sssp_oracle(), tags=("graph",))
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford single-source shortest paths over the
+    weighted purchase graph (edge cost derived from order multiplicity,
+    exact integers): cheapest cost within SSSP_ROUNDS edges. The oracle
+    replays the identical relaxation rounds as an unrolled CTE chain
+    (the pagerank pattern) — unlike graph_bfs_hops this pins the
+    re-relax semantics where a later round can IMPROVE an earlier
+    distance via a cheaper longer path, which a visited-set BFS would
+    get wrong (operators/graph.py:sssp_bounded)."""
+    from c3dc_etl_spark.operators.graph import sssp_bounded
+    from c3dc_etl_spark.pinning import pin
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = pin(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.countDistinct("o_orderkey").cast("bigint").alias("cnt"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.lit(1) + (F.col("cnt") % 5)).cast("bigint").alias("w"),
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    return sssp_bounded(edges, BFS_SOURCE, rounds=SSSP_ROUNDS)

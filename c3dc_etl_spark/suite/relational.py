@@ -1724,3 +1724,99 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("co_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
     ).limit(MB_TOP_K)
+
+
+_SKYLINE_ORACLE = """
+WITH p AS (
+    SELECT p_partkey,
+           CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+           CAST(p_size AS BIGINT) AS size
+    FROM part
+),
+w AS (
+    SELECT p_partkey, price_c, size,
+           MAX(size) OVER (ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax,
+           MAX(size) OVER (PARTITION BY price_c) AS smax
+    FROM p
+)
+SELECT p_partkey, price_c, size
+FROM w
+WHERE (pmax IS NULL OR size > pmax) AND size = smax
+"""
+
+
+@query("skyline_pareto_parts", oracle=_SKYLINE_ORACLE, tags=("relational",))
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over part: the Pareto frontier minimizing retail
+    price and maximizing size — no part is cheaper without being
+    smaller. Spark runs the distributed form (bucket-dominance
+    prefilter + exact two-window pass on the near-frontier candidates,
+    operators/skyline.py); the oracle runs the exact windows over the
+    FULL table, so the hash compare proves the prefilter dropped only
+    dominated rows. Price is held in cents via FLOOR(x*100 + 0.5)
+    (registry rule 2: DuckDB rounds double->int casts, Spark
+    truncates)."""
+    from c3dc_etl_spark.operators.skyline import skyline_2d
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return skyline_2d(p, "price_c", "size")
+
+
+_SETOPS_ORACLE = """
+WITH a AS (
+    SELECT l_partkey % 50 AS k FROM lineitem WHERE l_quantity >= 25
+),
+b AS (
+    SELECT l_partkey % 50 AS k FROM lineitem WHERE l_returnflag = 'R'
+),
+ops AS (
+    SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all', k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_distinct', k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_distinct', k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+)
+SELECT op, CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n
+FROM ops GROUP BY op, k
+"""
+
+
+@query("set_ops_bag_semantics", oracle=_SETOPS_ORACLE, tags=("relational",))
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI set-operator multiplicity probe (the null_semantics_probe
+    pattern for INTERSECT/EXCEPT): bag forms keep min/excess
+    multiplicities (INTERSECT ALL / EXCEPT ALL), distinct forms
+    collapse them — Spark's intersectAll/exceptAll against DuckDB's
+    operators, multiplicities hashed per key. Physical shape: each bag
+    op is one partial-agg'd shuffle on the value key (Spark plans
+    them as aggregates over a count-tagged union) — no sort, no join."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select(
+        (F.col("l_partkey") % 50).cast("bigint").alias("k")
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        (F.col("l_partkey") % 50).cast("bigint").alias("k")
+    )
+    parts = [
+        ("intersect_all", a.intersectAll(b)),
+        ("except_all", a.exceptAll(b)),
+        ("intersect_distinct", a.intersect(b)),
+        ("except_distinct", a.subtract(b)),
+    ]
+    out = None
+    for tag, df in parts:
+        c = df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).select(F.lit(tag).alias("op"), "k", "n")
+        out = c if out is None else out.unionByName(c)
+    return out

@@ -168,6 +168,61 @@ def search_proximity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_DF_CAP_PCT = 6
+
+_TFIDF_ORACLE = f"""
+WITH {_TF_CTE},
+stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+dfreq AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+w AS (
+    SELECT t.doc_id, t.token, f.df,
+           CAST((t.tf * (2 * s.n - 2 * f.df + 1) * {S.TFIDF_SCALE})
+                // (2 * f.df + 1) AS BIGINT) AS w
+    FROM tf t JOIN dfreq f USING (token) CROSS JOIN stats s
+),
+rare AS (
+    SELECT doc_id, token FROM w, stats s
+    WHERE df <= GREATEST(1, (s.n * {TFIDF_DF_CAP_PCT}) // 100)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM rare a JOIN rare b ON a.token = b.token AND a.doc_id < b.doc_id
+),
+dot AS (
+    SELECT p.da, p.db,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot_fp
+    FROM pairs p
+    JOIN w wa ON wa.doc_id = p.da
+    JOIN w wb ON wb.doc_id = p.db AND wb.token = wa.token
+    GROUP BY p.da, p.db
+),
+n2 AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id)
+SELECT d.da AS doc_a, d.db AS doc_b, d.n_shared, d.dot_fp,
+       CAST(d.dot_fp AS DOUBLE)
+           / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+           AS cosine
+FROM dot d
+JOIN n2 na ON na.doc_id = d.da
+JOIN n2 nb ON nb.doc_id = d.db
+"""
+
+
+@query("similarity_tfidf_pairs", oracle=_TFIDF_ORACLE, tags=("search", "similarity"))
+def similarity_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical tf-idf cosine between documents sharing a rare token
+    (df <= 6% of corpus): rare-token blocking bounds the pair space
+    (stop tokens never self-join — the |corpus|^2 trap at 100 TB), the
+    cosine is exact over ALL shared tokens, and dot/norms are exact
+    BIGINT fixed-point sums (operators/search.py:tfidf_cosine_pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = pin(S.doc_term_freq(docs, "text", "doc_id"))
+    n_docs = tf.select("doc_id").distinct().count()
+    return S.tfidf_cosine_pairs(tf, n_docs, df_cap_pct=TFIDF_DF_CAP_PCT)
+
+
 # Constants embedded from the very Python floats the Spark literals use.
 _K1 = repr(S.BM25_K1)
 _K1P1 = repr(S.BM25_K1 + 1)

@@ -1431,3 +1431,72 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         dsum("value").alias("revenue"),
     )
+
+
+ROLLING_DISTINCT_DAYS = 7
+
+_ROLLING_DISTINCT_ORACLE = f"""
+WITH ud AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day, user_id
+    FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM ud),
+expanded AS (
+    SELECT user_id, day + i AS tday
+    FROM ud, UNNEST(GENERATE_SERIES(0, {ROLLING_DISTINCT_DAYS - 1})) t(i)
+),
+daily AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS users_1d FROM ud GROUP BY day
+)
+SELECT d.day,
+       daily.users_1d,
+       CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS users_7d
+FROM days d
+JOIN expanded x ON x.tday = d.day
+JOIN daily ON daily.day = d.day
+GROUP BY d.day, daily.users_1d
+"""
+
+
+@query(
+    "rolling_distinct_users",
+    oracle=_ROLLING_DISTINCT_ORACLE,
+    tags=("temporal",),
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT user count per active day — the windowed
+    COUNT DISTINCT that window frames cannot express (no DISTINCT
+    aggregates over RANGE frames in either engine). Scale form: dedupe
+    to (user, day), EXPLODE each into the <=7 future days it covers,
+    then one distinct-count per day — expansion factor is the window
+    length (a constant), shuffle keys are (day, user); never a
+    day-range self-join (whose skew is the full fact table per day at
+    100 TB). Day buckets are epoch-microsecond integer division
+    (registry.day_bucket idiom)."""
+    ev = load(spark, sf_dir, "events")
+    ud = (
+        ev.select(day_bucket("ts_us").alias("day"), "user_id").distinct()
+    )
+    from c3dc_etl_spark.pinning import pin
+
+    ud = pin(ud)
+    days = ud.select("day").distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.lit(ROLLING_DISTINCT_DAYS - 1),
+            )
+        ).alias("tday"),
+    )
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users_1d")
+    )
+    return (
+        days.join(expanded, days["day"] == expanded["tday"])
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+        .join(daily, "day")
+        .select("day", "users_1d", "users_7d")
+    )

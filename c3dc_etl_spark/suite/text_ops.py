@@ -707,3 +707,77 @@ def doc_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_defined_chunks(
         docs, text_col="text", id_col="doc_id", gram=_CDC_GRAM, avg_tokens=_CDC_AVG
     )
+
+
+PMI_MIN_COUNT = 3
+PMI_SCALE = 1_000_000
+
+_PMI_ORACLE = rf"""
+WITH d AS (
+    SELECT LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+bg AS (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM d, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS t(i)
+),
+cxy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg GROUP BY 1, 2),
+cx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_x FROM bg GROUP BY 1),
+cy AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_y FROM bg GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bg)
+SELECT w1, w2, n_xy, n_x, n_y,
+       CAST((n_xy * nn * {PMI_SCALE}) // (n_x * n_y) AS BIGINT) AS pmi_x1e6
+FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+WHERE n_xy >= {PMI_MIN_COUNT}
+"""
+
+
+@query("text_pmi_collocations", oracle=_PMI_ORACLE, tags=("text",))
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information over adjacent
+    token pairs, WITHOUT the log: PMI's ranking is monotone in
+    p(x,y)/(p(x)p(y)) = n_xy*N/(n_x*n_y), so the emitted statistic is
+    that ratio in 1e-6 fixed point via exact integral division — the
+    engine-wide escape from libm (ln() last-ulp divergence would make
+    the hash compare flaky; see sketch_ops HLL notes). Marginals and
+    pair counts are three map-side-combined aggregates over one bigram
+    pass; N is the only driver scalar. BIGINT headroom: n_xy*N*1e6
+    overflows past ~9e18 — at trillion-bigram scale the documented
+    upgrade is decimal(38,0) for the numerator product."""
+    docs = load(spark, sf_dir, "documents")
+    toks = T.lower_tokens("text")
+    pairs = F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.struct(
+                x.alias("w1"), F.get(toks, i + 1).alias("w2")
+            ),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    from c3dc_etl_spark.pinning import pin
+
+    bg = pin(bg)
+    n_total = bg.count()
+    cxy = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    cx = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n_x"))
+    cy = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_y"))
+    return (
+        cxy.filter(F.col("n_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(cx), "w1")
+        .join(F.broadcast(cy), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr(f"(n_xy * {n_total}L * {PMI_SCALE}) div (n_x * n_y)")
+            .cast("bigint")
+            .alias("pmi_x1e6"),
+        )
+    )

@@ -153,3 +153,33 @@ def test_bm25_score_is_exact_division_of_fixed_point(tf):
     rows = S.bm25_topk(tf, ["cat"], 5, 10.0, k=2).collect()
     for r in rows:
         assert r["score"] == r["score_fp"] / S.BM25_SCALE
+
+
+def test_tfidf_weights_exact_integral_division(tf):
+    n = 5
+    w = {
+        (r["doc_id"], r["token"]): (r["w"], r["df"])
+        for r in S.tfidf_weights(tf, n).collect()
+    }
+    # doc 3 'cat': tf=2, df('cat')=3 -> (2*(2*5-2*3+1)*100) // (2*3+1)
+    assert w[(3, "cat")] == ((2 * 5 * 100) // 7, 3)
+    # rare term boosts: df('rare')=1 -> (1*(10-2+1)*100) // 3
+    assert w[(3, "rare")] == ((9 * 100) // 3, 1)
+
+
+def test_tfidf_cosine_pairs_rare_token_blocking(tf):
+    # df cap 30% of 5 docs -> cap 1: only 'rare' (df=1) generates
+    # candidates, and doc 3 is its lone holder -> no pairs at all
+    assert S.tfidf_cosine_pairs(tf, 5, df_cap_pct=30).count() == 0
+    # cap 60% -> 3: 'bird'(1), 'rare'(1), 'fish'(1), 'cat'(3) qualify
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in S.tfidf_cosine_pairs(tf, 5, df_cap_pct=60).collect()
+    }
+    assert set(got) == {(1, 3), (1, 4), (3, 4)}  # cat-sharers
+    for r in got.values():
+        # cosine in (0, 1], exact ints underneath
+        assert 0.0 < r["cosine"] <= 1.0
+        assert isinstance(r["dot_fp"], int) and r["dot_fp"] > 0
+    # docs 1 and 3 share cat AND dog; 1 and 4 share cat, dog
+    assert got[(1, 3)]["n_shared"] == 2

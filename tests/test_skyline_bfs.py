@@ -1,0 +1,126 @@
+"""Unit tests for operators.skyline (2-D Pareto frontier) and
+operators.graph.bfs_hops (frontier BFS)."""
+
+from __future__ import annotations
+
+import pytest
+
+from c3dc_etl_spark.operators.graph import bfs_hops
+from c3dc_etl_spark.operators.skyline import skyline_2d
+
+
+def _brute_skyline(rows):
+    """O(n^2) dominance reference: minimize x, maximize y."""
+    out = []
+    for i, (_, x, y) in enumerate(rows):
+        dominated = any(
+            (x2 < x and y2 >= y) or (x2 <= x and y2 > y)
+            for j, (_, x2, y2) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            out.append(rows[i])
+    return sorted(out)
+
+
+ROWS = [
+    (1, 10, 5),
+    (2, 10, 7),   # same price, bigger: dominates row 1
+    (3, 12, 7),   # same size, pricier than 2: dominated
+    (4, 15, 9),
+    (5, 15, 9),   # exact duplicate of 4: both kept
+    (6, 20, 9),   # dominated by 4/5 (same size, pricier)
+    (7, 25, 12),
+    (8, 30, 1),   # dominated by everything cheaper with bigger y? no:
+                  # y=1 < all, x largest -> dominated by 7
+    (9, 5, 1),    # cheapest: on frontier despite tiny y
+]
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 64])
+def test_skyline_matches_brute_force(spark, n_buckets):
+    df = spark.createDataFrame(ROWS, "id BIGINT, x BIGINT, y BIGINT")
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(df, "x", "y", n_buckets=n_buckets).collect()
+    )
+    assert got == _brute_skyline(ROWS)
+    assert {g[0] for g in got} == {2, 4, 5, 7, 9}
+
+
+def test_skyline_empty_and_single(spark):
+    empty = spark.createDataFrame([], "id BIGINT, x BIGINT, y BIGINT")
+    assert skyline_2d(empty, "x", "y").count() == 0
+    one = spark.createDataFrame([(1, 7, 7)], "id BIGINT, x BIGINT, y BIGINT")
+    assert skyline_2d(one, "x", "y").count() == 1
+
+
+def test_skyline_partition_invariance(spark):
+    df = spark.createDataFrame(ROWS, "id BIGINT, x BIGINT, y BIGINT")
+    a = sorted(map(tuple, skyline_2d(df.coalesce(1), "x", "y").collect()))
+    b = sorted(map(tuple, skyline_2d(df.repartition(16), "x", "y").collect()))
+    assert a == b
+
+
+EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+    ("x", "y"),  # disconnected from 'a'
+]
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(EDGES, "src STRING, dst STRING")
+
+
+def test_bfs_min_hops(spark):
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(_edges_df(spark), "a", max_hops=5).collect()
+    }
+    # c is reachable in 2 via b but also 1 via the direct edge
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_respects_max_hops_and_direction(spark):
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(_edges_df(spark), "a", max_hops=1).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1}
+    # edges are directed: nothing reaches 'a'
+    got_b = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(_edges_df(spark), "b", max_hops=5).collect()
+    }
+    assert got_b == {"b": 0, "c": 1, "d": 2}
+
+
+def test_sssp_later_round_improves_distance(spark):
+    from c3dc_etl_spark.operators.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "b", 1), ("b", "d", 1)],
+        "src STRING, dst STRING, w BIGINT",
+    )
+    r1 = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, "a", rounds=1).collect()
+    }
+    assert r1 == {"a": 0, "b": 10, "c": 1}
+    r2 = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, "a", rounds=2).collect()
+    }
+    # cheaper 2-edge path a->c->b overwrites the direct edge; d appears
+    # via the then-best b=10 prefix (10+1)
+    assert r2 == {"a": 0, "b": 2, "c": 1, "d": 11}
+    r3 = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, "a", rounds=3).collect()
+    }
+    assert r3["d"] == 3
+
+
+def test_bfs_isolated_source(spark):
+    got = bfs_hops(_edges_df(spark), "zzz", max_hops=3).collect()
+    assert [(r["node"], r["hops"]) for r in got] == [("zzz", 0)]
