@@ -78,6 +78,12 @@ HEADLINE = [
     "embedding_pca_covariance",
     "regressor_train_gd",
     "sample_temperature_mixture",
+    # round 5 session 5: full-text retrieval, lexical pair similarity,
+    # iterative graph traversal, windowed count-distinct
+    "search_bm25_topk",
+    "similarity_tfidf_pairs",
+    "graph_sssp_bounded",
+    "rolling_distinct_users",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is
@@ -93,6 +99,7 @@ SCALE_QUERIES = [
     "pagerank_purchase_graph",
     "q12_shipmode_priority",
     "dedup_containment",
+    "similarity_tfidf_pairs",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"

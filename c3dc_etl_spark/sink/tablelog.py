@@ -90,6 +90,9 @@ class TableLog:
         *,
         stats_col: str | None = None,
         extra_stats_cols: list[str] | None = None,
+        bloom_col: str | None = None,
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 4,
         checkpoint_interval: int = 10,
     ):
         self.table_dir = table_dir.rstrip("/")
@@ -101,6 +104,13 @@ class TableLog:
         # col_between) — the companion of optimize_zorder, whose
         # clustered files get tight envelopes on BOTH dimensions
         self.extra_stats_cols = list(extra_stats_cols or [])
+        # point-lookup skipping: per-file Bloom bitsets over this column
+        # ride the commit manifest (read key_eq / bloom_pruned_file_count)
+        self.bloom_col = bloom_col
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
+        if self.bloom_bits % 4 != 0:
+            raise ValueError("bloom_bits must be a multiple of 4 (hex width)")
         self.checkpoint_interval = checkpoint_interval
         os.makedirs(self.log_dir, exist_ok=True)
 
@@ -367,15 +377,23 @@ class TableLog:
         """min/max/rows of ``stats_col`` per landed file — plus [min,
         max] envelopes for every ``extra_stats_cols`` column present —
         in ONE Spark job (group by input_file_name over a single
-        multi-file scan)."""
-        if self.stats_col is None or not names:
+        multi-file scan). With a ``bloom_col`` configured, a second
+        one-job pass attaches a per-file Bloom bitset for point-lookup
+        skipping (``_file_blooms``)."""
+        if not names or (self.stats_col is None and self.bloom_col is None):
             return {}
+        if self.stats_col is None:
+            out: dict[str, dict] = {}
+            self._attach_blooms(spark, names, out)
+            return out
         from pyspark.sql import functions as F
 
         paths = [os.path.join(self.table_dir, n) for n in names]
         scan = spark.read.parquet(*paths)
         if self.stats_col not in scan.columns:
-            return {}
+            out = {}
+            self._attach_blooms(spark, names, out)
+            return out
         extras = [c for c in self.extra_stats_cols if c in scan.columns]
         rows = (
             scan.groupBy(
@@ -429,7 +447,114 @@ class TableLog:
                     for c in extras
                 }
             out[r["__file"]] = st
+        self._attach_blooms(spark, names, out)
         return out
+
+    def _bloom_position_exprs(self, value_col):
+        """The k bucket-position expressions — ONE definition shared by
+        the build side (_file_blooms) and the probe side
+        (_bloom_positions), so a probe can never disagree with the
+        bitset it tests. xxhash64 is seed-stable across sessions;
+        F.concat null-propagates (never concat_ws here: its null-skip
+        would alias NULL values onto the bare-salt hash)."""
+        from pyspark.sql import functions as F
+
+        return [
+            F.pmod(
+                F.xxhash64(F.concat(value_col, F.lit(f":{i}"))),
+                F.lit(self.bloom_bits),
+            )
+            for i in range(self.bloom_hashes)
+        ]
+
+    def _attach_blooms(
+        self, spark: SparkSession, names: list[str], out: dict[str, dict]
+    ) -> None:
+        """Per-file Bloom bitsets over ``bloom_col``, merged into the
+        stats dict as hex strings. Exact over each file's values, so a
+        point lookup has NO false negatives (every present value was
+        OR-ed in); false positives only cost an extra file open —
+        the residual equality filter keeps results exact. NULLs are not
+        indexed (equality to NULL is never true). m bits/file in the
+        manifest (m/4 hex chars): at 100 TB pick m per expected
+        distinct-per-file, not per table."""
+        if self.bloom_col is None or not names:
+            return
+        from pyspark.sql import functions as F
+
+        paths = [os.path.join(self.table_dir, n) for n in names]
+        scan = spark.read.parquet(*paths)
+        if self.bloom_col not in scan.columns:
+            return
+        v = F.col(self.bloom_col).cast("string")
+        rows = (
+            scan.filter(v.isNotNull())
+            .select(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                    "__file"
+                ),
+                F.explode(F.array(*self._bloom_position_exprs(v))).alias("p"),
+            )
+            .groupBy("__file")
+            .agg(F.collect_set("p").alias("ps"))  # bounded by m per file
+            .collect()
+        )
+        width = self.bloom_bits // 4
+        for r in rows:
+            bits = 0
+            for p in r["ps"]:
+                bits |= 1 << int(p)
+            out.setdefault(r["__file"], {})["bloom"] = {
+                "col": self.bloom_col,
+                "m": self.bloom_bits,
+                "k": self.bloom_hashes,
+                "hex": f"{bits:0{width}x}",
+            }
+
+    def _bloom_positions(self, spark: SparkSession, value) -> list[int]:
+        """Probe positions for one lookup value — evaluated through the
+        SAME Spark expressions as the build side (a Python reimplementation
+        of xxhash64 would be a second source of truth)."""
+        from pyspark.sql import functions as F
+
+        row = (
+            spark.range(1)
+            .select(
+                *[
+                    e.alias(f"p{i}")
+                    for i, e in enumerate(
+                        self._bloom_position_exprs(
+                            F.lit(value).cast("string")
+                        )
+                    )
+                ]
+            )
+            .collect()[0]
+        )
+        return [int(row[f"p{i}"]) for i in range(self.bloom_hashes)]
+
+    def bloom_pruned_file_count(
+        self, spark: SparkSession, value, version: int | None = None
+    ) -> tuple[int, int]:
+        """(files opened, files total) for a bloom-skipped point lookup
+        — the manifest-level I/O measurement (pruned_file_count's
+        point-predicate sibling)."""
+        snap = self.snapshot(version)
+        pos = self._bloom_positions(spark, value)
+        opened = sum(
+            1 for st in snap.values() if self._bloom_hits(st, pos)
+        )
+        return opened, len(snap)
+
+    @staticmethod
+    def _bloom_hits(st: dict, positions: list[int]) -> bool:
+        """True when the file must be opened: no bloom recorded
+        (conservative) or every probe bit is set."""
+        b = (st or {}).get("bloom")
+        if not b:
+            return True
+        bits = int(b["hex"], 16)
+        return all((bits >> p) & 1 for p in positions)
 
     # -- table operations --------------------------------------------------
 
@@ -718,6 +843,7 @@ class TableLog:
         *,
         key_between: tuple | None = None,
         col_between: dict[str, tuple] | None = None,
+        key_eq=None,
         merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read (time travel when ``version`` is given): the
@@ -740,6 +866,13 @@ class TableLog:
         both dimensions — this is what makes a 2-D box predicate prune
         at the MANIFEST level, before any parquet footer opens.
 
+        ``key_eq=value`` is the POINT-LOOKUP form over the per-file
+        Bloom bitsets (``bloom_col`` tables): files whose bitset misses
+        any probe bit are never opened — exact-build blooms have no
+        false negatives, and the residual equality filter absorbs false
+        positives. Range stats cannot serve point lookups on a column
+        the table is not range-laid-out on; the bloom does.
+
         ``merge_schema=True`` unions the per-file schemas (parquet
         mergeSchema): columns added by later appends read as NULL in
         older files — additive schema evolution without rewriting
@@ -754,6 +887,13 @@ class TableLog:
             raise ValueError(
                 "key_between/col_between require a stats_col-configured table"
             )
+        if key_eq is not None and self.bloom_col is None:
+            raise ValueError("key_eq requires a bloom_col-configured table")
+        probe = (
+            self._bloom_positions(spark, key_eq)
+            if key_eq is not None
+            else None
+        )
 
         def _survives(st: dict) -> bool:
             if key_between is not None:
@@ -764,11 +904,13 @@ class TableLog:
                 env = (st or {}).get("cols", {}).get(c)
                 if env is not None and not (env["max"] >= lo and env["min"] <= hi):
                     return False
+            if probe is not None and not self._bloom_hits(st, probe):
+                return False
             return True
 
         names = list(snap)
         all_pruned = False
-        if key_between is not None or col_between:
+        if key_between is not None or col_between or key_eq is not None:
             names = [n for n, st in snap.items() if _survives(st)]
             if not names:
                 # every file pruned: still return a frame with the SAME
@@ -782,7 +924,7 @@ class TableLog:
         df = reader.parquet(
             *[os.path.join(self.table_dir, n) for n in names]
         )
-        if key_between is not None or col_between:
+        if key_between is not None or col_between or key_eq is not None:
             from pyspark.sql import functions as F
 
             if all_pruned:
@@ -795,6 +937,9 @@ class TableLog:
                 for c, (lo, hi) in (col_between or {}).items():
                     if c in df.columns:
                         df = df.filter(F.col(c).between(lo, hi))
+                if key_eq is not None and self.bloom_col in df.columns:
+                    # residual: bloom skipping has false positives
+                    df = df.filter(F.col(self.bloom_col) == F.lit(key_eq))
         return df
 
     def read_changes(

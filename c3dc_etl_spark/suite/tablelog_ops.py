@@ -258,3 +258,37 @@ def table_log_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.read(
         spark, col_between={"l_partkey": (20, 60), "l_suppkey": (2, 6)}
     )
+
+
+BLOOM_LOOKUP_KEY = 7
+
+
+@query(
+    "table_log_bloom_lookup",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey = {BLOOM_LOOKUP_KEY}
+""",
+    tags=("tablelog",),
+)
+def table_log_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-skipped point lookup through the table log: per-file Bloom
+    bitsets ride the commit manifest (built exactly over each landed
+    file's keys — no false negatives), so an equality probe opens only
+    the files whose bitset passes all k probe bits, with the residual
+    filter absorbing false positives. The build goes through the REAL
+    transaction path (two appends + a compaction that rebuilds blooms
+    for the rewritten files); the oracle restates the lookup against
+    the raw table, so the hash compare pins bitset build, manifest
+    round-trip, k-probe agreement, and residual semantics at once
+    (sink/tablelog.py:_attach_blooms)."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(
+        _scratch("tablelog_bloom_"),
+        bloom_col="o_orderkey",
+        bloom_bits=4096,
+    )
+    log.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    log.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    log.compact(spark, target_partitions=4)
+    return log.read(spark, key_eq=BLOOM_LOOKUP_KEY)

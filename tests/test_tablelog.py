@@ -564,3 +564,50 @@ def test_multi_column_stats_manifest_pruning_after_zorder(spark, tmp_path):
     # every envelope-less new file is kept; the z-ordered ones still prune
     assert total > total_a
     assert opened - after == total - total_a
+
+
+def test_bloom_point_lookup_skips_files_exactly(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(
+        str(tmp_path / "t"),
+        stats_col="o_orderkey",
+        bloom_col="o_orderkey",
+        bloom_bits=4096,
+        bloom_hashes=4,
+    )
+    log.append(orders)
+    keys = [r["o_orderkey"] for r in orders.limit(3).collect()]
+    for k in keys:
+        got = _rows(log.read(spark, key_eq=k))
+        want = _rows(orders.filter(F.col("o_orderkey") == k))
+        assert got == want and got, f"key {k} lost by bloom skipping"
+    # a present key opens at least the owning file but not all of them
+    opened, total = log.bloom_pruned_file_count(spark, keys[0])
+    assert 1 <= opened < total
+    # an absent key: almost surely every probe misses at 4096 bits ->
+    # zero files opened; result is the empty frame with intact schema
+    opened_miss, _ = log.bloom_pruned_file_count(spark, 10**15 + 7)
+    assert opened_miss <= 1  # tolerate one false positive
+    miss = log.read(spark, key_eq=10**15 + 7)
+    assert miss.count() == 0 and miss.columns == log.read(spark).columns
+
+
+def test_bloom_survives_compaction_and_requires_config(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(
+        str(tmp_path / "t"), bloom_col="o_orderkey", bloom_bits=4096
+    )
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    log.append(orders.filter(F.col("o_orderstatus") != "F"))
+    log.compact(spark, target_partitions=2)
+    k = orders.limit(1).collect()[0]["o_orderkey"]
+    got = _rows(log.read(spark, key_eq=k))
+    want = _rows(orders.filter(F.col("o_orderkey") == k))
+    assert got == want
+    # blooms are rebuilt for compacted files (manifest carries them)
+    snap = log.snapshot()
+    assert all("bloom" in st for st in snap.values())
+    plain = TableLog(str(tmp_path / "p"))
+    plain.append(orders)
+    with pytest.raises(ValueError, match="bloom_col"):
+        plain.read(spark, key_eq=k)
