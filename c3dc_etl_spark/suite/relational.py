@@ -1820,3 +1820,64 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("op"), "k", "n")
         out = c if out is None else out.unionByName(c)
     return out
+
+
+_SHARE_ORACLE = """
+WITH rev AS (
+    SELECT r_name, n_name,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS nrev
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(nrev AS DOUBLE) AS nation_revenue,
+       CAST(CAST(nrev AS DOUBLE)
+            / CAST(SUM(nrev) OVER (PARTITION BY r_name) AS DOUBLE)
+            AS DOUBLE) AS share_in_region,
+       CAST(CAST(SUM(nrev) OVER (PARTITION BY r_name) AS DOUBLE)
+            / CAST(SUM(nrev) OVER () AS DOUBLE)
+            AS DOUBLE) AS region_share_total
+FROM rev
+"""
+
+
+@query("share_of_parent_revenue", oracle=_SHARE_ORACLE, tags=("relational",))
+def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report at two hierarchy levels: each nation's revenue
+    share within its region and each region's share of the total —
+    the reporting shape behind every "percent of parent" drilldown.
+    The windows run over the ALREADY-AGGREGATED 25-row nation frame
+    (never the fact table), so the unpartitioned total-sum window is a
+    constant-size frame at any data scale; shares are single IEEE
+    divisions of exact decimal sums (registry rule 1)."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(dec("o_totalprice")).alias("nrev"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("nrev").cast("double").alias("nation_revenue"),
+        (
+            F.col("nrev").cast("double")
+            / F.sum("nrev").over(w_region).cast("double")
+        ).alias("share_in_region"),
+        (
+            F.sum("nrev").over(w_region).cast("double")
+            / F.sum("nrev").over(w_all).cast("double")
+        ).alias("region_share_total"),
+    )

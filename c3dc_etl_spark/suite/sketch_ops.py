@@ -1216,3 +1216,123 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_rows"),
         (F.round(rho, 6) + F.lit(0.0)).alias("spearman_rho"),
     )
+
+
+HLL_ROLL_DAYS = 7
+
+_HLL_ROLLING_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT EPOCH_US(ts) // 86400000000 AS day,
+           CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS h
+    FROM events
+),
+ranked AS (
+    SELECT day,
+           h // {1 << HLL_WBITS} AS reg,
+           CASE WHEN h % {1 << HLL_WBITS} = 0 THEN {HLL_MAXRHO}
+                ELSE {HLL_WBITS} - LENGTH(printf('%b', h % {1 << HLL_WBITS})) + 1
+           END AS rho
+    FROM pairs
+),
+day_regs AS (
+    SELECT day, reg, MAX(rho) AS m_j FROM ranked GROUP BY day, reg
+),
+days AS (SELECT DISTINCT day FROM day_regs),
+expanded AS (
+    SELECT day + i AS tday, reg, m_j
+    FROM day_regs, UNNEST(GENERATE_SERIES(0, {HLL_ROLL_DAYS - 1})) t(i)
+),
+merged AS (
+    SELECT d.day, e.reg, MAX(e.m_j) AS m_j
+    FROM days d JOIN expanded e ON e.tday = d.day
+    GROUP BY d.day, e.reg
+),
+scaled AS (
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_regs,
+           CAST(SUM(CAST(1 AS BIGINT) << ({HLL_MAXRHO} - m_j)) AS BIGINT)
+               AS s_present
+    FROM merged GROUP BY day
+)
+SELECT day, n_regs,
+       CAST(s_present + ({HLL_M} - n_regs) * CAST({1 << HLL_MAXRHO} AS BIGINT)
+            AS BIGINT) AS sum_scaled,
+       CAST(FLOOR({HLL_ALPHA} * {HLL_NUM!r}
+                  / (s_present
+                     + ({HLL_M} - n_regs) * CAST({1 << HLL_MAXRHO} AS BIGINT))
+                  * 100 + 0.5) AS BIGINT) AS est_centi
+FROM scaled
+"""
+
+
+@query(
+    "rolling_hll_users", oracle=_HLL_ROLLING_ORACLE, tags=("sketch", "temporal")
+)
+def rolling_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{HLL_ROLL_DAYS}-day distinct-user ESTIMATE per day by
+    merging per-day HLL register tables — the mergeability property that
+    makes sketches the 100 TB answer to windowed COUNT DISTINCT: daily
+    registers are {HLL_M} rows/day forever, the window merge is an
+    elementwise register MAX (associative, re-aggregable across any
+    rollup), and no raw user set is ever re-scanned — where the exact
+    twin (rolling_distinct_users) must re-shuffle (day, user) pairs.
+    Registers/estimator share sketch_hll_distinct's cross-engine-exact
+    construction (portable md5 fold, scaled-integer harmonic sum, raw
+    estimator only — ln()-corrected variants are libm-unstable)."""
+    from c3dc_etl_spark.pinning import pin
+    from c3dc_etl_spark.suite.registry import day_bucket
+
+    ev = load(spark, sf_dir, "events")
+    pairs = pin(
+        ev.select(
+            day_bucket("ts_us").alias("day"),
+            hash32(F.col("user_id").cast("string")).alias("h"),
+        ).distinct()
+    )
+    wmod = F.pmod(F.col("h"), F.lit(1 << HLL_WBITS))
+    ranked = pairs.select(
+        "day",
+        F.expr(f"h div {1 << HLL_WBITS}").alias("reg"),
+        F.when(wmod == 0, F.lit(HLL_MAXRHO))
+        .otherwise(F.lit(HLL_WBITS) - F.length(F.bin(wmod)) + 1)
+        .alias("rho"),
+    )
+    day_regs = ranked.groupBy("day", "reg").agg(F.max("rho").alias("m_j"))
+    days = day_regs.select("day").distinct()
+    expanded = day_regs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(HLL_ROLL_DAYS - 1)
+            )
+        ).alias("tday"),
+        "reg",
+        "m_j",
+    )
+    merged = (
+        days.join(expanded, days["day"] == expanded["tday"])
+        .groupBy("day", "reg")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    scaled = merged.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_MAXRHO} - m_j)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    sum_scaled = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_regs"))
+        * F.lit(1 << HLL_MAXRHO).cast("bigint")
+    ).cast("bigint")
+    return scaled.select(
+        "day",
+        "n_regs",
+        sum_scaled.alias("sum_scaled"),
+        F.floor(
+            F.lit(float(HLL_ALPHA)) * F.lit(HLL_NUM) / sum_scaled * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("est_centi"),
+    )

@@ -196,3 +196,37 @@ def test_aqe_promotes_smj_to_broadcast_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP evidence (the AQE tests' static-layout sibling): joining a
+    hive-partitioned fact on its partition column against a FILTERED
+    broadcastable dim must inject a dynamicpruningexpression into the
+    fact scan's PartitionFilters — the dim filter's surviving keys prune
+    fact DIRECTORIES at runtime, before any parquet footer opens. This
+    is the mechanism that makes star-join date filters touch only
+    matching partitions at 100 TB."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact_dpp")
+    spark.range(0, 50_000).select(
+        (F.col("id") % 20).alias("pk"), F.col("id").alias("v")
+    ).write.partitionBy("pk").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("dk"), (F.col("id") % 5).alias("grp")
+    )
+    joined = (
+        fact.join(F.broadcast(dim), fact["pk"] == dim["dk"])
+        .filter(F.col("grp") == 0)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("pk").alias("nk"))
+    )
+    [row] = joined.collect()
+    # grp 0 keeps dk in {0, 5, 10, 15}: 4 of 20 partitions, 2500 each
+    assert row["nk"] == 4 and row["n"] == 10_000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "dynamic partition pruning did not inject a runtime filter:\n"
+        + plan
+    )
