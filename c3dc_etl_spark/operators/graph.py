@@ -201,6 +201,64 @@ def sssp_bounded(
     return dist
 
 
+def hierarchy_paths(
+    nodes: DataFrame,
+    *,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_depth: int = 32,
+) -> DataFrame:
+    """(id, depth, path): flatten a parent-pointer hierarchy into
+    root-relative materialized paths ('root/child/...') — the org-chart
+    / category-tree / BOM shape. Level-synchronous downward expansion:
+    roots (parent NULL) seed depth 0, each round joins the previous
+    level's frame to its children and appends one path segment,
+    localCheckpoint-ed (constant lineage). Rounds = tree height, work
+    per round = one equi-join on the parent pointer — each node is
+    visited exactly once across all rounds, so total shuffle volume is
+    O(nodes) regardless of depth. Raises if the structure is deeper
+    than ``max_depth`` (a cycle in a 'tree' is a data bug — the walk
+    would never terminate — not a tuning problem)."""
+    n = nodes.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(parent_col).cast("long").alias("parent"),
+    ).localCheckpoint(eager=True)
+    level = (
+        n.filter(F.col("parent").isNull())
+        .select(
+            "id",
+            F.lit(0).cast("bigint").alias("depth"),
+            F.col("id").cast("string").alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = level
+    for _ in range(max_depth):
+        # alias both sides: level derives from n, and Spark's ambiguous-
+        # self-join check rejects unqualified column refs across them
+        nxt = (
+            level.alias("lvl")
+            .join(n.alias("nd"), F.col("lvl.id") == F.col("nd.parent"))
+            .select(
+                F.col("nd.id").alias("id"),
+                (F.col("lvl.depth") + 1).cast("bigint").alias("depth"),
+                F.concat(
+                    F.col("lvl.path"),
+                    F.lit("/"),
+                    F.col("nd.id").cast("string"),
+                ).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return out
+        out = out.union(nxt).localCheckpoint(eager=True)
+        level = nxt
+    raise RuntimeError(
+        f"hierarchy deeper than max_depth={max_depth} (cycle?)"
+    )
+
+
 def dedup_assignment(
     nodes: DataFrame,
     edges: DataFrame,

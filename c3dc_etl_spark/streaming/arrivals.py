@@ -91,6 +91,36 @@ def windowed_event_counts(
     )
 
 
+def sliding_window_counts(
+    stream: DataFrame,
+    *,
+    event_time_col: str,
+    key_col: str,
+    window_duration: str = "1 day",
+    slide_duration: str = "12 hours",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts per key: each event lands in
+    duration/slide overlapping windows (Spark expands it once per
+    covering window before the aggregate), so state is that factor
+    times the tumbling equivalent — the cost model to size slide by.
+    Same bounded-state/eviction contract as windowed_event_counts."""
+    return (
+        stream.withWatermark(event_time_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(event_time_col), window_duration, slide_duration),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def session_window_stats(
     stream: DataFrame,
     *,

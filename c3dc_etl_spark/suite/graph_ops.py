@@ -396,3 +396,45 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
     )
     return sssp_bounded(edges, BFS_SOURCE, rounds=SSSP_ROUNDS)
+
+
+_HIERARCHY_ORACLE = """
+WITH RECURSIVE nodes AS (
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey = 0 THEN NULL
+                ELSE (c_custkey - 1) // 2 END AS parent
+    FROM customer
+),
+walk(id, depth, path) AS (
+    SELECT id, CAST(0 AS BIGINT), CAST(id AS VARCHAR)
+    FROM nodes WHERE parent IS NULL
+    UNION ALL
+    SELECT n.id, w.depth + 1, w.path || '/' || CAST(n.id AS VARCHAR)
+    FROM walk w JOIN nodes n ON n.parent = w.id
+)
+SELECT id, depth, path FROM walk
+"""
+
+
+@query("hierarchy_flatten_paths", oracle=_HIERARCHY_ORACLE, tags=("graph",))
+def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-pointer hierarchy flattening into root-relative
+    materialized paths — the org-chart/category-tree/BOM query. The
+    hierarchy is DERIVED from real keys (a binary heap over custkeys:
+    parent(k) = (k-1) div 2, single root 0), so its depth GROWS with
+    scale factor (~log2 n) and the level-synchronous walk
+    (operators/graph.py:hierarchy_paths — each node visited exactly
+    once, O(nodes) total shuffle regardless of depth) is exercised at
+    every sf. Oracle: the identical walk as an ANSI recursive CTE with
+    string-path accumulation — the third recursion-vs-iteration pin
+    beside BFS (UNION-dedup) and Bellman-Ford (unrolled rounds)."""
+    from c3dc_etl_spark.operators.graph import hierarchy_paths
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.expr(
+            "CASE WHEN c_custkey = 0 THEN NULL"
+            " ELSE (c_custkey - 1) div 2 END"
+        ).alias("parent"),
+    )
+    return hierarchy_paths(cust, id_col="id", parent_col="parent")

@@ -8,7 +8,7 @@ generated DuckDB oracle so both engines compute bit-identical rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators import quality as Q
@@ -693,4 +693,137 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(obs, 6) + F.lit(0.0)).alias("observed_p"),
         (F.round(expected, 6) + F.lit(0.0)).alias("expected_p"),
         chi_term.alias("chi_term_fp"),
+    )
+
+
+BIN_COUNT = 10
+
+_BINNING_ORACLE = f"""
+WITH binned AS (
+    SELECT doc_id, n_chars,
+           CAST(NTILE({BIN_COUNT}) OVER (ORDER BY n_chars, doc_id)
+                AS BIGINT) AS bin
+    FROM documents
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS lo,
+       CAST(MAX(n_chars) AS BIGINT) AS hi,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM binned GROUP BY bin
+"""
+
+
+@query("feature_quantile_binning", oracle=_BINNING_ORACLE, tags=("quality",))
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning (decile buckets over document
+    length) via NTILE on the deterministic total order (value, id) —
+    tie rows land by id, so the bucketing is reproducible, and both
+    engines share NTILE's fill rule (earlier buckets take the
+    remainder). Emitted as per-bin envelopes. The global-order window
+    is the CORRECTNESS reference; at 100 TB the same contract is served
+    by two phases — approx quantile boundaries (one pass) + a map-side
+    bucket assignment — with only boundary-tie rows differing, which is
+    why the reference form pins ties by id."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    binned = docs.select(
+        "doc_id", "n_chars", F.ntile(BIN_COUNT).over(w).cast("bigint").alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("lo"),
+        F.max("n_chars").cast("bigint").alias("hi"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+
+
+GINI_SCALE = 1_000_000
+
+_GINI_ORACLE = f"""
+WITH counts AS (
+    SELECT 'lang' AS col, lang AS val, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'source', source, CAST(COUNT(*) AS BIGINT)
+    FROM documents GROUP BY source
+)
+SELECT col,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(((SUM(n) * SUM(n) - SUM(n * n)) * {GINI_SCALE})
+            // (SUM(n) * SUM(n)) AS BIGINT) AS gini_x1e6
+FROM counts GROUP BY col
+"""
+
+
+@query("column_gini_diversity", oracle=_GINI_ORACLE, tags=("quality",))
+def column_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column diversity profiling via Gini impurity
+    1 − Σp², computed WITHOUT floats: (N² − Σn²)·SCALE div N² is exact
+    integer arithmetic end to end (the log-free counterpart of entropy
+    — same ranking, no libm). Per column: one value-count aggregate
+    (bounded by cardinality) folded to a single row — the profiling
+    pass that tells a corpus curator whether a facet is degenerate
+    (gini→0) or uniform (gini→1−1/k) before they stratify on it."""
+    docs = load(spark, sf_dir, "documents")
+    parts = []
+    for col in ("lang", "source"):
+        counts = docs.groupBy(F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        parts.append(
+            counts.groupBy().agg(
+                F.lit(col).alias("col"),
+                F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.expr(
+                    f"CAST(((sum(n) * sum(n) - sum(n * n)) * {GINI_SCALE})"
+                    " div (sum(n) * sum(n)) AS BIGINT)"
+                ).alias("gini_x1e6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("col", "n_values", "n_rows", "gini_x1e6")
+
+
+K_ANON_THRESHOLD = 5
+
+_KANON_ORACLE = f"""
+WITH groups AS (
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS violating_groups,
+       CAST(SUM(CASE WHEN n < {K_ANON_THRESHOLD} THEN n ELSE 0 END)
+            AS BIGINT) AS exposed_rows
+FROM groups
+"""
+
+
+@query("k_anonymity_audit", oracle=_KANON_ORACLE, tags=("quality",))
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination
+    (nation x market segment): group sizes below k identify
+    re-identifiable rows BEFORE a dataset ships — the governance
+    counterpart of the PII redaction op. One group-count aggregate
+    folded to a single audit row (n_groups, min size, violating
+    groups, exposed rows); at 100 TB the quasi-identifier groupBy is
+    the only exchange and the audit row is driver-free."""
+    cust = load(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    viol = F.when(F.col("n") < K_ANON_THRESHOLD, 1).otherwise(0)
+    exposed = F.when(F.col("n") < K_ANON_THRESHOLD, F.col("n")).otherwise(0)
+    return groups.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+        F.sum(viol).cast("bigint").alias("violating_groups"),
+        F.sum(exposed).cast("bigint").alias("exposed_rows"),
     )

@@ -1881,3 +1881,196 @@ def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("nrev").over(w_all).cast("double")
         ).alias("region_share_total"),
     )
+
+
+_NULLJOIN_ORACLE = """
+WITH t(k) AS (VALUES (1), (2), (NULL)),
+s(v) AS (VALUES (2), (3), (NULL)),
+r AS (
+    SELECT 'inner_eq' AS variant, COUNT(*) AS n
+    FROM t JOIN s ON k = v
+    UNION ALL
+    SELECT 'inner_nullsafe', COUNT(*)
+    FROM t JOIN s ON k IS NOT DISTINCT FROM v
+    UNION ALL
+    SELECT 'in_subquery', COUNT(*)
+    FROM t WHERE k IN (SELECT v FROM s)
+    UNION ALL
+    SELECT 'not_in_null_trap', COUNT(*)
+    FROM t WHERE k NOT IN (SELECT v FROM s)
+    UNION ALL
+    SELECT 'not_exists', COUNT(*)
+    FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.v = t.k)
+)
+SELECT variant, CAST(n AS BIGINT) AS n_rows FROM r
+"""
+
+_NULLJOIN_SPARK_SQL = """
+WITH t AS (SELECT col1 AS k FROM VALUES (1), (2), (NULL)),
+s AS (SELECT col1 AS v FROM VALUES (2), (3), (NULL)),
+r AS (
+    SELECT 'inner_eq' AS variant, COUNT(*) AS n
+    FROM t JOIN s ON k = v
+    UNION ALL
+    SELECT 'inner_nullsafe', COUNT(*)
+    FROM t JOIN s ON k IS NOT DISTINCT FROM v
+    UNION ALL
+    SELECT 'in_subquery', COUNT(*)
+    FROM t WHERE k IN (SELECT v FROM s)
+    UNION ALL
+    SELECT 'not_in_null_trap', COUNT(*)
+    FROM t WHERE k NOT IN (SELECT v FROM s)
+    UNION ALL
+    SELECT 'not_exists', COUNT(*)
+    FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.v = t.k)
+)
+SELECT variant, CAST(n AS BIGINT) AS n_rows FROM r
+"""
+
+
+@query("nullsafe_join_probe", oracle=_NULLJOIN_ORACLE, tags=("conformance",))
+def nullsafe_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-under-NULL conformance probe (null_semantics_probe's join
+    sibling), run through the SQL surface: `=` drops NULL keys (1 row),
+    IS NOT DISTINCT FROM matches NULL-NULL (2 rows), IN keeps only the
+    definite match (1), NOT IN against a set containing NULL is the
+    classic three-valued-logic trap (0 rows — every comparison is
+    UNKNOWN), and the NOT EXISTS rewrite gives the answer users meant
+    (2 rows). Both engines run textually equivalent SQL; Spark plans
+    the NOT IN as a null-aware anti join (BroadcastNestedLoopJoin over
+    the 3-row literal frame — bounded by construction, allowlisted)."""
+    return spark.sql(_NULLJOIN_SPARK_SQL)
+
+
+_BITAGG_ORACLE = """
+SELECT event_type,
+       CAST(BIT_AND(user_id) AS BIGINT) AS band,
+       CAST(BIT_OR(user_id) AS BIGINT) AS bor,
+       CAST(BIT_XOR(user_id) AS BIGINT) AS bxor,
+       CAST(BIT_XOR(CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)
+                    || ':' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT))
+            AS BIGINT) AS xor_checksum
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("bitwise_agg_probe", oracle=_BITAGG_ORACLE, tags=("agg", "conformance"))
+def bitwise_agg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate conformance probe plus the XOR-fold checksum
+    idiom: BIT_AND/BIT_OR/BIT_XOR per key, and an order-independent
+    per-group content checksum (XOR of portable 32-bit row hashes) —
+    the commutative/associative fold that verifies replicated or
+    re-partitioned data without any ordering guarantee. All map-side
+    combinable; one exchange on the group key."""
+    from c3dc_etl_spark.operators.dedup import hash32
+
+    ev = load(spark, sf_dir, "events")
+    row_h = hash32(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").cast("bigint").alias("band"),
+        F.bit_or("user_id").cast("bigint").alias("bor"),
+        F.bit_xor("user_id").cast("bigint").alias("bxor"),
+        F.bit_xor(row_h).cast("bigint").alias("xor_checksum"),
+    )
+
+
+_CHECKSUM_ORACLE = """
+WITH canon AS (
+    SELECT o_orderstatus AS status,
+           CAST(o_orderkey AS VARCHAR) || '|'
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               AS s
+    FROM orders
+),
+perturbed AS (
+    SELECT o_orderstatus AS status,
+           CAST(o_orderkey AS VARCHAR) || '|'
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       + CASE WHEN o_orderkey = 7 THEN 1 ELSE 0 END
+                       AS VARCHAR) AS s
+    FROM orders
+),
+c1 AS (
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n1,
+           CAST(SUM(CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 8)) AS BIGINT))
+                AS BIGINT) AS sum1
+    FROM canon GROUP BY status
+),
+c2 AS (
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n2,
+           CAST(SUM(CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 8)) AS BIGINT))
+                AS BIGINT) AS sum2
+    FROM perturbed GROUP BY status
+)
+SELECT c1.status, n1, n2, sum1, sum2,
+       CAST(n1 = n2 AND sum1 = sum2 AS INT) AS match
+FROM c1 JOIN c2 ON c1.status = c2.status
+"""
+
+
+@query("table_checksum_reconcile", oracle=_CHECKSUM_ORACLE, tags=("quality",))
+def table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica reconciliation by per-group content checksums: canonical
+    row serialization (decimal-normalized — double formatting is not
+    engine-portable, decimal rendering is) -> portable 32-bit row hash
+    -> order-independent SUM fold per group, compared against a replica
+    with ONE perturbed row. Exactly the groups containing the tampered
+    key flag as mismatched — localizing a diff to a group costs one
+    scan per side and k result rows, no row-by-row join; at 100 TB this
+    is how replicas are verified (per-partition checksums, then drill
+    into the one mismatched group)."""
+    from c3dc_etl_spark.operators.dedup import hash32
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderkey").alias("k"),
+        dec("o_totalprice").alias("p"),
+    )
+    canon = base.select(
+        "status",
+        F.concat(
+            F.col("k").cast("string"), F.lit("|"), F.col("p").cast("string")
+        ).alias("s"),
+    )
+    perturbed = base.select(
+        "status",
+        F.concat(
+            F.col("k").cast("string"),
+            F.lit("|"),
+            (
+                F.col("p")
+                + F.when(F.col("k") == 7, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("decimal(18,2)")
+            .cast("string"),
+        ).alias("s"),
+    )
+
+    def _sums(df, n, s):
+        return df.groupBy("status").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.sum(hash32(F.col("s"))).cast("bigint").alias(s),
+        )
+
+    c1 = _sums(canon, "n1", "sum1")
+    c2 = _sums(perturbed, "n2", "sum2")
+    return c1.join(c2, "status").select(
+        "status",
+        "n1",
+        "n2",
+        "sum1",
+        "sum2",
+        (
+            (F.col("n1") == F.col("n2")) & (F.col("sum1") == F.col("sum2"))
+        )
+        .cast("int")
+        .alias("match"),
+    )

@@ -31,6 +31,7 @@ from c3dc_etl_spark.streaming.stateful import running_key_stats
 from c3dc_etl_spark.streaming.arrivals import (
     session_window_stats,
     streaming_exact_dedup,
+    sliding_window_counts,
     windowed_event_counts,
 )
 from c3dc_etl_spark.streaming.upsert import read_snapshot, run_upsert_stream
@@ -500,3 +501,52 @@ def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj, snap, ckpt, key_cols=["user_id"], order_cols=["ts_us", "event_id"]
     )
     return read_snapshot(spark, snap)
+
+
+_HALF_DAY_US = _DAY_US // 2
+
+_SLIDING_ORACLE = f"""
+WITH covered AS (
+    SELECT (EPOCH_US(ts) // {_HALF_DAY_US} - i) * {_HALF_DAY_US}
+               AS win_start_us,
+           event_type
+    FROM events, UNNEST(GENERATE_SERIES(0, 1)) t(i)
+)
+SELECT win_start_us,
+       win_start_us + {_DAY_US} AS win_end_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM covered
+GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "streaming_sliding_windows", oracle=_SLIDING_ORACLE, tags=("streaming",)
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregate (1-day windows every 12 h):
+    each event lands in exactly duration/slide = 2 overlapping windows
+    — the physical difference from tumbling windows is a 2x row expand
+    BEFORE the stateful aggregate, and 2x open-window state, which is
+    the cost model for choosing slide at scale. The oracle replays the
+    expansion arithmetically: window starts are the two half-day-
+    aligned ticks at or before the event (floor-division — identical
+    to Spark's window assignment for epoch-aligned UTC windows)."""
+    stream, schema = _table_stream(spark, sf_dir, "events")
+    stream = _with_event_ts(stream, schema)
+    windowed = sliding_window_counts(
+        stream,
+        event_time_col="event_ts",
+        key_col="event_type",
+        window_duration="1 day",
+        slide_duration="12 hours",
+        watermark_delay="30 minutes",
+    )
+    sink = _run_to_memory(windowed, "stream_sliding", "complete")
+    return sink.select(
+        F.unix_micros("window_start").alias("win_start_us"),
+        F.unix_micros("window_end").alias("win_end_us"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -1500,3 +1500,225 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, "day")
         .select("day", "users_1d", "users_7d")
     )
+
+
+_ROLLING_MEDIAN_ORACLE = f"""
+WITH daily AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+days AS (SELECT day FROM daily),
+expanded AS (
+    SELECT day + i AS tday, cnt
+    FROM daily, UNNEST(GENERATE_SERIES(0, {ROLLING_DISTINCT_DAYS - 1})) t(i)
+),
+win AS (
+    SELECT d.day, LIST_SORT(LIST(e.cnt)) AS a,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM days d JOIN expanded e ON e.tday = d.day
+    GROUP BY d.day
+)
+SELECT day, n AS n_window,
+       CAST(a[CAST((n + 1) // 2 AS INT)]
+            + a[CAST(n // 2 + 1 AS INT)] AS BIGINT) AS median_x2,
+       CAST(a[CAST((n + 1) // 2 AS INT)]
+            + a[CAST(n // 2 + 1 AS INT)] AS DOUBLE) / 2 AS median
+FROM win
+"""
+
+
+@query(
+    "rolling_median_daily", oracle=_ROLLING_MEDIAN_ORACLE, tags=("temporal",)
+)
+def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day MEDIAN of the daily event count — the
+    order-statistic window aggregate neither engine's RANGE frames
+    express portably (engine-native windowed medians differ in
+    interpolation). Same bounded-expansion shape as
+    rolling_distinct_users: each day's count covers its <=7 target
+    days, the per-day window is a sorted array of <= 7 elements
+    (bounded by the window length — collect_list is safe by
+    construction, never corpus-sized), and the even/odd midpoint is
+    emitted as the exact integer a[lo] + a[hi] (median_x2) beside one
+    IEEE division. The heavy input (events) collapses to the day table
+    FIRST, so the expansion runs on rows bounded by distinct days."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(day_bucket("ts_us").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    from c3dc_etl_spark.pinning import pin
+
+    daily = pin(daily)
+    days = daily.select("day")
+    expanded = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.lit(ROLLING_DISTINCT_DAYS - 1),
+            )
+        ).alias("tday"),
+        "cnt",
+    )
+    win = (
+        days.join(expanded, days["day"] == expanded["tday"])
+        .groupBy("day")
+        .agg(
+            F.sort_array(F.collect_list("cnt")).alias("a"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    m2 = F.expr(
+        "element_at(a, cast((n + 1) div 2 as int))"
+        " + element_at(a, cast(n div 2 + 1 as int))"
+    ).cast("bigint")
+    return win.select(
+        "day",
+        F.col("n").alias("n_window"),
+        m2.alias("median_x2"),
+        (m2.cast("double") / 2).alias("median"),
+    )
+
+
+PATH_TOP_K = 20
+
+_PATH_ORACLE = f"""
+WITH seq AS (
+    SELECT event_type
+               || '>' || LEAD(event_type, 1) OVER w
+               || '>' || LEAD(event_type, 2) OVER w AS path
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id)
+),
+counted AS (
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE path IS NOT NULL GROUP BY path
+)
+SELECT path, n FROM counted
+ORDER BY n DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+
+@query("event_path_trigrams", oracle=_PATH_ORACLE, tags=("temporal",))
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the top-{PATH_TOP_K} 3-step event-type
+    paths across users — the Markov-transition query's order-3 sibling,
+    built from ONE user-partitioned window (two LEADs share the single
+    WindowExec sort; string concat null-propagates, so tail rows with
+    fewer than 2 successors drop out) + one path-keyed count. Ordering
+    inside the window is the deterministic (ts, event_id) total order;
+    top-k is TakeOrderedAndProject. No per-user arrays, no self-joins —
+    the shape scales as one exchange on user_id plus one on path."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    # concat_ws SKIPS nulls (would alias short tails onto real paths):
+    # null-propagate explicitly by requiring both leads present
+    guarded = F.when(
+        F.lead("event_type", 1).over(w).isNotNull()
+        & F.lead("event_type", 2).over(w).isNotNull(),
+        path,
+    )
+    return (
+        ev.select(guarded.alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+_FRAME_PROBE_ORACLE = """
+WITH daily AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, cnt,
+       CAST(SUM(cnt) OVER (ORDER BY day, event_type
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS sum_rows,
+       CAST(SUM(cnt) OVER (ORDER BY day
+                           RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS sum_range
+FROM daily
+"""
+
+
+@query(
+    "window_frame_semantics_probe",
+    oracle=_FRAME_PROBE_ORACLE,
+    tags=("conformance", "temporal"),
+)
+def window_frame_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS vs RANGE frame divergence under duplicate order keys — the
+    window-frame trap: with several event_type rows per day, ROWS
+    counts physical neighbors (needs the TOTAL order (day, event_type)
+    to be deterministic at all) while RANGE aggregates every PEER of
+    the current day plus the two preceding days' peers regardless of
+    physical position. Both engines agree on each semantic; a user who
+    meant trailing-3-days must write RANGE, and this probe pins the
+    difference as data. One aggregated frame, one WindowExec serving
+    both frames."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        day_bucket("ts_us").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_rows = (
+        Window.orderBy("day", "event_type").rowsBetween(-2, 0)
+    )
+    w_range = Window.orderBy("day").rangeBetween(-2, 0)
+    return daily.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.sum("cnt").over(w_rows).cast("bigint").alias("sum_rows"),
+        F.sum("cnt").over(w_range).cast("bigint").alias("sum_range"),
+    )
+
+
+_CALENDAR_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+       STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d')
+           AS month_start,
+       STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+           AS month_end,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@query("calendar_rollup_monthly", oracle=_CALENDAR_ORACLE, tags=("temporal",))
+def calendar_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension rollup: revenue by year/quarter/month with
+    month start/end boundaries — the reporting-layer date machinery
+    (EXTRACT, DATE_TRUNC, LAST_DAY) pinned cross-engine. Dates are
+    emitted as formatted STRINGS (registry rule 5: wall-clock stable
+    under any session timezone; a raw timestamp cell would hash
+    differently across tz configs). One pass, one exchange on the
+    month key; the calendar functions all run scan-side."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd")
+        .alias("month_end"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

@@ -10,13 +10,18 @@ from c3dc_etl_spark import pinning
 from c3dc_etl_spark.operators.dedup import minhash_lsh_candidates
 
 
-def _persistent_rdd_count(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _persistent_rdd_ids(spark) -> set:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
 def test_pin_release_drops_blocks(spark):
+    """Identity-based, not count-based: earlier tests' localCheckpoint
+    RDDs are unpersisted ASYNCHRONOUSLY by the ContextCleaner, so a raw
+    before/after count can shrink concurrently and flake. The pin's own
+    RDD ids appearing and then vanishing is the contract."""
     pinning.release_pinned()  # isolate from any earlier query's pins
-    base = _persistent_rdd_count(spark)
+    base_ids = _persistent_rdd_ids(spark)
     df = spark.createDataFrame(
         [(i, f"some shared text body {i % 3} repeated tokens") for i in range(40)],
         "doc_id long, text string",
@@ -24,11 +29,14 @@ def test_pin_release_drops_blocks(spark):
     pairs = minhash_lsh_candidates(df, "text", "doc_id")
     pairs.collect()
     assert pinning.pinned_count() >= 1
-    assert _persistent_rdd_count(spark) > base
+    new_ids = _persistent_rdd_ids(spark) - base_ids
+    assert new_ids, "pin added no persistent blocks"
     released = pinning.release_pinned()
     assert released >= 1
     assert pinning.pinned_count() == 0
-    assert _persistent_rdd_count(spark) == base
+    assert not (new_ids & _persistent_rdd_ids(spark)), (
+        "released pin left persistent blocks behind"
+    )
 
 
 def test_release_is_correctness_neutral(spark):

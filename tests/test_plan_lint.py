@@ -28,6 +28,7 @@ _DRIVER_SIDE = {
     "amended_mapping_sink",
     "source_workbook_scan",
     "streaming_windowed_counts",
+    "streaming_sliding_windows",
     "streaming_dedup_digests",
     "streaming_session_windows",
     "streaming_session_late_data",
@@ -54,6 +55,9 @@ _BNLJ_ALLOWED = {
     "sketch_kmv_set_algebra",
     # 1-row x 1-row combine of the degree stats and the triangle count
     "triangle_count_coorder",
+    # null-aware anti join (NOT IN) over a 3-row literal frame:
+    # bounded by construction, and the BNLJ IS the semantics probed
+    "nullsafe_join_probe",
 }
 
 

@@ -124,3 +124,47 @@ def test_sssp_later_round_improves_distance(spark):
 def test_bfs_isolated_source(spark):
     got = bfs_hops(_edges_df(spark), "zzz", max_hops=3).collect()
     assert [(r["node"], r["hops"]) for r in got] == [("zzz", 0)]
+
+
+def test_hierarchy_paths_small_tree(spark):
+    from c3dc_etl_spark.operators.graph import hierarchy_paths
+
+    nodes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1), (4, 2), (5, 4), (9, None)],
+        "id BIGINT, parent BIGINT",
+    )
+    got = {
+        r["id"]: (r["depth"], r["path"])
+        for r in hierarchy_paths(nodes).collect()
+    }
+    assert got == {
+        1: (0, "1"),
+        2: (1, "1/2"),
+        3: (1, "1/3"),
+        4: (2, "1/2/4"),
+        5: (3, "1/2/4/5"),
+        9: (0, "9"),  # forest: second root
+    }
+
+
+def test_hierarchy_paths_detects_cycle(spark):
+    from c3dc_etl_spark.operators.graph import hierarchy_paths
+
+    nodes = spark.createDataFrame(
+        [(1, None), (2, 3), (3, 2)],
+        "id BIGINT, parent BIGINT",
+    )
+    # 2<->3 never reaches a root; the walk exhausts max_depth... but a
+    # cycle UNREACHABLE from a root yields an EMPTY frontier (neither 2
+    # nor 3 descends from 1), so it terminates with the reachable set
+    got = {r["id"] for r in hierarchy_paths(nodes, max_depth=5).collect()}
+    assert got == {1}
+    # a cycle REACHABLE from the walk would loop: parent chain 1->2->3->2
+    looped = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (2, 3)],
+        "id BIGINT, parent BIGINT",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="max_depth"):
+        hierarchy_paths(looped, max_depth=4)
