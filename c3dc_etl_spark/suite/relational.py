@@ -2074,3 +2074,83 @@ def table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("match"),
     )
+
+
+GINI_CONC_SCALE = 1_000_000
+
+_LORENZ_ORACLE = f"""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+    FROM rev
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total,
+           CAST(SUM(i * cents) AS BIGINT) AS weighted
+    FROM ranked
+)
+SELECT n, total,
+       CAST((2 * CAST(weighted AS HUGEINT)
+             - (n + 1) * CAST(total AS HUGEINT)) * {GINI_CONC_SCALE}
+            // (CAST(n AS HUGEINT) * total) AS BIGINT) AS gini_x1e6,
+       CAST(CAST((SELECT SUM(cents) FROM ranked
+                  WHERE i > n - GREATEST(1, n // 10)) AS HUGEINT)
+            * {GINI_CONC_SCALE} // total AS BIGINT)
+           AS top_decile_share_x1e6
+FROM tot
+"""
+
+
+@query("revenue_concentration_gini", oracle=_LORENZ_ORACLE, tags=("relational",))
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration audit: the Gini coefficient of per-customer
+    revenue from the rank-weighted closed form G = (2·Σi·x_i −
+    (n+1)·Σx_i)/(n·Σx_i) over ascending-sorted exact cents — all
+    integer arithmetic, emitted in 1e-6 fixed point, plus the top-decile
+    revenue share. One customer-keyed aggregate, one rank window over
+    the aggregated frame (bounded by customers, not orders), one
+    1-row fold. The deterministic (cents, custkey) rank order makes the
+    weighted sum reproducible under ties. Cents come from
+    FLOOR(x*100 + 0.5) — registry rule 2: DuckDB ROUNDS double->int
+    casts while Spark truncates, so a bare cast would drift by one
+    cent on half the rows."""
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = rev.select(
+        "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    from c3dc_etl_spark.pinning import pin
+
+    ranked = pin(ranked)
+    tot = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("weighted"),
+    )
+    row = tot.collect()[0]
+    n, total, weighted = int(row["n"]), int(row["total"]), int(row["weighted"])
+    top_n = max(1, n // 10)
+    top_sum = int(
+        ranked.filter(F.col("i") > n - top_n)
+        .agg(F.sum("cents").alias("s"))
+        .collect()[0]["s"]
+    )
+    gini = (2 * weighted - (n + 1) * total) * GINI_CONC_SCALE // (n * total)
+    top_share = top_sum * GINI_CONC_SCALE // total
+    return ranked.sparkSession.createDataFrame(
+        [(n, total, gini, top_share)],
+        "n BIGINT, total BIGINT, gini_x1e6 BIGINT, top_decile_share_x1e6 BIGINT",
+    )

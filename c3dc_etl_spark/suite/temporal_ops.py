@@ -1722,3 +1722,80 @@ def calendar_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+_STREAK_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id, EPOCH_US(ts) // 86400000000 AS day
+    FROM events
+),
+islands AS (
+    SELECT user_id, day,
+           day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+    FROM ud
+),
+streaks AS (
+    SELECT user_id, island,
+           CAST(COUNT(*) AS BIGINT) AS len,
+           CAST(MIN(day) AS BIGINT) AS start_day
+    FROM islands GROUP BY user_id, island
+),
+best AS (
+    SELECT user_id, len, start_day,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY len DESC, start_day) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_active_days
+    FROM streaks
+)
+SELECT user_id, n_active_days, n_streaks,
+       len AS longest_streak, start_day AS longest_streak_start
+FROM best WHERE rn = 1
+"""
+
+
+@query("streak_gaps_islands", oracle=_STREAK_ORACLE, tags=("temporal",))
+def streak_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    via the day − ROW_NUMBER island-id trick — consecutive days share a
+    constant difference, so islands fall out of ONE user-partitioned
+    window + one groupBy, never a self-join on day+1 (whose probe side
+    is the full activity table). Tie-break: earliest start wins
+    (deterministic). Everything is exact integers; the user partition
+    key makes every window parallel at any scale."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", day_bucket("ts_us").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ud.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("day").cast("bigint").alias("start_day"),
+    )
+    wu = Window.partitionBy("user_id")
+    best = streaks.select(
+        "user_id",
+        "len",
+        "start_day",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("len").desc(), F.col("start_day")
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(wu).cast("bigint").alias("n_streaks"),
+        F.sum("len").over(wu).cast("bigint").alias("n_active_days"),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "user_id",
+        "n_active_days",
+        "n_streaks",
+        F.col("len").alias("longest_streak"),
+        F.col("start_day").alias("longest_streak_start"),
+    )

@@ -168,3 +168,74 @@ def test_hierarchy_paths_detects_cycle(spark):
 
     with _pytest.raises(RuntimeError, match="max_depth"):
         hierarchy_paths(looped, max_depth=4)
+
+
+# ---------------------------------------------------------------------------
+# property-based: random inputs vs brute-force references
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    n_buckets=st.sampled_from([1, 4, 64]),
+)
+@settings(max_examples=10, deadline=None)
+def test_skyline_property_matches_brute_force(spark, rows, n_buckets):
+    data = [(i, x, y) for i, (x, y) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "id BIGINT, x BIGINT, y BIGINT"
+    ) if data else spark.createDataFrame([], "id BIGINT, x BIGINT, y BIGINT")
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(df, "x", "y", n_buckets=n_buckets).collect()
+    )
+    assert got == _brute_skyline(data)
+
+
+def _brute_phrase(docs, phrase):
+    out = {}
+    k = len(phrase)
+    for doc_id, toks in docs:
+        anchors = [
+            a
+            for a in range(len(toks) - k + 1)
+            if toks[a : a + k] == list(phrase)
+        ]
+        if anchors:
+            out[doc_id] = (len(anchors), anchors[0])
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    phrase=st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_phrase_match_property_matches_brute_force(spark, docs, phrase):
+    from c3dc_etl_spark.operators import search as S
+
+    data = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id BIGINT, text STRING")
+    pos = S.doc_positions(df, "text", "doc_id")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_pos"])
+        for r in S.phrase_match(pos, list(phrase)).collect()
+    }
+    assert got == _brute_phrase(
+        [(i, toks) for i, toks in enumerate(docs)], phrase
+    )
