@@ -1799,3 +1799,89 @@ def streak_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len").alias("longest_streak"),
         F.col("start_day").alias("longest_streak_start"),
     )
+
+
+_DWELL_ORACLE = """
+WITH seq AS (
+    SELECT event_type,
+           LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY EPOCH_US(ts), event_id)
+               - EPOCH_US(ts) AS dwell_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(dwell_us) AS BIGINT) AS n_spells,
+       CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+       CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us,
+       CAST(SUM(dwell_us) // COUNT(dwell_us) AS BIGINT) AS mean_dwell_us
+FROM seq
+WHERE dwell_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("state_dwell_times", oracle=_DWELL_ORACLE, tags=("temporal",))
+def state_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state accounting: each event opens a state that lasts
+    until the user's NEXT event (LEAD over the deterministic (ts, id)
+    order — one user-partitioned WindowExec), aggregated to per-state
+    spell counts and exact integer dwell sums; the mean is integral
+    division (engine-portable, unlike AVG's internal precisions). The
+    terminal spell per user is open-ended and excluded — the same
+    convention a sessionizer uses. Shape: one exchange on user_id, one
+    on event_type."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dwell_us"),
+    ).filter(F.col("dwell_us").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+        F.sum("dwell_us").cast("bigint").alias("total_dwell_us"),
+        F.max("dwell_us").cast("bigint").alias("max_dwell_us"),
+        F.expr("sum(dwell_us) div count(dwell_us)")
+        .cast("bigint")
+        .alias("mean_dwell_us"),
+    )
+
+
+_MOM_ORACLE = """
+WITH monthly AS (
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_delta,
+       CAST(CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE)
+            / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS DOUBLE)
+           AS mom_pct
+FROM monthly
+"""
+
+
+@query("monthly_revenue_mom", oracle=_MOM_ORACLE, tags=("temporal",))
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: monthly revenue (exact decimal sums)
+    with LAG delta and growth rate — deltas computed in DECIMAL (exact,
+    then one correctly-rounded cast) and the rate as ONE IEEE division
+    of exactly-rounded operands. The unpartitioned LAG window runs over
+    the ~80-row monthly frame (constant at any fact-table scale —
+    aggregate first, window second, the engine-wide discipline)."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("month")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - prev).cast("double").alias("mom_delta"),
+        (
+            (F.col("rev") - prev).cast("double") / prev.cast("double")
+        ).alias("mom_pct"),
+    )
