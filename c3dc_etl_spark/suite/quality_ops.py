@@ -827,3 +827,60 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(viol).cast("bigint").alias("violating_groups"),
         F.sum(exposed).cast("bigint").alias("exposed_rows"),
     )
+
+
+GAP_TOP_K = 20
+
+_KEYGAP_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+             WHERE o_orderstatus = 'F'),
+gaps AS (
+    SELECT k AS gap_after,
+           LEAD(k) OVER (ORDER BY k) AS next_k
+    FROM keys
+)
+SELECT CAST(gap_after AS BIGINT) AS gap_after,
+       CAST(next_k AS BIGINT) AS next_key,
+       CAST(next_k - gap_after - 1 AS BIGINT) AS n_missing
+FROM gaps
+WHERE next_k - gap_after > 1
+ORDER BY n_missing DESC, gap_after
+LIMIT {GAP_TOP_K}
+"""
+
+
+@query("key_sequence_gaps", oracle=_KEYGAP_ORACLE, tags=("quality",))
+def key_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-continuity audit: the largest holes in a supposedly-dense
+    surrogate-key sequence (missed ingests, dropped batches) via LEAD
+    over the distinct key set — one window, no self-join on key+1. The
+    global-order window is acceptable for an AUDIT over the key
+    column alone (narrow rows); the 100 TB form range-partitions the
+    keys and exchanges only each partition's boundary row — same
+    result, one extra narrow shuffle. Top-k by gap size with a
+    deterministic tie-break."""
+    orders = load(spark, sf_dir, "orders")
+    # the synthetic orderkey domain is dense, so the audit runs over ONE
+    # STATUS PARTITION of it — the holes are where other statuses sit,
+    # giving the gap detector real findings at every sf
+    keys = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    gaps = keys.select(
+        F.col("k").alias("gap_after"),
+        F.lead("k").over(w).alias("next_k"),
+    ).filter(F.col("next_k") - F.col("gap_after") > 1)
+    return (
+        gaps.select(
+            F.col("gap_after").cast("bigint"),
+            F.col("next_k").cast("bigint").alias("next_key"),
+            (F.col("next_k") - F.col("gap_after") - 1)
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+        .orderBy(F.col("n_missing").desc(), F.col("gap_after"))
+        .limit(GAP_TOP_K)
+    )
