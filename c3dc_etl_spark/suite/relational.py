@@ -2154,3 +2154,38 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, total, gini, top_share)],
         "n BIGINT, total BIGINT, gini_x1e6 BIGINT, top_decile_share_x1e6 BIGINT",
     )
+
+
+_FANOUT_ORACLE = """
+WITH fan AS (
+    SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS fanout
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+)
+SELECT fanout,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(fanout) AS BIGINT) AS n_rows_out
+FROM fan GROUP BY fanout
+"""
+
+
+@query("join_fanout_audit", oracle=_FANOUT_ORACLE, tags=("quality", "relational"))
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit: the fan-out histogram of the orders x
+    lineitem join (per join key, how many output rows; then how many
+    keys share each fan-out). An unexpected 1:N explosion — the classic
+    silent row-duplication bug when a 'dimension' turns out non-unique
+    — shows up as mass at high fan-outs BEFORE the joined data ships.
+    Two aggregates, both map-side combinable; the expensive join output
+    is never materialized wide (count only)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    fan = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fanout"))
+    )
+    return fan.groupBy("fanout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("fanout").cast("bigint").alias("n_rows_out"),
+    )

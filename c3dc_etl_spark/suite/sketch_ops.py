@@ -1336,3 +1336,85 @@ def rolling_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_centi"),
     )
+
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+    SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS wt
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+vc AS (SELECT cents, CAST(SUM(wt) AS BIGINT) AS wt FROM w GROUP BY cents),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM vc),
+cum AS (
+    SELECT cents,
+           CAST(SUM(wt) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS cm
+    FROM vc
+)
+SELECT tot.tw AS total_weight,
+       CAST((SELECT MIN(cents) FROM cum WHERE cm >= (tot.tw + 1) // 2)
+            AS BIGINT) AS weighted_median_cents
+FROM tot
+"""
+
+
+@query("weighted_median_selection", oracle=_WMEDIAN_ORACLE, tags=("sketch",))
+def weighted_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted median price by distributed selection —
+    exact_median_selection's weighted sibling: binary search on the
+    value domain where each round's probe is a WEIGHT-SUM-below
+    aggregate instead of a count, converging to the smallest value
+    whose cumulative weight reaches (W+1)/2. Same scale contract: no
+    global sort, one partial-agg scalar per round over a pinned
+    two-column frame, ~log2(range) rounds. Weights are integral
+    (rule-2 floor on the 2-dp quantity) so W and the stopping rule are
+    exact; the oracle states the same order statistic via a cumulative
+    window (fine at test scale, the sort it embodies being exactly
+    what the selection loop avoids)."""
+    from c3dc_etl_spark.pinning import pin
+
+    li = load(spark, sf_dir, "lineitem")
+    wf = pin(
+        li.filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        ).select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("bigint")
+            .alias("wt"),
+        )
+    )
+    row = wf.agg(
+        F.sum("wt").alias("tw"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    ).collect()[0]
+    tw, lo, hi = row["tw"], row["lo"], row["hi"]
+    if tw is None:
+        return spark.range(0).select(
+            F.lit(0).cast("bigint").alias("total_weight"),
+            F.lit(0).cast("bigint").alias("weighted_median_cents"),
+        )
+    tw, lo, hi = int(tw), int(lo), int(hi)
+    k = (tw + 1) // 2
+    while lo < hi:
+        mid = (lo + hi) // 2
+        below = int(
+            wf.filter(F.col("cents") <= mid)
+            .agg(F.coalesce(F.sum("wt"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        if below >= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    return spark.range(1).select(
+        F.lit(tw).cast("bigint").alias("total_weight"),
+        F.lit(lo).cast("bigint").alias("weighted_median_cents"),
+    )

@@ -1885,3 +1885,144 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") - prev).cast("double") / prev.cast("double")
         ).alias("mom_pct"),
     )
+
+
+SLO_QUANTILES = (50, 90, 99)
+
+_SLO_ORACLE = f"""
+WITH vals AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL
+),
+vc AS (
+    SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM vals GROUP BY event_type, v
+),
+cum AS (
+    SELECT event_type, v, c,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cm,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM vc
+),
+cand AS (
+    SELECT event_type, q, v
+    FROM cum, UNNEST([{", ".join(str(q) for q in SLO_QUANTILES)}]) t(q)
+    WHERE cm >= (q * n + 99) // 100
+)
+SELECT event_type, CAST(q AS BIGINT) AS q,
+       CAST(MIN(v) AS BIGINT) AS value_x100
+FROM cand GROUP BY event_type, q
+"""
+
+
+@query("latency_percentiles_slo", oracle=_SLO_ORACLE, tags=("temporal",))
+def latency_percentiles_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 per event_type (PERCENTILE_DISC semantics —
+    smallest value whose cumulative count reaches ceil(q·n/100)) done
+    scale-right: values quantized to exact integer centi-units (rule-2
+    floor), aggregated to (group, value) counts FIRST (map-side
+    combine — the shuffle carries distinct values, not events), one
+    group-partitioned cumulative window over the aggregated rows, and
+    a 3-element quantile explode. No per-group collect_list, no global
+    sort, no engine-native percentile (whose interpolation rules
+    differ across engines)."""
+    ev = load(spark, sf_dir, "events")
+    vals = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    vc = vals.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = vc.select(
+        "event_type",
+        "v",
+        F.sum("c").over(w_cum).cast("bigint").alias("cm"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    qs = F.array(*[F.lit(q) for q in SLO_QUANTILES])
+    cand = cum.select(
+        "event_type", "v", "cm", "n", F.explode(qs).alias("q")
+    ).filter(F.col("cm") >= F.expr("(q * n + 99) div 100"))
+    return cand.groupBy("event_type", F.col("q").cast("bigint").alias("q")).agg(
+        F.min("v").cast("bigint").alias("value_x100")
+    )
+
+
+_ISOWEEK_ORACLE = """
+SELECT CAST(EXTRACT(isoyear FROM o_orderdate) AS BIGINT) AS iso_year,
+       CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS iso_week,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query("weekly_rollup_iso", oracle=_ISOWEEK_ORACLE, tags=("temporal",))
+def weekly_rollup_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 weekly rollup — the calendar probe that bites at YEAR
+    BOUNDARIES: Dec 31 can belong to week 1 of the NEXT iso year and
+    Jan 1 to week 52 of the previous (both present in this date
+    domain), so grouping by (calendar year, week) double-counts
+    boundary weeks. Spark's YEAROFWEEK/weekofyear and DuckDB's
+    isoyear/week agree exactly (probed; their DAY-of-week epochs do
+    NOT — Spark 1=Sunday vs isodow 1=Monday — which is why the rollup
+    keys on year+week only)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)")
+        .cast("bigint")
+        .alias("iso_year"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+NULLORD_TOP_K = 50
+
+_NULLORD_ORACLE = f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY value ASC NULLS LAST, event_id)
+            AS BIGINT) AS rnk,
+       event_id,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_x100
+FROM events
+ORDER BY rnk
+LIMIT {NULLORD_TOP_K}
+"""
+
+
+@query("null_ordering_probe", oracle=_NULLORD_ORACLE, tags=("conformance",))
+def null_ordering_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering conformance: engines DEFAULT differently (Spark
+    ASC = NULLS FIRST, DuckDB ASC = NULLS LAST — registry rule 3), so
+    portable ordered output must say NULLS LAST explicitly; this probe
+    pins the explicit form end to end through a rank + top-k. The
+    nullable value column is ranked with an id tie-break; NULL values
+    rank after every real value on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy(
+        F.col("value").asc_nulls_last(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("value_x100"),
+        )
+        .orderBy("rnk")
+        .limit(NULLORD_TOP_K)
+    )

@@ -5,7 +5,7 @@ marker/stopword constants so both sides stay in lockstep.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators import text as T
@@ -780,4 +780,57 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("pmi_x1e6"),
         )
+    )
+
+
+LANG_TOP_K = 5
+
+_TOP_PER_LANG_ORACLE = rf"""
+WITH tok AS (
+    SELECT lang, t AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT lang,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)),
+                                                     '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents
+    )
+    GROUP BY lang, t
+),
+ranked AS (
+    SELECT lang, token, n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, token) AS BIGINT) AS rnk
+    FROM tok
+)
+SELECT lang, rnk, token, n FROM ranked WHERE rnk <= {LANG_TOP_K}
+"""
+
+
+@query("top_tokens_per_lang", oracle=_TOP_PER_LANG_ORACLE, tags=("text",))
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (k > 1): the five most frequent tokens per
+    language by windowed rank over the aggregated token counts —
+    deterministic (count desc, token) ordering so ties cannot flip the
+    cut. The window partitions by the group key, so every language
+    ranks in parallel; at skewed scale the same contract is served by
+    operators/skew.salted_topk (partial per-salt heaps, then a k-bounded
+    merge), which clustering_ops already exercises."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "lang", F.explode(T.lower_tokens("text")).alias("token")
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        tok.select(
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "token",
+            "n",
+        )
+        .filter(F.col("rnk") <= LANG_TOP_K)
     )
