@@ -836,6 +836,85 @@ class TableLog:
             validate=_validate,
         )
 
+    def replace_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key_between: tuple,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Atomic partition overwrite (Delta's ``replaceWhere`` / the
+        INSERT OVERWRITE PARTITION shape): in ONE commit, drop every
+        stored row of the ``stats_col`` range [lo, hi] and add ``df``'s
+        rows instead — the idempotent-backfill primitive (re-running a
+        day's pipeline replaces that day wholesale; no delete+append
+        window where readers see neither). Rows of ``df`` OUTSIDE the
+        range are rejected up front: silently writing them would
+        corrupt ranges this commit never claimed to touch.
+
+        Copy-on-write + OCC exactly as delete_where: only
+        envelope-intersecting files rewrite (their out-of-range rows
+        are carried over), and a racer appending INTO the range between
+        validation and CAS raises CommitConflict on the retry loop."""
+        from pyspark.sql import functions as F
+
+        if self.stats_col is None:
+            raise ValueError(
+                "replace_where requires a stats_col-configured table"
+            )
+        lo, hi = key_between
+        if self.stats_col in df.columns:
+            stray = df.filter(
+                ~F.col(self.stats_col).between(lo, hi)
+            ).limit(1).count()
+            if stray:
+                raise ValueError(
+                    f"replace_where: incoming rows fall outside "
+                    f"[{lo}, {hi}] on {self.stats_col!r}"
+                )
+        base = self.latest_version()
+
+        def _overlaps(st: dict) -> bool:
+            if not st or "min" not in st:
+                return True
+            return st["max"] >= lo and st["min"] <= hi
+
+        def _validate(head):
+            if head is None:
+                return
+            for v in self.versions():
+                if (base is not None and v <= base) or v > head:
+                    continue
+                m = self._manifest(v)
+                st = m.get("stats", {})
+                hit = [n for n in m.get("add", ()) if _overlaps(st.get(n, {}))]
+                if hit:
+                    raise CommitConflict(
+                        f"concurrent commit {v} added files overlapping the "
+                        f"replaced range: {hit}; re-read and re-apply"
+                    )
+
+        touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
+        new_part = df
+        if touched:
+            existing = spark.read.parquet(
+                *[os.path.join(self.table_dir, n) for n in touched]
+            )
+            carried = existing.filter(
+                ~F.col(self.stats_col).between(lo, hi)
+            ).select(*df.columns)
+            new_part = carried.unionByName(df)
+        adds = self._land_files(new_part)
+        return self.commit(
+            add=adds,
+            remove=touched,
+            op="replace",
+            stats=self._file_stats(spark, adds),
+            txn=txn,
+            validate=_validate,
+        )
+
     def read(
         self,
         spark: SparkSession,

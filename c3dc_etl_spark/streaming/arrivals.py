@@ -171,6 +171,33 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    event_time_col: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stateful dedup via ``dropDuplicatesWithinWatermark`` — the
+    BOUNDED-STATE contract plain dropDuplicates cannot give: each
+    digest's state is dropped once the watermark passes its first
+    arrival + delay, so the state store size follows the event-time
+    window, not the all-time distinct count. The semantic trade is the
+    inverse of streaming_exact_dedup's: duplicates are only suppressed
+    while their key state LIVES (within the watermark window); a
+    re-arrival after expiry is emitted again — correct for
+    at-least-once ingest dedup, where duplicates cluster in time, and
+    the ONLY viable shape when the all-time digest domain outgrows
+    state at 100 TB."""
+    return (
+        stream.withColumn("content_hash", content_digest(text_col))
+        .withWatermark(event_time_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select(id_col, "content_hash", event_time_col)
+    )
+
+
 def start_incremental_dedup_run(
     stream: DataFrame,
     base_df: DataFrame,

@@ -550,3 +550,46 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "streaming_dedup_ttl_state",
+    oracle=_STREAM_DEDUP_ORACLE,
+    tags=("streaming",),
+)
+def streaming_dedup_ttl_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via dropDuplicatesWithinWatermark
+    (streaming.arrivals.streaming_dedup_within_watermark): digest state
+    expires once the watermark passes its window, so the state store
+    tracks the event-time window rather than the all-time digest domain
+    — the only dedup shape whose state survives 100 TB of ingest. All
+    test arrivals share one timestamp, so every duplicate is in-window
+    and the emitted digest set equals exact dedup (the SAME oracle as
+    streaming_dedup_digests — deliberately: the two queries pin that
+    both state disciplines agree when duplicates cluster in time, which
+    is the regime the TTL variant is correct for)."""
+    from c3dc_etl_spark.streaming.arrivals import (
+        streaming_dedup_within_watermark,
+    )
+
+    stream, _ = _table_stream(spark, sf_dir, "documents")
+    stream = stream.withColumn(
+        "arrival_ts", F.lit("2026-01-01 00:00:00").cast("timestamp")
+    )
+    deduped = streaming_dedup_within_watermark(
+        stream,
+        text_col="text",
+        id_col="doc_id",
+        event_time_col="arrival_ts",
+        watermark_delay="1 hour",
+    )
+    sink = _run_to_memory(deduped, "stream_dedup_ttl", "append")
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("content_hash")
+    )
+    counts = batch.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dupes")
+    )
+    return sink.select("content_hash").join(counts, "content_hash")

@@ -292,3 +292,40 @@ def table_log_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     log.append(orders.filter(F.col("o_orderkey") % 2 == 1))
     log.compact(spark, target_partitions=4)
     return log.read(spark, key_eq=BLOOM_LOOKUP_KEY)
+
+
+REPLACE_LO, REPLACE_HI = 10, 40
+
+
+@query(
+    "table_log_replace_where",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST(o_totalprice
+            + CASE WHEN o_orderkey BETWEEN {REPLACE_LO} AND {REPLACE_HI}
+                   THEN 1000 ELSE 0 END AS DOUBLE) AS o_totalprice,
+       o_orderstatus
+FROM orders
+""",
+    tags=("tablelog",),
+)
+def table_log_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic partition overwrite (Delta replaceWhere / INSERT
+    OVERWRITE PARTITION): one commit drops the stored key range and
+    lands the recomputed rows — the idempotent-backfill primitive
+    (re-running a day replaces that day wholesale, with no
+    delete-then-append window where readers see neither version, and
+    carried merge-grade OCC against racers appending into the range).
+    The build replaces [{REPLACE_LO}, {REPLACE_HI}] with price-adjusted
+    rows through the real transaction path; the oracle restates the
+    post-replace table against raw orders, so hash parity pins the
+    range swap, out-of-range carry-over from rewritten files, and
+    commit atomicity (sink/tablelog.py:replace_where)."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_replace_"), stats_col="o_orderkey")
+    log.append(orders)
+    patch = orders.filter(
+        F.col("o_orderkey").between(REPLACE_LO, REPLACE_HI)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    log.replace_where(spark, patch, (REPLACE_LO, REPLACE_HI))
+    return log.read(spark)

@@ -30,6 +30,7 @@ _DRIVER_SIDE = {
     "streaming_windowed_counts",
     "streaming_sliding_windows",
     "streaming_dedup_digests",
+    "streaming_dedup_ttl_state",
     "streaming_session_windows",
     "streaming_session_late_data",
     "streaming_stateful_running_stats",
