@@ -417,11 +417,15 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # total order consistent with (degree, id): rank = d * 2^32 + id
+    # total order consistent with (degree, id), compared as a STRUCT:
+    # Spark orders structs lexicographically by field, so (d, node)
+    # pairs compare exactly — packing d*2^32+node into one bigint would
+    # collide or misorder for ids >= 2^32 or negative ids (e.g.
+    # (d=1, id=2^32) == (d=2, id=0)), silently mis-counting triangles
     rank = deg.select(
         "node",
         "d",
-        (F.col("d") * F.lit(2**32) + F.col("node")).alias("rk"),
+        F.struct(F.col("d"), F.col("node")).alias("rk"),
     )
     annotated = (
         e.join(rank.select(F.col("node").alias("u"), F.col("rk").alias("rku")), "u")

@@ -300,7 +300,17 @@ class TableLog:
         with open(tmp, "w") as fh:
             fh.write(payload)
         try:
-            for _ in range(self.MAX_COMMIT_RETRIES):
+            for attempt in range(self.MAX_COMMIT_RETRIES):
+                if attempt:
+                    # capped exponential backoff between CAS retries: on
+                    # the no-hardlink fallback a crashed writer's stale
+                    # .claim only breaks after its age threshold, and 50
+                    # immediate retries would exhaust in milliseconds,
+                    # surfacing a spurious CommitConflict with zero live
+                    # contention; backing off also de-thunders real racers
+                    import time
+
+                    time.sleep(min(2.0, 0.01 * (2 ** min(attempt, 8))))
                 head = self.latest_version()
                 if txn is not None:
                     done = self.txns(head).get(txn[0], -1)
@@ -432,20 +442,26 @@ class TableLog:
 
         out: dict[str, dict] = {}
         for r in rows:
-            st = {
-                "col": self.stats_col,
-                "min": _plain(r["mn"]),
-                "max": _plain(r["mx"]),
-                "rows": r["rows"],
-            }
-            if extras:
-                st["cols"] = {
-                    c: {
-                        "min": _plain(r[f"mn_{c}"]),
-                        "max": _plain(r[f"mx_{c}"]),
-                    }
-                    for c in extras
+            st = {"col": self.stats_col, "rows": r["rows"]}
+            # a file whose stats_col values are ALL NULL aggregates to
+            # min=max=None; recording JSON nulls would later compare
+            # None against real keys (TypeError in bisect/key pruning).
+            # Omit the envelope instead: every consumer treats a
+            # missing "min" as stats-absent and conservatively keeps /
+            # touches the file.
+            if r["mn"] is not None:
+                st["min"] = _plain(r["mn"])
+                st["max"] = _plain(r["mx"])
+            env = {
+                c: {
+                    "min": _plain(r[f"mn_{c}"]),
+                    "max": _plain(r[f"mx_{c}"]),
                 }
+                for c in extras
+                if r[f"mn_{c}"] is not None
+            }
+            if env:
+                st["cols"] = env
             out[r["__file"]] = st
         self._attach_blooms(spark, names, out)
         return out
@@ -720,6 +736,15 @@ class TableLog:
             r["k"]
             for r in updates.select(F.col(key_col).alias("k")).distinct().collect()
         ]
+        # fail fast on NULL merge keys (mirrors the non-orderable-stats
+        # check): None is unsortable against real keys, and a NULL-key
+        # update row can never match the left_anti join — it would be
+        # re-inserted as a duplicate on every batch
+        if any(k is None for k in keys):
+            raise ValueError(
+                f"merge_upsert: updates contain NULL in key column "
+                f"{key_col!r}; merge keys must be non-NULL"
+            )
         skeys = sorted(keys)
         base = self.latest_version()
 
@@ -825,7 +850,13 @@ class TableLog:
         existing = spark.read.parquet(
             *[os.path.join(self.table_dir, n) for n in touched]
         )
-        keep = existing.filter(~F.col(self.stats_col).between(lo, hi))
+        # NULL-key rows never satisfy [lo, hi] (three-valued BETWEEN is
+        # NULL, not true), so a range DELETE must KEEP them — a bare
+        # ~between() would evaluate to NULL and silently drop them
+        keep = existing.filter(
+            F.col(self.stats_col).isNull()
+            | ~F.col(self.stats_col).between(lo, hi)
+        )
         adds = self._land_files(keep)
         return self.commit(
             add=adds,
@@ -865,8 +896,12 @@ class TableLog:
             )
         lo, hi = key_between
         if self.stats_col in df.columns:
+            # a NULL key does not satisfy [lo, hi] either — such a row
+            # is outside the replaced range and must be rejected, not
+            # silently written (bare ~between would let it through)
             stray = df.filter(
-                ~F.col(self.stats_col).between(lo, hi)
+                F.col(self.stats_col).isNull()
+                | ~F.col(self.stats_col).between(lo, hi)
             ).limit(1).count()
             if stray:
                 raise ValueError(
@@ -902,7 +937,8 @@ class TableLog:
                 *[os.path.join(self.table_dir, n) for n in touched]
             )
             carried = existing.filter(
-                ~F.col(self.stats_col).between(lo, hi)
+                F.col(self.stats_col).isNull()
+                | ~F.col(self.stats_col).between(lo, hi)
             ).select(*df.columns)
             new_part = carried.unionByName(df)
         adds = self._land_files(new_part)

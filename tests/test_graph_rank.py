@@ -130,3 +130,24 @@ def test_triangle_count_matches_bruteforce_and_is_orientation_invariant(spark):
     assert row["n_edges"] == len(edges)
     assert row["n_wedges"] == wedges
     assert row["clustering_x1e6"] == (3 * brute * 1_000_000) // wedges
+
+
+def test_triangle_count_huge_node_ids_no_rank_collision(spark):
+    """Node ids >= 2^32 must not corrupt the degree-orientation total
+    order. The old packed rank d*2^32+id collided for (d=2, id=2^32)
+    vs (d=3, id=0): the wedge filter rka < rkb then silently skipped
+    the triangle's wedge, undercounting. The struct (d, node) ordering
+    keeps distinct nodes strictly ordered at any id magnitude."""
+    from c3dc_etl_spark.operators.graph import triangle_count
+
+    big = 2**32
+    # triangle {5, big, 0} plus pendant 0-7: degrees 5->2, big->2, 0->3
+    # => packed ranks of `big` and `0` would both be 3*2^32 (collision)
+    edges = [(5, big), (5, 0), (0, big), (0, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    [row] = triangle_count(df).collect()
+    assert row["n_triangles"] == 1
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 4
+    # wedges: d(5)=2 ->1, d(big)=2 ->1, d(0)=3 ->3, d(7)=1 ->0
+    assert row["n_wedges"] == 5

@@ -681,3 +681,86 @@ def test_replace_where_detects_racing_append_into_range(spark, tmp_path):
             conflicted = True
     assert conflicted, "racer's in-range append must be detectable"
     assert patch is not None  # patch built against the stale base
+
+
+def test_delete_where_keeps_null_key_rows(spark, tmp_path):
+    """A range DELETE rewrites envelope-overlapping files; rows whose
+    stats_col is NULL never satisfy [lo, hi] (three-valued BETWEEN) and
+    must SURVIVE the rewrite — Delta's DELETE WHERE semantics."""
+    log = TableLog(str(tmp_path / "t"), stats_col="k")
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "b"), (None, "n1"), (8, "c"), (None, "n2")],
+        "k int, v string",
+    )
+    log.append(df)
+    log.delete_where(spark, (4, 9))
+    got = {tuple(r) for r in log.read(spark).collect()}
+    assert got == {(1, "a"), (None, "n1"), (None, "n2")}
+
+
+def test_replace_where_keeps_null_key_rows_and_rejects_null_incoming(
+    spark, tmp_path
+):
+    log = TableLog(str(tmp_path / "t"), stats_col="k")
+    log.append(
+        spark.createDataFrame(
+            [(1, "a"), (5, "b"), (None, "n1")], "k int, v string"
+        )
+    )
+    # NULL-key incoming rows do not satisfy the replaced range: reject
+    with pytest.raises(ValueError, match="outside"):
+        log.replace_where(
+            spark,
+            spark.createDataFrame([(5, "B"), (None, "N")], "k int, v string"),
+            (4, 9),
+        )
+    log.replace_where(
+        spark,
+        spark.createDataFrame([(6, "B")], "k int, v string"),
+        (4, 9),
+    )
+    got = {tuple(r) for r in log.read(spark).collect()}
+    # the stored NULL-key row is carried, the in-range row replaced
+    assert got == {(1, "a"), (6, "B"), (None, "n1")}
+
+
+def test_all_null_stats_file_is_conservative_not_poisonous(spark, tmp_path):
+    """A landed file whose stats_col values are ALL NULL must record
+    min/max as ABSENT (stats-less => conservatively touched/kept), not
+    as JSON null — a None envelope used to TypeError in bisect/pruning
+    on every later merge/delete/pruned read."""
+    log = TableLog(str(tmp_path / "t"), stats_col="k")
+    log.append(
+        spark.createDataFrame([(None, "x"), (None, "y")], "k int, v string")
+    )
+    log.append(spark.createDataFrame([(1, "a"), (9, "b")], "k int, v string"))
+    # manifests never carry a null envelope bound
+    for st in log.snapshot().values():
+        assert st.get("min") is not None and st.get("max") is not None or (
+            "min" not in st and "max" not in st
+        )
+    # pruned read: the stats-less file is conservatively opened
+    opened, total = log.pruned_file_count((5, 6))
+    assert total == opened + 0 or opened >= 1
+    got = {tuple(r) for r in log.read(spark, key_between=(0, 10)).collect()}
+    assert got == {(1, "a"), (9, "b")}
+    # merge and range delete both work over the all-NULL file
+    log.merge_upsert(
+        spark, spark.createDataFrame([(1, "A")], "k int, v string"), "k"
+    )
+    got = {tuple(r) for r in log.read(spark).collect()}
+    assert got == {(1, "A"), (9, "b"), (None, "x"), (None, "y")}
+    log.delete_where(spark, (0, 5))
+    got = {tuple(r) for r in log.read(spark).collect()}
+    assert got == {(9, "b"), (None, "x"), (None, "y")}
+
+
+def test_merge_upsert_rejects_null_merge_key(spark, tmp_path):
+    log = TableLog(str(tmp_path / "t"), stats_col="k")
+    log.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    with pytest.raises(ValueError, match="NULL"):
+        log.merge_upsert(
+            spark,
+            spark.createDataFrame([(None, "N")], "k int, v string"),
+            "k",
+        )
