@@ -74,6 +74,12 @@ class CommitConflict(RuntimeError):
     and re-derive its writes."""
 
 
+class ConstraintViolation(ValueError):
+    """A write batch contains rows violating a table CHECK constraint;
+    the write is refused BEFORE any file lands or manifest is written —
+    the table is untouched (Delta's ADD CONSTRAINT enforcement)."""
+
+
 def _fmt_version(v: int) -> str:
     return f"{v:020d}.json"
 
@@ -278,6 +284,7 @@ class TableLog:
         stats: dict[str, dict] | None = None,
         txn: tuple[str, int] | None = None,
         validate=None,
+        extra: dict | None = None,
     ) -> int:
         """Atomically publish one commit; returns the version written.
         Retries past racing writers (optimistic concurrency); raises
@@ -293,6 +300,8 @@ class TableLog:
         add = list(add or [])
         remove = list(remove or [])
         body = {"op": op, "add": add, "remove": remove, "stats": stats or {}}
+        if extra:
+            body.update(extra)
         if txn is not None:
             body["txn"] = {"app": txn[0], "batch": int(txn[1])}
         payload = json.dumps(body, sort_keys=True)
@@ -572,9 +581,136 @@ class TableLog:
         bits = int(b["hex"], 16)
         return all((bits >> p) & 1 for p in positions)
 
+    # -- constraints (table-level CHECK, persisted in the log) -------------
+
+    def set_check_constraint(self, name: str, predicate_sql: str) -> int:
+        """Persist a CHECK constraint as a data-free ledger commit (the
+        constraint definition rides the SAME log as the data it governs,
+        so every writer — current or future process — discovers it by
+        manifest replay, exactly like Delta's ``ADD CONSTRAINT``
+        metadata commit). Standard CHECK semantics: a row passes when
+        the predicate is TRUE **or NULL** (unknown passes); spell
+        NOT-NULL columns as ``col IS NOT NULL``, which evaluates to
+        plain FALSE on NULLs and therefore rejects them.
+
+        Adding the constraint does NOT scan existing data (that needs a
+        Spark job this metadata commit should not hide); callers that
+        add a constraint to a non-empty table prove it explicitly via
+        :meth:`validate_constraint` — the ADD CONSTRAINT-time backfill
+        check, kept separate exactly so the scan cost is visible."""
+        return self.commit(
+            op="set_constraint",
+            extra={"constraint": {"name": name, "check": predicate_sql}},
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        return self.commit(
+            op="drop_constraint",
+            extra={"constraint": {"name": name, "check": None}},
+        )
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """name -> CHECK predicate at ``version`` (latest when None),
+        replayed from the raw manifests (constraint commits are rare and
+        data-free; replay is O(commits) tiny JSON reads driver-side)."""
+        head = self.latest_version() if version is None else version
+        out: dict[str, str] = {}
+        if head is None:
+            return out
+        for v in self.versions():
+            if v > head:
+                break
+            m = self._manifest(v)
+            c = m.get("constraint")
+            if not c:
+                continue
+            if c.get("check") is None:
+                out.pop(c["name"], None)
+            else:
+                out[c["name"]] = c["check"]
+        return out
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Refuse a write batch violating any live CHECK constraint.
+        ONE aggregate job over the incoming batch counts violators of
+        every constraint at once (a row violates when its predicate
+        evaluates to FALSE — NULL/unknown passes, per SQL CHECK).
+        Runs BEFORE any file lands: a rejected batch leaves the table
+        directory byte-identical (not even vacuum-able orphans)."""
+        checks = self.constraints()
+        if not checks:
+            return
+        from pyspark.sql import functions as F
+
+        names = sorted(checks)
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(~F.coalesce(F.expr(checks[n]), F.lit(True)), 1)
+                    .otherwise(0)
+                ).alias(n)
+                for n in names
+            ]
+        ).first()
+        bad = {n: int(counts[n] or 0) for n in names if (counts[n] or 0) > 0}
+        if bad:
+            raise ConstraintViolation(
+                "write rejected; CHECK constraint violations: "
+                + ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
+            )
+
+    def validate_constraint(self, spark: SparkSession, name: str) -> None:
+        """Optionally prove a (new) constraint over the CURRENT
+        snapshot — the ADD CONSTRAINT-time backfill check."""
+        checks = self.constraints()
+        if name not in checks:
+            raise KeyError(name)
+        from pyspark.sql import functions as F
+
+        n_bad = (
+            self.read(spark)
+            .filter(~F.coalesce(F.expr(checks[name]), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            raise ConstraintViolation(
+                f"existing rows violate constraint {name!r}"
+            )
+
+    # -- history (DESCRIBE HISTORY) -----------------------------------------
+
+    def history(self) -> list[dict]:
+        """One audit record per commit, oldest first: version, op, files
+        added/removed, rows added (from per-file manifest stats when the
+        table records them, else None) — Delta's DESCRIBE HISTORY over
+        this log. Pure driver-side manifest replay, no Spark job."""
+        out = []
+        for v in self.versions():
+            m = self._manifest(v)
+            stats = m.get("stats") or {}
+            rows = [
+                (stats.get(f) or {}).get("rows") for f in m.get("add", ())
+            ]
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op", "?"),
+                    "files_added": len(m.get("add", ())),
+                    "files_removed": len(m.get("remove", ())),
+                    "rows_added": (
+                        sum(rows) if rows and all(r is not None for r in rows)
+                        else None
+                    ),
+                    "constraint": (m.get("constraint") or {}).get("name"),
+                }
+            )
+        return out
+
     # -- table operations --------------------------------------------------
 
     def append(self, df: DataFrame) -> int:
+        self._enforce_constraints(df)
         adds = self._land_files(df)
         return self.commit(
             add=adds,
@@ -583,6 +719,7 @@ class TableLog:
         )
 
     def overwrite(self, df: DataFrame) -> int:
+        self._enforce_constraints(df)
         adds = self._land_files(df)
         return self.commit(
             add=adds,
@@ -731,6 +868,10 @@ class TableLog:
         import bisect
 
         from pyspark.sql import functions as F
+
+        # carried rows already passed at their own write time; only the
+        # incoming CDC rows need CHECK enforcement
+        self._enforce_constraints(updates)
 
         keys = [
             r["k"]
@@ -894,6 +1035,7 @@ class TableLog:
             raise ValueError(
                 "replace_where requires a stats_col-configured table"
             )
+        self._enforce_constraints(df)
         lo, hi = key_between
         if self.stats_col in df.columns:
             # a NULL key does not satisfy [lo, hi] either — such a row

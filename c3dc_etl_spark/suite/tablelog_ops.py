@@ -329,3 +329,130 @@ def table_log_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
     log.replace_where(spark, patch, (REPLACE_LO, REPLACE_HI))
     return log.read(spark)
+
+
+@query(
+    "table_log_constraint_enforce",
+    oracle=f"""
+    SELECT {', '.join(_COLS)} FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_constraint_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraint enforcement (Delta ADD CONSTRAINT):
+    the constraints are persisted as data-free ledger commits on the
+    SAME log as the data, a clean append passes, a batch carrying
+    negative prices AND a NULL key is refused in ONE validation job
+    BEFORE any file lands (both violated constraints named in the
+    error), and a second clean append proceeds. The read-back must be
+    exactly the two accepted batches — the rejected write left the
+    table byte-identical, not even orphan files."""
+    from c3dc_etl_spark.sink.tablelog import ConstraintViolation
+
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_check_"), stats_col="o_orderkey")
+    log.set_check_constraint("price_positive", "o_totalprice > 0")
+    log.set_check_constraint("key_not_null", "o_orderkey IS NOT NULL")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    bad = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+        .unionByName(
+            orders.limit(1).select(
+                F.lit(None).cast("bigint").alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+                F.lit("O").alias("o_orderstatus"),
+            )
+        )
+    )
+    try:
+        log.append(bad)
+        raise AssertionError("constraint-violating append was accepted")
+    except ConstraintViolation:
+        pass
+    log.append(orders.filter(F.col("o_orderstatus") == "O"))
+    return log.read(spark)
+
+
+@query(
+    "table_log_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the table log: a later append
+    carries a NEW column (o_orderpriority), history is never rewritten,
+    and a merge-schema snapshot read unions the per-file schemas so
+    pre-evolution files surface the added column as NULL — every table
+    format's add-column story, here via parquet mergeSchema over the
+    snapshot's exact file list (sink/tablelog.py:read)."""
+    orders = load(spark, sf_dir, "orders")
+    log = TableLog(_scratch("tablelog_evolve_"))
+    log.append(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_totalprice"
+        )
+    )
+    log.append(
+        orders.filter(F.col("o_orderstatus") == "O").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+    )
+    return log.read(spark, merge_schema=True)
+
+
+@query(
+    "table_log_history_audit",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS rows_added
+    UNION ALL SELECT 1, 'append',
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL SELECT 2, 'set_constraint', NULL
+    UNION ALL SELECT 3, 'compact',
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus IN ('F', 'O'))
+    UNION ALL SELECT 4, 'append',
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'P')
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the commit log: one audit row per commit
+    (version, operation, rows added from the per-file manifest stats —
+    NULL for data-free metadata commits), replayed purely from the
+    manifests with no Spark job over the data. The oracle restates
+    every expected row count against raw orders, so hash parity pins
+    the manifest stats themselves (sink/tablelog.py:history)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_hist_"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))   # v0
+    log.append(orders.filter(F.col("o_orderstatus") == "O"))   # v1
+    log.set_check_constraint("price_positive", "o_totalprice > 0")  # v2
+    log.compact(spark, target_partitions=2)                    # v3
+    log.append(orders.filter(F.col("o_orderstatus") == "P"))   # v4
+    recs = [
+        (h["version"], h["op"], h["rows_added"]) for h in log.history()
+    ]
+    schema = StructType(
+        [
+            StructField("version", LongType()),
+            StructField("op", StringType()),
+            StructField("rows_added", LongType()),
+        ]
+    )
+    return spark.createDataFrame(recs, schema)

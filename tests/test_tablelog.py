@@ -764,3 +764,97 @@ def test_merge_upsert_rejects_null_merge_key(spark, tmp_path):
             spark.createDataFrame([(None, "N")], "k int, v string"),
             "k",
         )
+
+
+def test_check_constraints_persist_and_enforce(spark, tmp_path):
+    from c3dc_etl_spark.sink.tablelog import ConstraintViolation
+
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"))
+    log.set_check_constraint("price_positive", "o_totalprice > 0")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    before = sorted(os.listdir(log.table_dir))
+    bad = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    with pytest.raises(ConstraintViolation, match="price_positive"):
+        log.append(bad)
+    # rejected write left the table directory byte-identical: no new
+    # manifest AND no orphan data files (validation runs before landing)
+    assert sorted(os.listdir(log.table_dir)) == before
+    # a NEW handle on the same dir discovers the constraint from the log
+    log2 = TableLog(str(tmp_path / "t"))
+    assert log2.constraints() == {"price_positive": "o_totalprice > 0"}
+    with pytest.raises(ConstraintViolation):
+        log2.overwrite(bad)
+    # drop lifts enforcement
+    log2.drop_check_constraint("price_positive")
+    log2.append(bad.limit(5))
+    assert log2.constraints() == {}
+
+
+def test_check_constraint_null_predicate_passes(spark, tmp_path):
+    """SQL CHECK semantics: a predicate evaluating to NULL (unknown)
+    passes; only FALSE rejects. NOT-NULL is spelled `col IS NOT NULL`,
+    which is FALSE (not NULL) on NULL values and therefore rejects."""
+    from c3dc_etl_spark.sink.tablelog import ConstraintViolation
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None)], "k bigint, v double"
+    )
+    log = TableLog(str(tmp_path / "t"))
+    log.set_check_constraint("v_pos", "v > 0")  # NULL v => unknown => pass
+    log.append(df)
+    assert log.read(spark).count() == 2
+    log.set_check_constraint("v_not_null", "v IS NOT NULL")
+    with pytest.raises(ConstraintViolation, match="v_not_null"):
+        log.append(df)
+
+
+def test_constraint_enforced_on_merge_and_replace(spark, tmp_path):
+    from c3dc_etl_spark.sink.tablelog import ConstraintViolation
+
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.set_check_constraint("price_positive", "o_totalprice > 0")
+    log.append(orders)
+    bad = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    with pytest.raises(ConstraintViolation):
+        log.merge_upsert(spark, bad, "o_orderkey")
+    with pytest.raises(ConstraintViolation):
+        log.replace_where(
+            spark, bad.filter(F.col("o_orderkey").between(1, 200)), (1, 200)
+        )
+    # table unchanged by either rejected write
+    assert _rows(log.read(spark)) == _rows(orders)
+
+
+def test_validate_constraint_catches_existing_violations(spark, tmp_path):
+    from c3dc_etl_spark.sink.tablelog import ConstraintViolation
+
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"))
+    log.append(orders.withColumn("o_totalprice", -F.col("o_totalprice")))
+    log.set_check_constraint("price_positive", "o_totalprice > 0")
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        log.validate_constraint(spark, "price_positive")
+
+
+def test_history_audit_records_every_commit(spark, tmp_path):
+    orders = _orders(spark)
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    n_o = orders.filter(F.col("o_orderstatus") == "O").count()
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    log.append(orders.filter(F.col("o_orderstatus") == "O"))
+    log.set_check_constraint("price_positive", "o_totalprice > 0")
+    log.compact(spark, target_partitions=2)
+    h = log.history()
+    assert [x["op"] for x in h] == [
+        "append", "append", "set_constraint", "compact"
+    ]
+    assert [x["rows_added"] for x in h] == [n_f, n_o, None, n_f + n_o]
+    assert h[2]["constraint"] == "price_positive"
+    assert h[3]["files_removed"] > 0
