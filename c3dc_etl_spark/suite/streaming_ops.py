@@ -593,3 +593,133 @@ def streaming_dedup_ttl_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_dupes")
     )
     return sink.select("content_hash").join(counts, "content_hash")
+
+
+_OUTER_JOIN_ORACLE = """
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       EPOCH_US(p.ts) - EPOCH_US(s.ts) AS delta_us
+FROM events s
+LEFT JOIN events p
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase'
+ AND EPOCH_US(p.ts) >= EPOCH_US(s.ts)
+ AND EPOCH_US(p.ts) <= EPOCH_US(s.ts) + 7200000000
+WHERE s.event_type = 'signup'
+"""
+
+
+@query(
+    "streaming_outer_join_eviction",
+    oracle=_OUTER_JOIN_ORACLE,
+    tags=("streaming",),
+)
+def streaming_outer_join_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: matched (signup, purchase-within-2h)
+    pairs emit as they join, and an UNMATCHED signup emits null-padded
+    only once the watermark proves no future purchase can match — the
+    eviction-driven outer result that makes outer joins bounded-state.
+    The backlog is three mtime-ordered micro-batches: the real events
+    table, then two far-future sentinel batches whose only job is to
+    advance BOTH sides' watermarks past every real row. Each sentinel
+    batch carries one fake signup AND one fake purchase (negative user
+    ids, so they can never join a real row): Catalyst pushes the type
+    filters BELOW the EventTimeWatermark collector, so a sentinel must
+    SURVIVE its side's filter to feed that side's watermark — a
+    filtered-out sentinel leaves the global (min-policy) watermark
+    stuck and no outer row ever flushes. And the sentinels must never
+    THEMSELVES emit: any post-join filter on a left-side marker column
+    would be pushed below that same watermark collector (re-killing the
+    sentinel), so instead the sentinel SIGNUPS sit 30 days beyond the
+    final watermark — they advance it but are never evicted, hence
+    never null-padded — while the sentinel PURCHASES (the non-preserved
+    side, never emitted unmatched) step forward by one day per batch to
+    drive the eviction horizon past every real row. The second sentinel
+    batch runs AT the advanced watermark and flushes the evicted outer
+    rows (same engine contract as streaming_session_late_data's
+    spacer). The
+    oracle is the equivalent batch LEFT JOIN: parity proves every
+    unmatched signup was flushed and no matched pair was double-emitted
+    or null-padded."""
+    import glob
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tempfile.mkdtemp(prefix="outer_join_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "batch0.parquet"))
+    events = read_events_parquet(spark, f"{sf_dir}/events.parquet")
+    schema = events.schema
+    ts_is_long = dict(events.dtypes)["ts"] == "bigint"
+    far = events.select(F.max("ts").alias("m")).first()["m"]
+    def _shift(days: int):
+        return (
+            F.lit(far) + F.lit(days * 86_400_000_000_000)  # days of nanos
+            if ts_is_long
+            else F.lit(far) + F.expr(f"INTERVAL {days} DAYS")
+        )
+
+    for i in (1, 2):
+        one = events.limit(1)
+        sent = one.withColumn("ts", _shift(30)).withColumn(
+            "event_type", F.lit("signup")
+        ).withColumn("user_id", F.lit(-1).cast("bigint")).unionByName(
+            one.withColumn("ts", _shift(i)).withColumn(
+                "event_type", F.lit("purchase")
+            ).withColumn("user_id", F.lit(-2).cast("bigint"))
+        )
+        tmp_out = tempfile.mkdtemp(prefix=f"outer_join_sentinel{i}_")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"batch{i}.parquet"))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    base = 1_700_000_000
+    for i in range(3):
+        p = os.path.join(src, f"batch{i}.parquet")
+        os.utime(p, (base + i, base + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "batch*.parquet")
+        .parquet(src)
+    )
+    withts = _with_event_ts(stream, schema)
+    # watermark BEFORE the type filter: sentinels advance it, then drop
+    sign = (
+        withts.withColumnRenamed("event_ts", "s_ts")
+        .withWatermark("s_ts", "1 hour")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            "s_ts",
+        )
+    )
+    withts2 = _with_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "batch*.parquet")
+        .parquet(src),
+        schema,
+    )
+    buy = (
+        withts2.withColumnRenamed("event_ts", "p_ts")
+        .withWatermark("p_ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            "p_ts",
+        )
+    )
+    joined = sign.join(
+        buy,
+        (F.col("s_user") == F.col("b_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    ).select(
+        "signup_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("delta_us"),
+    )
+    return _run_to_memory(joined, "stream_outer_join", "append")
