@@ -38,3 +38,4 @@ from c3dc_etl_spark.suite import graph_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import tablelog_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import learning_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import search_ops  # noqa: F401,E402
+from c3dc_etl_spark.suite import geo_ops  # noqa: F401,E402

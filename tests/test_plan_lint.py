@@ -36,6 +36,7 @@ _DRIVER_SIDE = {
     "streaming_stateful_running_stats",
     "streaming_static_enrich",
     "streaming_stream_stream_join",
+    "streaming_outer_join_eviction",
     "link_wiring_collect",
     # the learned-merge list is a k-row driver artifact by design (each
     # iteration's argmax is a single-row TakeOrdered)

@@ -43,37 +43,34 @@ def test_entry_contract():
     ]
     assert len(set(e.PRIORITY)) == len(e.PRIORITY)
     assert set(qs) == set(REGISTRY)
-    # rotation policy (round 5, VERDICT r4 ask #1): the driver's bounded
-    # verification window (first 50 entries) must hold the 36 round-4
-    # session-3 queries (judge-verified but never driver-checked) plus
-    # every round-5 addition; the r4-green block closes the list.
+    # rotation policy (round 6): stalest-first — every round-6 addition
+    # plus the leading block of round-5 additions that never received a
+    # driver-dated CORRECTNESS row must sit inside the driver's bounded
+    # verification window (first 50 entries); the freshest (r5-green)
+    # rows close the list.
     first50 = set(list(qs)[:50])
     for name in (
-        # round-4 session 3: judge-verified, no driver row yet
-        "q4_priority_semijoin", "q13_order_distribution",
-        "q16_supplier_variety", "q18_large_orders",
-        "q19_disjunctive_revenue", "q22_dormant_customers",
-        "scd2_dimension_build", "heavy_hitters_cms",
-        "zorder_block_skipping", "record_linkage_blocked",
-        "dq_expectations_report", "rolling_time_stats",
-        "funnel_conversion", "pagerank_purchase_graph",
-        "scd2_incremental_merge", "cohort_retention",
-        "timeseries_gap_fill", "quantile_sketch_error",
-        "ab_test_stats", "streaming_upsert_snapshot",
-        "skew_salt_balance", "event_debounce",
-        "source_json_column_extract", "label_propagation_vote",
-        "exact_median_selection", "q7_nation_volume",
-        "q9_product_profit", "q14_promo_revenue", "q15_top_supplier",
-        "q17_small_quantity", "sketch_hll_distinct",
-        "sketch_kmv_set_algebra", "scd2_point_in_time_join",
-        "q2_best_balance_supplier", "agg_multi_distinct",
-        "null_semantics_probe",
-        # new in round 5
-        "q8_market_share", "q10_returned_items", "q11_important_stock",
-        "q12_shipmode_priority", "q20_potential_promotion",
-        "q21_suppliers_kept_waiting", "table_log_snapshot_read",
-        "table_log_time_travel", "table_log_merge_upsert",
-        "table_log_pruned_read", "triangle_count_coorder",
-        "ann_pq_adc_recall", "ann_ivfpq_recall",
+        # new in round 6
+        "streaming_outer_join_eviction", "geo_grid_radius_join",
+        "geo_nearest_neighbor", "geo_morton_cells",
+        "table_log_constraint_enforce", "table_log_schema_evolution",
+        "table_log_history_audit",
+        # round-5 additions with no driver row yet (leading block)
+        "ann_filtered_topk", "regressor_train_gd", "regressor_eval_r2",
+        "classifier_train_stump", "embedding_pca_covariance",
+        "table_log_optimize_zorder", "table_log_delete_where",
+        "sample_temperature_mixture", "event_transition_matrix",
+        "link_prediction_common_neighbors", "table_log_change_feed",
+        "table_log_zorder_pruned_read", "feature_winsorize_clip",
+        "market_basket_rules", "classifier_train_tree2",
+        "bootstrap_mean_ci", "mannwhitney_u_events",
+        "chi2_independence", "ks_two_sample", "spearman_rank_corr",
+        "benford_first_digit", "cusum_changepoint", "acf_daily_events",
+        "seasonal_naive_backtest", "theilsen_trend",
+        "anomaly_mad_daily", "interval_concurrency_sweep",
+        "attribution_first_last_touch", "dedup_prefix_filter",
+        "dedup_edit_distance", "view_incremental_maintenance",
+        "search_inverted_index", "search_conjunctive",
+        "search_bm25_topk",
     ):
         assert name in first50, name
