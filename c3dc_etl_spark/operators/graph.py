@@ -460,3 +460,50 @@ def triangle_count(
         .cast("bigint")
         .alias("clustering_x1e6"),
     )
+
+
+def kcore_bounded(
+    edges: DataFrame,
+    k: int,
+    *,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of removing
+    every node with degree < k (and all its edges), over a SYMMETRIC
+    edge list — returns (node, degree) for the survivors. With enough
+    rounds this is the exact k-core; bounding the round count is the
+    same determinism contract as sssp_bounded (the oracle replays the
+    identical rounds, and production callers iterate to fixpoint with a
+    per-round count check).
+
+    Per round: one src-keyed partial-agg degree count and two
+    semi-joins re-filtering the edge list — O(edges) shuffle rows,
+    map-side-combined counts, and a ``localCheckpoint`` so lineage (and
+    plan size) stays constant in the round number. Peeling is
+    monotone — nodes only ever leave — so a round that removes nothing
+    has converged (callers can stop early; the bounded form runs all
+    rounds for cross-engine parity)."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        alive = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        # two distinct frames for the two semi-joins: reusing one
+        # DataFrame in both would alias its attribute ids (the
+        # trivially-true self-compare trap from PLANS.md)
+        alive2 = alive.select(F.col("node").alias("node2"))
+        e = (
+            e.join(alive, F.col("src") == F.col("node"), "left_semi")
+            .join(alive2, F.col("dst") == F.col("node2"), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

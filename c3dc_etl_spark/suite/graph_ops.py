@@ -438,3 +438,75 @@ def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("parent"),
     )
     return hierarchy_paths(cust, id_col="id", parent_col="parent")
+
+
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    head = """
+WITH pairs AS (
+    SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e0 AS (
+    SELECT 'c:' || CAST(ck AS STRING) AS src,
+           's:' || CAST(sk AS STRING) AS dst FROM pairs
+    UNION ALL
+    SELECT 's:' || CAST(sk AS STRING),
+           'c:' || CAST(ck AS STRING) FROM pairs
+)"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f""",
+a{i} AS (
+    SELECT src AS node FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+),
+e{i} AS (
+    SELECT e.src, e.dst FROM e{i - 1} e
+    JOIN a{i} x ON e.src = x.node
+    JOIN a{i} y ON e.dst = y.node
+)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY src"""
+    )
+
+
+@query("graph_kcore_bounded", oracle=_kcore_oracle(), tags=("graph",))
+def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the bipartite purchase graph: 3
+    synchronous rounds of removing nodes with degree < 4 (and their
+    edges), returning the survivors with their residual degrees — the
+    density-extraction primitive (spam/bot subgraphs, co-purchase
+    cores) whose fixpoint form is THE canonical iterative-peeling
+    algorithm. Rounds are bounded for cross-engine determinism exactly
+    as graph_sssp_bounded: the oracle replays the identical rounds as
+    a CTE chain (the fourth recursion-vs-iteration pin). Per round one
+    degree partial-agg + two semi-joins, localCheckpoint-ed so plan
+    size is constant in the round count
+    (operators/graph.py:kcore_bounded)."""
+    from c3dc_etl_spark.operators.graph import kcore_bounded
+    from c3dc_etl_spark.pinning import pin
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = pin(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return kcore_bounded(edges, KCORE_K, rounds=KCORE_ROUNDS)

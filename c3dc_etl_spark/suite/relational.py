@@ -2189,3 +2189,35 @@ def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("fanout").cast("bigint").alias("n_rows_out"),
     )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT n_name, c.c_custkey, c.c_acctbal
+FROM nation JOIN LATERAL (
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3
+) c{on_true}
+"""
+
+
+@query(
+    "lateral_topk_per_group",
+    oracle=_LATERAL_TOPK_SQL.format(on_true=" ON TRUE"),
+    tags=("relational", "conformance"),
+)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    surface for per-group top-k (top-3 customers by balance per
+    nation), run through spark.sql on textually equivalent SQL in both
+    engines (DuckDB needs the explicit ON TRUE; Spark rejects it —
+    the one dialect seam). The probe pins that Spark DECORRELATES the
+    per-row LIMIT into WindowGroupLimit (partial map-side top-k, one
+    exchange, final top-k — no per-outer-row re-execution), i.e. the
+    lateral spelling costs the same as the ROW_NUMBER spelling while
+    DuckDB evaluates the correlated form natively; identical rows
+    prove the decorrelation is semantics-preserving, deterministic
+    under the key-extended tie-break (registry rule 4)."""
+    for t in ("nation", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPK_SQL.format(on_true=""))

@@ -2026,3 +2026,139 @@ def null_ordering_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(NULLORD_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA over daily event counts — integer-exact truncated exponential decay
+# ---------------------------------------------------------------------------
+
+_EWMA_TERMS = 16  # alpha = 1/2, truncated at 16 lags (weight 2^15 .. 1)
+
+_EWMA_LAG_SQL = " + ".join(
+    f"COALESCE(LAG(c, {j}) OVER w, 0) * {1 << (_EWMA_TERMS - 1 - j)}"
+    for j in range(_EWMA_TERMS)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN LAG(c, {j}) OVER w IS NOT NULL "
+    f"THEN {1 << (_EWMA_TERMS - 1 - j)} ELSE 0 END)"
+    for j in range(_EWMA_TERMS)
+)
+
+_EWMA_ORACLE = f"""
+WITH daily AS (
+    SELECT EPOCH_US(ts) // 86400000000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT day, c,
+           CAST({_EWMA_LAG_SQL} AS BIGINT) AS ewma_num,
+           CAST({_EWMA_DEN_SQL} AS BIGINT) AS ewma_den
+    FROM daily WINDOW w AS (ORDER BY day)
+)
+SELECT day, c, ewma_num, ewma_den,
+       (ewma_num * 1000000) // ewma_den AS ewma_ppm
+FROM w
+"""
+
+
+@query("ewma_daily_events", oracle=_EWMA_ORACLE, tags=("temporal", "stats"))
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of the daily
+    event count, integer-exact: the recursion S_d = c_d/2 + S_{d-1}/2
+    is unrolled to its closed form over the last 16 observed days with
+    power-of-two weights (2^15 down to 1 — beyond 16 lags the
+    contribution is below one part in 2^16, i.e. truncation is the
+    fixed-point rounding), so numerator and denominator are exact
+    BIGINTs and the emitted ppm ratio is integral division — no
+    recursive state, no float accumulation drift. All 16 LAGs run in
+    ONE WindowExec over the aggregated ~O(days) frame (aggregate
+    first, window second — the monthly_revenue_mom discipline)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(day_bucket().alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    daily.createOrReplaceTempView("__ewma_daily")
+    return spark.sql(f"""
+        SELECT day, c, ewma_num, ewma_den,
+               (ewma_num * 1000000) div ewma_den AS ewma_ppm
+        FROM (
+            SELECT day, c,
+                   CAST({_EWMA_LAG_SQL} AS BIGINT) AS ewma_num,
+                   CAST({_EWMA_DEN_SQL} AS BIGINT) AS ewma_den
+            FROM __ewma_daily WINDOW w AS (ORDER BY day)
+        )
+    """)
+
+
+# ---------------------------------------------------------------------------
+# PERCENTILE_DISC vs PERCENTILE_CONT conformance probe
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+WITH vals AS (
+    SELECT l_returnflag AS flag, l_quantity AS q FROM lineitem
+),
+disc AS (
+    SELECT flag, MIN(q) AS p50_disc FROM (
+        SELECT flag, q,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY q) AS cum,
+               SUM(cnt) OVER (PARTITION BY flag) AS n
+        FROM (SELECT flag, q, COUNT(*) AS cnt FROM vals GROUP BY 1, 2)
+    ) WHERE 2 * cum >= n GROUP BY flag
+),
+cont AS (
+    SELECT flag, QUANTILE_CONT(q, 0.5) AS p50_cont,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM vals GROUP BY flag
+)
+SELECT d.flag, c.n, d.p50_disc, c.p50_cont,
+       (d.p50_disc <> c.p50_cont) AS diverges
+FROM disc d JOIN cont c ON d.flag = c.flag
+"""
+
+
+@query(
+    "percentile_disc_cont_probe",
+    oracle=_PCTL_ORACLE,
+    tags=("temporal", "conformance"),
+)
+def percentile_disc_cont_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC vs PERCENTILE_CONT conformance: the two medians
+    differ whenever a group has an even count with distinct middle
+    values, and engines default differently (many report CONT for
+    "median") — a silent correctness trap when porting SQL. CONT is
+    pinned engine-native on both sides (Spark percentile() vs DuckDB
+    QUANTILE_CONT, both the h = (n-1)p linear interpolation; parity
+    proves the definitions agree bit-for-bit on these inputs — the
+    (a+b)/2 midpoint is one exact IEEE operation on 2dp-decimal
+    doubles). DISC is computed from the SAME cumulative-count
+    definition on both sides (first value whose cumulative count
+    reaches half), aggregated to (value, count) FIRST so the window
+    runs over distinct values, not events."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("q")
+    )
+    from pyspark.sql import Window
+
+    counts = li.groupBy("flag", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = counts.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy("flag").orderBy("q")),
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("flag")))
+    disc = (
+        cum.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("flag")
+        .agg(F.min("q").alias("p50_disc"))
+    )
+    cont = li.groupBy("flag").agg(
+        F.expr("percentile(q, 0.5)").alias("p50_cont"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return disc.join(cont, "flag").select(
+        "flag",
+        "n",
+        "p50_disc",
+        "p50_cont",
+        (F.col("p50_disc") != F.col("p50_cont")).alias("diverges"),
+    )

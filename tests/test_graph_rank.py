@@ -151,3 +151,29 @@ def test_triangle_count_huge_node_ids_no_rank_collision(spark):
     assert row["n_edges"] == 4
     # wedges: d(5)=2 ->1, d(big)=2 ->1, d(0)=3 ->3, d(7)=1 ->0
     assert row["n_wedges"] == 5
+
+
+def test_kcore_bounded_peels_to_exact_core(spark):
+    from c3dc_etl_spark.operators.graph import kcore_bounded
+
+    # 4-clique {1,2,3,4} (3-core) + a tail 4-5-6 that peels away in two
+    # rounds: removing 6 (deg 1) drops 5 to deg 1, then 5 drops 4's
+    # extra edge — the clique survives with degree 3 everywhere
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src bigint, dst bigint",
+    )
+    got = {
+        (r.node, r.degree)
+        for r in kcore_bounded(edges, 3, rounds=3).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+    # bounded contract: one round only removes the degree<3 frontier
+    # (node 6 and node 5 — deg(5)=2 already below k), leaving 4-x edges
+    one = {
+        (r.node, r.degree)
+        for r in kcore_bounded(edges, 3, rounds=1).collect()
+    }
+    assert one == {(1, 3), (2, 3), (3, 3), (4, 3)}
