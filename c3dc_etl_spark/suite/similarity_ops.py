@@ -555,3 +555,165 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per task at any corpus size."""
     emb = load(spark, sf_dir, "embeddings")
     return S.covariance_pairs(emb, dim=EMB_DIM, scale=COV_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval over int8-quantized vectors — integer-exact
+# ---------------------------------------------------------------------------
+
+MMR_CANDIDATES = 16
+MMR_K = 5
+
+# int8 quantization as SQL — the SAME arithmetic as
+# operators.similarity.quantize_int8 (and the embedding_quantize_int8
+# oracle), so quantized values are exact integers in both engines
+_QVEC_SQL = """LIST_TRANSFORM(v, x -> CAST(
+    CASE WHEN max_abs > 0
+         THEN GREATEST(-127, LEAST(127, FLOOR(x / (max_abs / 127.0) + 0.5)))
+         ELSE 0 END AS BIGINT))"""
+
+
+def _int_dot(a: str, b: str) -> str:
+    """Integer dot product of two quantized lists — exact BIGINT, no
+    fold-order discipline needed (integer addition commutes)."""
+    return (
+        f"CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM + 1}),"
+        f" i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+def _mmr_oracle(c: int = MMR_CANDIDATES, k: int = MMR_K) -> str:
+    """Unrolled greedy MMR as a CTE chain: sel1 is the relevance argmax;
+    each later step scores every remaining candidate as
+    (simq - max sim to the selected set) and takes the argmax with an
+    id tie-break — the same iterative-algorithm-as-oracle pattern as
+    _kmeans_ctes / _pagerank_oracle, here with zero rounding discipline
+    because every similarity is an integer."""
+    head = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+    SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS max_abs
+    FROM e
+),
+q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM m),
+qry AS (SELECT qv FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM q)),
+cand AS (
+    SELECT q.vec_id AS id, q.qv, {_int_dot('q.qv', 'qry.qv')} AS simq
+    FROM q, qry
+    WHERE q.vec_id <> (SELECT MIN(vec_id) FROM q)
+    ORDER BY simq DESC, id ASC LIMIT {c}
+),
+pair AS (
+    SELECT a.id AS id_a, b.id AS id_b, {_int_dot('a.qv', 'b.qv')} AS sim
+    FROM cand a JOIN cand b ON a.id <> b.id
+),
+sel1 AS (
+    SELECT id, simq, CAST(NULL AS BIGINT) AS max_sel
+    FROM cand ORDER BY simq DESC, id ASC LIMIT 1
+)"""
+    its = []
+    for t in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT id FROM sel{j}" for j in range(1, t)
+        )
+        its.append(f""",
+rem{t} AS (
+    SELECT c.id, c.simq, MAX(p.sim) AS max_sel
+    FROM cand c
+    JOIN pair p ON p.id_a = c.id AND p.id_b IN ({prev})
+    WHERE c.id NOT IN ({prev})
+    GROUP BY c.id, c.simq
+),
+sel{t} AS (
+    SELECT id, simq, max_sel FROM rem{t}
+    ORDER BY (simq - max_sel) DESC, id ASC LIMIT 1
+)""")
+    ranks = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, id, simq, max_sel FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return head + "".join(its) + "\n" + ranks
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle(), tags=("similarity",))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): from the top-{MMR_CANDIDATES} relevance candidates,
+    greedily select {MMR_K} results maximizing
+    sim(query, d) - max_sim(d, selected) (lambda = 1/2 up to a common
+    positive scale, which argmax ignores) — the diversity re-rank a
+    retrieval/RAG pipeline runs after ANN. Everything is integer-exact:
+    vectors are int8-quantized (the ANN compression path), so
+    similarities are BIGINT dot products and the greedy argmax chain
+    needs no rounding discipline. Scale shape: candidate generation is
+    the ANN top-C (bounded C per query); the C x C pair-sim table and
+    the k greedy steps are O(kC) work per query — the driver holds only
+    k one-row argmax picks (the BPE-merge pattern), never the
+    embeddings."""
+    from c3dc_etl_spark.pinning import pin
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = S.quantize_int8(emb)
+    qmin = emb.agg(F.min("vec_id")).first()[0]  # bounded scalar
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("qqv"), lambda x, y: x.cast("bigint") * y
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qry = qv.filter(F.col("vec_id") == qmin).select(
+        F.col("qvec").alias("qqv")
+    )
+    cand = pin(
+        qv.filter(F.col("vec_id") != qmin)
+        .select(F.col("vec_id").alias("id"), F.col("qvec").alias("qv"))
+        .join(F.broadcast(qry))
+        .select("id", "qv", idot.alias("simq"))
+        .orderBy(F.col("simq").desc(), F.col("id").asc())
+        .limit(MMR_CANDIDATES)
+    )
+    a = cand.select(
+        F.col("id").alias("id_a"), F.col("qv").alias("qa")
+    )
+    b = cand.select(
+        F.col("id").alias("id_b"), F.col("qv").alias("qb")
+    )
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x.cast("bigint") * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = pin(
+        a.join(b, F.col("id_a") != F.col("id_b")).select(
+            "id_a", "id_b", pair_dot.alias("sim")
+        )
+    )
+    picks: list[tuple] = []
+    first = cand.orderBy(F.col("simq").desc(), F.col("id").asc()).first()
+    picks.append((1, first["id"], first["simq"], None))
+    for t in range(2, MMR_K + 1):
+        sel_ids = [p[1] for p in picks]
+        best = (
+            cand.filter(~F.col("id").isin(sel_ids))
+            .join(
+                pairs.filter(F.col("id_b").isin(sel_ids)),
+                F.col("id") == F.col("id_a"),
+            )
+            .groupBy("id", "simq")
+            .agg(F.max("sim").alias("max_sel"))
+            .orderBy((F.col("simq") - F.col("max_sel")).desc(), F.col("id").asc())
+            .first()
+        )
+        picks.append((t, best["id"], best["simq"], best["max_sel"]))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("rank", LongType()),
+            StructField("id", LongType()),
+            StructField("simq", LongType()),
+            StructField("max_sel", LongType()),
+        ]
+    )
+    return spark.createDataFrame(picks, schema)

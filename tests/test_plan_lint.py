@@ -41,6 +41,9 @@ _DRIVER_SIDE = {
     # the learned-merge list is a k-row driver artifact by design (each
     # iteration's argmax is a single-row TakeOrdered)
     "bpe_train_merges",
+    # greedy MMR: k one-row argmax picks land as a driver-built k-row
+    # frame by design (the BPE-merge pattern)
+    "mmr_diversified_topk",
 }
 
 # cosine_topk intentionally BNLJs: the QUERY batch is broadcast (small
