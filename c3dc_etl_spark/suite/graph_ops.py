@@ -510,3 +510,41 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return kcore_bounded(edges, KCORE_K, rounds=KCORE_ROUNDS)
+
+
+_RECURSIVE_NATIVE_SQL = """
+WITH RECURSIVE nodes AS (
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey = 0 THEN NULL
+                ELSE (c_custkey - 1) {div} 2 END AS parent
+    FROM customer
+),
+walk(id, depth, path) AS (
+    SELECT id, CAST(0 AS BIGINT), CAST(id AS STRING)
+    FROM nodes WHERE parent IS NULL
+    UNION ALL
+    SELECT n.id, w.depth + 1, w.path || '/' || CAST(n.id AS STRING)
+    FROM walk w JOIN nodes n ON n.parent = w.id
+)
+SELECT id, depth, path FROM walk
+"""
+
+
+@query(
+    "recursive_cte_native",
+    oracle=_RECURSIVE_NATIVE_SQL.format(div="//"),
+    tags=("graph", "conformance"),
+)
+def recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE recursion: the same heap-derived hierarchy walk as
+    hierarchy_flatten_paths, but run through Spark's own WITH RECURSIVE
+    (new in Spark 4.x) on textually equivalent SQL in both engines —
+    the only dialect seams are integer division (div vs //) and the
+    STRING/VARCHAR cast spelling. Three-way agreement with the
+    iterative operator (hierarchy_paths shares this oracle's relation)
+    pins that Spark's recursive execution, DuckDB's recursive
+    execution, and the level-synchronous DataFrame loop all compute the
+    same fixpoint; depth grows with sf (~log2 n), so the recursion is
+    genuinely exercised at every scale."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_NATIVE_SQL.format(div="div"))

@@ -2221,3 +2221,51 @@ def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("nation", "customer"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_TOPK_SQL.format(on_true=""))
+
+
+_ROLLUP_ORACLE = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query(
+    "agg_rollup_hierarchy",
+    oracle=_ROLLUP_ORACLE,
+    tags=("relational", "conformance"),
+)
+def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over the region > nation hierarchy with
+    GROUPING() flags — the drill-down report shape (leaf rows, per-
+    region subtotals, grand total in ONE aggregation pass; the
+    complement of agg_grouping_cube's full lattice). GROUPING() flags
+    are emitted because rollup NULLs are indistinguishable from data
+    NULLs without them — the conformance point this query pins
+    cross-engine, beside the exact-DECIMAL revenue discipline (rule 1).
+    One ExpandExec + one exchange: the rollup lattice is computed by
+    row expansion, never by re-scanning per level."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("bigint").alias("g_region"),
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+        dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        "r_name", "n_name", "g_region", "g_nation", "revenue", "n_orders"
+    )

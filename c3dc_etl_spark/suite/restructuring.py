@@ -223,3 +223,49 @@ def unpivot_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("field") == "p_brand", "brand")
         .otherwise("type"),
     )
+
+
+_EXPLODE_OUTER_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN []
+                WHEN 1 THEN NULL
+                ELSE LIST_SLICE(STR_SPLIT(text, ' '), 1, 2)
+           END AS arr
+    FROM documents
+)
+SELECT doc_id, CAST(NULL AS BIGINT) AS pos, CAST(NULL AS STRING) AS token
+FROM d WHERE arr IS NULL OR LEN(arr) = 0
+UNION ALL
+SELECT doc_id,
+       CAST(GENERATE_SUBSCRIPTS(arr, 1) - 1 AS BIGINT) AS pos,
+       UNNEST(arr) AS token
+FROM d WHERE arr IS NOT NULL AND LEN(arr) > 0
+"""
+
+
+@query(
+    "explode_outer_probe",
+    oracle=_EXPLODE_OUTER_ORACLE,
+    tags=("restructuring", "conformance"),
+)
+def explode_outer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer conformance: rows whose array is EMPTY or NULL
+    must survive the flatten with NULL (pos, token) — the silent
+    row-loss trap of plain explode (an inner flatten drops the parent
+    row, and a downstream count-by-doc silently undercounts). One in
+    three documents gets an empty array and one in three a NULL array,
+    so both degenerate shapes are exercised; DuckDB has no outer
+    UNNEST, so the oracle restates the semantics as the
+    preserved-rows UNION the lateral RANGE flatten."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.array().cast("array<string>"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(None).cast("array<string>"))
+        .otherwise(F.slice(F.split(F.col("text"), " "), 1, 2))
+        .alias("arr"),
+    )
+    return docs.select(
+        "doc_id", F.posexplode_outer("arr").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")

@@ -440,3 +440,39 @@ def source_json_column_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("prop_k"),
         (F.col("p.k") % 10).alias("k_mod"),
     )
+
+
+_FW_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+_FW_FIELDS = [
+    ("n_nationkey", 1, 4, "int"),
+    ("n_name", 5, 16, "string"),
+    ("n_regionkey", 21, 4, "int"),
+]
+
+
+@query("source_fixed_width_scan", oracle=_FW_ORACLE, tags=("sources",))
+def source_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text roundtrip — the delimiterless legacy-export
+    format (mainframe/COBOL extracts, printf reports): nation is
+    rendered as space-padded (offset, width) lines and scanned back
+    through the fixed-width source (sources/fixed_width.py — splittable
+    line reads, pure substring+trim+cast slicing, zero UDFs; oversized
+    values rejected loudly at write time because silent truncation
+    corrupts adjacent fields). The oracle reads the original table, so
+    parity covers the renderer and the parser end to end."""
+    import tempfile
+
+    from c3dc_etl_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = tempfile.mkdtemp(prefix="fixed_width_")
+    write_fixed_width(nat, out, _FW_FIELDS)
+    return read_fixed_width(spark, out, _FW_FIELDS)

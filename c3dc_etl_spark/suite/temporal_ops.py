@@ -2162,3 +2162,58 @@ def percentile_disc_cont_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_cont",
         (F.col("p50_disc") != F.col("p50_cont")).alias("diverges"),
     )
+
+
+_IGNORE_NULLS_ORACLE = """
+WITH ev AS (
+    SELECT event_id, user_id, EPOCH_US(ts) AS ts_us,
+           CASE WHEN event_type = 'purchase' THEN value END AS pv
+    FROM events
+)
+SELECT event_id, user_id,
+       LAST_VALUE(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_purchase_value,
+       FIRST_VALUE(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS first_purchase_value
+FROM ev
+"""
+
+
+@query(
+    "window_ignore_nulls_probe",
+    oracle=_IGNORE_NULLS_ORACLE,
+    tags=("temporal", "conformance"),
+)
+def window_ignore_nulls_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window conformance — the LOCF idiom (carry the last
+    purchase value forward across non-purchase events) and its
+    first-seen dual, pinned cross-engine: Spark spells it last(x,
+    ignorenulls)/first(x, ignorenulls) OVER a running ROWS frame,
+    DuckDB LAST_VALUE(x IGNORE NULLS)/FIRST_VALUE(...). Rows before a
+    user's first purchase stay NULL in both (no default leaks in), and
+    the deterministic (ts, event_id) order makes the carried value
+    unambiguous under duplicate timestamps. Both functions share ONE
+    user-partitioned WindowExec."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last("pv", ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.first("pv", ignorenulls=True).over(w).alias("first_purchase_value"),
+    )

@@ -344,3 +344,27 @@ def test_partitioned_scan_prunes_at_planning_time(spark):
     window = plan[i : i + 160]
     assert "event_type" in window and "IN (signup,purchase)" in window
     assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan
+
+
+def test_fixed_width_rejects_oversized_values(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    fields = [("k", 1, 4, "int"), ("name", 5, 6, "string")]
+    ok = spark.createDataFrame([(1, "abc"), (22, None)], "k int, name string")
+    out = str(tmp_path / "fw")
+    write_fixed_width(ok, out, fields)
+    got = sorted(
+        tuple(r) for r in read_fixed_width(spark, out, fields).collect()
+    )
+    assert got == [(1, "abc"), (22, None)]
+    too_wide = spark.createDataFrame(
+        [(1, "seven77")], "k int, name string"
+    )
+    with pytest.raises(Exception, match="fixed-width overflow"):
+        write_fixed_width(too_wide, str(tmp_path / "fw2"), fields)
