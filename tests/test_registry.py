@@ -54,7 +54,12 @@ def test_entry_contract():
         "streaming_outer_join_eviction", "geo_grid_radius_join",
         "geo_nearest_neighbor", "geo_morton_cells",
         "table_log_constraint_enforce", "table_log_schema_evolution",
-        "table_log_history_audit",
+        "table_log_history_audit", "graph_kcore_bounded",
+        "ewma_daily_events", "percentile_disc_cont_probe",
+        "lateral_topk_per_group", "mmr_diversified_topk",
+        "recursive_cte_native", "agg_rollup_hierarchy",
+        "window_ignore_nulls_probe", "explode_outer_probe",
+        "source_fixed_width_scan",
         # round-5 additions with no driver row yet (leading block)
         "ann_filtered_topk", "regressor_train_gd", "regressor_eval_r2",
         "classifier_train_stump", "embedding_pca_covariance",
@@ -70,7 +75,6 @@ def test_entry_contract():
         "anomaly_mad_daily", "interval_concurrency_sweep",
         "attribution_first_last_touch", "dedup_prefix_filter",
         "dedup_edit_distance", "view_incremental_maintenance",
-        "search_inverted_index", "search_conjunctive",
-        "search_bm25_topk",
+        "search_inverted_index",
     ):
         assert name in first50, name
