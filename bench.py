@@ -84,6 +84,9 @@ HEADLINE = [
     "similarity_tfidf_pairs",
     "graph_sssp_bounded",
     "rolling_distinct_users",
+    # round 6: spatial grid join + iterative peel
+    "geo_grid_radius_join",
+    "graph_kcore_bounded",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is

@@ -884,3 +884,84 @@ def key_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_missing").desc(), F.col("gap_after"))
         .limit(GAP_TOP_K)
     )
+
+
+_URL_CANON_ORACLE = """
+WITH raw AS (
+    SELECT doc_id,
+           'HTTPS://' || UPPER(source) || '.Example.COM:443/docs/'
+           || CAST(doc_id AS STRING)
+           || '/?utm_source=feed&ref=' || lang || '&utm_campaign=x' AS url
+    FROM documents
+),
+canon AS (
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   REGEXP_REPLACE(LOWER(url), '^https://', ''),
+                   ':443/', '/'),
+                 '[?&]utm_[a-z]+=[^&]*', '', 'g'),
+               '/\\?', '?'),
+             '\\?$', '') AS curl
+    FROM raw
+)
+SELECT curl,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM canon GROUP BY curl
+"""
+
+
+@query("url_canonicalize_dedup", oracle=_URL_CANON_ORACLE, tags=("quality",))
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-corpus hygiene step
+    (C4/CCNet-style): lowercase, strip the scheme and the https default
+    port, drop utm_* tracking params (keeping the rest of the query
+    string), normalize the dangling separator, then dedup on the
+    canonical form with a deterministic min-id keeper. URLs are
+    synthesized from (source, doc_id, lang) so the derivation is shared
+    with the oracle; the regex chain sticks to RE2-safe patterns
+    (character classes only — no lookaround) so Java and RE2 agree,
+    which is itself the conformance point for cross-engine regex
+    pipelines. Narrow codegen projection + one aggregate: no UDFs, one
+    exchange."""
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM:443/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed&ref="),
+            F.col("lang"),
+            F.lit("&utm_campaign=x"),
+        ).alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("url")), r"^https://", ""),
+                    r":443/",
+                    "/",
+                ),
+                r"[?&]utm_[a-z]+=[^&]*",
+                "",
+            ),
+            r"/\?",
+            "?",
+        ),
+        r"\?$",
+        "",
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )

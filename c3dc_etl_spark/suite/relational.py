@@ -2269,3 +2269,126 @@ def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "r_name", "n_name", "g_region", "g_nation", "revenue", "n_orders"
     )
+
+
+_HOF_ORACLE = """
+WITH d AS (
+    SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(LIST_FILTER(toks, t -> LENGTH(t) >= 6)) AS BIGINT)
+           AS n_long,
+       CAST(LIST_REDUCE(LIST_PREPEND(0,
+            LIST_TRANSFORM(toks, t -> LENGTH(t))),
+            (a, x) -> a + x) AS BIGINT) AS total_len,
+       LEN(LIST_FILTER(toks, t -> t = 'the')) > 0 AS has_the,
+       LEN(LIST_FILTER(toks, t -> LENGTH(t) > 0)) = LEN(toks)
+           AS all_nonempty,
+       ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+            LIST_TRANSFORM(LIST_FILTER(toks, t -> LENGTH(t) >= 9),
+                           t -> LOWER(t)))), ';') AS long_vocab
+FROM d
+"""
+
+
+@query(
+    "higher_order_functions_probe",
+    oracle=_HOF_ORACLE,
+    tags=("relational", "conformance"),
+)
+def higher_order_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function conformance in one projection:
+    filter (predicate lambda), aggregate (sequential integer fold),
+    exists, forall, and the transform -> distinct -> sort -> join
+    chain — Spark's lambda surface against DuckDB's LIST_* family.
+    Distinct-then-sort is order-pinned before serialization (the
+    driver canonicalizer cannot sort array cells, registry note), and
+    the fold is integer so no fold-order discipline is needed. Pure
+    codegen projection: zero exchanges, zero UDFs — the shape text
+    feature extraction takes at corpus scale."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    vocab_arr = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.filter(F.col("toks"), lambda t: F.length(t) >= 9),
+                F.lower,
+            )
+        )
+    )
+    # empty -> NULL explicitly: DuckDB ARRAY_TO_STRING([], ';') is NULL
+    # while Spark array_join gives '' (registry serialization note)
+    long_vocab = F.when(F.size(vocab_arr) > 0, F.array_join(vocab_arr, ";"))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.col("toks"), lambda t: F.length(t) >= 6))
+        .cast("bigint")
+        .alias("n_long"),
+        F.aggregate(
+            F.col("toks"),
+            F.lit(0).cast("bigint"),
+            lambda a, t: a + F.length(t).cast("bigint"),
+        ).alias("total_len"),
+        F.exists(F.col("toks"), lambda t: t == "the").alias("has_the"),
+        F.forall(F.col("toks"), lambda t: F.length(t) > 0).alias(
+            "all_nonempty"
+        ),
+        long_vocab.alias("long_vocab"),
+    )
+
+
+_STRFN_ORACLE = """
+SELECT p_partkey,
+       CAST(LEVENSHTEIN(p_name, REVERSE(p_name)) AS BIGINT) AS lev_palin,
+       LPAD(CAST(p_partkey AS STRING), 10, '0') AS padded_key,
+       TRANSLATE(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) AS BIGINT)
+           AS n_spaces,
+       CASE WHEN LEN(REGEXP_EXTRACT_ALL(p_name, '[a-z]+')) > 0
+            THEN ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(p_name, '[a-z]+'), ';')
+       END AS words,
+       CAST(INSTR(p_name, 'red') AS BIGINT) AS red_at,
+       LEFT(p_name, 5) AS prefix5
+FROM part
+"""
+
+
+@query(
+    "string_functions_probe",
+    oracle=_STRFN_ORACLE,
+    tags=("relational", "conformance"),
+)
+def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function conformance in one codegen projection:
+    levenshtein (edit distance to the reversed name — nontrivial
+    distances on real strings), lpad zero-padding, translate,
+    occurrence counting by length difference, regexp_extract_all with
+    an RE2-safe class pattern (serialized with the empty->NULL
+    discipline), 1-based substring position (Spark instr = DuckDB
+    INSTR), and left-prefix slicing. These are the functions a
+    harmonization mapping reaches for first; each has a same-named
+    DuckDB twin whose semantics are pinned here rather than assumed."""
+    part = load(spark, sf_dir, "part")
+    # group index 0 explicitly: Spark defaults regexp_extract_all to
+    # group 1 (errors on group-free patterns) while DuckDB defaults to 0
+    words_arr = F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")
+    return part.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_name"), F.reverse(F.col("p_name")))
+        .cast("bigint")
+        .alias("lev_palin"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("vowels_up"),
+        (
+            F.length(F.col("p_name"))
+            - F.length(F.regexp_replace(F.col("p_name"), " ", ""))
+        )
+        .cast("bigint")
+        .alias("n_spaces"),
+        F.when(F.size(words_arr) > 0, F.array_join(words_arr, ";")).alias(
+            "words"
+        ),
+        F.instr(F.col("p_name"), "red").cast("bigint").alias("red_at"),
+        F.substring(F.col("p_name"), 1, 5).alias("prefix5"),
+    )

@@ -59,7 +59,8 @@ def test_entry_contract():
         "lateral_topk_per_group", "mmr_diversified_topk",
         "recursive_cte_native", "agg_rollup_hierarchy",
         "window_ignore_nulls_probe", "explode_outer_probe",
-        "source_fixed_width_scan",
+        "source_fixed_width_scan", "url_canonicalize_dedup",
+        "higher_order_functions_probe", "string_functions_probe",
         # round-5 additions with no driver row yet (leading block)
         "ann_filtered_topk", "regressor_train_gd", "regressor_eval_r2",
         "classifier_train_stump", "embedding_pca_covariance",
@@ -74,7 +75,5 @@ def test_entry_contract():
         "seasonal_naive_backtest", "theilsen_trend",
         "anomaly_mad_daily", "interval_concurrency_sweep",
         "attribution_first_last_touch", "dedup_prefix_filter",
-        "dedup_edit_distance", "view_incremental_maintenance",
-        "search_inverted_index",
     ):
         assert name in first50, name
