@@ -723,3 +723,46 @@ def streaming_outer_join_eviction(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("delta_us"),
     )
     return _run_to_memory(joined, "stream_outer_join", "append")
+
+
+@query(
+    "streaming_tablelog_upsert",
+    oracle=_UPSERT_ORACLE,
+    tags=("streaming", "tablelog"),
+)
+def streaming_tablelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply through the TRANSACTIONAL table log: every
+    micro-batch collapses to latest-wins per user and lands as ONE
+    copy-on-write MERGE commit carrying the (app, batch_id) txn action
+    — a re-delivered batch (foreachBatch's at-least-once contract) is
+    rejected by the log's own high-water mark IN the same atomic commit
+    as the data, which is exactly-once by construction rather than by
+    idempotence (the contrast with streaming_upsert_snapshot's
+    swap-sink, whose exactly-once is checkpoint + no-op replay). The
+    read-back snapshot must equal the batch argmax; crash/replay and
+    foreign-writer conflict behavior are unit-pinned in
+    tests/test_streaming_upsert.py (streaming/upsert.py:
+    run_upsert_stream_tablelog)."""
+    import os
+
+    from c3dc_etl_spark.sink.tablelog import TableLog
+    from c3dc_etl_spark.streaming.upsert import run_upsert_stream_tablelog
+
+    stream, schema = _table_stream(spark, sf_dir, "events")
+    stream = _with_event_ts(stream, schema)
+    proj = stream.select(
+        "user_id",
+        F.unix_micros("event_ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    base = tempfile.mkdtemp(prefix="tl_upsert_")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    run_upsert_stream_tablelog(
+        proj, table, ckpt,
+        key_cols=["user_id"], order_cols=["ts_us", "event_id"],
+    )
+    return TableLog(table).read(spark).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )

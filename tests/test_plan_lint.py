@@ -37,6 +37,7 @@ _DRIVER_SIDE = {
     "streaming_static_enrich",
     "streaming_stream_stream_join",
     "streaming_outer_join_eviction",
+    "streaming_tablelog_upsert",
     "link_wiring_collect",
     # the learned-merge list is a k-row driver artifact by design (each
     # iteration's argmax is a single-row TakeOrdered)

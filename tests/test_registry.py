@@ -61,6 +61,7 @@ def test_entry_contract():
         "window_ignore_nulls_probe", "explode_outer_probe",
         "source_fixed_width_scan", "url_canonicalize_dedup",
         "higher_order_functions_probe", "string_functions_probe",
+        "streaming_tablelog_upsert",
         # round-5 additions with no driver row yet (leading block)
         "ann_filtered_topk", "regressor_train_gd", "regressor_eval_r2",
         "classifier_train_stump", "embedding_pca_covariance",
@@ -74,6 +75,6 @@ def test_entry_contract():
         "benford_first_digit", "cusum_changepoint", "acf_daily_events",
         "seasonal_naive_backtest", "theilsen_trend",
         "anomaly_mad_daily", "interval_concurrency_sweep",
-        "attribution_first_last_touch", "dedup_prefix_filter",
+        "attribution_first_last_touch",
     ):
         assert name in first50, name
