@@ -2217,3 +2217,105 @@ def window_ignore_nulls_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("pv", ignorenulls=True).over(w).alias("last_purchase_value"),
         F.first("pv", ignorenulls=True).over(w).alias("first_purchase_value"),
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+_ASOF_TOL_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+w AS (
+    SELECT event_id, user_id, ts_us, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_ts,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_id,
+           FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
+                       IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS next_ts,
+           FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                       IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS next_id
+    FROM ev
+)
+SELECT event_id AS purchase_id, user_id, ts_us,
+       CASE WHEN ts_us - prev_ts <= {_ASOF_TOL_US} THEN prev_id END
+           AS prev_click_id,
+       CASE WHEN ts_us - prev_ts <= {_ASOF_TOL_US} THEN ts_us - prev_ts END
+           AS prev_gap_us,
+       CASE WHEN next_ts - ts_us <= {_ASOF_TOL_US} THEN next_id END
+           AS next_click_id,
+       CASE WHEN next_ts - ts_us <= {_ASOF_TOL_US} THEN next_ts - ts_us END
+           AS next_gap_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=_ASOF_TOL_ORACLE,
+    tags=("temporal", "join"),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, BOTH directions with a staleness tolerance (the full
+    pandas merge_asof surface: direction backward/forward, tolerance
+    1h): every purchase gets its nearest strictly-earlier click AND its
+    nearest strictly-later click by the same user, each nulled when the
+    gap exceeds the tolerance. Same scale form as asof_join_events —
+    one union + one user-keyed WindowExec (all four IGNORE NULLS
+    carries share it), never an inequality join; the tolerance is a
+    post-filter, costing nothing. The (ts, event_id) order makes
+    same-timestamp races deterministic; 'strictly earlier/later' is
+    row-order strict (the 1 PRECEDING / 1 FOLLOWING frame bounds),
+    matching merge_asof(allow_exact_matches=False)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select("event_id", "user_id", "ts_us", "event_type")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    tol = F.lit(_ASOF_TOL_US)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.last(click_id, ignorenulls=True).over(wb).alias("prev_id"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
+        F.first(click_id, ignorenulls=True).over(wf).alias("next_id"),
+    ).filter(F.col("event_type") == "purchase")
+    prev_ok = (F.col("ts_us") - F.col("prev_ts")) <= tol
+    next_ok = (F.col("next_ts") - F.col("ts_us")) <= tol
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts_us",
+        F.when(prev_ok, F.col("prev_id")).alias("prev_click_id"),
+        F.when(prev_ok, F.col("ts_us") - F.col("prev_ts")).alias("prev_gap_us"),
+        F.when(next_ok, F.col("next_id")).alias("next_click_id"),
+        F.when(next_ok, F.col("next_ts") - F.col("ts_us")).alias("next_gap_us"),
+    )

@@ -62,6 +62,7 @@ def test_entry_contract():
         "source_fixed_width_scan", "url_canonicalize_dedup",
         "higher_order_functions_probe", "string_functions_probe",
         "streaming_tablelog_upsert",
+        "asof_join_tolerance",
         # round-5 additions with no driver row yet (leading block)
         "ann_filtered_topk", "regressor_train_gd", "regressor_eval_r2",
         "classifier_train_stump", "embedding_pca_covariance",
@@ -75,6 +76,5 @@ def test_entry_contract():
         "benford_first_digit", "cusum_changepoint", "acf_daily_events",
         "seasonal_naive_backtest", "theilsen_trend",
         "anomaly_mad_daily", "interval_concurrency_sweep",
-        "attribution_first_last_touch",
     ):
         assert name in first50, name
