@@ -822,6 +822,20 @@ class TableLog:
             stats=self._file_stats(spark, rewritten),
         )
 
+    def _key_env(self, st: dict):
+        """[min, max] envelope of the CURRENT ``stats_col``, or None when
+        the file has no usable envelope — including stats recorded under
+        a DIFFERENT stats column (a handle opened with a new key after a
+        layout change, or a misconfigured handle): comparing another
+        column's envelope against this key's range would silently
+        mis-prune and drop/keep the wrong files, so such files are
+        conservatively treated as stats-absent everywhere."""
+        if not st or "min" not in st:
+            return None
+        if st.get("col") is not None and st.get("col") != self.stats_col:
+            return None
+        return st["min"], st["max"]
+
     def _touched_files(self, keys: list) -> list[str]:
         """Files whose stats envelope contains ANY of ``keys``; files
         without stats are conservatively touched. Driver arithmetic on
@@ -831,11 +845,12 @@ class TableLog:
         skeys = sorted(keys)
         touched = []
         for name, st in self.snapshot().items():
-            if not st or "min" not in st:
+            env = self._key_env(st)
+            if env is None:
                 touched.append(name)
                 continue
-            i = bisect.bisect_left(skeys, st["min"])
-            if i < len(skeys) and skeys[i] <= st["max"]:
+            i = bisect.bisect_left(skeys, env[0])
+            if i < len(skeys) and skeys[i] <= env[1]:
                 touched.append(name)
         return touched
 
@@ -890,10 +905,11 @@ class TableLog:
         base = self.latest_version()
 
         def _overlaps(st: dict) -> bool:
-            if not st or "min" not in st:
+            env = self._key_env(st)
+            if env is None:
                 return True  # cannot prove disjointness
-            i = bisect.bisect_left(skeys, st["min"])
-            return i < len(skeys) and skeys[i] <= st["max"]
+            i = bisect.bisect_left(skeys, env[0])
+            return i < len(skeys) and skeys[i] <= env[1]
 
         def _validate(head):
             if head is None:
@@ -966,9 +982,10 @@ class TableLog:
         base = self.latest_version()
 
         def _overlaps(st: dict) -> bool:
-            if not st or "min" not in st:
+            env = self._key_env(st)
+            if env is None:
                 return True  # cannot prove disjointness
-            return st["max"] >= lo and st["min"] <= hi
+            return env[1] >= lo and env[0] <= hi
 
         def _validate(head):
             if head is None:
@@ -1053,9 +1070,10 @@ class TableLog:
         base = self.latest_version()
 
         def _overlaps(st: dict) -> bool:
-            if not st or "min" not in st:
+            env = self._key_env(st)
+            if env is None:
                 return True
-            return st["max"] >= lo and st["min"] <= hi
+            return env[1] >= lo and env[0] <= hi
 
         def _validate(head):
             if head is None:
@@ -1155,7 +1173,8 @@ class TableLog:
         def _survives(st: dict) -> bool:
             if key_between is not None:
                 lo, hi = key_between
-                if st and "min" in st and not (st["max"] >= lo and st["min"] <= hi):
+                env = self._key_env(st)
+                if env is not None and not (env[1] >= lo and env[0] <= hi):
                     return False
             for c, (lo, hi) in (col_between or {}).items():
                 env = (st or {}).get("cols", {}).get(c)
@@ -1249,11 +1268,10 @@ class TableLog:
         the manifest-level I/O measurement."""
         snap = self.snapshot(version)
         lo, hi = key_between
-        opened = sum(
-            1
-            for st in snap.values()
-            if not st or "min" not in st or (st["max"] >= lo and st["min"] <= hi)
-        )
+        opened = 0
+        for st in snap.values():
+            env = self._key_env(st)
+            opened += env is None or (env[1] >= lo and env[0] <= hi)
         return opened, len(snap)
 
     def pruned_file_count_multi(

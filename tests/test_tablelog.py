@@ -858,3 +858,28 @@ def test_history_audit_records_every_commit(spark, tmp_path):
     assert [x["rows_added"] for x in h] == [n_f, n_o, None, n_f + n_o]
     assert h[2]["constraint"] == "price_positive"
     assert h[3]["files_removed"] > 0
+
+
+def test_mismatched_stats_col_handle_is_conservative(spark, tmp_path):
+    """A handle opened with a DIFFERENT stats_col than the one the files
+    were landed with must treat their envelopes as absent (conservative
+    keep/touch everywhere) — comparing another column's [min, max]
+    against this key's range would silently mis-prune."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders)
+    # same dir, different key column: envelopes are for o_orderkey
+    log2 = TableLog(str(tmp_path / "t"), stats_col="o_totalprice")
+    # a range on o_totalprice far outside the o_orderkey domain: the
+    # o_orderkey envelopes would prune EVERY file if (wrongly) consulted
+    got = log2.read(spark, key_between=(500_000.0, 600_000.0))
+    expected = orders.filter(F.col("o_totalprice").between(500_000.0, 600_000.0))
+    assert _rows(got) == _rows(expected)
+    opened, total = log2.pruned_file_count((500_000.0, 600_000.0))
+    assert opened == total  # conservative: nothing pruned
+    # delete through the mismatched handle still deletes the right rows
+    log2.delete_where(spark, (500_000.0, 600_000.0))
+    remaining = orders.filter(
+        ~F.col("o_totalprice").between(500_000.0, 600_000.0)
+    )
+    assert _rows(log2.read(spark)) == _rows(remaining)
