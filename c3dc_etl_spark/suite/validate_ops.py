@@ -134,3 +134,89 @@ def sink_duplicate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_col="fingerprint",
         nodes=_EVENT_NODES,
     )
+
+
+_FK_DASHBOARD_ORACLE = """
+SELECT 'orders.o_custkey->customer' AS relation,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       (SELECT COUNT(*) FROM nation),
+       (SELECT COUNT(*) FROM nation n
+        WHERE NOT EXISTS (SELECT 1 FROM region r
+                          WHERE r.r_regionkey = n.n_regionkey))
+"""
+
+_FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@query(
+    "fk_integrity_dashboard",
+    oracle=_FK_DASHBOARD_ORACLE,
+    tags=("validate",),
+)
+def fk_integrity_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity dashboard: orphan counts for every foreign
+    key of the star schema in one result — the pre-flight audit a
+    warehouse load runs before publishing (anti_join_integrity is the
+    single-edge primitive; this is the whole-schema report). Each edge
+    is ONE left-outer probe of the child's key projection against the
+    (deduplicated, broadcastable) parent key set, folding row count and
+    orphan count in the same aggregate — one pass over each child, no
+    second anti-join scan; the six 1-row results union into the report.
+    Zero orphans everywhere is the generator's invariant, so any
+    nonzero cell is a real defect (of the data OR of the join)."""
+    from functools import reduce
+
+    frames = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child).select(fk)
+        p = load(spark, sf_dir, parent).select(pk).distinct()
+        joined = c.join(p, c[fk] == p[pk], "left")
+        frames.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col(pk).isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            ).select(
+                F.lit(f"{child}.{fk}->{parent}").alias("relation"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
