@@ -965,3 +965,80 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper"),
         )
     )
+
+
+_DP_EPS = 0.5  # Laplace scale b = 1/eps = 2.0 for a count query (sensitivity 1)
+
+_DP_ORACLE = f"""
+WITH counts AS (
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS true_n
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+),
+u AS (
+    SELECT n_name, true_n,
+           (CAST(CONCAT('0x', SUBSTR(MD5('dp:' || n_name), 1, 8)) AS BIGINT)
+            + 1) / 4294967296.0 AS uni
+    FROM counts
+)
+SELECT n_name, true_n,
+       ROUND(CASE WHEN uni < 0.5
+                  THEN ({1 / _DP_EPS}) * LN(2.0 * uni)
+                  ELSE -({1 / _DP_EPS}) * LN(2.0 * (1.0 - uni)) END,
+             6) + 0.0 AS noise,
+       ROUND(true_n + ROUND(CASE WHEN uni < 0.5
+                  THEN ({1 / _DP_EPS}) * LN(2.0 * uni)
+                  ELSE -({1 / _DP_EPS}) * LN(2.0 * (1.0 - uni)) END,
+             6), 6) + 0.0 AS noisy_n
+FROM u
+"""
+
+
+@query("dp_noisy_release", oracle=_DP_ORACLE, tags=("quality", "privacy"))
+def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release shape: per-nation order counts plus
+    Laplace(1/eps) noise via inverse-CDF sampling — the epsilon=0.5
+    count release a governance pipeline runs before sharing aggregates.
+    The uniform comes from the suite's md5 fold of the GROUP KEY, which
+    makes the release deterministic and cross-engine testable (a
+    PRODUCTION release must draw fresh secure randomness — a key-seeded
+    noise draw is replayable and leaks; this query pins the release
+    ARITHMETIC, not an RNG). Noise is ROUND(6dp)-pinned on both engines
+    before the add, the weighted-reservoir ln() discipline — the one
+    place a libm/JVM last-ulp could diverge."""
+    counts = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    uni = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("n_name"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    b = F.lit(1.0 / _DP_EPS)
+    noise = F.round(
+        F.when(uni < 0.5, b * F.log(2.0 * uni)).otherwise(
+            -b * F.log(2.0 * (1.0 - uni))
+        ),
+        6,
+    )
+    return counts.select(
+        "n_name",
+        "true_n",
+        (noise + F.lit(0.0)).alias("noise"),
+        (F.round(F.col("true_n") + noise, 6) + F.lit(0.0)).alias("noisy_n"),
+    )
