@@ -328,3 +328,82 @@ def tree2_train(
         out = out.unionByName(part.select(*out.columns))
     # empty sides produce an all-null struct from the agg; drop them
     return out.filter(F.col("feature").isNotNull())
+
+
+def logreg_gd_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    iterations: int = 3,
+    lr_den: int = 50,
+) -> DataFrame:
+    """Full-batch logistic-regression gradient ASCENT with integer-
+    scaled state: weights live in micro-units (BIGINT), the gradient
+    sum is exact integer arithmetic, and the ONLY floating-point step
+    is the sigmoid — pinned to 6 decimals (sigma_mu = ROUND(1e6 /
+    (1 + exp(-z)))) immediately, so the residual y*1e6 - sigma_mu is an
+    exact integer before anything accumulates. Cross-engine parity then
+    needs no discipline beyond that single round: exp() on the SAME
+    double z differs by at most an ulp between JVM and libm, which
+    survives 6dp rounding except on measure-zero boundaries (the
+    weighted-reservoir ln() argument).
+
+    Per iteration, with z_i = (w . x_i) / 1e6:
+
+        sigma_mu_i = round(1e6 / (1 + exp(-z_i)))       # the ONE float
+        r_i        = y_i * 1e6 - sigma_mu_i             # exact int
+        grad_j     = sum_i r_i * x_ij                   # exact int
+        w_j       += trunc_div(grad_j, n * lr_den)      # exact int
+
+    1/n makes the step mean-gradient-scaled (corpus-size stable, as in
+    lsq_gd_train). ONE aggregate per iteration over the pinned feature
+    projection — the same agg also counts current-weight correct
+    predictions (sigma_mu >= 5e5 vs y), so each history row carries
+    (iter, updated weights..., n_correct BEFORE the update). Driver
+    state is k integers per iteration."""
+    k = len(feature_cols)
+    feats = pin(
+        df.select(
+            F.col(label_col).cast("bigint").alias("__y"),
+            *[
+                F.col(name).cast("bigint").alias(f"__x{j}")
+                for j, name in enumerate(feature_cols)
+            ],
+        )
+    )
+    w = [0] * k
+    history: list[tuple] = []
+    for t in range(1, iterations + 1):
+        z_num = sum(
+            (F.lit(w[j]) * F.col(f"__x{j}") for j in range(1, k)),
+            F.lit(w[0]) * F.col("__x0"),
+        )
+        z = z_num.cast("double") / F.lit(float(FP))
+        sig_mu = F.round(F.lit(float(FP)) / (F.lit(1.0) + F.exp(-z)), 0).cast(
+            "bigint"
+        )
+        r = F.col("__y") * F.lit(FP) - sig_mu
+        row = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (sig_mu >= FP // 2) == (F.col("__y") == 1), 1
+                ).otherwise(0)
+            ).alias("ok"),
+            *[
+                F.coalesce(F.sum(r * F.col(f"__x{j}")), F.lit(0)).alias(f"d{j}")
+                for j in range(k)
+            ],
+        ).first()
+        n = int(row["n"])
+        w = [w[j] + _tdiv(int(row[f"d{j}"]), n * lr_den) for j in range(k)]
+        history.append((t, *w, int(row["ok"])))
+
+    spark: SparkSession = df.sparkSession
+    schema = (
+        "iter BIGINT, "
+        + ", ".join(f"w_{c} BIGINT" for c in feature_cols)
+        + ", n_correct BIGINT"
+    )
+    return spark.createDataFrame(history, schema=schema)

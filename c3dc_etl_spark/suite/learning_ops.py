@@ -351,3 +351,92 @@ def classifier_train_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nu().alias("n_unique"),
     )
     return L.tree2_train(feats, STUMP_FEATURES, "y")
+
+
+# --------------------------------------------------------------------------
+# Logistic regression by integer-scaled gradient ascent (sixth iterative pin)
+# --------------------------------------------------------------------------
+
+LOGREG_ITERS = 3
+LOGREG_LR_DEN = 2000
+_LOGREG_FEATURES = ["bias", "price_k", "key_mod"]
+
+
+def _logreg_ctes(iters: int = LOGREG_ITERS, lr_den: int = LOGREG_LR_DEN) -> str:
+    head = """
+WITH f AS (
+    SELECT CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END AS y,
+           CAST(1 AS BIGINT) AS x0,
+           CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) - 150 AS x1,
+           o_orderkey % 10 AS x2
+    FROM orders
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+              CAST(0 AS BIGINT) AS w2)"""
+    its = []
+    for t in range(1, iters + 1):
+        its.append(f""",
+s{t} AS (
+    SELECT f.y, f.x0, f.x1, f.x2,
+           CAST(ROUND(1000000.0 / (1.0 + EXP(
+               -CAST(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS DOUBLE)
+               / 1000000.0))) AS BIGINT) AS sig_mu
+    FROM f CROSS JOIN w{t - 1} w
+),
+g{t} AS (
+    SELECT CAST(SUM((y * 1000000 - sig_mu) * x0) AS BIGINT) AS d0,
+           CAST(SUM((y * 1000000 - sig_mu) * x1) AS BIGINT) AS d1,
+           CAST(SUM((y * 1000000 - sig_mu) * x2) AS BIGINT) AS d2,
+           CAST(SUM(CASE WHEN (sig_mu >= 500000) = (y = 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ok
+    FROM s{t}
+),
+w{t} AS (
+    SELECT w.w0 + g.d0 // (nn.n * {lr_den}) AS w0,
+           w.w1 + g.d1 // (nn.n * {lr_den}) AS w1,
+           w.w2 + g.d2 // (nn.n * {lr_den}) AS w2
+    FROM w{t - 1} w CROSS JOIN g{t} g CROSS JOIN nn
+)""")
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS iter, w.w0 AS w_bias,"
+        f" w.w1 AS w_price_k, w.w2 AS w_key_mod, g.ok AS n_correct"
+        f" FROM w{t} w CROSS JOIN g{t} g"
+        for t in range(1, iters + 1)
+    )
+    return head + "".join(its) + "\n" + rows
+
+
+@query("logreg_train_gd", oracle=_logreg_ctes(), tags=("learning",))
+def logreg_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained by full-batch gradient ascent with
+    integer-scaled state — the classification sibling of
+    regressor_train_gd and the SIXTH iterative-algorithm pin: weights
+    and gradients are exact BIGINTs, the sigmoid is the single
+    floating-point step and is 6dp-pinned before the residual forms, so
+    the oracle replays the identical iterations as a CTE chain with the
+    same one-round discipline. Features (bias, price-in-$1000s
+    CENTERED at the decision threshold, orderkey mod 10) and the
+    separable label (price >= 150k) give a genuinely convergent ascent
+    (accuracy climbs across the three steps); each history row carries
+    the updated weights plus the pre-update correct-prediction count.
+    ONE aggregate per iteration over the pinned projection
+    (operators/learning.py:logreg_gd_train)."""
+    from c3dc_etl_spark.operators.learning import logreg_gd_train
+
+    orders = load(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.when(F.col("o_totalprice") >= 150000.0, 1)
+        .otherwise(0)
+        .alias("label"),
+        F.lit(1).cast("bigint").alias("bias"),
+        (F.floor(F.col("o_totalprice") / 1000.0).cast("bigint") - 150).alias("price_k"),
+        (F.col("o_orderkey") % 10).alias("key_mod"),
+    )
+    return logreg_gd_train(
+        feats,
+        _LOGREG_FEATURES,
+        "label",
+        iterations=LOGREG_ITERS,
+        lr_den=LOGREG_LR_DEN,
+    )
