@@ -2319,3 +2319,70 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(next_ok, F.col("next_id")).alias("next_click_id"),
         F.when(next_ok, F.col("next_ts") - F.col("ts_us")).alias("next_gap_us"),
     )
+
+
+_TREND_K = 20
+
+_TREND_ORACLE = f"""
+WITH pur AS (
+    SELECT user_id % 200 AS item,
+           EPOCH_US(ts) // 86400000000 AS day
+    FROM events WHERE event_type = 'purchase'
+),
+last_day AS (SELECT MAX(day) AS d FROM pur),
+-- decayed weight: halve per day of age, truncated at 16 days
+w AS (
+    SELECT item,
+           CAST(SUM(CASE WHEN last_day.d - day BETWEEN 0 AND 15
+                         THEN 1 << CAST(15 - (last_day.d - day) AS INT)
+                         ELSE 0 END) AS BIGINT) AS decayed_x32768
+    FROM pur, last_day GROUP BY item
+)
+SELECT item, decayed_x32768, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY decayed_x32768 DESC, item ASC) AS rank
+    FROM w WHERE decayed_x32768 > 0
+) WHERE rank <= {_TREND_K}
+"""
+
+
+@query("trending_items_decay", oracle=_TREND_ORACLE, tags=("temporal",))
+def trending_items_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: purchase counts under exponential time decay
+    (alpha = 1/2 per day, truncated at 16 days — the T188 closed form),
+    then global top-{_TREND_K} — 'what is hot NOW' rather than all-time
+    popularity, the freshness-ranking shape of every feed/recommender.
+    Weights are exact integers (1 << age-remaining), the per-item fold
+    is one partial-aggregable SUM (no window over raw events), and the
+    bounded top-k goes through the reducer-bounded salted two-phase —
+    never a global sort of the item domain."""
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pur = ev.select(
+        (F.col("user_id") % 200).alias("item"),
+        day_bucket().alias("day"),
+    )
+    last_day = pur.agg(F.max("day")).first()[0]  # bounded scalar
+    age = F.lit(int(last_day)) - F.col("day")
+    weight = F.when(
+        age.between(0, 15),
+        F.expr("shiftleft(1L, CAST(15 - (" + str(int(last_day)) + " - day) AS INT))"),
+    ).otherwise(F.lit(0))
+    w = (
+        pur.select("item", weight.alias("wt"))
+        .groupBy("item")
+        .agg(F.sum("wt").alias("decayed_x32768"))
+        .filter(F.col("decayed_x32768") > 0)
+    )
+    top = salted_topk(
+        w,
+        [],
+        [F.col("decayed_x32768").desc(), F.col("item").asc()],
+        _TREND_K,
+        salt=F.xxhash64("item"),
+        rank_col="rank",
+    )
+    return top.select("item", "decayed_x32768", F.col("rank").cast("bigint").alias("rank"))

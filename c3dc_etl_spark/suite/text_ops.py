@@ -834,3 +834,70 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= LANG_TOP_K)
     )
+
+
+_FH_BITS = 10  # 1024 buckets
+_FH_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS tok FROM documents
+),
+b AS (
+    SELECT doc_id,
+           CAST(CONCAT('0x', SUBSTR(MD5('fh:' || tok), 1, 8)) AS BIGINT)
+               % {1 << _FH_BITS} AS bucket
+    FROM tok WHERE LENGTH(tok) > 0
+),
+c AS (
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS sq_norm,
+       ARRAY_TO_STRING(LIST(bucket || ':' || cnt ORDER BY bucket), ';')
+           AS sparse_vec
+FROM c GROUP BY doc_id
+"""
+
+
+@query("feature_hashing_vectorize", oracle=_FH_ORACLE, tags=("text", "ml"))
+def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    tokens map straight to one of 2^{_FH_BITS} buckets via the md5 fold
+    — NO vocabulary pass, no dictionary broadcast, memory constant in
+    vocabulary size, which is why it is the default text vectorizer at
+    corpus scale (collisions are the accepted trade, and the fixed
+    bucket space is what makes the vectors join/aggregate-compatible
+    across shards and corpus versions). Emits per-document nnz, exact
+    integer squared norm, and the bucket-sorted sparse vector
+    serialized for the driver canonicalizer. One explode + one
+    two-level aggregate; the hash is the suite's cross-engine fold so
+    the oracle reproduces bucket ids bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % (1 << _FH_BITS)
+    )
+    c = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq_norm"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", "cnt"))
+                ),
+                lambda s: F.concat_ws(":", s["bucket"], s["cnt"]),
+            ),
+            ";",
+        ).alias("sparse_vec"),
+    )
