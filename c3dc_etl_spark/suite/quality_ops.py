@@ -1042,3 +1042,59 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         (noise + F.lit(0.0)).alias("noise"),
         (F.round(F.col("true_n") + noise, 6) + F.lit(0.0)).alias("noisy_n"),
     )
+
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(n_chars AS HUGEINT)) AS BIGINT) AS sx,
+           CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS BIGINT) AS sxx
+    FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       ROUND((CAST(d.n_chars AS DOUBLE) * s.n - s.sx)
+             / SQRT(CAST(s.n AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx),
+             6) + 0.0 AS z
+FROM documents d JOIN s USING (lang)
+"""
+
+
+@query(
+    "feature_standardize_zscore",
+    oracle=_ZSCORE_ORACLE,
+    tags=("quality", "ml"),
+)
+def feature_standardize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score standardization — the feature-scaling pass
+    before any distance-based ML: z = (x - mean) / std per language,
+    computed from EXACT integer moment sums (n, sum x, sum x^2 — one
+    partial-aggregable pass, broadcast back), algebraically rearranged
+    to (x*n - sx) / sqrt(n*sxx - sx^2) so the only floats are one
+    subtraction, one sqrt, one division on integer-exact operands —
+    then 6dp-rounded. Never a per-group stddev window over raw rows,
+    never engine-native STDDEV (its internal accumulation order is not
+    engine-portable; the moment identity is)."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sx"),
+        F.sum(
+            F.col("n_chars").cast("bigint") * F.col("n_chars").cast("bigint")
+        ).alias("sxx"),
+    )
+    j = docs.join(F.broadcast(s), "lang")
+    z = F.round(
+        (F.col("n_chars").cast("double") * F.col("n") - F.col("sx"))
+        / F.sqrt(
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        ),
+        6,
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (z + F.lit(0.0)).alias("z"),
+    )

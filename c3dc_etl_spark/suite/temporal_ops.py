@@ -2386,3 +2386,84 @@ def trending_items_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rank",
     )
     return top.select("item", "decayed_x32768", F.col("rank").cast("bigint").alias("rank"))
+
+
+_MARKOV_EVAL_ORACLE = """
+WITH seq AS (
+    SELECT event_type AS cur,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+           ) AS nxt
+    FROM events
+),
+pairs AS (SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL),
+t AS (
+    SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+    FROM pairs GROUP BY 1, 2
+),
+pred AS (
+    SELECT cur, nxt AS predicted FROM (
+        SELECT cur, nxt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cur ORDER BY c DESC, nxt ASC) AS rn
+        FROM t
+    ) WHERE rn = 1
+)
+SELECT p.cur,
+       MIN(pr.predicted) AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN p.nxt = pr.predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits
+FROM pairs p JOIN pred pr USING (cur)
+GROUP BY p.cur
+"""
+
+
+@query(
+    "markov_next_event_eval",
+    oracle=_MARKOV_EVAL_ORACLE,
+    tags=("temporal", "ml"),
+)
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction baseline, trained AND evaluated in one
+    plan: the majority-successor rule per current state (argmax of the
+    T115 transition counts, deterministic (count desc, type asc)
+    tie-break) is scored against every observed transition — per-state
+    prediction, transition volume, and hit count, i.e. the
+    top-1-accuracy table any sequence model must beat. The eval join
+    broadcasts the |types|-row rule table back onto the pair stream;
+    the heavy inputs see one user-keyed sequence window and one
+    map-side-combined count, nothing else."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    seq = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(seq).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    t = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    rn = Window.partitionBy("cur").orderBy(
+        F.col("c").desc(), F.col("nxt").asc()
+    )
+    pred = (
+        t.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "cur")
+        .groupBy("cur")
+        .agg(
+            F.min("predicted").alias("predicted"),
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+    )
