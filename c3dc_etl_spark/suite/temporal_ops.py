@@ -2467,3 +2467,137 @@ def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_hits"),
         )
     )
+
+
+_KM_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(EPOCH_US(ts)) // 86400000000 AS d0,
+           MAX(EPOCH_US(ts)) // 86400000000 AS dmax,
+           MIN(CASE WHEN event_type = 'error' THEN EPOCH_US(ts) END)
+               // 86400000000 AS derr
+    FROM events GROUP BY user_id
+),
+spans AS (
+    SELECT user_id,
+           CASE WHEN derr IS NOT NULL THEN derr - d0 ELSE dmax - d0 END
+               AS dur,
+           CASE WHEN derr IS NOT NULL THEN 1 ELSE 0 END AS observed
+    FROM per_user
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spans),
+by_dur AS (
+    SELECT dur,
+           CAST(COUNT(*) AS BIGINT) AS n_leaving,
+           CAST(SUM(observed) AS BIGINT) AS n_events
+    FROM spans GROUP BY dur
+),
+risk AS (
+    SELECT dur, n_events,
+           total.n - COALESCE(SUM(n_leaving) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_at_risk
+    FROM by_dur, total
+),
+terms AS (
+    SELECT dur, n_at_risk, n_events,
+           CAST(ROUND(LN(1.0 - CAST(n_events AS DOUBLE) / n_at_risk), 9)
+                * 1000000000 AS BIGINT) AS ln_nano
+    FROM risk WHERE n_events > 0 AND n_events < n_at_risk
+)
+SELECT dur, n_at_risk, n_events,
+       ROUND(EXP(CAST(SUM(ln_nano) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 1000000000.0), 6) + 0.0 AS survival
+FROM terms
+"""
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle=_KM_ORACLE,
+    tags=("temporal", "stats"),
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over time-to-first-error per
+    user (right-censored at the user's last observed event) — the
+    clinical-analytics statistic the reference domain (C3DC survival
+    records, A1) ultimately feeds. Per event-duration: risk set,
+    events, and the KM product Π(1 − d/n). Determinism: each factor's
+    ln is rounded to 9dp and SCALED TO INTEGER NANO-UNITS, so the
+    cumulative product is an EXACT integer running sum (engines
+    disagree on windowed double accumulation order — DuckDB's segment
+    trees reassociate — but not on integer sums); one exp at the end,
+    6dp-rounded. Risk sets come from grouped duration counts + a
+    cumulative window over the tiny duration domain, never a
+    per-user-pair comparison."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("min(ts_us) div 86400000000").alias("d0"),
+        F.expr("max(ts_us) div 86400000000").alias("dmax"),
+        F.expr(
+            "min(CASE WHEN event_type = 'error' THEN ts_us END)"
+            " div 86400000000"
+        ).alias("derr"),
+    )
+    spans = per_user.select(
+        F.when(
+            F.col("derr").isNotNull(), F.col("derr") - F.col("d0")
+        ).otherwise(F.col("dmax") - F.col("d0")).alias("dur"),
+        F.when(F.col("derr").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    total = spans.count()  # bounded scalar
+    by_dur = spans.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("observed").alias("n_events"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = by_dur.select(
+        "dur",
+        "n_events",
+        (
+            F.lit(total)
+            - F.coalesce(F.sum("n_leaving").over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    terms = risk.filter(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_at_risk"))
+    ).select(
+        "dur",
+        "n_at_risk",
+        "n_events",
+        (
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_events").cast("double") / F.col("n_at_risk")
+                ),
+                9,
+            )
+            * F.lit(1_000_000_000)
+        )
+        .cast("bigint")
+        .alias("ln_nano"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        "dur",
+        "n_at_risk",
+        "n_events",
+        (
+            F.round(
+                F.exp(
+                    F.sum("ln_nano").over(wcum).cast("double")
+                    / F.lit(1_000_000_000.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("survival"),
+    )
