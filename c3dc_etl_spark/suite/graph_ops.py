@@ -548,3 +548,80 @@ def recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely exercised at every scale."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_RECURSIVE_NATIVE_SQL.format(div="div"))
+
+
+_TEMPORAL_REACH_ORACLE = """
+WITH e AS (
+    SELECT DISTINCT o_custkey AS c, l_suppkey AS s,
+           EPOCH_US(o_orderdate) // 86400000000 AS day
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+seeds AS (SELECT DISTINCT c FROM e WHERE c % 100 = 0),
+hop1 AS (
+    SELECT e.s, CAST(MIN(e.day) AS BIGINT) AS arrival
+    FROM e JOIN seeds ON e.c = seeds.c
+    GROUP BY e.s
+),
+hop2 AS (
+    SELECT e.c AS node, CAST(MIN(e.day) AS BIGINT) AS arrival
+    FROM e JOIN hop1 ON e.s = hop1.s AND e.day >= hop1.arrival
+    WHERE e.c NOT IN (SELECT c FROM seeds)
+    GROUP BY e.c
+)
+SELECT node, arrival FROM hop2
+"""
+
+
+@query(
+    "temporal_reachability",
+    oracle=_TEMPORAL_REACH_ORACLE,
+    tags=("graph", "temporal"),
+)
+def temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RESPECTING reachability (contact tracing / influence
+    spread): from seed customers, reach suppliers along purchase edges,
+    then other customers along edges whose date is >= the supplier's
+    earliest arrival — paths must move forward in time, which static
+    reachability (BFS, T-components) cannot express. Two rounds of
+    (equi-join + min-arrival partial agg) over the dated edge list; the
+    time constraint rides the join condition so no post-filter
+    re-touches the edge volume, and arrival times are exact epoch days.
+    The bounded-round form is the determinism contract of
+    sssp/kcore; a deeper spread iterates the same round shape with
+    localCheckpoint."""
+    # o_orderdate is TIMESTAMP(_NTZ) parquet: pin the session UTC so the
+    # epoch-day bucket matches DuckDB's EPOCH_US on the naive wall clock
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    from c3dc_etl_spark.pinning import pin
+
+    e = pin(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            "day",
+        )
+        .distinct()
+    )
+    seeds = e.filter(F.col("c") % 100 == 0).select("c").distinct()
+    hop1 = (
+        e.join(seeds.withColumnRenamed("c", "__seed"), F.col("c") == F.col("__seed"))
+        .groupBy("s")
+        .agg(F.min("day").alias("arrival"))
+    )
+    h1 = hop1.select(F.col("s").alias("__s"), "arrival")
+    hop2 = (
+        e.join(h1, (F.col("s") == F.col("__s")) & (F.col("day") >= F.col("arrival")))
+        .join(seeds.withColumnRenamed("c", "__sc"), F.col("c") == F.col("__sc"), "left_anti")
+        .groupBy(F.col("c").alias("node"))
+        .agg(F.min("day").alias("arrival"))
+    )
+    return hop2

@@ -901,3 +901,64 @@ def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ";",
         ).alias("sparse_vec"),
     )
+
+
+_CONFUSION_ORACLE = f"""
+WITH scores AS (
+    {_LANG_SCORES_UNION}
+),
+best AS (
+    SELECT doc_id, cand_lang, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand_lang DESC) AS rn
+    FROM scores
+),
+pred AS (
+    SELECT d.doc_id, d.lang AS labeled,
+           CASE WHEN b.score > 0 THEN b.cand_lang ELSE 'und' END AS detected
+    FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+),
+cells AS (
+    SELECT labeled, detected, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT labeled, CAST(SUM(n) AS BIGINT) AS n_labeled FROM cells GROUP BY 1)
+SELECT c.labeled, c.detected, c.n, t.n_labeled,
+       (c.n * 1000000) // t.n_labeled AS share_ppm,
+       c.labeled = c.detected AS is_correct
+FROM cells c JOIN tot t USING (labeled)
+"""
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=_CONFUSION_ORACLE,
+    tags=("text", "ml"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a confusion matrix: the T29 language
+    identifier's predictions against the labeled language, one cell per
+    (labeled, detected) with count, per-label volume, and the exact
+    integral-ppm share — precision/recall/accuracy all read straight
+    off this table, which is how a filter model gets audited before it
+    gates a corpus. Built ON the real classifier output (the same
+    argmax column expression), then two tiny aggregations over the
+    |langs|² cell domain; the heavy input sees one narrow codegen
+    pass."""
+    docs = load(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("labeled"),
+        T.language_id("text").alias("detected"),
+    )
+    cells = pred.groupBy("labeled", "detected").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("labeled").agg(F.sum("n").alias("n_labeled"))
+    return cells.join(tot, "labeled").select(
+        "labeled",
+        "detected",
+        "n",
+        "n_labeled",
+        F.expr("(n * 1000000) div n_labeled").alias("share_ppm"),
+        (F.col("labeled") == F.col("detected")).alias("is_correct"),
+    )
