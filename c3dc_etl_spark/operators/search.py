@@ -316,3 +316,38 @@ def bm25_topk(
             "score"
         ),
     )
+
+
+def merge_index_segments(
+    a: DataFrame, b: DataFrame, *, postings_head: int = 10
+) -> DataFrame:
+    """Lucene-style segment merge: combine two independently built index
+    segments (outputs of :func:`inverted_index` over DISJOINT document
+    sets) into the index a single full build would produce. df and
+    total_tf are additive; the merged postings head re-sorts the UNION
+    of the two segment heads and re-caps — exactly correct because the
+    global ``postings_head`` smallest doc ids are each the smallest of
+    their own segment, hence present in that segment's head. This is
+    the write path of every log-structured search engine: segments
+    build independently (parallel, incremental), merges touch only the
+    per-token stat rows — never re-tokenizing either side's documents."""
+    merged = a.unionByName(b)
+    heads = F.flatten(
+        F.collect_list(
+            F.transform(
+                F.split(F.col("postings_head"), ";"),
+                lambda x: x.cast("bigint"),
+            )
+        )
+    )
+    return merged.groupBy("token").agg(
+        F.sum("df").cast("bigint").alias("df"),
+        F.sum("total_tf").cast("bigint").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(heads), 1, postings_head),
+                lambda d: d.cast("string"),
+            ),
+            ";",
+        ).alias("postings_head"),
+    )

@@ -296,3 +296,24 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avgdl as ONE float division of two exact integers — bit-identical
     # to the oracle's CAST(SUM AS DOUBLE) / COUNT(*).
     return S.bm25_topk(tf, list(BM25_TERMS), n_docs, total / n_docs, k=BM25_K)
+
+
+@query("search_index_segment_merge", oracle=_INDEX_ORACLE, tags=("search",))
+def search_index_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance by segment merge (the Lucene write
+    path): two segments built independently over disjoint halves of the
+    corpus merge into EXACTLY the single-build index — df/total_tf are
+    additive, and the merged postings head re-sorts the union of the
+    segment heads (correct by the smallest-of-its-segment argument,
+    operators/search.py:merge_index_segments). The oracle is the full
+    single-pass build, so hash parity proves segment-built == full-built
+    — the property that lets an index absorb a delta batch without
+    re-tokenizing the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    seg_a = S.inverted_index(
+        S.doc_term_freq(docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    )
+    seg_b = S.inverted_index(
+        S.doc_term_freq(docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id")
+    )
+    return S.merge_index_segments(seg_a, seg_b)

@@ -70,6 +70,7 @@ def test_entry_contract():
         "feature_standardize_zscore", "markov_next_event_eval",
         "survival_kaplan_meier",
         "langid_confusion_matrix", "temporal_reachability",
+        "search_index_segment_merge",
         # round-5 additions with no driver row yet (leading block)
         "ann_filtered_topk", "regressor_train_gd", "regressor_eval_r2",
         "classifier_train_stump", "embedding_pca_covariance",
@@ -79,6 +80,5 @@ def test_entry_contract():
         "table_log_zorder_pruned_read", "feature_winsorize_clip",
         "market_basket_rules", "classifier_train_tree2",
         "bootstrap_mean_ci", "mannwhitney_u_events",
-        "chi2_independence",
     ):
         assert name in first50, name
