@@ -2392,3 +2392,33 @@ def string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("p_name"), "red").cast("bigint").alias("red_at"),
         F.substring(F.col("p_name"), 1, 5).alias("prefix5"),
     )
+
+
+_AGG_FILTER_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_open,
+       CAST(MAX(o_orderkey) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+           AS max_even_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "aggregate_filter_probe",
+    oracle=_AGG_FILTER_SQL,
+    tags=("relational", "conformance"),
+)
+def aggregate_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause conformance (SQL:2003 T612): several
+    differently-filtered aggregates in ONE grouping pass — the idiom
+    that replaces N self-joins or N CASE-wrapped sums in reporting SQL.
+    Run through spark.sql on TEXTUALLY IDENTICAL SQL in both engines
+    (no dialect seam at all here); the decimal-sum discipline (rule 1)
+    rides inside the filtered SUM, and a filter that matches nothing
+    yields NULL (not 0) in both — the conformance point."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_AGG_FILTER_SQL)
