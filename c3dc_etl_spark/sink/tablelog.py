@@ -953,6 +953,107 @@ class TableLog:
             validate=_validate,
         )
 
+    def merge_apply_cdc(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        key_col: str,
+        *,
+        op_col: str = "op",
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Full CDC MERGE: one batch carrying upserts AND deletes
+        (``op_col`` = 'D' deletes the key; anything else is a
+        latest-wins upsert) applies as ONE copy-on-write commit — the
+        WHEN MATCHED DELETE arm merge_upsert lacks, i.e. the complete
+        Delta MERGE surface (and the GDPR-erasure path: a key-list
+        delete rides the same pruned rewrite). Only files whose stats
+        envelope intersects ANY batch key rewrite; deletes of absent
+        keys are no-ops; same smallness contract, txn exactly-once,
+        and predicate-level retry conflict detection as merge_upsert."""
+        import bisect
+
+        from pyspark.sql import functions as F
+
+        upserts = batch.filter(F.col(op_col) != "D").drop(op_col)
+        self._enforce_constraints(upserts)
+        # a key carrying BOTH a delete and an upsert in one batch is
+        # ambiguous (which wins depends on arbitrary order) — fail fast,
+        # as Delta's MERGE errors on multiple source matches
+        conflicted = (
+            batch.select(F.col(key_col).alias("k"), F.col(op_col).alias("o"))
+            .groupBy("k")
+            .agg(F.countDistinct(F.col("o") == "D").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .limit(1)
+            .count()
+        )
+        if conflicted:
+            raise ValueError(
+                "merge_apply_cdc: a key carries both delete and upsert "
+                "ops in one batch; resolve upstream (ambiguous outcome)"
+            )
+        keys = [
+            r["k"]
+            for r in batch.select(F.col(key_col).alias("k")).distinct().collect()
+        ]
+        if any(k is None for k in keys):
+            raise ValueError(
+                f"merge_apply_cdc: batch contains NULL in key column "
+                f"{key_col!r}; merge keys must be non-NULL"
+            )
+        skeys = sorted(keys)
+        base = self.latest_version()
+
+        def _overlaps(st: dict) -> bool:
+            env = self._key_env(st)
+            if env is None:
+                return True
+            i = bisect.bisect_left(skeys, env[0])
+            return i < len(skeys) and skeys[i] <= env[1]
+
+        def _validate(head):
+            if head is None:
+                return
+            for v in self.versions():
+                if (base is not None and v <= base) or v > head:
+                    continue
+                m = self._manifest(v)
+                st = m.get("stats", {})
+                hit = [n for n in m.get("add", ()) if _overlaps(st.get(n, {}))]
+                if hit:
+                    raise CommitConflict(
+                        f"concurrent commit {v} added files overlapping the "
+                        f"CDC key set: {hit}; re-read and re-derive the merge"
+                    )
+
+        touched = self._touched_files(keys)
+        if not touched:
+            adds = self._land_files(upserts)
+            return self.commit(
+                add=adds,
+                op="merge_cdc",
+                stats=self._file_stats(spark, adds),
+                txn=txn,
+                validate=_validate,
+            )
+        existing = spark.read.parquet(
+            *[os.path.join(self.table_dir, n) for n in touched]
+        )
+        keep = existing.join(
+            F.broadcast(batch.select(key_col).distinct()), key_col, "left_anti"
+        )
+        rewritten = keep.unionByName(upserts.select(*existing.columns))
+        adds = self._land_files(rewritten)
+        return self.commit(
+            add=adds,
+            remove=touched,
+            op="merge_cdc",
+            stats=self._file_stats(spark, adds),
+            txn=txn,
+            validate=_validate,
+        )
+
     def delete_where(
         self,
         spark: SparkSession,

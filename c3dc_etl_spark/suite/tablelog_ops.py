@@ -456,3 +456,43 @@ def table_log_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(recs, schema)
+
+
+@query(
+    "table_log_merge_cdc_deletes",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE NOT (o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
+    """,
+    tags=("sink", "tablelog"),
+)
+def table_log_merge_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC MERGE through the table log — upserts AND deletes in
+    ONE copy-on-write commit (the WHEN MATCHED DELETE arm, also the
+    GDPR key-list-erasure path): keys divisible by 97 get a price bump,
+    keys divisible by 89 (and not 97 — a key with both ops in one batch
+    is rejected as ambiguous, Delta's multiple-match error) are deleted, and only files whose stats
+    envelope intersects the batch keys rewrite. The read-back must show
+    updates applied, deleted keys gone, and every untouched row carried
+    — one atomic commit, no delete-then-upsert visibility window
+    (sink/tablelog.py:merge_apply_cdc)."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_cdcmerge_"), stats_col="o_orderkey")
+    log.append(orders)
+    ups = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = (
+        orders.filter(
+            (F.col("o_orderkey") % 89 == 0) & (F.col("o_orderkey") % 97 != 0)
+        )
+        .withColumn("op", F.lit("D"))
+    )
+    log.merge_apply_cdc(spark, ups.unionByName(dels), "o_orderkey")
+    return log.read(spark)

@@ -883,3 +883,44 @@ def test_mismatched_stats_col_handle_is_conservative(spark, tmp_path):
         ~F.col("o_totalprice").between(500_000.0, 600_000.0)
     )
     assert _rows(log2.read(spark)) == _rows(remaining)
+
+
+def test_merge_apply_cdc_deletes_and_conflict_rejection(spark, tmp_path):
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders)
+    dels = orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    ups = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    ).withColumn("op", F.lit("U"))
+    # deletes of ABSENT keys are no-ops: include a key far outside
+    ghost = ups.limit(1).withColumn(
+        "o_orderkey", F.lit(10**12).cast("bigint")
+    ).withColumn("op", F.lit("D"))
+    both = (
+        dels.filter(F.col("o_orderkey") % 97 != 0)
+        .unionByName(ups)
+        .unionByName(ghost)
+    )
+    log.merge_apply_cdc(spark, both, "o_orderkey")
+    expected = orders.filter(
+        ~((F.col("o_orderkey") % 89 == 0) & (F.col("o_orderkey") % 97 != 0))
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    assert _rows(log.read(spark)) == _rows(expected)
+
+    # a key carrying BOTH ops in one batch is rejected as ambiguous
+    k = orders.limit(1)
+    conflicted = k.withColumn("op", F.lit("U")).unionByName(
+        k.withColumn("op", F.lit("D"))
+    )
+    before = _rows(log.read(spark))
+    with pytest.raises(ValueError, match="both delete and upsert"):
+        log.merge_apply_cdc(spark, conflicted, "o_orderkey")
+    assert _rows(log.read(spark)) == before
