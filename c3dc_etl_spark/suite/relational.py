@@ -2422,3 +2422,45 @@ def aggregate_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields NULL (not 0) in both — the conformance point."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_AGG_FILTER_SQL)
+
+
+_ARGMAX_ORACLE = """
+SELECT c_nationkey,
+       MAX_BY(c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                         * 10000000 + c_custkey) AS richest_cust,
+       MIN_BY(c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                         * 10000000 + c_custkey) AS poorest_cust,
+       CAST(MAX(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_bal_cents
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@query(
+    "argmax_aggregate_probe",
+    oracle=_ARGMAX_ORACLE,
+    tags=("relational", "conformance"),
+)
+def argmax_aggregate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY/MIN_BY (argmax aggregate) conformance: the single-pass
+    partial-aggregable alternative to a ROW_NUMBER window for
+    one-winner-per-group. The pitfall pinned here: on TIED ordering
+    values both engines pick an ARBITRARY row, so portable argmax needs
+    a totally ordered key — the probe composes exact balance cents with
+    the unique customer key (cents * 1e7 + custkey), making the winner
+    deterministic by construction. Map-side combinable, no window, no
+    shuffle of payload columns."""
+    cust = load(spark, sf_dir, "customer")
+    okey = (
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+        * F.lit(10_000_000)
+        + F.col("c_custkey")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", okey).alias("richest_cust"),
+        F.min_by("c_custkey", okey).alias("poorest_cust"),
+        F.max(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("max_bal_cents"),
+    )
