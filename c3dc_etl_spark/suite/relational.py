@@ -2464,3 +2464,35 @@ def argmax_aggregate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
         ).alias("max_bal_cents"),
     )
+
+
+_GSETS_SQL = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+"""
+
+
+@query(
+    "grouping_sets_probe",
+    oracle=_GSETS_SQL,
+    tags=("relational", "conformance"),
+)
+def grouping_sets_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the grouping
+    lattice beside CUBE (T102 full lattice) and ROLLUP (T193 hierarchy
+    prefix): an ARBITRARY set list ((region), (nation), ()) that
+    neither shorthand can express, still ONE ExpandExec pass on
+    textually identical SQL in both engines, with GROUPING() flags
+    disambiguating the set each output row belongs to. The report shape
+    for 'totals by A, totals by B, grand total — but no (A, B)
+    detail'."""
+    for t in ("orders", "customer", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_GSETS_SQL)

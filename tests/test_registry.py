@@ -74,6 +74,7 @@ def test_entry_contract():
         "aggregate_filter_probe",
         "table_log_merge_cdc_deletes",
         "argmax_aggregate_probe",
+        "grouping_sets_probe",
         # round-5 additions with no driver row yet (leading block)
         "ann_filtered_topk", "regressor_train_gd", "regressor_eval_r2",
         "classifier_train_stump", "embedding_pca_covariance",
@@ -81,6 +82,5 @@ def test_entry_contract():
         "sample_temperature_mixture", "event_transition_matrix",
         "link_prediction_common_neighbors", "table_log_change_feed",
         "table_log_zorder_pruned_read", "feature_winsorize_clip",
-        "market_basket_rules",
     ):
         assert name in first50, name
