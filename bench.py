@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
 """Headline benchmark for the driver: runs representative queries from the
 suite at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line to stdout:
 
     {"metric": "suite_wall", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
-     "scale_check": {...}}
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+The full detail (compute pass, scale_check linearity) is written to
+BENCH_DETAIL.json beside this script — stdout stays inside the
+driver's ~2000-char tail capture (r5/r6 landed "parsed": null when the
+single line outgrew it).
 
 Each headline query is measured TWICE (VERDICT r4 ask #2 — round
 comparability): first under ``toArrow()`` (columnar materialization —
@@ -293,7 +297,34 @@ def main() -> int:
             "linearity": linearity,
         }
 
-    print(json.dumps(result))
+    # Driver-parseability (VERDICT r6 #3): the driver captures only the
+    # LAST ~2000 chars of stdout, so the r5/r6 full-detail line landed
+    # "parsed": null (tail began mid-JSON). stdout now carries exactly
+    # ONE compact headline line (metric/value/unit/sf/queries ~1.5 KB,
+    # comfortably inside the tail window); the full detail — compute
+    # pass, scale_check, linearity — goes to BENCH_DETAIL.json beside
+    # this script (and to stderr for humans).
+    headline = {
+        "metric": "suite_wall",
+        "value": result["value"],
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    line = json.dumps(headline)
+    if len(line) > 1900:
+        # never let the headline outgrow the tail capture again: drop
+        # the per-query map before the driver loses the whole line
+        headline["queries"] = {"_truncated": len(times)}
+        line = json.dumps(headline)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(f"# full detail -> {detail_path}", file=sys.stderr)
+    print(json.dumps(result), file=sys.stderr)
+    print(line)
     return 0
 
 

@@ -717,18 +717,53 @@ FROM binned GROUP BY bin
 @query("feature_quantile_binning", oracle=_BINNING_ORACLE, tags=("quality",))
 def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency feature binning (decile buckets over document
-    length) via NTILE on the deterministic total order (value, id) —
-    tie rows land by id, so the bucketing is reproducible, and both
-    engines share NTILE's fill rule (earlier buckets take the
-    remainder). Emitted as per-bin envelopes. The global-order window
-    is the CORRECTNESS reference; at 100 TB the same contract is served
-    by two phases — approx quantile boundaries (one pass) + a map-side
-    bucket assignment — with only boundary-tie rows differing, which is
-    why the reference form pins ties by id."""
+    length) with EXACT NTILE semantics on the deterministic total order
+    (value, id), computed WITHOUT a full-table single-partition window
+    (r7: the global-window lint flagged the naive `NTILE OVER (ORDER BY
+    …)` form — it sorts every row on one partition). Scale-correct
+    decomposition of the same total order: (1) per-value counts — one
+    bounded aggregate; (2) a global cumulative window over that BOUNDED
+    value domain yields each value's rank offset; (3) a broadcast join
+    back + a per-value-PARTITIONED row_number by id gives every row its
+    exact global rank without ever co-locating the table; (4) NTILE's
+    fill rule (first N mod B buckets take one extra row) is applied as
+    arithmetic on the rank. Bit-identical to the oracle's NTILE —
+    including tie placement — at any scale."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    binned = docs.select(
-        "doc_id", "n_chars", F.ntile(BIN_COUNT).over(w).cast("bigint").alias("bin")
+    total = docs.count()  # bounded scalar (one count, no data to driver)
+    q, r = divmod(total, BIN_COUNT)
+    per_val = docs.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("val_cnt")
+    )
+    w_cum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_val.select(
+        F.col("n_chars").alias("nc_key"),
+        F.coalesce(F.sum("val_cnt").over(w_cum), F.lit(0)).alias(
+            "rank_before"
+        ),
+    )
+    w_tie = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = docs.join(
+        F.broadcast(offsets), docs["n_chars"] == offsets["nc_key"]
+    ).select(
+        "doc_id",
+        "n_chars",
+        (F.col("rank_before") + F.row_number().over(w_tie)).alias("rnk"),
+    )
+    # NTILE fill: first r buckets hold q+1 rows, the rest hold q
+    cut = r * (q + 1)
+    binned = ranked.select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.col("rnk") <= cut,
+            F.expr(f"(rnk - 1) div {q + 1}") + 1,
+        )
+        .otherwise(F.expr(f"{r} + (rnk - 1 - {cut}) div {max(q, 1)}") + 1)
+        .cast("bigint")
+        .alias("bin"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

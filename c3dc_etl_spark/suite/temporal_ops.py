@@ -2010,21 +2010,22 @@ def null_ordering_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable ordered output must say NULLS LAST explicitly; this probe
     pins the explicit form end to end through a rank + top-k. The
     nullable value column is ranked with an id tie-break; NULL values
-    rank after every real value on both engines."""
+    rank after every real value on both engines. Scale shape (r7,
+    global-window lint): take the top-k FIRST via orderBy+limit —
+    Spark plans a distributed TakeOrderedAndProject, each partition
+    keeps k rows, no global sort — then rank the bounded k-row frame
+    with the same NULLS LAST order; identical output to ranking first
+    and limiting after."""
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy(
-        F.col("value").asc_nulls_last(), F.col("event_id").asc()
-    )
-    return (
-        ev.select(
-            F.row_number().over(w).cast("bigint").alias("rnk"),
-            "event_id",
-            F.floor(F.col("value") * 100 + F.lit(0.5))
-            .cast("bigint")
-            .alias("value_x100"),
-        )
-        .orderBy("rnk")
-        .limit(NULLORD_TOP_K)
+    order = [F.col("value").asc_nulls_last(), F.col("event_id").asc()]
+    top = ev.select("event_id", "value").orderBy(*order).limit(NULLORD_TOP_K)
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_x100"),
     )
 
 
@@ -2501,8 +2502,8 @@ risk AS (
 ),
 terms AS (
     SELECT dur, n_at_risk, n_events,
-           CAST(ROUND(LN(1.0 - CAST(n_events AS DOUBLE) / n_at_risk), 9)
-                * 1000000000 AS BIGINT) AS ln_nano
+           CAST(ROUND(LN(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+                * 1000000000, 0) AS BIGINT) AS ln_nano
     FROM risk WHERE n_events > 0 AND n_events < n_at_risk
 )
 SELECT dur, n_at_risk, n_events,
@@ -2524,11 +2525,14 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     clinical-analytics statistic the reference domain (C3DC survival
     records, A1) ultimately feeds. Per event-duration: risk set,
     events, and the KM product Π(1 − d/n). Determinism: each factor's
-    ln is rounded to 9dp and SCALED TO INTEGER NANO-UNITS, so the
-    cumulative product is an EXACT integer running sum (engines
-    disagree on windowed double accumulation order — DuckDB's segment
-    trees reassociate — but not on integer sums); one exp at the end,
-    6dp-rounded. Risk sets come from grouped duration counts + a
+    ln is SCALED TO INTEGER NANO-UNITS via an explicit ROUND(x*1e9, 0)
+    BEFORE the bigint cast — Spark's double→bigint cast truncates
+    toward zero while DuckDB's rounds half-even, so the integerization
+    must be made explicit and identical on both engines (r6 verdict).
+    The cumulative product is then an EXACT integer running sum
+    (engines disagree on windowed double accumulation order — DuckDB's
+    segment trees reassociate — but not on integer sums); one exp at
+    the end, 6dp-rounded. Risk sets come from grouped duration counts + a
     cumulative window over the tiny duration domain, never a
     per-user-pair comparison."""
     from pyspark.sql import Window
@@ -2570,15 +2574,13 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dur",
         "n_at_risk",
         "n_events",
-        (
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    - F.col("n_events").cast("double") / F.col("n_at_risk")
-                ),
-                9,
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_events").cast("double") / F.col("n_at_risk")
             )
-            * F.lit(1_000_000_000)
+            * F.lit(1_000_000_000.0),
+            0,
         )
         .cast("bigint")
         .alias("ln_nano"),

@@ -33,6 +33,55 @@ def plan_metrics(p: str) -> dict:
     }
 
 
+# Physical nodes that bound the cardinality flowing into a
+# single-partition window: a final/partial aggregate collapses the
+# domain, and these leaves/limits are bounded by construction.
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_BOUNDED_NODES = (
+    "LocalTableScan",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+)
+
+
+def _walk(node):
+    """Yield a SparkPlan node and its whole subtree (py4j tree walk)."""
+    yield node
+    children = node.children()
+    for i in range(children.length()):
+        yield from _walk(children.apply(i))
+
+
+def global_window_violations(root) -> list[str]:
+    """The bounded-domain global-window lint (r6 verdict #5): an
+    unpartitioned ``Window.orderBy`` moves ALL input to one partition,
+    which is only survivable at 100 TB when the input was first
+    aggregated (or limited) to a bounded domain — the repo's documented
+    "aggregate first, window second" discipline. Walk the pre-AQE
+    physical plan (``queryExecution().sparkPlan()``); for every
+    ``WindowExec`` with an empty partitionSpec, require an aggregate or
+    bounded-by-construction node somewhere in its subtree. Returns the
+    offending windows' simpleStrings (empty = clean)."""
+    bad = []
+    for n in _walk(root):
+        if n.getClass().getSimpleName() != "WindowExec":
+            continue
+        if not n.partitionSpec().isEmpty():
+            continue
+        bounded = any(
+            d is not n
+            and any(
+                tag in d.getClass().getSimpleName()
+                for tag in _AGG_NODES + _BOUNDED_NODES
+            )
+            for d in _walk(n)
+        )
+        if not bounded:
+            bad.append(n.simpleString(200))
+    return bad
+
+
 def main() -> int:
     from c3dc_etl_spark.session import get_spark
     from c3dc_etl_spark.suite import REGISTRY

@@ -314,3 +314,41 @@ def test_parquet_aggregate_pushdown_fires(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+# Global windows whose input is bounded by construction but not via an
+# aggregate/limit node the lint can see. Reviewed by hand; every entry
+# must say WHY the input is bounded.
+_GLOBAL_WINDOW_ALLOWED: set[str] = set()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(REGISTRY) if n not in _DRIVER_SIDE]
+)
+def test_global_window_only_after_aggregation(spark, name):
+    """r6 verdict #5: 28 unpartitioned Window.orderBy sites are correct
+    only because they run post-aggregation on a bounded domain. Pin the
+    invariant: any single-partition WindowExec must have an aggregate
+    (or bounded leaf/limit) in its subtree, so a future query cannot
+    silently sort 100 TB on one partition."""
+    from scripts.plan_report import global_window_violations
+
+    if name in _GLOBAL_WINDOW_ALLOWED:
+        pytest.skip("hand-reviewed bounded input")
+    root = REGISTRY[name].fn(spark, SF)._jdf.queryExecution().sparkPlan()
+    bad = global_window_violations(root)
+    assert not bad, f"{name}: unbounded global window(s): {bad}"
+
+
+def test_global_window_lint_catches_violation(spark):
+    """Deliberate violation: a raw parquet scan straight into an
+    unpartitioned row_number must be flagged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scripts.plan_report import global_window_violations
+
+    df = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    bad = global_window_violations(df._jdf.queryExecution().sparkPlan())
+    assert bad, "lint failed to flag a scan-fed global window"

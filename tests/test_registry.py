@@ -43,44 +43,26 @@ def test_entry_contract():
     ]
     assert len(set(e.PRIORITY)) == len(e.PRIORITY)
     assert set(qs) == set(REGISTRY)
-    # rotation policy (round 6): stalest-first — every round-6 addition
-    # plus the leading block of round-5 additions that never received a
-    # driver-dated CORRECTNESS row must sit inside the driver's bounded
-    # verification window (first 50 entries); the freshest (r5-green)
-    # rows close the list.
-    first50 = set(list(qs)[:50])
-    for name in (
-        # new in round 6
-        "streaming_outer_join_eviction", "geo_grid_radius_join",
-        "geo_nearest_neighbor", "geo_morton_cells",
-        "table_log_constraint_enforce", "table_log_schema_evolution",
-        "table_log_history_audit", "graph_kcore_bounded",
-        "ewma_daily_events", "percentile_disc_cont_probe",
-        "lateral_topk_per_group", "mmr_diversified_topk",
-        "recursive_cte_native", "agg_rollup_hierarchy",
-        "window_ignore_nulls_probe", "explode_outer_probe",
-        "source_fixed_width_scan", "url_canonicalize_dedup",
-        "higher_order_functions_probe", "string_functions_probe",
-        "streaming_tablelog_upsert",
-        "asof_join_tolerance",
-        "fk_integrity_dashboard",
-        "dp_noisy_release",
-        "logreg_train_gd",
-        "feature_hashing_vectorize", "trending_items_decay",
-        "feature_standardize_zscore", "markov_next_event_eval",
-        "survival_kaplan_meier",
-        "langid_confusion_matrix", "temporal_reachability",
-        "search_index_segment_merge",
-        "aggregate_filter_probe",
-        "table_log_merge_cdc_deletes",
-        "argmax_aggregate_probe",
-        "grouping_sets_probe",
-        # round-5 additions with no driver row yet (leading block)
-        "ann_filtered_topk", "regressor_train_gd", "regressor_eval_r2",
-        "classifier_train_stump", "embedding_pca_covariance",
-        "table_log_optimize_zorder", "table_log_delete_where",
-        "sample_temperature_mixture", "event_transition_matrix",
-        "link_prediction_common_neighbors", "table_log_change_feed",
-        "table_log_zorder_pruned_read", "feature_winsorize_clip",
-    ):
-        assert name in first50, name
+    # rotation policy (round 7, per the r6 verdict): the single r6
+    # hash-fail (survival_kaplan_meier, fixed this round) leads, then
+    # every registry query that has never received a driver-dated
+    # CORRECTNESS row (registry minus the union of r1-r6 ledger keys) —
+    # derived from the committed ledgers, not a hand-list — then the
+    # driver-dated greens, stalest round first.
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = {}
+    for r in range(1, 7):
+        with open(os.path.join(repo, f"CORRECTNESS_r0{r}.json")) as fh:
+            for k in json.load(fh):
+                latest[k] = r
+    never = {n for n in REGISTRY if n not in latest}
+    order = list(qs)
+    assert order[0] == "survival_kaplan_meier"
+    owed = 1 + len(never - {"survival_kaplan_meier"})
+    assert set(order[1:owed]) == never - {"survival_kaplan_meier"}
+    # the tail is stalest-first by driver round (non-decreasing)
+    rounds = [latest[n] for n in order[owed:]]
+    assert rounds == sorted(rounds)
