@@ -107,7 +107,45 @@ SCALE_QUERIES = [
     "q12_shipmode_priority",
     "dedup_containment",
     "similarity_tfidf_pairs",
+    # round 7 (VERDICT r6 #6): iterative peel + transactional merge
+    "graph_kcore_bounded",
+    "table_log_merge_upsert",
 ]
+
+
+def _geo_scale_runner(spark, d: str):
+    """Density-constant scale runner for the geo family (VERDICT r6
+    #6). The registry query hashes customer keys onto a FIXED
+    GRID x GRID torus, so a naive 5x corpus means 5x density and a
+    ~25x pair count — the radius join's OUTPUT is quadratic in density,
+    which would swamp the linearity signal the check exists to measure.
+    A bigger crawl is a bigger WORLD, not a denser one: each scaled
+    copy (identified by the key-offset band baked into the scaled
+    customer table) lands in its own disjoint x-region, separated by
+    > RADIUS, so pairs — and the replicated-cell shuffle — scale
+    linearly with the data while the operator under test is unchanged."""
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.operators.geo import grid_radius_join
+    from c3dc_etl_spark.suite.geo_ops import GRID, RADIUS, _fold
+
+    cust = spark.read.parquet(f"{d}/customer.parquet").select("c_custkey")
+    region = F.expr("c_custkey div 10000000")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            (_fold("gx", "c_custkey") % GRID)
+            + region * F.lit(GRID + 2 * RADIUS)
+        ).alias("x"),
+        (_fold("gy", "c_custkey") % GRID).alias("y"),
+    )
+    return grid_radius_join(pts, "id", "x", "y", RADIUS)
+
+
+# Scale-check entries that need a custom runner instead of the registry
+# callable (same callable on both sides of the ratio, so the comparison
+# stays apples-to-apples).
+CUSTOM_SCALE = {"geo_grid_radius_join": _geo_scale_runner}
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -129,7 +167,10 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     # marker records the build inputs: a factor-, base-, or table-set
     # change must rebuild, not silently reuse a stale scaled corpus
     marker = os.path.join(out_dir, "_BUILT")
-    stamp = f"factor={factor} base={sf_dir} tables=docs,events,orders,lineitem\n"
+    stamp = (
+        f"factor={factor} base={sf_dir} "
+        "tables=docs,events,orders,lineitem,customer\n"
+    )
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == stamp:
@@ -148,9 +189,14 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     # entangled replicas)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # customer feeds the geo family; the same c*10M offset as o_custkey
+    # keeps copies disjoint AND doubles as the copy id (key div 10M)
+    # the density-constant geo runner uses for its region shift
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     ev_parts = []
     ord_parts = []
     li_parts = []
+    cust_parts = []
     for c in range(factor):
         rot = _ALPHA[c:] + _ALPHA[:c]
         doc_parts.append(
@@ -171,6 +217,11 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
             .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(c * 10_000_000))
             .withColumn("l_partkey", F.col("l_partkey") + F.lit(c * 10_000_000))
         )
+        cust_parts.append(
+            cust.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(c * 10_000_000)
+            )
+        )
     union = lambda parts: functools.reduce(DataFrame.unionByName, parts)  # noqa: E731
     union(doc_parts).repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
@@ -183,6 +234,9 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     )
     union(li_parts).repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/lineitem.parquet"
+    )
+    union(cust_parts).repartition(8).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
     )
     with open(marker, "w") as fh:
         fh.write(stamp)
@@ -272,13 +326,14 @@ def main() -> int:
         # materialization proportional to data, so `linearity` reflects
         # the PLAN's scaling. The headline suite above keeps collect()
         # for round-to-round comparability.
-        for name in SCALE_QUERIES:
+        for name in SCALE_QUERIES + list(CUSTOM_SCALE):
+            fn = CUSTOM_SCALE.get(name, qs.get(name))
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).toArrow()
+            fn(spark, sf_dir).toArrow()
             release_pinned()
             b_times[name] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
-            qs[name](spark, scale_dir).toArrow()
+            fn(spark, scale_dir).toArrow()
             release_pinned()
             dt = round(time.perf_counter() - t0, 3)
             s_times[name] = dt

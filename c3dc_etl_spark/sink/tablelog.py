@@ -228,6 +228,11 @@ class TableLog:
                 "files": list(snap),
                 "stats": {k: v for k, v in snap.items() if v},
                 "txns": self.txns(head),
+                # live constraint map folded in (ADVICE r6 #4) so
+                # constraints() resolves O(tail) like snapshot()/txns()
+                # instead of replaying every manifest from version 0 on
+                # EVERY write-path enforcement
+                "constraints": self.constraints(head),
             },
             sort_keys=True,
         )
@@ -285,6 +290,7 @@ class TableLog:
         txn: tuple[str, int] | None = None,
         validate=None,
         extra: dict | None = None,
+        constraints_epoch: int | None = None,
     ) -> int:
         """Atomically publish one commit; returns the version written.
         Retries past racing writers (optimistic concurrency); raises
@@ -336,6 +342,24 @@ class TableLog:
                         raise CommitConflict(
                             f"files removed by a concurrent commit: {gone}"
                         )
+                if constraints_epoch is not None and head is not None:
+                    # metadata-conflict detection (ADVICE r6 #3): a CHECK
+                    # constraint added by a concurrent writer AFTER this
+                    # batch's enforcement pass means the batch was never
+                    # validated against it — surface the conflict instead
+                    # of landing possibly-violating rows (drops cannot
+                    # invalidate a passed enforcement, so only additions
+                    # conflict)
+                    for v in self.versions():
+                        if v <= constraints_epoch or v > head:
+                            continue
+                        c = self._manifest(v).get("constraint")
+                        if c and c.get("check") is not None:
+                            raise CommitConflict(
+                                f"constraint {c['name']!r} added by "
+                                f"concurrent commit {v} after this batch "
+                                "was enforced; re-enforce and retry"
+                            )
                 if validate is not None:
                     validate(head)
                 version = 0 if head is None else head + 1
@@ -610,14 +634,29 @@ class TableLog:
         )
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
-        """name -> CHECK predicate at ``version`` (latest when None),
-        replayed from the raw manifests (constraint commits are rare and
-        data-free; replay is O(commits) tiny JSON reads driver-side)."""
+        """name -> CHECK predicate at ``version`` (latest when None).
+        Resolution starts from the newest checkpoint at-or-below
+        ``version`` that carries a constraint map (older checkpoints
+        predate the folding and fall back to full replay), then replays
+        only the manifest tail — O(tail), matching snapshot()/txns();
+        this runs on EVERY write-path enforcement, so it must not grow
+        with total commit count (ADVICE r6 #4)."""
         head = self.latest_version() if version is None else version
         out: dict[str, str] = {}
         if head is None:
             return out
+        start = 0
+        for cp in reversed([c for c in self._checkpoint_versions() if c <= head]):
+            path = os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
+            with open(path) as fh:
+                ck = json.load(fh)
+            if "constraints" in ck:
+                out = dict(ck["constraints"])
+                start = cp + 1
+                break
         for v in self.versions():
+            if v < start:
+                continue
             if v > head:
                 break
             m = self._manifest(v)
@@ -630,16 +669,25 @@ class TableLog:
                 out[c["name"]] = c["check"]
         return out
 
-    def _enforce_constraints(self, df: DataFrame) -> None:
+    def _enforce_constraints(self, df: DataFrame) -> int:
         """Refuse a write batch violating any live CHECK constraint.
         ONE aggregate job over the incoming batch counts violators of
         every constraint at once (a row violates when its predicate
         evaluates to FALSE — NULL/unknown passes, per SQL CHECK).
         Runs BEFORE any file lands: a rejected batch leaves the table
-        directory byte-identical (not even vacuum-able orphans)."""
-        checks = self.constraints()
+        directory byte-identical (not even vacuum-able orphans).
+
+        Returns the log version the constraint map was read at; write
+        paths hand it to :meth:`commit` as ``constraints_epoch`` so the
+        CAS retry loop detects a CHECK added by a concurrent writer
+        AFTER this enforcement (ADVICE r6 #3) — without it a violating
+        batch could land against a constraint it was never checked
+        against."""
+        head = self.latest_version()
+        epoch = -1 if head is None else head  # -1 = enforced on empty log
+        checks = self.constraints(head)
         if not checks:
-            return
+            return epoch
         from pyspark.sql import functions as F
 
         names = sorted(checks)
@@ -658,6 +706,7 @@ class TableLog:
                 "write rejected; CHECK constraint violations: "
                 + ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
             )
+        return epoch
 
     def validate_constraint(self, spark: SparkSession, name: str) -> None:
         """Optionally prove a (new) constraint over the CURRENT
@@ -710,22 +759,24 @@ class TableLog:
     # -- table operations --------------------------------------------------
 
     def append(self, df: DataFrame) -> int:
-        self._enforce_constraints(df)
+        cepoch = self._enforce_constraints(df)
         adds = self._land_files(df)
         return self.commit(
             add=adds,
             op="append",
             stats=self._file_stats(df.sparkSession, adds),
+            constraints_epoch=cepoch,
         )
 
     def overwrite(self, df: DataFrame) -> int:
-        self._enforce_constraints(df)
+        cepoch = self._enforce_constraints(df)
         adds = self._land_files(df)
         return self.commit(
             add=adds,
             remove=self.files(),
             op="overwrite",
             stats=self._file_stats(df.sparkSession, adds),
+            constraints_epoch=cepoch,
         )
 
     def compact(self, spark: SparkSession, *, target_partitions: int = 1) -> int:
@@ -886,7 +937,7 @@ class TableLog:
 
         # carried rows already passed at their own write time; only the
         # incoming CDC rows need CHECK enforcement
-        self._enforce_constraints(updates)
+        cepoch = self._enforce_constraints(updates)
 
         keys = [
             r["k"]
@@ -900,6 +951,23 @@ class TableLog:
             raise ValueError(
                 f"merge_upsert: updates contain NULL in key column "
                 f"{key_col!r}; merge keys must be non-NULL"
+            )
+        # >1 update row per key would ALL insert after the left_anti
+        # removes the existing row, leaving duplicate keys — the Delta
+        # MERGE multiple-source-match error, surfaced before any file
+        # lands (ADVICE r6 #2)
+        dup = (
+            updates.groupBy(key_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_upsert: multiple update rows share a {key_col!r} "
+                "key; latest-wins is undefined without an ordering column "
+                "— dedup the batch upstream (Delta multiple-match error)"
             )
         skeys = sorted(keys)
         base = self.latest_version()
@@ -935,6 +1003,7 @@ class TableLog:
                 stats=self._file_stats(spark, adds),
                 txn=txn,
                 validate=_validate,
+                constraints_epoch=cepoch,
             )
         existing = spark.read.parquet(
             *[os.path.join(self.table_dir, n) for n in touched]
@@ -951,6 +1020,7 @@ class TableLog:
             stats=self._file_stats(spark, adds),
             txn=txn,
             validate=_validate,
+            constraints_epoch=cepoch,
         )
 
     def merge_apply_cdc(
@@ -963,8 +1033,9 @@ class TableLog:
         txn: tuple[str, int] | None = None,
     ) -> int:
         """Full CDC MERGE: one batch carrying upserts AND deletes
-        (``op_col`` = 'D' deletes the key; anything else is a
-        latest-wins upsert) applies as ONE copy-on-write commit — the
+        (``op_col`` = 'D' deletes the key; anything else — including a
+        NULL op — is an upsert; a key may carry at most ONE op row per
+        batch, enforced) applies as ONE copy-on-write commit — the
         WHEN MATCHED DELETE arm merge_upsert lacks, i.e. the complete
         Delta MERGE surface (and the GDPR-erasure path: a key-list
         delete rides the same pruned rewrite). Only files whose stats
@@ -975,23 +1046,36 @@ class TableLog:
 
         from pyspark.sql import functions as F
 
-        upserts = batch.filter(F.col(op_col) != "D").drop(op_col)
-        self._enforce_constraints(upserts)
-        # a key carrying BOTH a delete and an upsert in one batch is
-        # ambiguous (which wins depends on arbitrary order) — fail fast,
-        # as Delta's MERGE errors on multiple source matches
+        # NULL-safe op classification (ADVICE r6 #1): the contract says
+        # anything other than 'D' is an upsert, and that must include a
+        # NULL op — a plain != would evaluate NULL, silently dropping
+        # the row from upserts while its key still enters the delete
+        # rewrite (silent data loss)
+        is_delete = F.col(op_col).eqNullSafe("D")
+        upserts = batch.filter(~is_delete).drop(op_col)
+        cepoch = self._enforce_constraints(upserts)
+        # fail fast, as Delta's MERGE errors on multiple source matches
+        # (ADVICE r6 #1/#2): a key carrying BOTH a delete and an upsert
+        # is ambiguous (which wins depends on arbitrary order), and >1
+        # upsert row per key would ALL insert after the left_anti —
+        # duplicate keys in the table. One aggregate checks both; the
+        # null-safe is_delete means NULL ops are counted, not ignored.
         conflicted = (
-            batch.select(F.col(key_col).alias("k"), F.col(op_col).alias("o"))
+            batch.select(F.col(key_col).alias("k"), is_delete.alias("d"))
             .groupBy("k")
-            .agg(F.countDistinct(F.col("o") == "D").alias("nd"))
-            .filter(F.col("nd") > 1)
+            .agg(
+                F.countDistinct("d").alias("n_ops"),
+                F.sum(F.when(~F.col("d"), 1).otherwise(0)).alias("n_up"),
+            )
+            .filter((F.col("n_ops") > 1) | (F.col("n_up") > 1))
             .limit(1)
             .count()
         )
         if conflicted:
             raise ValueError(
-                "merge_apply_cdc: a key carries both delete and upsert "
-                "ops in one batch; resolve upstream (ambiguous outcome)"
+                "merge_apply_cdc: a key carries conflicting ops in one "
+                "batch (delete+upsert, or multiple upserts); resolve "
+                "upstream (Delta multiple-match error)"
             )
         keys = [
             r["k"]
@@ -1036,6 +1120,7 @@ class TableLog:
                 stats=self._file_stats(spark, adds),
                 txn=txn,
                 validate=_validate,
+                constraints_epoch=cepoch,
             )
         existing = spark.read.parquet(
             *[os.path.join(self.table_dir, n) for n in touched]
@@ -1052,6 +1137,7 @@ class TableLog:
             stats=self._file_stats(spark, adds),
             txn=txn,
             validate=_validate,
+            constraints_epoch=cepoch,
         )
 
     def delete_where(
@@ -1153,7 +1239,7 @@ class TableLog:
             raise ValueError(
                 "replace_where requires a stats_col-configured table"
             )
-        self._enforce_constraints(df)
+        cepoch = self._enforce_constraints(df)
         lo, hi = key_between
         if self.stats_col in df.columns:
             # a NULL key does not satisfy [lo, hi] either — such a row
@@ -1210,6 +1296,7 @@ class TableLog:
             stats=self._file_stats(spark, adds),
             txn=txn,
             validate=_validate,
+            constraints_epoch=cepoch,
         )
 
     def read(

@@ -10,7 +10,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from c3dc_etl_spark.sink.tablelog import CommitConflict, TableLog
+from c3dc_etl_spark.sink.tablelog import (
+    CommitConflict,
+    ConstraintViolation,
+    TableLog,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -739,9 +743,13 @@ def test_all_null_stats_file_is_conservative_not_poisonous(spark, tmp_path):
         assert st.get("min") is not None and st.get("max") is not None or (
             "min" not in st and "max" not in st
         )
-    # pruned read: the stats-less file is conservatively opened
+    # pruned read, exact (ADVICE r6 #5): the second append range-
+    # partitions into two single-row files with envelopes [1,1] and
+    # [9,9] — neither intersects (5, 6), so ONLY the stats-less
+    # all-NULL file is conservatively opened; a regression that opens a
+    # stats-bearing file or prunes the stats-less one fails here
     opened, total = log.pruned_file_count((5, 6))
-    assert total == opened + 0 or opened >= 1
+    assert (opened, total) == (1, 3)
     got = {tuple(r) for r in log.read(spark, key_between=(0, 10)).collect()}
     assert got == {(1, "a"), (9, "b")}
     # merge and range delete both work over the all-NULL file
@@ -921,6 +929,109 @@ def test_merge_apply_cdc_deletes_and_conflict_rejection(spark, tmp_path):
         k.withColumn("op", F.lit("D"))
     )
     before = _rows(log.read(spark))
-    with pytest.raises(ValueError, match="both delete and upsert"):
+    with pytest.raises(ValueError, match="conflicting ops"):
         log.merge_apply_cdc(spark, conflicted, "o_orderkey")
     assert _rows(log.read(spark)) == before
+
+
+def test_merge_apply_cdc_null_op_is_upsert_not_silent_delete(spark, tmp_path):
+    """ADVICE r6 #1: a NULL op must follow the documented contract —
+    anything other than 'D' is an upsert. The old `op != 'D'` filter
+    evaluated NULL, dropping the row from upserts while its key still
+    entered the delete rewrite: silent data loss."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders)
+    null_op = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("op", F.lit(None).cast("string"))
+    )
+    log.merge_apply_cdc(spark, null_op, "o_orderkey")
+    expected = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    assert _rows(log.read(spark)) == _rows(expected)
+
+
+def test_merge_apply_cdc_rejects_duplicate_upserts_per_key(spark, tmp_path):
+    """ADVICE r6 #2: two upsert rows for one key would BOTH insert
+    after the left_anti removes the existing row — duplicate keys in
+    the table. Delta's MERGE errors on multiple source matches."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders)
+    k = orders.limit(1)
+    dup = k.withColumn("op", F.lit("U")).unionByName(
+        k.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("op", F.lit("U"))
+    )
+    before = _rows(log.read(spark))
+    with pytest.raises(ValueError, match="conflicting ops"):
+        log.merge_apply_cdc(spark, dup, "o_orderkey")
+    assert _rows(log.read(spark)) == before
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    """ADVICE r6 #2 (merge_upsert arm): same multiple-match error."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders)
+    k = orders.limit(1)
+    dup = k.unionByName(
+        k.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    before = _rows(log.read(spark))
+    with pytest.raises(ValueError, match="multiple update rows"):
+        log.merge_upsert(spark, dup, "o_orderkey")
+    assert _rows(log.read(spark)) == before
+
+
+def test_concurrent_constraint_add_conflicts_unenforced_commit(
+    spark, tmp_path
+):
+    """ADVICE r6 #3: a CHECK constraint added AFTER a batch's
+    enforcement pass but BEFORE its commit means the batch was never
+    validated against it — the commit must raise CommitConflict, not
+    land possibly-violating rows."""
+    log = TableLog(str(tmp_path / "t"), stats_col="k")
+    log.append(spark.createDataFrame([(1, 5)], "k int, v int"))
+    batch = spark.createDataFrame([(2, -1)], "k int, v int")
+    epoch = log._enforce_constraints(batch)  # no constraints yet: passes
+    # a concurrent writer lands a CHECK between enforcement and commit
+    TableLog(str(tmp_path / "t"), stats_col="k").set_check_constraint(
+        "v_nonneg", "v >= 0"
+    )
+    adds = log._land_files(batch)
+    with pytest.raises(CommitConflict, match="v_nonneg"):
+        log.commit(add=adds, op="append", constraints_epoch=epoch)
+    # re-enforcing at the new head rejects the batch properly
+    with pytest.raises(ConstraintViolation):
+        log.append(batch)
+
+
+def test_constraints_resolved_from_checkpoint_tail(spark, tmp_path):
+    """ADVICE r6 #4: constraints() starts from the newest checkpoint
+    carrying a constraint map and replays only the tail — proven by
+    deleting the pre-checkpoint manifests (as log cleanup would) and
+    still resolving the full constraint map."""
+    import os
+
+    log = TableLog(str(tmp_path / "t"), stats_col="k", checkpoint_interval=2)
+    df = spark.createDataFrame([(1, 5)], "k int, v int")
+    log.append(df)                                   # v0
+    log.set_check_constraint("v_nonneg", "v >= 0")   # v1 -> checkpoint
+    log.append(df)                                   # v2
+    log.set_check_constraint("k_pos", "k > 0")       # v3 -> checkpoint
+    log.append(df)                                   # v4
+    assert log.constraints() == {"v_nonneg": "v >= 0", "k_pos": "k > 0"}
+    cps = log._checkpoint_versions()
+    assert cps, "expected a checkpoint to have landed"
+    for v in range(cps[-1]):
+        os.remove(os.path.join(log.log_dir, f"{v:020d}.json"))
+    assert log.constraints() == {"v_nonneg": "v >= 0", "k_pos": "k > 0"}
+    with pytest.raises(ConstraintViolation):
+        log.append(spark.createDataFrame([(0, -1)], "k int, v int"))
