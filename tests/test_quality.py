@@ -288,3 +288,63 @@ def test_content_defined_chunks_survive_prefix_insertion(spark):
     # all but the first couple of segments survive the edit intact
     assert len(shared) >= n_segs[0] - 2, (n_segs, len(shared))
     assert n_segs[0] > 5  # the doc actually chunked
+
+
+def test_ntile_decomposition_matches_window_ntile_edge_cases(spark):
+    """The r7 scale restructure of feature_quantile_binning replaces
+    `NTILE(B) OVER (ORDER BY value, id)` with per-value counts +
+    bounded cumulative offsets + partitioned tie row_number + the fill
+    rule as arithmetic. Pin exact equivalence against Spark's own
+    NTILE on the adversarial shapes: N < B, N == B, N == B+1, heavy
+    ties, all-one-value."""
+    from pyspark.sql import Window
+
+    cases = [
+        [(i, 100 + i) for i in range(7)],              # N=7 < B=10
+        [(i, 5) for i in range(10)],                   # N==B, ALL tied
+        [(i, i % 2) for i in range(11)],               # N==B+1, 2 values
+        [(i, i % 3) for i in range(25)],               # heavy ties
+        [(i, 42) for i in range(23)],                  # one value, N%B!=0
+    ]
+    B = 10
+    for rows in cases:
+        df = spark.createDataFrame(rows, "doc_id int, n_chars int")
+        want = df.select(
+            "doc_id",
+            F.ntile(B)
+            .over(Window.orderBy("n_chars", "doc_id"))
+            .alias("bin"),
+        )
+        total = df.count()
+        q, r = divmod(total, B)
+        per_val = df.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+        w_cum = Window.orderBy("n_chars").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = per_val.select(
+            F.col("n_chars").alias("k"),
+            F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("before"),
+        )
+        w_tie = Window.partitionBy("n_chars").orderBy("doc_id")
+        got = (
+            df.join(F.broadcast(offs), df["n_chars"] == offs["k"])
+            .select(
+                "doc_id",
+                (F.col("before") + F.row_number().over(w_tie)).alias("rnk"),
+            )
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("rnk") <= r * (q + 1),
+                    F.expr(f"(rnk - 1) div {q + 1}") + 1,
+                )
+                .otherwise(
+                    F.expr(f"{r} + (rnk - 1 - {r * (q + 1)}) div {max(q, 1)}")
+                    + 1
+                )
+                .alias("bin"),
+            )
+        )
+        w = {tuple(x) for x in want.collect()}
+        g = {tuple(x) for x in got.collect()}
+        assert g == w, f"decomposition diverged for case {rows[:4]}..."
