@@ -160,3 +160,55 @@ def remove_duplicate_spans(
             F.coalesce(F.col("__text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact NTILE without a global sort
+# --------------------------------------------------------------------------
+def exact_ntile(df, value_col: str, id_col: str, bins: int):
+    """``NTILE(bins) OVER (ORDER BY value_col, id_col)`` with EXACT
+    semantics — including the fill rule (the first N mod B buckets take
+    one extra row) and tie placement — but WITHOUT a full-table
+    single-partition window (the r7 global-window lint class).
+
+    Scale decomposition of the same total order: (1) per-value counts —
+    one bounded aggregate; (2) a global cumulative window over that
+    BOUNDED value domain yields each value's rank offset; (3) a
+    broadcast join back + a per-value-PARTITIONED row_number by id
+    gives every row its exact global rank without co-locating the
+    table; (4) NTILE's fill rule applied as arithmetic on the rank.
+    Returns ``df``'s (id_col, value_col) plus a bigint ``bin`` column.
+
+    One bounded driver action (a count) fixes N for the fill rule."""
+    from pyspark.sql import Window
+
+    total = df.count()  # bounded scalar (one count, no data to driver)
+    q, r = divmod(total, bins)
+    per_val = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__vc"))
+    w_cum = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_val.select(
+        F.col(value_col).alias("__vk"),
+        F.coalesce(F.sum("__vc").over(w_cum), F.lit(0)).alias("__before"),
+    )
+    w_tie = Window.partitionBy(value_col).orderBy(id_col)
+    ranked = df.join(
+        F.broadcast(offsets), df[value_col] == offsets["__vk"]
+    ).select(
+        id_col,
+        value_col,
+        (F.col("__before") + F.row_number().over(w_tie)).alias("__rnk"),
+    )
+    cut = r * (q + 1)
+    return ranked.select(
+        id_col,
+        value_col,
+        F.when(
+            F.col("__rnk") <= cut,
+            F.expr(f"(__rnk - 1) div {q + 1}") + 1,
+        )
+        .otherwise(F.expr(f"{r} + (__rnk - 1 - {cut}) div {max(q, 1)}") + 1)
+        .cast("bigint")
+        .alias("bin"),
+    )

@@ -939,10 +939,15 @@ class TableLog:
         # incoming CDC rows need CHECK enforcement
         cepoch = self._enforce_constraints(updates)
 
-        keys = [
-            r["k"]
-            for r in updates.select(F.col(key_col).alias("k")).distinct().collect()
-        ]
+        # ONE aggregate job yields the pruning key list AND the per-key
+        # multiplicities (the batch is bounded by contract, so a count
+        # per key costs the same driver traffic as the bare key list)
+        key_counts = (
+            updates.groupBy(F.col(key_col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        keys = [r["k"] for r in key_counts]
         # fail fast on NULL merge keys (mirrors the non-orderable-stats
         # check): None is unsortable against real keys, and a NULL-key
         # update row can never match the left_anti join — it would be
@@ -956,14 +961,7 @@ class TableLog:
         # removes the existing row, leaving duplicate keys — the Delta
         # MERGE multiple-source-match error, surfaced before any file
         # lands (ADVICE r6 #2)
-        dup = (
-            updates.groupBy(key_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
+        if any(r["n"] > 1 for r in key_counts):
             raise ValueError(
                 f"merge_upsert: multiple update rows share a {key_col!r} "
                 "key; latest-wins is undefined without an ordering column "
@@ -1054,33 +1052,29 @@ class TableLog:
         is_delete = F.col(op_col).eqNullSafe("D")
         upserts = batch.filter(~is_delete).drop(op_col)
         cepoch = self._enforce_constraints(upserts)
-        # fail fast, as Delta's MERGE errors on multiple source matches
-        # (ADVICE r6 #1/#2): a key carrying BOTH a delete and an upsert
-        # is ambiguous (which wins depends on arbitrary order), and >1
-        # upsert row per key would ALL insert after the left_anti —
-        # duplicate keys in the table. One aggregate checks both; the
+        # ONE aggregate job over the batch yields the pruning key list
+        # AND the per-key op profile. Fail fast, as Delta's MERGE errors
+        # on multiple source matches (ADVICE r6 #1/#2): a key carrying
+        # BOTH a delete and an upsert is ambiguous (which wins depends
+        # on arbitrary order), and >1 upsert row per key would ALL
+        # insert after the left_anti — duplicate keys in the table. The
         # null-safe is_delete means NULL ops are counted, not ignored.
-        conflicted = (
+        key_profile = (
             batch.select(F.col(key_col).alias("k"), is_delete.alias("d"))
             .groupBy("k")
             .agg(
                 F.countDistinct("d").alias("n_ops"),
                 F.sum(F.when(~F.col("d"), 1).otherwise(0)).alias("n_up"),
             )
-            .filter((F.col("n_ops") > 1) | (F.col("n_up") > 1))
-            .limit(1)
-            .count()
+            .collect()
         )
-        if conflicted:
+        if any(r["n_ops"] > 1 or r["n_up"] > 1 for r in key_profile):
             raise ValueError(
                 "merge_apply_cdc: a key carries conflicting ops in one "
                 "batch (delete+upsert, or multiple upserts); resolve "
                 "upstream (Delta multiple-match error)"
             )
-        keys = [
-            r["k"]
-            for r in batch.select(F.col(key_col).alias("k")).distinct().collect()
-        ]
+        keys = [r["k"] for r in key_profile]
         if any(k is None for k in keys):
             raise ValueError(
                 f"merge_apply_cdc: batch contains NULL in key column "

@@ -728,43 +728,14 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact global rank without ever co-locating the table; (4) NTILE's
     fill rule (first N mod B buckets take one extra row) is applied as
     arithmetic on the rank. Bit-identical to the oracle's NTILE —
-    including tie placement — at any scale."""
+    including tie placement — at any scale. The decomposition lives in
+    operators/quality.py exact_ntile (shared with the edge-case tests
+    in tests/test_quality.py, so query and test exercise ONE code
+    path)."""
+    from c3dc_etl_spark.operators.quality import exact_ntile
+
     docs = load(spark, sf_dir, "documents")
-    total = docs.count()  # bounded scalar (one count, no data to driver)
-    q, r = divmod(total, BIN_COUNT)
-    per_val = docs.groupBy("n_chars").agg(
-        F.count(F.lit(1)).alias("val_cnt")
-    )
-    w_cum = Window.orderBy("n_chars").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = per_val.select(
-        F.col("n_chars").alias("nc_key"),
-        F.coalesce(F.sum("val_cnt").over(w_cum), F.lit(0)).alias(
-            "rank_before"
-        ),
-    )
-    w_tie = Window.partitionBy("n_chars").orderBy("doc_id")
-    ranked = docs.join(
-        F.broadcast(offsets), docs["n_chars"] == offsets["nc_key"]
-    ).select(
-        "doc_id",
-        "n_chars",
-        (F.col("rank_before") + F.row_number().over(w_tie)).alias("rnk"),
-    )
-    # NTILE fill: first r buckets hold q+1 rows, the rest hold q
-    cut = r * (q + 1)
-    binned = ranked.select(
-        "doc_id",
-        "n_chars",
-        F.when(
-            F.col("rnk") <= cut,
-            F.expr(f"(rnk - 1) div {q + 1}") + 1,
-        )
-        .otherwise(F.expr(f"{r} + (rnk - 1 - {cut}) div {max(q, 1)}") + 1)
-        .cast("bigint")
-        .alias("bin"),
-    )
+    binned = exact_ntile(docs, "n_chars", "doc_id", BIN_COUNT)
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("n_chars").cast("bigint").alias("lo"),

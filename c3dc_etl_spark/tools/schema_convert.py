@@ -44,14 +44,17 @@ def load(path: str, encoding: str = "utf-8") -> Any:
 def save(data: Any, path: str, encoding: str = "utf-8") -> None:
     """Write a schema document in the serialization the extension asks
     for (JSON pretty-printed with non-ASCII preserved, YAML block
-    style)."""
+    style). Serialization happens BEFORE the destination is opened, so
+    a failure (missing PyYAML, unserializable data) never truncates or
+    creates a partial artifact."""
+    if detect_format(path) == "yaml":
+        if _yaml is None:
+            raise RuntimeError("PyYAML is not available for YAML output")
+        payload = _yaml.safe_dump(data, indent=2, sort_keys=False)
+    else:
+        payload = json.dumps(data, indent=2, ensure_ascii=False)
     with open(path, "w", encoding=encoding) as fh:
-        if detect_format(path) == "yaml":
-            if _yaml is None:
-                raise RuntimeError("PyYAML is not available for YAML output")
-            _yaml.safe_dump(data, fh, indent=2, sort_keys=False)
-        else:
-            json.dump(data, fh, indent=2, ensure_ascii=False)
+        fh.write(payload)
 
 
 def convert(src: str, dst: str) -> None:

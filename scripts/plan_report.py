@@ -53,31 +53,56 @@ def _walk(node):
         yield from _walk(children.apply(i))
 
 
+def _children(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.length())]
+
+
+def _is_bounded(node) -> bool:
+    """Bottom-up boundedness along the CARDINALITY path: a node's
+    output is bounded iff the rows that can reach it are. An aggregate
+    collapses to its group domain; a limit/TakeOrdered/local frame is
+    bounded by construction; a join is bounded only if every input
+    that contributes cardinality is (a BroadcastExchange child is the
+    build side — it bounds nothing about the probe stream, so a
+    full-table scan joined to a broadcast aggregate stays UNBOUNDED);
+    everything else (project/filter/sort/exchange/union/window)
+    inherits from its children."""
+    cls = node.getClass().getSimpleName()
+    if any(tag in cls for tag in _AGG_NODES + _BOUNDED_NODES):
+        return True
+    kids = _children(node)
+    if not kids:
+        return False  # leaf scan / range: unbounded data source
+    if "Join" in cls:
+        probe = [
+            k
+            for k in kids
+            if "BroadcastExchange" not in k.getClass().getSimpleName()
+        ]
+        return all(_is_bounded(k) for k in (probe or kids))
+    return all(_is_bounded(k) for k in kids)
+
+
 def global_window_violations(root) -> list[str]:
     """The bounded-domain global-window lint (r6 verdict #5): an
     unpartitioned ``Window.orderBy`` moves ALL input to one partition,
     which is only survivable at 100 TB when the input was first
     aggregated (or limited) to a bounded domain — the repo's documented
     "aggregate first, window second" discipline. Walk the pre-AQE
-    physical plan (``queryExecution().sparkPlan()``); for every
-    ``WindowExec`` with an empty partitionSpec, require an aggregate or
-    bounded-by-construction node somewhere in its subtree. Returns the
-    offending windows' simpleStrings (empty = clean)."""
+    physical plan (``queryExecution().sparkPlan()``); every
+    ``WindowExec`` with an empty partitionSpec must have a BOUNDED
+    input, computed bottom-up along the cardinality path (not "an
+    aggregate anywhere in the subtree" — a scan joined to a broadcast
+    aggregate must still flag, since the probe stream is the table).
+    Returns the offending windows' simpleStrings (empty = clean)."""
     bad = []
     for n in _walk(root):
         if n.getClass().getSimpleName() != "WindowExec":
             continue
         if not n.partitionSpec().isEmpty():
             continue
-        bounded = any(
-            d is not n
-            and any(
-                tag in d.getClass().getSimpleName()
-                for tag in _AGG_NODES + _BOUNDED_NODES
-            )
-            for d in _walk(n)
-        )
-        if not bounded:
+        if not all(_is_bounded(k) for k in _children(n)):
             bad.append(n.simpleString(200))
     return bad
 

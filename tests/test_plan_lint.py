@@ -318,7 +318,16 @@ def test_parquet_aggregate_pushdown_fires(spark, tmp_path):
 # Global windows whose input is bounded by construction but not via an
 # aggregate/limit node the lint can see. Reviewed by hand; every entry
 # must say WHY the input is bounded.
-_GLOBAL_WINDOW_ALLOWED: set[str] = set()
+_GLOBAL_WINDOW_ALLOWED: set[str] = {
+    # skyline_2d's exact two-window pass runs on the bucket-dominance
+    # PREFILTERED candidate set (operators/skyline.py): each row
+    # survives only if it beats the running max of all strictly-earlier
+    # x-buckets, so candidates are near-frontier-sized. The cardinality
+    # path is a join probe over the scan (unbounded to the lint), but
+    # the filter above the join is the bound; worst case (input already
+    # a frontier) equals the output itself, inherent to exact skyline.
+    "skyline_pareto_parts",
+}
 
 
 @pytest.mark.parametrize(
@@ -352,3 +361,21 @@ def test_global_window_lint_catches_violation(spark):
     )
     bad = global_window_violations(df._jdf.queryExecution().sparkPlan())
     assert bad, "lint failed to flag a scan-fed global window"
+
+
+def test_global_window_lint_not_laundered_by_broadcast_agg_join(spark):
+    """Boundedness must follow the cardinality path: a full scan joined
+    to a broadcast AGGREGATE is still a full-table stream — the agg on
+    the build side must not launder the global window past the lint."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scripts.plan_report import global_window_violations
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    dim = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    joined = orders.join(F.broadcast(dim), "o_orderstatus").withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    bad = global_window_violations(joined._jdf.queryExecution().sparkPlan())
+    assert bad, "broadcast-agg join laundered an unbounded global window"

@@ -292,12 +292,15 @@ def test_content_defined_chunks_survive_prefix_insertion(spark):
 
 def test_ntile_decomposition_matches_window_ntile_edge_cases(spark):
     """The r7 scale restructure of feature_quantile_binning replaces
-    `NTILE(B) OVER (ORDER BY value, id)` with per-value counts +
-    bounded cumulative offsets + partitioned tie row_number + the fill
-    rule as arithmetic. Pin exact equivalence against Spark's own
-    NTILE on the adversarial shapes: N < B, N == B, N == B+1, heavy
-    ties, all-one-value."""
+    `NTILE(B) OVER (ORDER BY value, id)` with operators/quality.py
+    exact_ntile (per-value counts + bounded cumulative offsets +
+    partitioned tie row_number + the fill rule as arithmetic) — the
+    SAME code path the production query calls. Pin exact equivalence
+    against Spark's own NTILE on the adversarial shapes: N < B,
+    N == B, N == B+1, heavy ties, all-one-value."""
     from pyspark.sql import Window
+
+    from c3dc_etl_spark.operators.quality import exact_ntile
 
     cases = [
         [(i, 100 + i) for i in range(7)],              # N=7 < B=10
@@ -315,35 +318,8 @@ def test_ntile_decomposition_matches_window_ntile_edge_cases(spark):
             .over(Window.orderBy("n_chars", "doc_id"))
             .alias("bin"),
         )
-        total = df.count()
-        q, r = divmod(total, B)
-        per_val = df.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
-        w_cum = Window.orderBy("n_chars").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offs = per_val.select(
-            F.col("n_chars").alias("k"),
-            F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("before"),
-        )
-        w_tie = Window.partitionBy("n_chars").orderBy("doc_id")
-        got = (
-            df.join(F.broadcast(offs), df["n_chars"] == offs["k"])
-            .select(
-                "doc_id",
-                (F.col("before") + F.row_number().over(w_tie)).alias("rnk"),
-            )
-            .select(
-                "doc_id",
-                F.when(
-                    F.col("rnk") <= r * (q + 1),
-                    F.expr(f"(rnk - 1) div {q + 1}") + 1,
-                )
-                .otherwise(
-                    F.expr(f"{r} + (rnk - 1 - {r * (q + 1)}) div {max(q, 1)}")
-                    + 1
-                )
-                .alias("bin"),
-            )
+        got = exact_ntile(df, "n_chars", "doc_id", B).select(
+            "doc_id", F.col("bin").cast("int").alias("bin")
         )
         w = {tuple(x) for x in want.collect()}
         g = {tuple(x) for x in got.collect()}

@@ -737,17 +737,21 @@ def test_all_null_stats_file_is_conservative_not_poisonous(spark, tmp_path):
     log.append(
         spark.createDataFrame([(None, "x"), (None, "y")], "k int, v string")
     )
-    log.append(spark.createDataFrame([(1, "a"), (9, "b")], "k int, v string"))
+    # two SINGLE-row appends pin the physical layout to one file each
+    # regardless of the session's core count (a 2-row append's range
+    # partitioning depends on defaultParallelism)
+    log.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    log.append(spark.createDataFrame([(9, "b")], "k int, v string"))
     # manifests never carry a null envelope bound
     for st in log.snapshot().values():
         assert st.get("min") is not None and st.get("max") is not None or (
             "min" not in st and "max" not in st
         )
-    # pruned read, exact (ADVICE r6 #5): the second append range-
-    # partitions into two single-row files with envelopes [1,1] and
-    # [9,9] — neither intersects (5, 6), so ONLY the stats-less
-    # all-NULL file is conservatively opened; a regression that opens a
-    # stats-bearing file or prunes the stats-less one fails here
+    # pruned read, exact (ADVICE r6 #5): the single-row files carry
+    # envelopes [1,1] and [9,9] — neither intersects (5, 6), so ONLY
+    # the stats-less all-NULL file is conservatively opened; a
+    # regression that opens a stats-bearing file or prunes the
+    # stats-less one fails here
     opened, total = log.pruned_file_count((5, 6))
     assert (opened, total) == (1, 3)
     got = {tuple(r) for r in log.read(spark, key_between=(0, 10)).collect()}
