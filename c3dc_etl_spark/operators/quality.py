@@ -165,36 +165,88 @@ def remove_duplicate_spans(
 # --------------------------------------------------------------------------
 # Exact NTILE without a global sort
 # --------------------------------------------------------------------------
-def exact_ntile(df, value_col: str, id_col: str, bins: int):
+def exact_ntile(df, value_col: str, id_col: str, bins: int, *,
+                tie_buckets: int = 64):
     """``NTILE(bins) OVER (ORDER BY value_col, id_col)`` with EXACT
     semantics — including the fill rule (the first N mod B buckets take
     one extra row) and tie placement — but WITHOUT a full-table
-    single-partition window (the r7 global-window lint class).
+    single-partition window (the r7 global-window lint class), and
+    WITHOUT a skewable per-value sort.
 
-    Scale decomposition of the same total order: (1) per-value counts —
-    one bounded aggregate; (2) a global cumulative window over that
-    BOUNDED value domain yields each value's rank offset; (3) a
-    broadcast join back + a per-value-PARTITIONED row_number by id
-    gives every row its exact global rank without co-locating the
-    table; (4) NTILE's fill rule applied as arithmetic on the rank.
+    Scale decomposition of the same total order:
+    (1) rows get a tie bucket that is MONOTONE in ``id_col`` — ``(id -
+        min_id) div width`` — so ordering by (value, bucket, id) IS
+        ordering by (value, id); a value carried by most of the corpus
+        (the skew case a bare per-value row_number dies on: one
+        partition sorts that value's entire mass) splits across
+        ``tie_buckets`` independent sorts;
+    (2) per-(value, bucket) counts — one bounded aggregate — yield the
+        within-value bucket offsets (a per-value window over at most
+        ``tie_buckets`` aggregated rows) and, summed per value, the
+        global value offsets (a global window over the BOUNDED value
+        domain, post-aggregation);
+    (3) a broadcast join back + a (value, bucket)-partitioned
+        row_number by id gives every row its exact global rank without
+        co-locating the table (the offsets frame is one row per live
+        (value, bucket) pair — swap the broadcast for a shuffle join if
+        the value domain itself is huge);
+    (4) NTILE's fill rule applied as arithmetic on the rank.
     Returns ``df``'s (id_col, value_col) plus a bigint ``bin`` column.
 
-    One bounded driver action (a count) fixes N for the fill rule."""
+    ``id_col`` must be numeric non-null (it is the deterministic tie
+    break). Two bounded driver actions (a count and a min/max pair) fix
+    N for the fill rule and the bucket geometry."""
     from pyspark.sql import Window
 
     total = df.count()  # bounded scalar (one count, no data to driver)
     q, r = divmod(total, bins)
-    per_val = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__vc"))
-    w_cum = Window.orderBy(value_col).rowsBetween(
+    env = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    if env["lo"] is None:
+        return df.select(
+            id_col, value_col, F.lit(None).cast("bigint").alias("bin")
+        ).limit(0)
+    lo = int(env["lo"])
+    width = max(1, (int(env["hi"]) - lo) // tie_buckets + 1)
+    # exact integral division (bigint `/` routes through DOUBLE)
+    bkt = F.expr(f"(CAST({id_col} AS BIGINT) - {lo}L) div {width}L")
+    base = df.select(value_col, id_col).withColumn("__tb", bkt)
+    per_vb = base.groupBy(value_col, "__tb").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # within-value bucket offsets: window over <= tie_buckets aggregated
+    # rows per value; global value offsets: window over the bounded
+    # value domain (both post-aggregation — the lint discipline)
+    w_vb = Window.partitionBy(value_col).orderBy("__tb").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = per_val.select(
-        F.col(value_col).alias("__vk"),
-        F.coalesce(F.sum("__vc").over(w_cum), F.lit(0)).alias("__before"),
+    w_val = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w_tie = Window.partitionBy(value_col).orderBy(id_col)
-    ranked = df.join(
-        F.broadcast(offsets), df[value_col] == offsets["__vk"]
+    per_val = per_vb.groupBy(value_col).agg(F.sum("__c").alias("__vc"))
+    val_off = per_val.select(
+        F.col(value_col).alias("__vk"),
+        F.coalesce(F.sum("__vc").over(w_val), F.lit(0)).alias("__vbefore"),
+    )
+    offsets = (
+        per_vb.select(
+            value_col,
+            "__tb",
+            F.coalesce(F.sum("__c").over(w_vb), F.lit(0)).alias("__bbefore"),
+        )
+        .join(val_off, F.col(value_col) == F.col("__vk"))
+        .select(
+            F.col(value_col).alias("__ok"),
+            F.col("__tb").alias("__otb"),
+            (F.col("__vbefore") + F.col("__bbefore")).alias("__before"),
+        )
+    )
+    w_tie = Window.partitionBy(value_col, "__tb").orderBy(id_col)
+    ranked = base.join(
+        F.broadcast(offsets),
+        (base[value_col] == offsets["__ok"])
+        & (base["__tb"] == offsets["__otb"]),
     ).select(
         id_col,
         value_col,

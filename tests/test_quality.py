@@ -318,9 +318,16 @@ def test_ntile_decomposition_matches_window_ntile_edge_cases(spark):
             .over(Window.orderBy("n_chars", "doc_id"))
             .alias("bin"),
         )
-        got = exact_ntile(df, "n_chars", "doc_id", B).select(
-            "doc_id", F.col("bin").cast("int").alias("bin")
-        )
         w = {tuple(x) for x in want.collect()}
-        g = {tuple(x) for x in got.collect()}
-        assert g == w, f"decomposition diverged for case {rows[:4]}..."
+        # default bucket geometry AND a deliberately tiny tie_buckets=3
+        # (multiple rows per bucket, so the within-value bucket offsets
+        # must carry real weight — the 100 TB dominant-value shape)
+        for tb in (64, 3):
+            got = exact_ntile(
+                df, "n_chars", "doc_id", B, tie_buckets=tb
+            ).select("doc_id", F.col("bin").cast("int").alias("bin"))
+            g = {tuple(x) for x in got.collect()}
+            assert g == w, (
+                f"decomposition diverged (tie_buckets={tb}) for case "
+                f"{rows[:4]}..."
+            )
