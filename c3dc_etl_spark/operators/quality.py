@@ -169,9 +169,9 @@ def exact_ntile(df, value_col: str, id_col: str, bins: int, *,
                 tie_buckets: int = 64):
     """``NTILE(bins) OVER (ORDER BY value_col, id_col)`` with EXACT
     semantics — including the fill rule (the first N mod B buckets take
-    one extra row) and tie placement — but WITHOUT a full-table
-    single-partition window (the r7 global-window lint class), and
-    WITHOUT a skewable per-value sort.
+    one extra row), tie placement, and NULL values first (Spark's ASC
+    default) — but WITHOUT a full-table single-partition window (the r7
+    global-window lint class), and WITHOUT a skewable per-value sort.
 
     Scale decomposition of the same total order:
     (1) rows get a tie bucket that is MONOTONE in ``id_col`` — ``(id -
@@ -179,45 +179,63 @@ def exact_ntile(df, value_col: str, id_col: str, bins: int, *,
         ordering by (value, id); a value carried by most of the corpus
         (the skew case a bare per-value row_number dies on: one
         partition sorts that value's entire mass) splits across
-        ``tie_buckets`` independent sorts;
+        ``tie_buckets`` independent sorts. The bucket geometry comes
+        from the GLOBAL id envelope, which balances the dense-id case;
+        a dominant value whose rows cluster inside a narrow id slice
+        still concentrates (per-value range stats would be the next
+        escalation — not built until a workload needs it);
     (2) per-(value, bucket) counts — one bounded aggregate — yield the
         within-value bucket offsets (a per-value window over at most
         ``tie_buckets`` aggregated rows) and, summed per value, the
         global value offsets (a global window over the BOUNDED value
         domain, post-aggregation);
-    (3) a broadcast join back + a (value, bucket)-partitioned
-        row_number by id gives every row its exact global rank without
-        co-locating the table (the offsets frame is one row per live
-        (value, bucket) pair — swap the broadcast for a shuffle join if
-        the value domain itself is huge);
+    (3) a broadcast join back (NULL-SAFE on the value, so NULL values
+        bin like any other) + a (value, bucket)-partitioned row_number
+        by id gives every row its exact global rank without co-locating
+        the table (the offsets frame is one row per live (value,
+        bucket) pair — swap the broadcast for a shuffle join if the
+        value domain itself is huge);
     (4) NTILE's fill rule applied as arithmetic on the rank.
     Returns ``df``'s (id_col, value_col) plus a bigint ``bin`` column.
 
-    ``id_col`` must be numeric non-null (it is the deterministic tie
-    break). Two bounded driver actions (a count and a min/max pair) fix
-    N for the fill rule and the bucket geometry."""
+    ``id_col`` must be an INTEGER-typed non-null column (it is the
+    deterministic tie break, and the monotone-bucket trick needs a cast
+    that preserves order — enforced, since a lexicographic string id
+    would silently mis-bucket). One bounded driver action (count +
+    min/max in a single aggregate) fixes N and the bucket geometry."""
     from pyspark.sql import Window
 
-    total = df.count()  # bounded scalar (one count, no data to driver)
-    q, r = divmod(total, bins)
-    env = df.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    if tie_buckets < 1:
+        raise ValueError(f"tie_buckets must be >= 1, got {tie_buckets}")
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"exact_ntile: id_col {id_col!r} must be integer-typed for "
+            f"order-preserving tie bucketing, got {id_type!r}"
+        )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
     ).collect()[0]
-    if env["lo"] is None:
+    total = stats["n"]  # bounded scalars: ONE job for N + the envelope
+    q, r = divmod(total, bins)
+    if stats["lo"] is None:
         return df.select(
             id_col, value_col, F.lit(None).cast("bigint").alias("bin")
         ).limit(0)
-    lo = int(env["lo"])
-    width = max(1, (int(env["hi"]) - lo) // tie_buckets + 1)
+    lo = int(stats["lo"])
+    width = max(1, (int(stats["hi"]) - lo) // tie_buckets + 1)
     # exact integral division (bigint `/` routes through DOUBLE)
-    bkt = F.expr(f"(CAST({id_col} AS BIGINT) - {lo}L) div {width}L")
+    bkt = F.expr(f"(CAST(`{id_col}` AS BIGINT) - {lo}L) div {width}L")
     base = df.select(value_col, id_col).withColumn("__tb", bkt)
     per_vb = base.groupBy(value_col, "__tb").agg(
         F.count(F.lit(1)).alias("__c")
     )
     # within-value bucket offsets: window over <= tie_buckets aggregated
     # rows per value; global value offsets: window over the bounded
-    # value domain (both post-aggregation — the lint discipline)
+    # value domain (both post-aggregation — the lint discipline; both
+    # ASC = NULLS FIRST, matching the NTILE reference order)
     w_vb = Window.partitionBy(value_col).orderBy("__tb").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -235,7 +253,7 @@ def exact_ntile(df, value_col: str, id_col: str, bins: int, *,
             "__tb",
             F.coalesce(F.sum("__c").over(w_vb), F.lit(0)).alias("__bbefore"),
         )
-        .join(val_off, F.col(value_col) == F.col("__vk"))
+        .join(val_off, F.col(value_col).eqNullSafe(F.col("__vk")))
         .select(
             F.col(value_col).alias("__ok"),
             F.col("__tb").alias("__otb"),
@@ -245,7 +263,7 @@ def exact_ntile(df, value_col: str, id_col: str, bins: int, *,
     w_tie = Window.partitionBy(value_col, "__tb").orderBy(id_col)
     ranked = base.join(
         F.broadcast(offsets),
-        (base[value_col] == offsets["__ok"])
+        base[value_col].eqNullSafe(offsets["__ok"])
         & (base["__tb"] == offsets["__otb"]),
     ).select(
         id_col,

@@ -720,18 +720,15 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     length) with EXACT NTILE semantics on the deterministic total order
     (value, id), computed WITHOUT a full-table single-partition window
     (r7: the global-window lint flagged the naive `NTILE OVER (ORDER BY
-    …)` form — it sorts every row on one partition). Scale-correct
-    decomposition of the same total order: (1) per-value counts — one
-    bounded aggregate; (2) a global cumulative window over that BOUNDED
-    value domain yields each value's rank offset; (3) a broadcast join
-    back + a per-value-PARTITIONED row_number by id gives every row its
-    exact global rank without ever co-locating the table; (4) NTILE's
-    fill rule (first N mod B buckets take one extra row) is applied as
-    arithmetic on the rank. Bit-identical to the oracle's NTILE —
-    including tie placement — at any scale. The decomposition lives in
-    operators/quality.py exact_ntile (shared with the edge-case tests
-    in tests/test_quality.py, so query and test exercise ONE code
-    path)."""
+    ...)` form — it sorts every row on one partition) and WITHOUT a
+    skewable per-value tie sort. The shared operator
+    (operators/quality.py exact_ntile, also exercised by the edge-case
+    tests) decomposes the same total order as: monotone-in-id tie
+    buckets (so a dominant value splits across independent sorts),
+    per-(value, bucket) counts, bounded post-aggregation offset
+    windows, a null-safe broadcast join back, and NTILE's fill rule as
+    rank arithmetic — bit-identical to the oracle's NTILE, including
+    tie placement, at any scale."""
     from c3dc_etl_spark.operators.quality import exact_ntile
 
     docs = load(spark, sf_dir, "documents")

@@ -331,3 +331,36 @@ def test_ntile_decomposition_matches_window_ntile_edge_cases(spark):
                 f"decomposition diverged (tie_buckets={tb}) for case "
                 f"{rows[:4]}..."
             )
+
+
+def test_exact_ntile_null_values_and_input_validation(spark):
+    """NULL values bin FIRST (Spark ASC default, matching the NTILE
+    reference); non-integer id columns and degenerate tie_buckets are
+    rejected loudly instead of silently mis-bucketing."""
+    import pytest
+    from pyspark.sql import Window
+
+    from c3dc_etl_spark.operators.quality import exact_ntile
+
+    rows = [(1, None), (2, 7), (3, None), (4, 5), (5, 7), (6, 6)]
+    df = spark.createDataFrame(rows, "doc_id int, n_chars int")
+    want = {
+        tuple(x)
+        for x in df.select(
+            "doc_id",
+            F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("bin"),
+        ).collect()
+    }
+    got = {
+        tuple(x)
+        for x in exact_ntile(df, "n_chars", "doc_id", 4)
+        .select("doc_id", F.col("bin").cast("int").alias("bin"))
+        .collect()
+    }
+    assert got == want  # all 6 rows present, NULL-value rows bin first
+
+    sdf = spark.createDataFrame([("9", 1), ("10", 1)], "sid string, v int")
+    with pytest.raises(ValueError, match="integer-typed"):
+        exact_ntile(sdf, "v", "sid", 2)
+    with pytest.raises(ValueError, match="tie_buckets"):
+        exact_ntile(df, "n_chars", "doc_id", 4, tie_buckets=0)
