@@ -93,3 +93,43 @@ def test_fingerprint_invariant_under_volatile_ids(spark, payload, id_a, id_b):
     fp = canonical_fingerprint("diagnosis", REG, frame_columns=df.columns)
     a, b = [r[0] for r in df.select(fp).collect()]
     assert a == b
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=3), min_size=1,
+                  max_size=40),
+    bins=st.integers(min_value=1, max_value=12),
+    tie_buckets=st.integers(min_value=1, max_value=7),
+    id_scale=st.sampled_from([1, 17, 1000003]),
+)
+@settings(max_examples=12, deadline=None)
+def test_exact_ntile_matches_window_ntile(
+    spark, vals, bins, tie_buckets, id_scale
+):
+    """exact_ntile == NTILE(B) OVER (ORDER BY value, id) for ANY
+    multiset of heavily-tied values, any bucket count, any tie-bucket
+    geometry, and sparse or dense id spacing (id_scale stretches the id
+    domain so bucket widths vary wildly)."""
+    from pyspark.sql import Window
+
+    from c3dc_etl_spark.operators.quality import exact_ntile
+
+    rows = [(i * id_scale, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    want = {
+        tuple(x)
+        for x in df.select(
+            "doc_id",
+            F.ntile(bins)
+            .over(Window.orderBy("n_chars", "doc_id"))
+            .cast("bigint")
+            .alias("bin"),
+        ).collect()
+    }
+    got = {
+        tuple(x)
+        for x in exact_ntile(
+            df, "n_chars", "doc_id", bins, tie_buckets=tie_buckets
+        ).select("doc_id", "bin").collect()
+    }
+    assert got == want
