@@ -1039,3 +1039,50 @@ def test_constraints_resolved_from_checkpoint_tail(spark, tmp_path):
     assert log.constraints() == {"v_nonneg": "v >= 0", "k_pos": "k > 0"}
     with pytest.raises(ConstraintViolation):
         log.append(spark.createDataFrame([(0, -1)], "k int, v int"))
+
+
+def test_commit_works_without_hardlinks(spark, tmp_path, monkeypatch):
+    """Object-store-like filesystems have no os.link: the fallback path
+    (O_EXCL claim marker + atomic os.replace publish) must carry the
+    same CAS semantics — winners commit, losers retry to the next
+    version, stale claims from dead writers get broken."""
+    import os as _os
+
+    real_link = _os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError("hard links not supported (simulated object store)")
+
+    monkeypatch.setattr("os.link", no_link)
+    log = TableLog(str(tmp_path / "t"))
+    v0 = log.commit(add=["a.parquet"], op="append")
+    v1 = log.commit(add=["b.parquet"], op="append")
+    assert (v0, v1) == (0, 1)
+    assert log.files() == ["a.parquet", "b.parquet"]
+    # manifests were published atomically and are valid JSON
+    assert log._manifest(1)["add"] == ["b.parquet"]
+
+    # a STALE claim (dead writer, old mtime) must be broken, not block
+    claim = _os.path.join(log.log_dir, f"{2:020d}.json.claim")
+    with open(claim, "w"):
+        pass
+    old = _os.path.getmtime(claim) - 120
+    _os.utime(claim, (old, old))
+    v2 = log.commit(add=["c.parquet"], op="append")
+    assert v2 == 2 and not _os.path.exists(claim)
+
+    # a FRESH claim (live racer) defers this writer to the next slot:
+    # the racer publishes version 3 while we hold the loop, we land 4
+    fresh = _os.path.join(log.log_dir, f"{3:020d}.json.claim")
+    with open(fresh, "w"):
+        pass
+    import json as _json
+
+    with open(_os.path.join(log.log_dir, f"{3:020d}.json"), "w") as fh:
+        _json.dump({"op": "append", "add": ["d.parquet"], "remove": []}, fh)
+    v4 = log.commit(add=["e.parquet"], op="append")
+    assert v4 == 4
+    assert log.files() == [
+        "a.parquet", "b.parquet", "c.parquet", "d.parquet", "e.parquet"
+    ]
+    monkeypatch.setattr("os.link", real_link)
