@@ -11,15 +11,18 @@ BENCH_DETAIL.json beside this script — stdout stays inside the
 driver's ~2000-char tail capture (r5/r6 landed "parsed": null when the
 single line outgrew it).
 
-Each headline query is measured TWICE (VERDICT r4 ask #2 — round
-comparability): first under ``toArrow()`` (columnar materialization —
-the same discipline as scale_check, so ``compute`` times are directly
-comparable round-over-round and against r4's scale-check bases), then
-under a full ``collect()`` with the plan warm (``queries`` — the
-driver-gate-equivalent row materialization, now freed of the cold-run
-JVM/GC variance that made r4's cold-collect numbers drift +18 % on
-unchanged code). ``value`` is the warm-collect suite wall;
-``compute_wall`` sums the compute pass.
+Each headline query runs THREE times (VERDICT r7 ask #5 added the
+warm-up): one UNTIMED warm-up (JIT/codegen/shuffle-file setup — the
+source of r6's "session noise" and r7's range_join_events 4.4x ghost),
+then a timed ``toArrow()`` (columnar materialization — the same
+discipline as scale_check, so ``compute`` times are directly comparable
+round-over-round), then a timed full ``collect()`` (the
+driver-gate-equivalent row materialization). ``value`` is the
+warm-collect HEADLINE suite wall (comparable since r5);
+``compute_wall`` sums the compute pass. The ROTATION cohort (VERDICT
+r7 ask #6: search/tablelog/learning/stats + never-benched ANN/dedup
+shapes) runs warm-up + timed collect and rides the stdout line's
+``queries`` map this round.
 
 ``scale_check`` is the above-sf0.1 linearity measurement (suite wall and
 per-query times stay sf0.1, so rounds remain comparable): the heavy
@@ -91,6 +94,67 @@ HEADLINE = [
     # round 6: spatial grid join + iterative peel
     "geo_grid_radius_join",
     "graph_kcore_bounded",
+]
+
+# Round-8 rotation cohort (VERDICT r7 ask #6): the heavy families that
+# had correctness rows but never a committed wall-clock row — search,
+# tablelog, learning, the stats suite, plus the widest never-benched
+# ANN/dedup/join shapes. These are measured each round alongside the
+# headline suite (one untimed warm-up, then a timed collect) and carried
+# in the stdout line's "queries" map; the 41-query HEADLINE wall stays
+# the round-comparable "value". Across r7+r8 the bench ledger then
+# covers 41 + 45 = 86 distinct registry entries.
+ROTATION = [
+    # search (search_bm25_topk already in HEADLINE)
+    "search_inverted_index",
+    "search_conjunctive",
+    "search_phrase_positions",
+    "search_proximity_window",
+    "search_index_segment_merge",
+    # tablelog (table_log_merge_upsert already in HEADLINE)
+    "table_log_snapshot_read",
+    "table_log_time_travel",
+    "table_log_history_audit",
+    "table_log_delete_where",
+    "table_log_replace_where",
+    "table_log_merge_cdc_deletes",
+    "table_log_change_feed",
+    "table_log_constraint_enforce",
+    "table_log_schema_evolution",
+    "table_log_optimize_zorder",
+    "table_log_pruned_read",
+    "table_log_zorder_pruned_read",
+    "table_log_bloom_lookup",
+    "table_checksum_reconcile",
+    # on-cluster learning
+    "logreg_train_gd",
+    "classifier_train_stump",
+    "classifier_train_tree2",
+    "regressor_eval_r2",
+    "kmeans_embedding_clusters",
+    # stats family
+    "bootstrap_mean_ci",
+    "mannwhitney_u_events",
+    "chi2_independence",
+    "ks_two_sample",
+    "spearman_rank_corr",
+    "benford_first_digit",
+    "cusum_changepoint",
+    "acf_daily_events",
+    "theilsen_trend",
+    "anomaly_mad_daily",
+    # never-benched heavy ANN / dedup / join shapes
+    "ann_ivf_topk",
+    "ann_ivfpq_recall",
+    "dedup_prefix_filter",
+    "dedup_edit_distance",
+    "dedup_cluster_components",
+    "market_basket_rules",
+    "record_linkage_blocked",
+    "kmeans_cluster_purity",
+    "asof_join_events",
+    "triangle_count_coorder",
+    "heavy_hitters_cms",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is
@@ -259,11 +323,13 @@ def main() -> int:
     # Warm-up: JVM + parquet footer caches, not counted.
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
-    missing = [name for name in HEADLINE if name not in qs]
+    missing = [
+        name for name in HEADLINE + ROTATION if name not in qs
+    ]
     if missing:
         # a renamed/dropped query must fail the benchmark loudly, not
         # silently shrink the reported suite wall
-        raise SystemExit(f"HEADLINE queries missing from registry: {missing}")
+        raise SystemExit(f"bench queries missing from registry: {missing}")
 
     from c3dc_etl_spark.pinning import release_pinned
 
@@ -273,6 +339,13 @@ def main() -> int:
     c_total = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        # pass 0 — UNTIMED warm-up (VERDICT r7 ask #5): first execution
+        # pays JIT/codegen/shuffle-file setup that has twice now shown up
+        # as a phantom per-query regression (r6 "session noise", r7's
+        # range_join_events 4.4x ghost — 5.9 s cold vs 0.77 s warm on
+        # unchanged code). Timed passes below measure steady state.
+        fn(spark, sf_dir).toArrow()
+        release_pinned()
         # pass 1 — compute (Arrow materialization): comparable across
         # rounds and against scale_check's bases; isolates the plan from
         # driver-side row-object GC variance
@@ -297,6 +370,21 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # rotation cohort: one untimed warm-up, then a timed collect
+    rot_times: dict[str, float] = {}
+    rot_total = 0.0
+    for name in ROTATION:
+        fn = qs[name]
+        fn(spark, sf_dir).toArrow()
+        release_pinned()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        release_pinned()
+        dt = round(time.perf_counter() - t0, 3)
+        rot_times[name] = dt
+        rot_total += dt
+        print(f"# rotation {name}: collect {dt:.3f}s", file=sys.stderr)
+
     result = {
         "metric": "suite_wall",
         "value": round(total, 3),
@@ -304,6 +392,8 @@ def main() -> int:
         "queries": times,
         "compute_wall": round(c_total, 3),
         "compute": compute,
+        "rotation_wall": round(rot_total, 3),
+        "rotation": rot_times,
         "sf": sf,
     }
 
@@ -359,18 +449,26 @@ def main() -> int:
     # comfortably inside the tail window); the full detail — compute
     # pass, scale_check, linearity — goes to BENCH_DETAIL.json beside
     # this script (and to stderr for humans).
+    # The stdout "queries" map carries THIS round's rotation cohort (the
+    # 45 never-benched heavy families — VERDICT r7 ask #6) so the
+    # driver-recorded BENCH ledger gains 45 new per-query rows; "value"
+    # remains the 41-query HEADLINE wall, unchanged in meaning since r5,
+    # so suite_wall stays comparable round-over-round. Both cohorts'
+    # full timings live in BENCH_DETAIL.json ("queries" + "rotation").
     headline = {
         "metric": "suite_wall",
         "value": result["value"],
         "unit": "sec",
-        "queries": times,
+        "queries": rot_times,
+        "cohort": "rotation-r8; value = 41-query headline wall "
+        "(see BENCH_DETAIL.json)",
         "sf": sf,
     }
     line = json.dumps(headline)
     if len(line) > 1900:
         # never let the headline outgrow the tail capture again: drop
         # the per-query map before the driver loses the whole line
-        headline["queries"] = {"_truncated": len(times)}
+        headline["queries"] = {"_truncated": len(rot_times)}
         line = json.dumps(headline)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -342,24 +342,50 @@ class TableLog:
                         raise CommitConflict(
                             f"files removed by a concurrent commit: {gone}"
                         )
-                if constraints_epoch is not None and head is not None:
+                if (
+                    constraints_epoch is not None
+                    and head is not None
+                    and head > constraints_epoch
+                ):
                     # metadata-conflict detection (ADVICE r6 #3): a CHECK
                     # constraint added by a concurrent writer AFTER this
                     # batch's enforcement pass means the batch was never
                     # validated against it — surface the conflict instead
                     # of landing possibly-violating rows (drops cannot
-                    # invalidate a passed enforcement, so only additions
-                    # conflict)
-                    for v in self.versions():
-                        if v <= constraints_epoch or v > head:
-                            continue
-                        c = self._manifest(v).get("constraint")
-                        if c and c.get("check") is not None:
-                            raise CommitConflict(
-                                f"constraint {c['name']!r} added by "
-                                f"concurrent commit {v} after this batch "
-                                "was enforced; re-enforce and retry"
-                            )
+                    # invalidate a passed enforcement, so only
+                    # additions/tightenings conflict). Detected by
+                    # DIFFING the checkpoint-aware constraint maps at
+                    # epoch vs head, not by replaying raw manifests in
+                    # (epoch, head] (ADVICE r7: manifest cleanup below a
+                    # checkpoint — a pattern the checkpoint-tail test
+                    # sanctions — would make a deleted constraint-add
+                    # manifest invisible to the raw scan, silently
+                    # landing an unvalidated batch).
+                    if not (
+                        self._constraints_view_complete(constraints_epoch)
+                        and self._constraints_view_complete(head)
+                    ):
+                        raise CommitConflict(
+                            "constraint-conflict check cannot prove no "
+                            f"concurrent constraint-add in "
+                            f"({constraints_epoch}, {head}]: the manifest "
+                            "chain has been cleaned past the covering "
+                            "checkpoint; re-enforce against the current "
+                            "head and retry"
+                        )
+                    before = self.constraints(constraints_epoch)
+                    after = self.constraints(head)
+                    changed = sorted(
+                        n
+                        for n, c in after.items()
+                        if before.get(n) != c
+                    )
+                    if changed:
+                        raise CommitConflict(
+                            f"constraints {changed} added/changed by a "
+                            f"concurrent commit after this batch was "
+                            "enforced; re-enforce and retry"
+                        )
                 if validate is not None:
                     validate(head)
                 version = 0 if head is None else head + 1
@@ -668,6 +694,26 @@ class TableLog:
             else:
                 out[c["name"]] = c["check"]
         return out
+
+    def _constraints_view_complete(self, x: int) -> bool:
+        """True when ``constraints(x)`` resolves without gaps: a
+        constraints-bearing checkpoint at-or-below ``x`` plus every
+        manifest in its (cp, x] tail, or (no such checkpoint) the full
+        manifest chain [0, x]. When manifests below a checkpoint have
+        been cleaned up AND the epoch predates that checkpoint, the
+        commit-time constraint-conflict diff must refuse rather than
+        trust a silently-partial replay."""
+        have = set(self.versions())
+        start = 0
+        for cp in reversed(
+            [c for c in self._checkpoint_versions() if c <= x]
+        ):
+            path = os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
+            with open(path) as fh:
+                if "constraints" in json.load(fh):
+                    start = cp + 1
+                    break
+        return all(v in have for v in range(start, x + 1))
 
     def _enforce_constraints(self, df: DataFrame) -> int:
         """Refuse a write batch violating any live CHECK constraint.

@@ -701,7 +701,8 @@ BIN_COUNT = 10
 _BINNING_ORACLE = f"""
 WITH binned AS (
     SELECT doc_id, n_chars,
-           CAST(NTILE({BIN_COUNT}) OVER (ORDER BY n_chars, doc_id)
+           CAST(NTILE({BIN_COUNT}) OVER (ORDER BY n_chars NULLS FIRST,
+                                          doc_id)
                 AS BIGINT) AS bin
     FROM documents
 )

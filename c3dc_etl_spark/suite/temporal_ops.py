@@ -2471,7 +2471,7 @@ def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KM_ORACLE = """
-WITH per_user AS (
+WITH RECURSIVE per_user AS (
     SELECT user_id,
            MIN(EPOCH_US(ts)) // 86400000000 AS d0,
            MAX(EPOCH_US(ts)) // 86400000000 AS dmax,
@@ -2501,16 +2501,26 @@ risk AS (
     FROM by_dur, total
 ),
 terms AS (
-    SELECT dur, n_at_risk, n_events,
-           CAST(ROUND(LN(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
-                * 1000000000, 0) AS BIGINT) AS ln_nano
+    SELECT CAST(dur AS BIGINT) AS dur,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_events,
+           ROW_NUMBER() OVER (ORDER BY dur) AS rn
     FROM risk WHERE n_events > 0 AND n_events < n_at_risk
+),
+km AS (
+    SELECT rn, dur, n_at_risk, n_events,
+           CAST((2 * CAST(1000000000 AS HUGEINT) * (n_at_risk - n_events)
+                 + n_at_risk) // (2 * n_at_risk) AS BIGINT) AS survival_n9
+    FROM terms WHERE rn = 1
+    UNION ALL
+    SELECT t.rn, t.dur, t.n_at_risk, t.n_events,
+           CAST((2 * CAST(km.survival_n9 AS HUGEINT)
+                 * (t.n_at_risk - t.n_events)
+                 + t.n_at_risk) // (2 * t.n_at_risk) AS BIGINT)
+               AS survival_n9
+    FROM terms t JOIN km ON t.rn = km.rn + 1
 )
-SELECT dur, n_at_risk, n_events,
-       ROUND(EXP(CAST(SUM(ln_nano) OVER (
-           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS DOUBLE) / 1000000000.0), 6) + 0.0 AS survival
-FROM terms
+SELECT dur, n_at_risk, n_events, survival_n9 FROM km
 """
 
 
@@ -2524,17 +2534,27 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     user (right-censored at the user's last observed event) — the
     clinical-analytics statistic the reference domain (C3DC survival
     records, A1) ultimately feeds. Per event-duration: risk set,
-    events, and the KM product Π(1 − d/n). Determinism: each factor's
-    ln is SCALED TO INTEGER NANO-UNITS via an explicit ROUND(x*1e9, 0)
-    BEFORE the bigint cast — Spark's double→bigint cast truncates
-    toward zero while DuckDB's rounds half-even, so the integerization
-    must be made explicit and identical on both engines (r6 verdict).
-    The cumulative product is then an EXACT integer running sum
-    (engines disagree on windowed double accumulation order — DuckDB's
-    segment trees reassociate — but not on integer sums); one exp at
-    the end, 6dp-rounded. Risk sets come from grouped duration counts + a
-    cumulative window over the tiny duration domain, never a
-    per-user-pair comparison."""
+    events, and the KM product Π(1 − d/n). Determinism (r7 verdict,
+    third attempt): the hashed path is now 100% LIBM-FREE. The two
+    prior rounds pinned ln/exp ever harder (nano-unit integerization of
+    each ln factor) and still hash-failed on the driver — JVM
+    StrictMath vs host libm can disagree by an ulp on ln(1 - d/n),
+    which a 0.5e-9 absolute pin cannot absorb. Following the T142 BM25
+    discipline (operators/search.py: rational idf), the KM product is
+    carried as an EXACT INTEGER at 1e-9 scale with half-up per-step
+    quantization: s_0 = 1e9; s_k = (2*s_{k-1}*(n_k-d_k) + n_k) //
+    (2*n_k). Every operation is integer +,*,//, bit-identical across
+    engines; the hashed `survival_n9` column is a BIGINT. The DuckDB
+    oracle runs the same recurrence via WITH RECURSIVE (HUGEINT
+    intermediates); the Spark side runs it as a driver-side loop over
+    the collected term table — bounded by the DISTINCT-DURATION domain
+    (calendar days spanned by the dataset, not row volume), the same
+    bounded-scalar-collect discipline as the BPE merge loop. Spark's
+    double→bigint cast truncates
+    toward zero while DuckDB's rounds half-even — another reason no
+    float ever reaches a hashed column here. Risk sets come from
+    grouped duration counts + a cumulative window over the tiny
+    duration domain, never a per-user-pair comparison."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
@@ -2571,35 +2591,22 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = risk.filter(
         (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_at_risk"))
     ).select(
-        "dur",
-        "n_at_risk",
-        "n_events",
-        F.round(
-            F.log(
-                F.lit(1.0)
-                - F.col("n_events").cast("double") / F.col("n_at_risk")
-            )
-            * F.lit(1_000_000_000.0),
-            0,
-        )
-        .cast("bigint")
-        .alias("ln_nano"),
+        F.col("dur").cast("bigint").alias("dur"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
     )
-    wcum = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Bounded driver loop: one row per distinct duration (calendar-day
+    # span of the dataset), exact Python-int recurrence matching the
+    # oracle's WITH RECURSIVE HUGEINT arithmetic bit-for-bit.
+    rows = sorted(
+        ((r["dur"], r["n_at_risk"], r["n_events"]) for r in terms.collect()),
     )
-    return terms.select(
-        "dur",
-        "n_at_risk",
-        "n_events",
-        (
-            F.round(
-                F.exp(
-                    F.sum("ln_nano").over(wcum).cast("double")
-                    / F.lit(1_000_000_000.0)
-                ),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("survival"),
+    out, s = [], 1_000_000_000
+    for dur, n, d in rows:
+        s = (2 * s * (n - d) + n) // (2 * n)
+        out.append((dur, n, d, s))
+    return spark.createDataFrame(
+        out,
+        schema="dur bigint, n_at_risk bigint, n_events bigint, "
+        "survival_n9 bigint",
     )

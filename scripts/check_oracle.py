@@ -4,6 +4,19 @@ queries() entry in Spark AND its oracle_sql() in DuckDB at the given sf,
 compare row count, column names, and an order-insensitive value hash.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+       python scripts/check_oracle.py --jitter-libm [sf_dir] [query ...]
+
+``--jitter-libm`` (r7 verdict item 8) surfaces KM-class environment
+seams locally: for every oracle whose SQL calls a transcendental libm
+function (LN/LOG/EXP/POW/trig — NOT SQRT, which IEEE 754 requires to be
+correctly rounded and so cannot differ across engines), re-run the
+oracle with each libm call's result perturbed by a relative
+±k·2^-52 (k = 1, 16, 256, 4096, 65536 ulps) and report the largest k
+whose value hash still matches the unperturbed run. A pin whose
+headroom is under ~1e3 ulps can flip on a driver whose host libm
+disagrees with the JVM's StrictMath in the last ulp — exactly how
+survival_kaplan_meier hash-failed two rounds despite passing every
+local run. Exit is nonzero if any audited query's headroom < 1024.
 """
 
 from __future__ import annotations
@@ -40,14 +53,116 @@ def value_hash(rows: list[tuple], columns: list[str]) -> str:
     return h.hexdigest()
 
 
+import re
+
+_LIBM_RE = re.compile(
+    r"(LN|LOG10|LOG2|LOG|EXP|POWER|POW|SINH|COSH|TANH|SIN|COS|TAN"
+    r"|ATAN2|ATAN|ASIN|ACOS|CBRT)\s*\(",
+    re.I,
+)
+
+
+def jitter_libm_sql(sql: str, rel: float) -> str:
+    """Rewrite ``sql`` so every transcendental libm call's result is
+    multiplied by ``(1 + rel)`` — simulating an engine whose libm
+    differs from the local one by ``rel`` relative error. Handles
+    nested calls (arguments are rewritten recursively) and skips
+    matches inside single-quoted string literals."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":  # skip string literal
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _LIBM_RE.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            j, depth = m.end(), 1
+            while j < n and depth:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                elif sql[j] == "'":
+                    j += 1
+                    while j < n and sql[j] != "'":
+                        j += 1
+                j += 1
+            inner = jitter_libm_sql(sql[m.end() : j - 1], rel)
+            out.append(
+                f"({sql[i:m.end()]}{inner}) * (1.0 + ({rel:.17e})))"
+            )
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
+_JITTER_KS = (1, 16, 256, 4096, 65536)
+
+
+def jitter_audit(con, oracles: dict[str, str], only: set[str]) -> int:
+    """Run the --jitter-libm headroom audit; returns the exit code."""
+    audited, weak = [], []
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        if not _LIBM_RE.search(sql):
+            continue
+        base = con.execute(sql)
+        cols = [d[0] for d in base.description]
+        h0 = value_hash(base.fetchall(), cols)
+        headroom = 0
+        for k in _JITTER_KS:
+            ok = True
+            for sign in (1.0, -1.0):
+                jsql = jitter_libm_sql(sql, sign * k * 2.0**-52)
+                res = con.execute(jsql)
+                if value_hash(res.fetchall(), [d[0] for d in res.description]) != h0:
+                    ok = False
+                    break
+            if not ok:
+                break
+            headroom = k
+        tag = "OK" if headroom >= 1024 else "WEAK"
+        if headroom < 1024:
+            weak.append(name)
+        audited.append((name, headroom))
+        print(f"{tag:4s}  {name}: libm pin headroom >= {headroom} ulps")
+    print(f"\n{len(audited)} audited, {len(weak)} weak (<1024 ulps)")
+    if weak:
+        print("weak:", " ".join(weak))
+    return 1 if weak else 0
+
+
 def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
     from c3dc_etl_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--jitter-libm"]
+    jitter = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    if jitter:
+        import __spark_entry__ as entrymod  # noqa: F811 (no Spark needed)
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return jitter_audit(con, entrymod.oracle_sql(), only)
 
     spark = get_spark("oracle-check")
     qs = entrymod.queries()

@@ -58,18 +58,54 @@ def _children(node):
     return [cs.apply(i) for i in range(cs.length())]
 
 
+# Per-row identifier columns of the test tables: an aggregate whose
+# grouping keys include one of these collapses to ~table cardinality,
+# not to a bounded value domain — it must NOT count as bounding
+# (ADVICE r7: groupBy(high-cardinality id) feeding an unpartitioned
+# window is exactly the one-partition funnel the lint exists to catch).
+_PRIMARY_ID_KEYS = (
+    "doc_id",
+    "event_id",
+    "o_orderkey",
+    "l_orderkey",
+    "c_custkey",
+    "s_suppkey",
+    "p_partkey",
+)
+
+
+def _agg_groups_on_primary_id(node) -> bool:
+    """True when the aggregate's grouping keys include a per-row id
+    column (parsed from ``keys=[...]`` in the node's simpleString)."""
+    s = node.simpleString(1000)
+    lo = s.find("keys=[")
+    if lo < 0:
+        return False
+    hi = s.find("]", lo)
+    keys = s[lo + len("keys=[") : hi if hi > lo else len(s)]
+    return any(pk in keys for pk in _PRIMARY_ID_KEYS)
+
+
 def _is_bounded(node) -> bool:
     """Bottom-up boundedness along the CARDINALITY path: a node's
     output is bounded iff the rows that can reach it are. An aggregate
-    collapses to its group domain; a limit/TakeOrdered/local frame is
-    bounded by construction; a join is bounded only if every input
-    that contributes cardinality is (a BroadcastExchange child is the
-    build side — it bounds nothing about the probe stream, so a
-    full-table scan joined to a broadcast aggregate stays UNBOUNDED);
-    everything else (project/filter/sort/exchange/union/window)
-    inherits from its children."""
+    collapses to its group domain — treated as bounded ONLY when the
+    group domain is a value domain, not a per-row id (grouping on a
+    primary id keeps ~table cardinality, so such an aggregate defers to
+    its children like any other pass-through); a limit/TakeOrdered/
+    local frame is bounded by construction; a join is bounded only if
+    every input that contributes cardinality is (a BroadcastExchange
+    child is the build side — it bounds nothing about the probe stream,
+    so a full-table scan joined to a broadcast aggregate stays
+    UNBOUNDED); everything else (project/filter/sort/exchange/union/
+    window) inherits from its children."""
     cls = node.getClass().getSimpleName()
-    if any(tag in cls for tag in _AGG_NODES + _BOUNDED_NODES):
+    if any(tag in cls for tag in _AGG_NODES):
+        if not _agg_groups_on_primary_id(node):
+            return True
+        # per-row-id aggregate: bounded only if its input is
+        return all(_is_bounded(k) for k in _children(node))
+    if any(tag in cls for tag in _BOUNDED_NODES):
         return True
     kids = _children(node)
     if not kids:

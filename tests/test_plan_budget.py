@@ -42,6 +42,29 @@ def test_budget_covers_exactly_the_batch_registry():
     )
 
 
+def test_fence_union_exclusions_is_registry():
+    """r7 verdict item 4: the fence exclusion is an explicit, committed,
+    reason-annotated list — fenced ∪ excluded == registry, disjoint, no
+    stale exclusions, and every streaming-tagged registry query (and
+    only genuinely streaming names) rides the streaming reason. A new
+    batch query that is neither fenced nor deliberately excluded fails
+    here BY NAME."""
+    from tests.test_plan_lint import _DRIVER_SIDE_REASONS
+
+    fenced, excluded, registry = set(BUDGET), set(_DRIVER_SIDE), set(REGISTRY)
+    assert fenced | excluded == registry, (
+        f"unfenced-and-unexcluded: {sorted(registry - fenced - excluded)}; "
+        f"stale fence entries: {sorted((fenced | excluded) - registry)}"
+    )
+    assert not fenced & excluded, sorted(fenced & excluded)
+    assert excluded <= registry, sorted(excluded - registry)
+    for name, reason in _DRIVER_SIDE_REASONS.items():
+        assert reason.strip(), f"exclusion {name} has no stated reason"
+        assert name.startswith("streaming_") == reason.startswith(
+            "streaming"
+        ), f"exclusion {name}: reason {reason!r} mismatches its name class"
+
+
 @pytest.mark.parametrize(
     "name", [n for n in sorted(REGISTRY) if n not in _DRIVER_SIDE]
 )

@@ -364,3 +364,63 @@ def test_exact_ntile_null_values_and_input_validation(spark):
         exact_ntile(sdf, "v", "sid", 2)
     with pytest.raises(ValueError, match="tie_buckets"):
         exact_ntile(df, "n_chars", "doc_id", 4, tie_buckets=0)
+    with pytest.raises(ValueError, match="bins"):
+        exact_ntile(df, "n_chars", "doc_id", 0)
+    ndf = spark.createDataFrame(
+        [(1, 5), (None, 7), (3, 7)], "doc_id int, n_chars int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        exact_ntile(ndf, "n_chars", "doc_id", 2)
+
+
+def test_exact_ntile_dominant_value_narrow_id_slice(spark):
+    """r7 verdict item 7: a value holding 90% of the rows inside 1% of
+    the global id domain must STILL split across tie buckets (the r7
+    global-envelope geometry re-concentrated it: the table-wide bucket
+    width dwarfed the narrow slice, so the whole dominant value landed
+    in one bucket = one executor sorting 90% of the corpus). Per-value
+    envelopes size the width to each value's own id range. Pin (a) the
+    bucketed frame fans the dominant value across >= half the buckets,
+    and (b) end-to-end NTILE equivalence on the same fixture."""
+    from pyspark.sql import Window
+
+    from c3dc_etl_spark.operators.quality import (
+        _per_value_tie_buckets,
+        exact_ntile,
+    )
+
+    # ids 0..99_999; dominant value 7 occupies ids 0..899 (0.9% of the
+    # domain, 90% of the 1000 rows); 100 other rows spread over the
+    # rest of the domain with distinct values.
+    rows = [(i, 7) for i in range(900)] + [
+        (1000 + i * 99, 100 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, n_chars int")
+    tb = 16
+    base, _ = _per_value_tie_buckets(df, "n_chars", "doc_id", tb)
+    fanout = (
+        base.filter(F.col("n_chars") == 7)
+        .select("__tb")
+        .distinct()
+        .count()
+    )
+    assert fanout >= tb // 2, (
+        f"dominant value concentrated into {fanout} of {tb} buckets"
+    )
+    B = 10
+    want = {
+        tuple(x)
+        for x in df.select(
+            "doc_id",
+            F.ntile(B)
+            .over(Window.orderBy("n_chars", "doc_id"))
+            .alias("bin"),
+        ).collect()
+    }
+    got = {
+        tuple(x)
+        for x in exact_ntile(df, "n_chars", "doc_id", B, tie_buckets=tb)
+        .select("doc_id", F.col("bin").cast("int").alias("bin"))
+        .collect()
+    }
+    assert got == want

@@ -43,26 +43,26 @@ def test_entry_contract():
     ]
     assert len(set(e.PRIORITY)) == len(e.PRIORITY)
     assert set(qs) == set(REGISTRY)
-    # rotation policy (round 7, per the r6 verdict): the single r6
-    # hash-fail (survival_kaplan_meier, fixed this round) leads, then
-    # every registry query that has never received a driver-dated
-    # CORRECTNESS row (registry minus the union of r1-r6 ledger keys) —
-    # derived from the committed ledgers, not a hand-list — then the
+    # rotation policy (round 8, per the r7 verdict): the 9 registry
+    # queries that have never received a driver-dated CORRECTNESS row
+    # (registry minus the union of r1-r7 ledger keys — derived from the
+    # committed ledgers, not a hand-list) lead, then the two-round
+    # hash-fail survival_kaplan_meier (libm-free this round), then the
     # driver-dated greens, stalest round first.
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest = {}
-    for r in range(1, 7):
+    for r in range(1, 8):
         with open(os.path.join(repo, f"CORRECTNESS_r0{r}.json")) as fh:
             for k in json.load(fh):
                 latest[k] = r
     never = {n for n in REGISTRY if n not in latest}
     order = list(qs)
-    assert order[0] == "survival_kaplan_meier"
-    owed = 1 + len(never - {"survival_kaplan_meier"})
-    assert set(order[1:owed]) == never - {"survival_kaplan_meier"}
+    owed = len(never - {"survival_kaplan_meier"})
+    assert set(order[:owed]) == never - {"survival_kaplan_meier"}
+    assert order[owed] == "survival_kaplan_meier"
     # the tail is stalest-first by driver round (non-decreasing)
-    rounds = [latest[n] for n in order[owed:]]
+    rounds = [latest[n] for n in order[owed + 1 :]]
     assert rounds == sorted(rounds)

@@ -1017,6 +1017,53 @@ def test_concurrent_constraint_add_conflicts_unenforced_commit(
         log.append(batch)
 
 
+def test_constraint_conflict_survives_manifest_cleanup(spark, tmp_path):
+    """ADVICE r7: the commit-time constraint-conflict check diffs the
+    checkpoint-aware constraint maps instead of replaying raw manifests
+    in (epoch, head] — so manifest cleanup below a checkpoint cannot
+    hide a concurrent constraint-add. Two arms: (a) when the epoch
+    PREDATES the covering checkpoint and its manifests are gone, the
+    commit refuses outright (it cannot prove absence of a conflict);
+    (b) when the epoch is covered by a constraints-bearing checkpoint,
+    cleanup is transparent and a tail constraint-add still conflicts."""
+    import os
+
+    # -- arm (a): epoch before the checkpoint, manifests cleaned -------
+    log = TableLog(str(tmp_path / "a"), stats_col="k", checkpoint_interval=2)
+    df = spark.createDataFrame([(1, 5)], "k int, v int")
+    log.append(df)                                     # v0
+    batch = spark.createDataFrame([(2, -1)], "k int, v int")
+    epoch = log._enforce_constraints(batch)            # epoch = 0
+    writer2 = TableLog(
+        str(tmp_path / "a"), stats_col="k", checkpoint_interval=2
+    )
+    writer2.set_check_constraint("v_nonneg", "v >= 0")  # v1
+    writer2.append(df)                                 # v2 -> checkpoint
+    cps = log._checkpoint_versions()
+    assert cps, "expected a checkpoint"
+    for v in range(cps[-1]):                           # cleanup v0, v1
+        os.remove(os.path.join(log.log_dir, f"{v:020d}.json"))
+    adds = log._land_files(batch)
+    with pytest.raises(CommitConflict, match="cannot prove"):
+        log.commit(add=adds, op="append", constraints_epoch=epoch)
+
+    # -- arm (b): epoch covered by the checkpoint, tail add conflicts --
+    log = TableLog(str(tmp_path / "b"), stats_col="k", checkpoint_interval=2)
+    log.append(df)                                     # v0
+    log.set_check_constraint("v_big", "v >= -100")     # v1
+    log.append(df)                                     # v2 -> checkpoint
+    epoch = log._enforce_constraints(batch)            # epoch = 2
+    writer2 = TableLog(
+        str(tmp_path / "b"), stats_col="k", checkpoint_interval=2
+    )
+    writer2.set_check_constraint("v_nonneg", "v >= 0")  # v3 (in tail)
+    for v in range(log._checkpoint_versions()[-1]):    # cleanup v0, v1
+        os.remove(os.path.join(log.log_dir, f"{v:020d}.json"))
+    adds = log._land_files(batch)
+    with pytest.raises(CommitConflict, match="v_nonneg"):
+        log.commit(add=adds, op="append", constraints_epoch=epoch)
+
+
 def test_constraints_resolved_from_checkpoint_tail(spark, tmp_path):
     """ADVICE r6 #4: constraints() starts from the newest checkpoint
     carrying a constraint map and replays only the tail — proven by
