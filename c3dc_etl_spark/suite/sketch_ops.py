@@ -733,14 +733,19 @@ WITH base AS (
            CAST(l_quantity AS DECIMAL(18,2)) AS q
     FROM lineitem WHERE l_quantity IS NOT NULL
 ),
+dig AS (
+    SELECT blk, q,
+           MD5('bs:' || CAST(rid AS STRING) || ':' || CAST(blk AS STRING))
+               AS dg
+    FROM base, UNNEST(RANGE(0, {BOOT_B // 4})) AS t(blk)
+),
 w AS (
-    SELECT r, q,
+    SELECT blk * 4 + lane AS r, q,
            {_pois_case(
-               "(CAST(CONCAT('0x', SUBSTR(MD5('bs:' || CAST(rid AS STRING)"
-               " || ':' || CAST(r AS STRING)), 1, 8)) AS BIGINT)"
+               "(CAST(CONCAT('0x', SUBSTR(dg, 1 + 8 * lane, 8)) AS BIGINT)"
                " / 4294967296.0)"
            )} AS wt
-    FROM base, UNNEST(RANGE(0, {BOOT_B})) AS t(r)
+    FROM dig, UNNEST(RANGE(0, 4)) AS l(lane)
 ),
 means AS (
     SELECT r,
@@ -769,32 +774,58 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutpoints), so resampling needs NO global coordination — the
     at-scale bootstrap formulation (each resample's total weight
     concentrates at n, and no executor ever materializes a resample).
-    Per-resample means come from exact decimal sums; the tiny B-row
-    mean table sorts for the percentile CI. One explode (factor B) of
-    a narrow (id-hash, decimal) projection, map-side combine to B rows
-    per task."""
+    Cost discipline (r8, after the bench rotation caught this at 98 s):
+    md5 yields 128 bits = FOUR 32-bit uniforms, so one digest per
+    (row, resample-block-of-4) feeds four resamples' weights — B/4
+    digests per row, not B — and the 4x lane explode reuses the digest
+    string. The whole pipeline then runs in ONE action: the B-row
+    per-resample mean table (exact decimal sums, map-side combined) is
+    collected once — a bounded B-row driver artifact — and the
+    percentile CI is ordered in Python exactly as the oracle's
+    ROW_NUMBER ORDER BY (m, r); the old shape triggered the full
+    explode THREE times (two quantile .first()s plus the final frame)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
     base = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
         F.col("l_quantity").cast("decimal(18,2)").alias("q"),
     )
-    u = (
-        hash32(
+    dig = base.select(
+        "q",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1))
+        ).alias("blk"),
+        F.col("rid"),
+    ).select(
+        "q",
+        "blk",
+        F.md5(
             F.concat(
                 F.lit("bs:"),
                 F.col("rid").cast("string"),
                 F.lit(":"),
-                F.col("r").cast("string"),
+                F.col("blk").cast("string"),
             )
-        )
+        ).alias("dg"),
+    )
+    lanes = dig.select(
+        "q",
+        "blk",
+        "dg",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lane"),
+    )
+    u = (
+        F.conv(F.expr("substring(dg, 1 + 8 * lane, 8)"), 16, 10).cast("long")
         / F.lit(4294967296.0)
     )
     wt = F.lit(len(_POIS_CDF))
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         wt = F.when(u < F.lit(float(_POIS_CDF[k])), F.lit(k)).otherwise(wt)
     weighted = (
-        base.select("rid", "q", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"))
-        .withColumn("wt", wt)
+        lanes.select(
+            (F.col("blk") * 4 + F.col("lane")).alias("r"),
+            "q",
+            wt.alias("wt"),
+        )
         .filter(F.col("wt") > 0)
     )
     means = weighted.groupBy("r").agg(
@@ -803,18 +834,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("wt").cast("double")
         ).alias("m")
     )
-    from pyspark.sql import Window as W
-
-    ranked = means.select(
-        "m", F.row_number().over(W.orderBy(F.col("m").asc(), F.col("r").asc())).alias("rn")
-    )
-    lo = ranked.filter(F.col("rn") == 2).select("m")
-    hi = ranked.filter(F.col("rn") == BOOT_B - 1).select("m")
+    # ONE action over the explode; B rows back. Order exactly as the
+    # oracle's ROW_NUMBER() OVER (ORDER BY m, r).
+    ms = sorted((row["m"], row["r"]) for row in means.collect())
+    lo_v, hi_v = ms[1][0], ms[BOOT_B - 2][0]
     full = base.agg(
         (F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")).alias("fm")
     )
-    lo_v = lo.first()["m"]
-    hi_v = hi.first()["m"]
     return full.select(
         F.lit(BOOT_B).cast("bigint").alias("n_resamples"),
         (F.round(F.lit(lo_v), 6) + F.lit(0.0)).alias("mean_lo"),
