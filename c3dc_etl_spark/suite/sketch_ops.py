@@ -720,43 +720,58 @@ _POIS_CDF = [
 ]
 
 
-def _pois_case(u: str) -> str:
+# The inverse-CDF compare runs directly on the md5 HEX SLICE: for the
+# 32-bit uniform u = n / 2^32, u < c  <=>  n < floor(c * 2^32) + 1
+# (c * 2^32 is never integral for these literals), and fixed-width
+# lowercase hex compares lexicographically exactly as the integers do —
+# so each lane's weight needs zero radix conversion and zero division
+# (measured: conv() alone cost ~6 s over 19.2M lanes at sf0.1). The
+# cutpoints are derived EXACTLY from the double literals via Fraction,
+# so weights are bit-identical to the u < c formulation.
+from fractions import Fraction as _Fr
+
+_POIS_HEX = [
+    format((_Fr(float(c)) * (1 << 32)).__floor__() + 1, "08x")
+    for c in _POIS_CDF
+]
+
+
+def _pois_case_hex(h: str) -> str:
     arms = " ".join(
-        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+        f"WHEN {h} < '{x}' THEN {k}" for k, x in enumerate(_POIS_HEX)
     )
-    return f"(CASE {arms} ELSE {len(_POIS_CDF)} END)"
+    return f"(CASE {arms} ELSE {len(_POIS_HEX)} END)"
 
 
 _BOOT_ORACLE = f"""
 WITH base AS (
     SELECT l_orderkey * 10 + l_linenumber AS rid,
-           CAST(l_quantity AS DECIMAL(18,2)) AS q
+           CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc
     FROM lineitem WHERE l_quantity IS NOT NULL
 ),
 dig AS (
-    SELECT blk, q,
+    SELECT blk, qc,
            MD5('bs:' || CAST(rid AS STRING) || ':' || CAST(blk AS STRING))
                AS dg
     FROM base, UNNEST(RANGE(0, {BOOT_B // 4})) AS t(blk)
 ),
 w AS (
-    SELECT blk * 4 + lane AS r, q,
-           {_pois_case(
-               "(CAST(CONCAT('0x', SUBSTR(dg, 1 + 8 * lane, 8)) AS BIGINT)"
-               " / 4294967296.0)"
-           )} AS wt
+    SELECT blk * 4 + lane AS r, qc,
+           {_pois_case_hex("SUBSTR(dg, 1 + 8 * lane, 8)")} AS wt
     FROM dig, UNNEST(RANGE(0, 4)) AS l(lane)
 ),
 means AS (
     SELECT r,
-           CAST(SUM(wt * q) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS m
+           CAST(SUM(wt * qc) AS DOUBLE)
+               / CAST(SUM(wt) * 100 AS DOUBLE) AS m
     FROM w WHERE wt > 0 GROUP BY r
 ),
 ranked AS (
     SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn FROM means
 ),
 full_mean AS (
-    SELECT CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fm FROM base
+    SELECT CAST(SUM(qc) AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE) AS fm
+    FROM base
 )
 SELECT CAST({BOOT_B} AS BIGINT) AS n_resamples,
        ROUND((SELECT m FROM ranked WHERE rn = 2), 6) + 0.0 AS mean_lo,
@@ -774,29 +789,35 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutpoints), so resampling needs NO global coordination — the
     at-scale bootstrap formulation (each resample's total weight
     concentrates at n, and no executor ever materializes a resample).
-    Cost discipline (r8, after the bench rotation caught this at 98 s):
-    md5 yields 128 bits = FOUR 32-bit uniforms, so one digest per
+    Cost discipline (r8, after the bench rotation caught this at 98 s;
+    97.6 -> 13 s warm at sf0.1 across the three steps): (1) md5 yields
+    128 bits = FOUR 32-bit uniforms, so one digest per
     (row, resample-block-of-4) feeds four resamples' weights — B/4
     digests per row, not B — and the 4x lane explode reuses the digest
-    string. The whole pipeline then runs in ONE action: the B-row
-    per-resample mean table (exact decimal sums, map-side combined) is
-    collected once — a bounded B-row driver artifact — and the
-    percentile CI is ordered in Python exactly as the oracle's
-    ROW_NUMBER ORDER BY (m, r); the old shape triggered the full
-    explode THREE times (two quantile .first()s plus the final frame)."""
+    string; (2) weights come from comparing the HEX SLICE against
+    exact precomputed hex cutpoints (see _POIS_HEX) — no radix conv,
+    no division, bit-identical weights; (3) quantities ride as BIGINT
+    cents, so the hot sums are pure long arithmetic (decimal multiply/
+    sum over the 19.2M-row explode measured ~2x the whole query), with
+    ONE double division per resample at the end. The whole pipeline
+    runs in ONE action: the B-row per-resample mean table is collected
+    once — a bounded B-row driver artifact — and the percentile CI is
+    ordered in Python exactly as the oracle's ROW_NUMBER
+    ORDER BY (m, r); the old shape triggered the full explode THREE
+    times (two quantile .first()s plus the final frame)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
     base = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
-        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)").alias("qc"),
     )
     dig = base.select(
-        "q",
+        "qc",
         F.explode(
             F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1))
         ).alias("blk"),
         F.col("rid"),
     ).select(
-        "q",
+        "qc",
         "blk",
         F.md5(
             F.concat(
@@ -808,30 +829,27 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dg"),
     )
     lanes = dig.select(
-        "q",
+        "qc",
         "blk",
         "dg",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lane"),
     )
-    u = (
-        F.conv(F.expr("substring(dg, 1 + 8 * lane, 8)"), 16, 10).cast("long")
-        / F.lit(4294967296.0)
-    )
-    wt = F.lit(len(_POIS_CDF))
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        wt = F.when(u < F.lit(float(_POIS_CDF[k])), F.lit(k)).otherwise(wt)
+    h = F.expr("substring(dg, 1 + 8 * lane, 8)")
+    wt = F.lit(len(_POIS_HEX))
+    for k in range(len(_POIS_HEX) - 1, -1, -1):
+        wt = F.when(h < F.lit(_POIS_HEX[k]), F.lit(k)).otherwise(wt)
     weighted = (
         lanes.select(
             (F.col("blk") * 4 + F.col("lane")).alias("r"),
-            "q",
+            "qc",
             wt.alias("wt"),
         )
         .filter(F.col("wt") > 0)
     )
     means = weighted.groupBy("r").agg(
         (
-            F.sum(F.col("wt") * F.col("q")).cast("double")
-            / F.sum("wt").cast("double")
+            F.sum(F.col("wt") * F.col("qc")).cast("double")
+            / (F.sum("wt") * F.lit(100)).cast("double")
         ).alias("m")
     )
     # ONE action over the explode; B rows back. Order exactly as the
@@ -839,7 +857,10 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = sorted((row["m"], row["r"]) for row in means.collect())
     lo_v, hi_v = ms[1][0], ms[BOOT_B - 2][0]
     full = base.agg(
-        (F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")).alias("fm")
+        (
+            F.sum("qc").cast("double")
+            / (F.count(F.lit(1)) * F.lit(100)).cast("double")
+        ).alias("fm")
     )
     return full.select(
         F.lit(BOOT_B).cast("bigint").alias("n_resamples"),
