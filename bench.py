@@ -103,7 +103,10 @@ HEADLINE = [
 # headline suite (one untimed warm-up, then a timed collect) and carried
 # in the stdout line's "queries" map; the 41-query HEADLINE wall stays
 # the round-comparable "value". Across r7+r8 the bench ledger then
-# covers 41 + 45 = 86 distinct registry entries.
+# covers 41 + 45 = 86 distinct registry entries. Round 9+: swap this
+# list for the next never-benched cohort (multimodal, sources, engine_*,
+# sampling, windows/probes — derive from registry minus the union of
+# BENCH_r* "queries"/BENCH_DETAIL maps) and keep HEADLINE fixed.
 ROTATION = [
     # search (search_bm25_topk already in HEADLINE)
     "search_inverted_index",

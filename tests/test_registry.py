@@ -30,6 +30,22 @@ def test_every_query_has_doc_and_most_have_oracles():
     assert set(missing_oracle) <= {"multimodal_features"}, missing_oracle
 
 
+def test_bench_cohorts_are_registry_queries():
+    """bench.py's HEADLINE and ROTATION cohorts must name real registry
+    queries (a rename breaks the bench loudly, not by shrinking the
+    wall) and stay disjoint (a query in both would double-count and
+    muddy the round-over-round headline comparison)."""
+    import bench
+
+    assert all(n in REGISTRY for n in bench.HEADLINE + bench.ROTATION), [
+        n for n in bench.HEADLINE + bench.ROTATION if n not in REGISTRY
+    ]
+    assert not set(bench.HEADLINE) & set(bench.ROTATION)
+    assert len(set(bench.ROTATION)) == len(bench.ROTATION)
+    # r7 verdict #6: >= 80 distinct benched queries across r7+r8
+    assert len(set(bench.HEADLINE) | set(bench.ROTATION)) >= 80
+
+
 def test_entry_contract():
     import __spark_entry__ as e
 
