@@ -823,11 +823,19 @@ def edit_distance_join(
     id_col: str,
     *,
     max_dist: int = 8,
-    q: int = 3,
+    q: int = 5,
 ) -> DataFrame:
     """EXACT bounded edit-distance self-join (the Ed-Join family — Xiao
     et al., VLDB'08): every pair of documents whose Levenshtein distance
     is <= max_dist, with NO candidate loss.
+
+    The pair set is q-INVARIANT; pick q so the q-gram vocabulary stays
+    much larger than the corpus. A small q over a small alphabet
+    saturates (every gram becomes frequent as rows grow), and the
+    rarest-first prefix join then generates quadratically many
+    candidates — measured 12.6x candidates for 5x docs at q=3 vs
+    linear at q=5 on the documents corpus. Cost of larger q: a longer
+    prefix (max_dist*q + 1 grams/doc), linear and cheap.
 
     Filtering theorem (distinct positional q-grams over the
     sentinel-padded string): one edit overwrites at most q gram

@@ -791,7 +791,15 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 ED_MAX_DIST = 8
-ED_Q = 3  # q-gram width; prefix length = ED_MAX_DIST * ED_Q + 1
+# q-gram width; prefix length = ED_MAX_DIST * ED_Q + 1. The RESULT is
+# q-invariant (any q yields the same exact pair set) but the candidate
+# volume is not: q=3 over the documents alphabet has a ~1.6k-gram
+# vocabulary that SATURATES as the corpus grows — every "rare" gram's
+# df rises linearly with rows, so candidates grow quadratically
+# (measured: 12.6x candidates for 5x docs, 1.78 scale linearity). q=5
+# keeps the vocabulary far larger than the corpus, so rarest-first
+# prefixes stay genuinely rare: identical pairs, 0.17 linearity at 5x.
+ED_Q = 5
 
 _ED_PAD = "\x1f" * (ED_Q - 1)
 

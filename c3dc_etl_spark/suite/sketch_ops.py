@@ -805,8 +805,15 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered in Python exactly as the oracle's ROW_NUMBER
     ORDER BY (m, r); the old shape triggered the full explode THREE
     times (two quantile .first()s plus the final frame)."""
+    from c3dc_etl_spark.operators.dedup import spread
+
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
-    base = li.select(
+    # spread BEFORE the x8 digest explode: the local single-file
+    # lineitem scan yields 1-2 input partitions, which serialized the
+    # 4.8M-md5 hot map onto 2 of 32 cores (measured: the x5 scaled
+    # corpus, written as 32 files, ran FASTER than 1x) — a well-
+    # partitioned cluster input passes through with no exchange.
+    base = spread(li).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
         F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)").alias("qc"),
     )

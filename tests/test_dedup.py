@@ -247,3 +247,21 @@ def test_edit_distance_join_is_lossless_vs_brute_force(spark):
     }
     assert want, "fixture corpus must contain qualifying pairs"
     assert got == want  # complete AND exact: no missed pair, no extras
+
+
+def test_edit_distance_join_pair_set_is_q_invariant(spark):
+    """The destroy-bound theorem holds for every q, so the exact pair
+    set must not move when the gram width changes — the knob only
+    trades candidate volume (r8 moved the suite from q=3 to q=5 after
+    the saturated trigram vocabulary went quadratic at 5x scale)."""
+    from c3dc_etl_spark.operators.dedup import edit_distance_join
+    from c3dc_etl_spark.suite.registry import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    sets = []
+    for q in (3, 5):
+        pairs = edit_distance_join(
+            docs, "text", "doc_id", max_dist=8, q=q
+        ).select("id_a", "id_b", "dist")
+        sets.append({tuple(r) for r in pairs.collect()})
+    assert sets[0] == sets[1] and sets[0]
