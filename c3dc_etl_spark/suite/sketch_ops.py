@@ -799,12 +799,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     no division, bit-identical weights; (3) quantities ride as BIGINT
     cents, so the hot sums are pure long arithmetic (decimal multiply/
     sum over the 19.2M-row explode measured ~2x the whole query), with
-    ONE double division per resample at the end. The whole pipeline
-    runs in ONE action: the B-row per-resample mean table is collected
-    once — a bounded B-row driver artifact — and the percentile CI is
-    ordered in Python exactly as the oracle's ROW_NUMBER
-    ORDER BY (m, r); the old shape triggered the full explode THREE
-    times (two quantile .first()s plus the final frame)."""
+    ONE double division per resample at the end. The whole pipeline is
+    ONE lazy plan with ONE action at the caller's collect: the
+    percentile CI is picked in-plan from the B-row means table (window
+    over the bounded post-agg domain + conditional aggregates) and
+    cross-joined with the full-mean scalar; the old shape triggered
+    the full explode THREE times (two quantile .first()s plus the
+    final frame) and hid the pipeline from the plan fence."""
     from c3dc_etl_spark.operators.dedup import spread
 
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
@@ -859,20 +860,37 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("wt") * F.lit(100)).cast("double")
         ).alias("m")
     )
-    # ONE action over the explode; B rows back. Order exactly as the
-    # oracle's ROW_NUMBER() OVER (ORDER BY m, r).
-    ms = sorted((row["m"], row["r"]) for row in means.collect())
-    lo_v, hi_v = ms[1][0], ms[BOOT_B - 2][0]
+    # Quantile picks stay IN-PLAN (r8 review): rank the B-row means
+    # table with a window over the bounded post-aggregation domain
+    # (exactly the oracle's ROW_NUMBER ORDER BY (m, r)), reduce to one
+    # row with conditional aggregates, and combine with the full-mean
+    # scalar — the whole bootstrap is ONE lazy plan with ONE action at
+    # the caller's collect, so the plan fence and the global-window
+    # lint see the real explode pipeline instead of a pre-executed
+    # driver artifact. The 1-row x 1-row combine is a bounded BNLJ
+    # (allowlisted, the sketch-stats precedent).
+    from pyspark.sql import Window as W
+
+    ranked = means.select(
+        "m",
+        F.row_number()
+        .over(W.orderBy(F.col("m").asc(), F.col("r").asc()))
+        .alias("rn"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("hi"),
+    )
     full = base.agg(
         (
             F.sum("qc").cast("double")
             / (F.count(F.lit(1)) * F.lit(100)).cast("double")
         ).alias("fm")
     )
-    return full.select(
+    return full.crossJoin(ci).select(
         F.lit(BOOT_B).cast("bigint").alias("n_resamples"),
-        (F.round(F.lit(lo_v), 6) + F.lit(0.0)).alias("mean_lo"),
-        (F.round(F.lit(hi_v), 6) + F.lit(0.0)).alias("mean_hi"),
+        (F.round(F.col("lo"), 6) + F.lit(0.0)).alias("mean_lo"),
+        (F.round(F.col("hi"), 6) + F.lit(0.0)).alias("mean_hi"),
         (F.round(F.col("fm"), 6) + F.lit(0.0)).alias("mean_full"),
     )
 

@@ -151,8 +151,6 @@ def main() -> int:
     only = set(argv[1:])
 
     if jitter:
-        import __spark_entry__ as entrymod  # noqa: F811 (no Spark needed)
-
         con = duckdb.connect()
         for t in (
             "region nation customer supplier part orders lineitem events "

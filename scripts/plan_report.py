@@ -74,16 +74,43 @@ _PRIMARY_ID_KEYS = (
 )
 
 
+_BARE_KEY_RE = re.compile(r"^(\w+)#\d+L?$")
+
+
 def _agg_groups_on_primary_id(node) -> bool:
-    """True when the aggregate's grouping keys include a per-row id
-    column (parsed from ``keys=[...]`` in the node's simpleString)."""
-    s = node.simpleString(1000)
+    """True when the aggregate's grouping keys include a BARE per-row
+    id column reference (``o_orderkey#5L``), parsed from the node's
+    ``keys=[...]`` with bracket balancing. Derived keys like
+    ``(o_orderkey#5L % 32)`` — a bounded salt/bucket domain — do NOT
+    count: only grouping on the raw id keeps ~table cardinality. (An
+    id laundered through .alias() before the groupBy prints under the
+    alias name and escapes this check — a known, documented limit.)"""
+    s = node.simpleString(2000)
     lo = s.find("keys=[")
     if lo < 0:
         return False
-    hi = s.find("]", lo)
-    keys = s[lo + len("keys=[") : hi if hi > lo else len(s)]
-    return any(pk in keys for pk in _PRIMARY_ID_KEYS)
+    i, depth = lo + len("keys=["), 1
+    entries, buf = [], []
+    while i < len(s) and depth:
+        ch = s[i]
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+            if not depth:
+                break
+        if ch == "," and depth == 1:
+            entries.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    entries.append("".join(buf).strip())
+    for e in entries:
+        m = _BARE_KEY_RE.match(e)
+        if m and m.group(1) in _PRIMARY_ID_KEYS:
+            return True
+    return False
 
 
 def _is_bounded(node) -> bool:

@@ -59,6 +59,13 @@ _DRIVER_SIDE_REASONS = {
     "mmr_diversified_topk": (
         "iterative argmax: k-row driver artifact by design"
     ),
+    # KM's per-step-quantized integer recurrence is inherently
+    # sequential (no Spark recursion); the terms table is reduced by a
+    # bounded driver loop over the calendar-bounded duration domain, so
+    # the returned frame is a local snapshot (r8, the libm-free rebuild)
+    "survival_kaplan_meier": (
+        "sequential integer recurrence: bounded driver loop by design"
+    ),
 }
 _DRIVER_SIDE = set(_DRIVER_SIDE_REASONS)
 
@@ -79,6 +86,10 @@ _BNLJ_ALLOWED = {
     # null-aware anti join (NOT IN) over a 3-row literal frame:
     # bounded by construction, and the BNLJ IS the semantics probed
     "nullsafe_join_probe",
+    # 1-row x 1-row combine of the full-mean scalar and the bootstrap
+    # CI row (r8: the quantile picks moved in-plan so the fence sees
+    # the real explode pipeline)
+    "bootstrap_mean_ci",
 }
 
 
@@ -422,3 +433,16 @@ def test_global_window_lint_not_laundered_by_primary_id_agg(spark):
         per_status._jdf.queryExecution().sparkPlan()
     )
     assert not ok, f"value-domain aggregate wrongly flagged: {ok}"
+
+    # a DERIVED bounded key that merely mentions the id (salt/bucket
+    # modulo) is a 32-row domain — must NOT flag (r8 review: the
+    # substring form misclassified it)
+    per_salt = orders.groupBy(
+        F.expr("o_orderkey % 32").alias("salt")
+    ).agg(F.sum("o_totalprice").alias("t")).withColumn(
+        "rn", F.row_number().over(Window.orderBy("t"))
+    )
+    ok2 = global_window_violations(
+        per_salt._jdf.queryExecution().sparkPlan()
+    )
+    assert not ok2, f"bounded salt aggregate wrongly flagged: {ok2}"
