@@ -96,73 +96,79 @@ HEADLINE = [
     "graph_kcore_bounded",
 ]
 
-# Round-8 rotation cohort (VERDICT r7 ask #6): the heavy families that
-# had correctness rows but never a committed wall-clock row — search,
-# tablelog, learning, the stats suite, plus the widest never-benched
-# ANN/dedup/join shapes. These are measured each round alongside the
-# headline suite (one untimed warm-up, then a timed collect) and carried
-# in the stdout line's "queries" map; the 41-query HEADLINE wall stays
-# the round-comparable "value". Across r7+r8 the bench ledger then
-# covers 41 + 45 = 86 distinct registry entries. Round 9+: swap this
-# list for the next never-benched cohort (multimodal, sources, engine_*,
-# sampling, windows/probes — derive from registry minus the union of
-# BENCH_r* "queries"/BENCH_DETAIL maps) and keep HEADLINE fixed.
+# Round-9 rotation cohort (#3, VERDICT r8 ask #5): the next 45
+# never-benched queries — streaming, the source/restructuring probes,
+# the engine/harmonization pipeline shapes, multimodal kernels, and the
+# remaining heavy temporal/relational/ANN families. Derived from
+# registry minus the union of BENCH_r* "queries" maps (r7+r8 covered
+# 86; this cohort takes the ledger to 131). Each entry runs one untimed
+# warm-up then a timed collect and rides the stdout line's
+# "rotation_queries" map; the 41-query HEADLINE wall stays the
+# round-comparable "value". tests/test_registry.py asserts the cohort
+# is disjoint from every committed BENCH ledger row, so reusing a
+# benched query here fails CI. Round 10+: swap for the next
+# never-benched slice (sampling, sketch/quality, text, validate/sink,
+# remaining joins/probes — same derivation).
 ROTATION = [
-    # search (search_bm25_topk already in HEADLINE)
-    "search_inverted_index",
-    "search_conjunctive",
-    "search_phrase_positions",
-    "search_proximity_window",
-    "search_index_segment_merge",
-    # tablelog (table_log_merge_upsert already in HEADLINE)
-    "table_log_snapshot_read",
-    "table_log_time_travel",
-    "table_log_history_audit",
-    "table_log_delete_where",
-    "table_log_replace_where",
-    "table_log_merge_cdc_deletes",
-    "table_log_change_feed",
-    "table_log_constraint_enforce",
-    "table_log_schema_evolution",
-    "table_log_optimize_zorder",
-    "table_log_pruned_read",
-    "table_log_zorder_pruned_read",
-    "table_log_bloom_lookup",
-    "table_checksum_reconcile",
-    # on-cluster learning
-    "logreg_train_gd",
-    "classifier_train_stump",
-    "classifier_train_tree2",
-    "regressor_eval_r2",
-    "kmeans_embedding_clusters",
-    # stats family
-    "bootstrap_mean_ci",
-    "mannwhitney_u_events",
-    "chi2_independence",
-    "ks_two_sample",
-    "spearman_rank_corr",
-    "benford_first_digit",
-    "cusum_changepoint",
-    "acf_daily_events",
-    "theilsen_trend",
-    "anomaly_mad_daily",
-    # never-benched heavy ANN / dedup / join shapes
-    "ann_ivf_topk",
-    "ann_ivfpq_recall",
-    "dedup_prefix_filter",
-    "dedup_edit_distance",
-    "dedup_cluster_components",
-    "market_basket_rules",
-    "record_linkage_blocked",
-    "kmeans_cluster_purity",
-    "asof_join_events",
-    "triangle_count_coorder",
-    "heavy_hitters_cms",
+    # streaming family (plans execute in the stream engine; wall time
+    # here measures the full micro-batch drain at sf0.1)
+    "streaming_windowed_counts",
+    "streaming_sliding_windows",
+    "streaming_session_windows",
+    "streaming_session_late_data",
+    "streaming_dedup_digests",
+    "streaming_dedup_ttl_state",
+    "streaming_stateful_running_stats",
+    "streaming_static_enrich",
+    "streaming_stream_stream_join",
+    "streaming_outer_join_eviction",
+    "streaming_tablelog_upsert",
+    "streaming_upsert_snapshot",
+    # source / sink format probes
+    "source_delimited_scan",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "source_corrupt_records",
+    "source_fixed_width_scan",
+    "sink_partitioned_pruning",
+    # engine / harmonization pipeline shapes
+    "study_end_to_end",
+    "engine_typegroup_fanout",
+    "engine_subrecord_explode",
+    "engine_latest_survival",
+    "engine_primary_follow_up",
+    "rowmapped_rule_build",
+    # multimodal kernels (Arrow mapInPandas paths)
+    "multimodal_metadata",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_decode_real",
+    "multimodal_video_frames",
+    # heavy temporal shapes
+    "rolling_time_stats",
+    "interval_overlap_events",
+    "interval_concurrency_sweep",
+    "asof_join_tolerance",
+    "survival_kaplan_meier",
+    "event_transition_matrix",
+    "cohort_retention",
+    "latency_percentiles_slo",
+    # relational / window probes
+    "window_functions_suite",
+    "join_bucketed_colocated",
+    "lateral_topk_per_group",
+    "agg_grouping_cube",
+    "q6_forecast_revenue_sql",
+    # remaining heavy ANN / dedup shapes
+    "dedup_ngram_jaccard",
+    "ann_pq_adc_recall",
+    "semantic_dedup_clusters",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is
 # non-obvious (candidate generation, interval explode, two-level agg).
-SCALE_QUERIES = [
+# SCALE_CORE stays fixed so its linearity rows are round-comparable.
+SCALE_CORE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -178,6 +184,25 @@ SCALE_QUERIES = [
     "graph_kcore_bounded",
     "table_log_merge_upsert",
 ]
+
+# Rotating scale cohort (VERDICT r8 ask #2): three of round 8's four
+# real defects were caught only by AD-HOC factor-5 probes — this makes
+# that systematic. Each round swaps in ~6-10 adjudicated-heavy queries
+# (start from the most expensive rotation-bench entries that have no
+# committed linearity row yet); tests/test_registry.py pins the cohort
+# contract the way it pins PRIORITY. Round 9: the six the r8 verdict
+# named, including the re-keyed linkage whose "done" condition IS a
+# committed linearity row.
+SCALE_ROTATION = [
+    "record_linkage_blocked",
+    "dedup_prefix_filter",
+    "dedup_edit_distance",
+    "ann_ivfpq_recall",
+    "bootstrap_mean_ci",
+    "triangle_count_coorder",
+]
+
+SCALE_QUERIES = SCALE_CORE + SCALE_ROTATION
 
 
 def _geo_scale_runner(spark, d: str):
@@ -236,7 +261,8 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     marker = os.path.join(out_dir, "_BUILT")
     stamp = (
         f"factor={factor} base={sf_dir} "
-        "tables=docs,events,orders,lineitem,customer\n"
+        "tables=docs,events,orders,lineitem,customer,embeddings "
+        "custnames=v2\n"
     )
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -260,10 +286,16 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     # keeps copies disjoint AND doubles as the copy id (key div 10M)
     # the density-constant geo runner uses for its region shift
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # embeddings feed the ANN scale probes: per-copy vec_id offsets keep
+    # ids disjoint; vectors repeat across copies, which is fine for ANN
+    # (cost is per-candidate ADC / brute-force scoring, never pairwise —
+    # duplicated points change no cost shape, unlike the text tables)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ev_parts = []
     ord_parts = []
     li_parts = []
     cust_parts = []
+    emb_parts = []
     for c in range(factor):
         rot = _ALPHA[c:] + _ALPHA[:c]
         doc_parts.append(
@@ -284,10 +316,22 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
             .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(c * 10_000_000))
             .withColumn("l_partkey", F.col("l_partkey") + F.lit(c * 10_000_000))
         )
+        # names are re-derived from the offset key (custnames=v2): a
+        # copy that kept the base names would hand the linkage family 5
+        # exact-duplicate name sets — cross-copy distance-0 pairs would
+        # make its probe quadratic in the FACTOR, swamping the linearity
+        # signal. Re-keyed names keep the copies disjoint (a larger
+        # customer base, not 5 entangled replicas). %09d preserves the
+        # base format for keys < 1e9 (5 x 10M offsets stay well under).
         cust_parts.append(
             cust.withColumn(
                 "c_custkey", F.col("c_custkey") + F.lit(c * 10_000_000)
+            ).withColumn(
+                "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
             )
+        )
+        emb_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * 10_000_000))
         )
     union = lambda parts: functools.reduce(DataFrame.unionByName, parts)  # noqa: E731
     union(doc_parts).repartition(32).write.mode("overwrite").parquet(
@@ -304,6 +348,9 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     )
     union(cust_parts).repartition(8).write.mode("overwrite").parquet(
         f"{out_dir}/customer.parquet"
+    )
+    union(emb_parts).repartition(8).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
     )
     with open(marker, "w") as fh:
         fh.write(stamp)
@@ -452,18 +499,20 @@ def main() -> int:
     # comfortably inside the tail window); the full detail — compute
     # pass, scale_check, linearity — goes to BENCH_DETAIL.json beside
     # this script (and to stderr for humans).
-    # The stdout "queries" map carries THIS round's rotation cohort (the
-    # 45 never-benched heavy families — VERDICT r7 ask #6) so the
-    # driver-recorded BENCH ledger gains 45 new per-query rows; "value"
-    # remains the 41-query HEADLINE wall, unchanged in meaning since r5,
-    # so suite_wall stays comparable round-over-round. Both cohorts'
-    # full timings live in BENCH_DETAIL.json ("queries" + "rotation").
+    # The stdout line carries THIS round's rotation cohort under the
+    # explicit "rotation_queries" key (ADVICE r8 #4: r8 shipped rotation
+    # times under "queries", silently changing that field's semantics;
+    # the rename keeps "queries" meaning headline-per-query wherever it
+    # appears). "value" remains the 41-query HEADLINE wall, unchanged in
+    # meaning since r5, so suite_wall stays comparable
+    # round-over-round. Both cohorts' full timings live in
+    # BENCH_DETAIL.json ("queries" + "rotation").
     headline = {
         "metric": "suite_wall",
         "value": result["value"],
         "unit": "sec",
-        "queries": rot_times,
-        "cohort": "rotation-r8; value = 41-query headline wall "
+        "rotation_queries": rot_times,
+        "cohort": "rotation-r9; value = 41-query headline wall "
         "(see BENCH_DETAIL.json)",
         "sf": sf,
     }
@@ -471,7 +520,7 @@ def main() -> int:
     if len(line) > 1900:
         # never let the headline outgrow the tail capture again: drop
         # the per-query map before the driver loses the whole line
-        headline["queries"] = {"_truncated": len(rot_times)}
+        headline["rotation_queries"] = {"_truncated": len(rot_times)}
         line = json.dumps(headline)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -235,19 +235,34 @@ def blocked_linkage_pairs(
     name_col: str,
     block_col: str,
     max_edit_distance: int,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Blocked record linkage: candidate pairs are generated ONLY within
     a block (equi-join on the blocking key — a shuffle hash join, never
     a cross product), ordered ``id < id`` so each unordered pair is
-    emitted exactly once, then scored with Levenshtein edit distance.
-    Returns one row per candidate pair with its distance and a match
-    flag.
+    emitted exactly once, then scored with THRESHOLDED Levenshtein edit
+    distance. Returns one row per candidate pair with its distance and a
+    match flag.
+
+    ``edit_distance`` uses the 3-arg bounded form: the exact distance
+    when it is <= ``max_edit_distance``, else the sentinel ``-1`` — the
+    banded DP costs O(len * threshold) per pair instead of O(len^2)
+    (the same fix that took the Ed-Join verify 37x cheaper on long
+    strings in r8). ``is_match`` is therefore ``edit_distance >= 0``;
+    callers that need unbounded distances should score separately.
 
     Scale: the quadratic compare is confined to each block, so cost is
-    sum(|block|^2); the blocking key must be designed to bound block
-    size (compose attributes, or pre-apply
-    ``operators.dedup.drop_oversized_groups`` to cap pathological
-    blocks — same discipline as the LSH band caps)."""
+    sum(|block|^2); the blocking key must be designed so block size
+    stays bounded as the corpus grows (compose attributes — never a
+    fixed-cardinality key alone). ``block_cap`` is the skew guard: when
+    set, blocks holding more than ``block_cap`` rows are DROPPED before
+    pairing via ``operators.dedup.drop_oversized_groups`` (map-side
+    combined count + anti-join, no hot-key window) — the same
+    discipline as the LSH band caps."""
+    if block_cap is not None:
+        from c3dc_etl_spark.operators.dedup import drop_oversized_groups
+
+        records = drop_oversized_groups(records, [block_col], block_cap)
     a = records.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("id_a"),
@@ -265,11 +280,13 @@ def blocked_linkage_pairs(
             F.col("__blk").alias("block_key"),
             "id_a",
             "id_b",
-            F.levenshtein("name_a", "name_b").alias("edit_distance"),
+            F.levenshtein(
+                "name_a", "name_b", int(max_edit_distance)
+            ).alias("edit_distance"),
         )
         .withColumn(
             "is_match",
-            (F.col("edit_distance") <= max_edit_distance).cast("int"),
+            (F.col("edit_distance") >= 0).cast("int"),
         )
     )
 

@@ -289,6 +289,44 @@ def _fold_w(c: str, v: str, width: int) -> str:
     )
 
 
+def _exact_l2_topk(spark, emb, queries) -> DataFrame:
+    """Exact brute-force L2 ground truth for a recall measurement, as
+    ONE broadcast join: the collected query batch becomes a small
+    (query_id, qv) frame broadcast against the candidate stream — plan
+    size constant in the query count (r8 verdict #3 replaced the
+    per-query ``_dist_sq_to_literal`` union tree with this shape). The
+    distance is the same zip_with + left-fold ``aggregate`` the literal
+    form compiled to, so the doubles — and the oracle's LIST_REDUCE
+    replay — are bit-identical."""
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    cands = emb.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), list(qv)) for qid, qv in queries],
+        schema="query_id bigint, qv array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("cv"), lambda q, x: (q - x) * (q - x)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = cands.join(
+        F.broadcast(qdf), F.col("candidate_id") != F.col("query_id")
+    ).select("query_id", "candidate_id", d.alias("d"))
+    return salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("d").asc(), F.col("candidate_id").asc()],
+        TOP_K,
+        salt=F.col("candidate_id"),
+    ).select("query_id", "candidate_id")
+
+
 def _pq_ctes() -> str:
     """Per-subspace slices, Lloyd's chains (PQ_ITERS assignment passes,
     final codebook = c{PQ_ITERS-1}), and per-vector code assignment —
@@ -449,32 +487,7 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, queries, books, dim=EMB_DIM, k=TOP_K
     ).select("query_id", "candidate_id")
 
-    from c3dc_etl_spark.operators.clustering import _dist_sq_to_literal
-    from c3dc_etl_spark.operators.skew import salted_topk
-
-    cands = emb.select(
-        F.col("vec_id").alias("candidate_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    )
-    import functools
-
-    from pyspark.sql import DataFrame as _DF
-
-    exact_frames = [
-        cands.filter(F.col("candidate_id") != qid).select(
-            F.lit(qid).cast("bigint").alias("query_id"),
-            "candidate_id",
-            _dist_sq_to_literal(F.col("cv"), qv).alias("d"),
-        )
-        for qid, qv in queries
-    ]
-    exact = salted_topk(
-        functools.reduce(_DF.unionByName, exact_frames),
-        ["query_id"],
-        [F.col("d").asc(), F.col("candidate_id").asc()],
-        TOP_K,
-        salt=F.col("candidate_id"),
-    ).select("query_id", "candidate_id")
+    exact = _exact_l2_topk(spark, emb, queries)
 
     hits = (
         exact.join(approx, ["query_id", "candidate_id"])
@@ -585,12 +598,14 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, so a query touches nprobe partitions of codes, never the
     corpus). Recall@{TOP_K} is measured against exact brute-force L2;
     the oracle replays coarse training, routing, PQ training, encoding,
-    and ADC with bit-shared doubles."""
+    and ADC with bit-shared doubles.
+
+    Plan shape (r8 verdict #3): the query batch rides ONE broadcast
+    lookup-table frame exploded driver-side to (query, probed cell)
+    rows and equi-joined on the cell id — plan size constant in the
+    query count, vs the per-query filter+union tree this replaces."""
     emb = load(spark, sf_dir, "embeddings")
-    from c3dc_etl_spark.operators.clustering import (
-        _dist_sq_to_literal,
-        _seq_sqdist,
-    )
+    from c3dc_etl_spark.operators.clustering import _seq_sqdist
     from c3dc_etl_spark.operators.skew import salted_topk
 
     _, coarse = C.lloyd_kmeans(emb, k=K, iters=ITERS, round_dp=MEAN_DP)
@@ -611,61 +626,38 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     queries = [(int(r["vec_id"]), list(r["v"])) for r in qrows]
-    width = EMB_DIM // PQ_M
-    import functools
-
-    from pyspark.sql import DataFrame as _DF
-
-    approx_frames = []
-    for qid, qv in queries:
-        # route: nprobe nearest coarse cells (ties to smaller cluster),
-        # computed driver-side with the shared sequential fold
-        ranked = sorted(
-            (( _seq_sqdist(qv, cv), cid) for cid, cv in coarse)
-        )[:NPROBE]
-        probed = [cid for _, cid in ranked]
-        adc = None
-        for ms, book in enumerate(books):
-            qsub = qv[ms * width:(ms + 1) * width]
-            lut = F.array(*[F.lit(_seq_sqdist(qsub, cv)) for _, cv in book])
-            term = F.element_at(lut, (F.col(f"code_{ms}") + 1).cast("int"))
-            adc = term if adc is None else adc + term
-        approx_frames.append(
-            codes.filter(
-                F.col("cc").isin(probed) & (F.col("vec_id") != qid)
-            ).select(
-                F.lit(qid).cast("bigint").alias("query_id"),
-                F.col("vec_id").alias("candidate_id"),
-                adc.alias("adc_dist"),
-            )
+    # route: each query's nprobe nearest coarse cells (ties to smaller
+    # cluster), computed driver-side with the shared sequential fold
+    probes = {
+        qid: [
+            cid
+            for _, cid in sorted(
+                (_seq_sqdist(qv, cv), cid) for cid, cv in coarse
+            )[:NPROBE]
+        ]
+        for qid, qv in queries
+    }
+    qdf = C.pq_query_lut_frame(
+        spark, queries, books, dim=EMB_DIM, probes=probes
+    )
+    scored = (
+        codes.join(F.broadcast(qdf), F.col("cc") == F.col("__cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            C.pq_adc_expr(PQ_M).alias("adc_dist"),
         )
+    )
     approx = salted_topk(
-        functools.reduce(_DF.unionByName, approx_frames),
+        scored,
         ["query_id"],
         [F.col("adc_dist").asc(), F.col("candidate_id").asc()],
         TOP_K,
         salt=F.col("candidate_id"),
     ).select("query_id", "candidate_id")
 
-    cands = emb.select(
-        F.col("vec_id").alias("candidate_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    )
-    exact_frames = [
-        cands.filter(F.col("candidate_id") != qid).select(
-            F.lit(qid).cast("bigint").alias("query_id"),
-            "candidate_id",
-            _dist_sq_to_literal(F.col("cv"), qv).alias("d"),
-        )
-        for qid, qv in queries
-    ]
-    exact = salted_topk(
-        functools.reduce(_DF.unionByName, exact_frames),
-        ["query_id"],
-        [F.col("d").asc(), F.col("candidate_id").asc()],
-        TOP_K,
-        salt=F.col("candidate_id"),
-    ).select("query_id", "candidate_id")
+    exact = _exact_l2_topk(spark, emb, queries)
 
     hits = (
         exact.join(approx, ["query_id", "candidate_id"])

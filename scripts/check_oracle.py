@@ -62,21 +62,37 @@ _LIBM_RE = re.compile(
 )
 
 
+def _skip_literal(sql: str, i: int) -> int:
+    """Given ``sql[i] == "'"``, return the index one past the literal's
+    closing quote, treating a doubled quote ('') as an ESCAPED quote
+    inside the literal (ADVICE r8 #2: without the one-char peek, a
+    literal like 'it''s' desyncs the scanner and the paren balancer)."""
+    j = i + 1
+    n = len(sql)
+    while j < n:
+        if sql[j] == "'":
+            if j + 1 < n and sql[j + 1] == "'":  # escaped '' stays inside
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
 def jitter_libm_sql(sql: str, rel: float) -> str:
     """Rewrite ``sql`` so every transcendental libm call's result is
     multiplied by ``(1 + rel)`` — simulating an engine whose libm
     differs from the local one by ``rel`` relative error. Handles
     nested calls (arguments are rewritten recursively) and skips
-    matches inside single-quoted string literals."""
+    matches inside single-quoted string literals (including SQL ''
+    escapes)."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
-        if sql[i] == "'":  # skip string literal
-            j = i + 1
-            while j < n and sql[j] != "'":
-                j += 1
-            out.append(sql[i : j + 1])
-            i = j + 1
+        if sql[i] == "'":  # skip string literal ('' = escaped quote)
+            j = _skip_literal(sql, i)
+            out.append(sql[i:j])
+            i = j
             continue
         m = _LIBM_RE.match(sql, i)
         if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
@@ -87,9 +103,7 @@ def jitter_libm_sql(sql: str, rel: float) -> str:
                 elif sql[j] == ")":
                     depth -= 1
                 elif sql[j] == "'":
-                    j += 1
-                    while j < n and sql[j] != "'":
-                        j += 1
+                    j = _skip_literal(sql, j) - 1
                 j += 1
             inner = jitter_libm_sql(sql[m.end() : j - 1], rel)
             out.append(
@@ -145,10 +159,18 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from c3dc_etl_spark.session import get_spark
 
+    import os
+
     argv = [a for a in sys.argv[1:] if a != "--jitter-libm"]
     jitter = len(argv) != len(sys.argv) - 1
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    # ADVICE r8 #3: `check_oracle.py --jitter-libm <query>` used to
+    # consume the query name as a nonexistent sf_dir and audit against
+    # missing views. The first positional is an sf_dir only if it IS a
+    # directory; otherwise it is a query name and the default dir holds.
+    if argv and os.path.isdir(argv[0]):
+        sf_dir, only = argv[0], set(argv[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(argv)
 
     if jitter:
         con = duckdb.connect()

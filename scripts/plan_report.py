@@ -84,8 +84,13 @@ def _agg_groups_on_primary_id(node) -> bool:
     ``(o_orderkey#5L % 32)`` — a bounded salt/bucket domain — do NOT
     count: only grouping on the raw id keeps ~table cardinality. (An
     id laundered through .alias() before the groupBy prints under the
-    alias name and escapes this check — a known, documented limit.)"""
-    s = node.simpleString(2000)
+    alias name and escapes this check — a known, documented limit.)
+
+    Truncation fails CLOSED (ADVICE r8 #1): the bound is generous
+    (100k chars), and a ``keys=[`` list that still runs past it —
+    depth never returns to 0 — is treated as grouping on a primary id
+    rather than silently losing tail entries."""
+    s = node.simpleString(100000)
     lo = s.find("keys=[")
     if lo < 0:
         return False
@@ -105,6 +110,8 @@ def _agg_groups_on_primary_id(node) -> bool:
         else:
             buf.append(ch)
         i += 1
+    if depth:
+        return True
     entries.append("".join(buf).strip())
     for e in entries:
         m = _BARE_KEY_RE.match(e)
@@ -166,6 +173,69 @@ def global_window_violations(root) -> list[str]:
         if not n.partitionSpec().isEmpty():
             continue
         if not all(_is_bounded(k) for k in _children(n)):
+            bad.append(n.simpleString(200))
+    return bad
+
+
+_SEQ_FANOUT_RE = re.compile(r"(?:pos)?explode\(sequence\((-?\d+),\s*(-?\d+)")
+
+
+def _generate_literal_fanout(node) -> int:
+    """Constant per-row multiplier of a GenerateExec, or 0 when the
+    fan-out is data-dependent. Catalyst constant-folds
+    ``sequence(<lit>, <lit>)`` into an array LITERAL, so the reliable
+    signal is the exploded literal's element count (read off the
+    generator expression); a not-yet-folded literal-bounded sequence is
+    caught by the simpleString regex as a fallback."""
+    try:
+        g = node.generator()
+        if g.getClass().getSimpleName() in ("Explode", "PosExplode"):
+            c0 = g.children().apply(0)
+            if c0.getClass().getSimpleName() == "Literal":
+                return int(c0.value().numElements())
+    except Exception:
+        pass
+    m = _SEQ_FANOUT_RE.search(node.simpleString(100000))
+    if m:
+        return int(m.group(2)) - int(m.group(1)) + 1
+    return 0
+
+
+def underparallel_fanout_violations(root, min_fanout: int = 16) -> list[str]:
+    """The spread()-before-hot-map lint (r8 verdict #8). The recurring
+    defect class: a Generate that multiplies every input row by a
+    LITERAL factor (``explode(sequence(<lit>, <lit>))`` — resampling
+    lanes, per-row trial grids) riding DIRECTLY on its scan's
+    partitioning. Local single-file parquet yields 1-2 input
+    partitions, so the multiplied stream runs on 2 of 32 cores — the
+    r8 bootstrap defect (4.8M generated rows, 97.6 s -> 3.0 s once
+    ``spread()`` re-partitioned the scan); at cluster scale the same
+    shape under-parallelizes any small-file or coalesced input.
+
+    Flags every GenerateExec whose generator is a literal-bounded
+    sequence explode spanning >= ``min_fanout`` AND whose input chain
+    contains no ShuffleExchange (a broadcast does not re-partition the
+    stream) AND whose input is not bounded by construction (a literal
+    frame / post-aggregate domain is small however it is partitioned).
+    Data-dependent explodes (shingles, token arrays) are out of scope:
+    their fan-out is proportional to the row, not a constant
+    multiplier, so the scan's partitioning already reflects the work."""
+    bad = []
+    for n in _walk(root):
+        if n.getClass().getSimpleName() != "GenerateExec":
+            continue
+        if _generate_literal_fanout(n) < min_fanout:
+            continue
+        kids = _children(n)
+        if all(_is_bounded(k) for k in kids):
+            continue
+        has_shuffle = any(
+            "ShuffleExchange" in d.getClass().getSimpleName()
+            or "ShuffleQueryStage" in d.getClass().getSimpleName()
+            for k in kids
+            for d in _walk(k)
+        )
+        if not has_shuffle:
             bad.append(n.simpleString(200))
     return bad
 

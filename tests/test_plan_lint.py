@@ -78,6 +78,12 @@ _BNLJ_ALLOWED = {
     "dedup_embedding_cosine",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
+    # r9: the PQ recall pair's exact-L2 ground truth (and plain ADC
+    # search) joins the broadcast QUERY batch on a non-equi predicate —
+    # the same bounded-broadcast shape as cosine_topk, now via the
+    # constant-plan-size lut frame instead of a per-query union tree
+    "ann_pq_adc_recall",
+    "ann_ivfpq_recall",
     # 1-row x 1-row scalar-aggregate combine (sketch stats x exact
     # counts): bounded by construction; a literal equi-key folds away
     "sketch_kmv_set_algebra",
@@ -364,14 +370,68 @@ def test_global_window_only_after_aggregation(spark, name):
     only because they run post-aggregation on a bounded domain. Pin the
     invariant: any single-partition WindowExec must have an aggregate
     (or bounded leaf/limit) in its subtree, so a future query cannot
-    silently sort 100 TB on one partition."""
-    from scripts.plan_report import global_window_violations
+    silently sort 100 TB on one partition.
 
+    The same plan walk also runs the r8 spread()-before-hot-map lint
+    (underparallel_fanout_violations): a literal-factor sequence
+    explode must not inherit a shuffle-free scan's 1-2 local
+    partitions — the r8 bootstrap defect class, now machine-checked
+    registry-wide."""
+    from scripts.plan_report import (
+        global_window_violations,
+        underparallel_fanout_violations,
+    )
+
+    root = REGISTRY[name].fn(spark, SF)._jdf.queryExecution().sparkPlan()
+    badf = underparallel_fanout_violations(root)
+    assert not badf, f"{name}: under-parallel constant fan-out: {badf}"
     if name in _GLOBAL_WINDOW_ALLOWED:
         pytest.skip("hand-reviewed bounded input")
-    root = REGISTRY[name].fn(spark, SF)._jdf.queryExecution().sparkPlan()
     bad = global_window_violations(root)
     assert not bad, f"{name}: unbounded global window(s): {bad}"
+
+
+def test_fanout_lint_fires_on_prefix_bootstrap_shape(spark):
+    """The lint must flag the exact shape the r8 bench rotation caught:
+    a single-file parquet scan (1-2 input partitions) feeding a
+    per-row explode(sequence(<lit>, <lit>)) resample-lane generator
+    with NO exchange in between — and pass the post-fix form, where
+    spread() re-partitions the scan before the hot map."""
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.operators.dedup import spread
+    from scripts.plan_report import underparallel_fanout_violations
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_quantity")
+    lanes = F.explode(F.sequence(F.lit(0), F.lit(49))).alias("lane")
+    pre_fix = li.select("l_quantity", lanes)
+    bad = underparallel_fanout_violations(
+        pre_fix._jdf.queryExecution().sparkPlan()
+    )
+    assert bad, "lint missed the shuffle-free constant-fan-out explode"
+
+    post_fix = spread(li).select("l_quantity", lanes)
+    ok = underparallel_fanout_violations(
+        post_fix._jdf.queryExecution().sparkPlan()
+    )
+    assert not ok, f"lint flagged the spread()-fixed shape: {ok}"
+
+    # bounded inputs are exempt however they are partitioned: a
+    # value-domain aggregate fanned out by a literal grid is small
+    agg = li.groupBy().agg(F.sum("l_quantity").alias("s"))
+    ok2 = underparallel_fanout_violations(
+        agg.select("s", lanes)._jdf.queryExecution().sparkPlan()
+    )
+    assert not ok2, f"lint flagged a bounded-input fan-out: {ok2}"
+
+    # and a SMALL literal fan-out (< min_fanout) is not a hot map
+    small = li.select(
+        "l_quantity", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("l")
+    )
+    ok3 = underparallel_fanout_violations(
+        small._jdf.queryExecution().sparkPlan()
+    )
+    assert not ok3, f"lint flagged a small fan-out: {ok3}"
 
 
 def test_global_window_lint_catches_violation(spark):

@@ -44,6 +44,54 @@ def test_bench_cohorts_are_registry_queries():
     assert len(set(bench.ROTATION)) == len(bench.ROTATION)
     # r7 verdict #6: >= 80 distinct benched queries across r7+r8
     assert len(set(bench.HEADLINE) | set(bench.ROTATION)) >= 80
+    # r8 verdict #5: each round's rotation cohort must be NEW wall-clock
+    # coverage — disjoint from every already-committed BENCH ledger row
+    # (the cumulative ledger only grows if the cohort truly rotates)
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    benched = set(bench.HEADLINE)
+    for fname in sorted(os.listdir(repo)):
+        if fname.startswith("BENCH_r") and fname.endswith(".json"):
+            with open(os.path.join(repo, fname)) as fh:
+                try:
+                    rec = json.load(fh)
+                except ValueError:
+                    continue
+            benched |= set(rec.get("queries") or {})
+            benched |= set(rec.get("rotation_queries") or {})
+    benched.discard("_truncated")
+    overlap = set(bench.ROTATION) & benched
+    assert not overlap, (
+        f"rotation cohort repeats already-benched queries: {sorted(overlap)}"
+    )
+
+
+def test_scale_check_cohort_contract():
+    """r8 verdict #2: the factor-5 scale_check is a rotating cohort —
+    a fixed round-comparable core plus per-round adjudicated-heavy
+    additions. Pins: all names are real registry queries (or custom
+    runners), core and rotation are disjoint, the rotation is
+    non-trivial (>= 6 queries), and the r8-named scale suspects are
+    covered this round."""
+    import bench
+
+    from c3dc_etl_spark.suite import REGISTRY
+
+    assert all(n in REGISTRY for n in bench.SCALE_CORE + bench.SCALE_ROTATION)
+    assert not set(bench.SCALE_CORE) & set(bench.SCALE_ROTATION)
+    assert len(set(bench.SCALE_ROTATION)) == len(bench.SCALE_ROTATION) >= 6
+    assert bench.SCALE_QUERIES == bench.SCALE_CORE + bench.SCALE_ROTATION
+    # round 9: the six queries the r8 verdict adjudicated as heavy
+    assert set(bench.SCALE_ROTATION) >= {
+        "record_linkage_blocked",
+        "dedup_prefix_filter",
+        "dedup_edit_distance",
+        "ann_ivfpq_recall",
+        "bootstrap_mean_ci",
+        "triangle_count_coorder",
+    }
 
 
 def test_entry_contract():
@@ -59,26 +107,29 @@ def test_entry_contract():
     ]
     assert len(set(e.PRIORITY)) == len(e.PRIORITY)
     assert set(qs) == set(REGISTRY)
-    # rotation policy (round 8, per the r7 verdict): the 9 registry
-    # queries that have never received a driver-dated CORRECTNESS row
-    # (registry minus the union of r1-r7 ledger keys — derived from the
-    # committed ledgers, not a hand-list) lead, then the two-round
-    # hash-fail survival_kaplan_meier (libm-free this round), then the
-    # driver-dated greens, stalest round first.
+    # rotation policy (round 9, per the r8 verdict item 6): the full
+    # ledger is green (union of r1-r8, latest row per query), so
+    # PRIORITY re-verifies the stalest driver dates first — the exact
+    # order is derived here from the committed CORRECTNESS_r* ledgers
+    # (latest round per query ascending, name as the tiebreak), never
+    # trusted from the hand-written list.
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest = {}
-    for r in range(1, 8):
+    for r in range(1, 9):
         with open(os.path.join(repo, f"CORRECTNESS_r0{r}.json")) as fh:
             for k in json.load(fh):
                 latest[k] = r
-    never = {n for n in REGISTRY if n not in latest}
-    order = list(qs)
-    owed = len(never - {"survival_kaplan_meier"})
-    assert set(order[:owed]) == never - {"survival_kaplan_meier"}
-    assert order[owed] == "survival_kaplan_meier"
-    # the tail is stalest-first by driver round (non-decreasing)
-    rounds = [latest[n] for n in order[owed + 1 :]]
-    assert rounds == sorted(rounds)
+    assert set(latest) >= set(REGISTRY), sorted(set(REGISTRY) - set(latest))
+    expected = sorted(REGISTRY, key=lambda n: (latest[n], n))
+    assert e.PRIORITY == expected, (
+        "PRIORITY must be the ledger-derived stalest-first order; "
+        "first divergence: "
+        + next(
+            f"pos {i}: {a} != {b}"
+            for i, (a, b) in enumerate(zip(e.PRIORITY, expected))
+            if a != b
+        )
+    )

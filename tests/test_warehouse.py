@@ -106,14 +106,92 @@ def test_linkage_pairs_unordered_once_and_matches_bounded(spark):
         key = (r["id_a"], r["id_b"])
         assert key not in seen, "pair emitted twice"
         seen.add(key)
-        assert r["edit_distance"] >= 0
-        assert r["is_match"] == int(r["edit_distance"] <= 1)
+        # thresholded scoring: exact distance within the threshold,
+        # the -1 sentinel above it — never an unbounded distance
+        assert r["edit_distance"] in (-1, 0, 1)
+        assert r["is_match"] == int(r["edit_distance"] >= 0)
     # within-block pair counts are exactly n*(n-1)/2
     sizes = (
         cust.groupBy("c_nationkey").count().collect()
     )
     expect = sum(s["count"] * (s["count"] - 1) // 2 for s in sizes)
     assert len(got) == expect
+
+
+def test_linkage_thresholded_is_match_equals_unbounded(spark):
+    """r8 verdict #7 pin: the 3-arg thresholded Levenshtein must flag
+    exactly the pairs the unbounded 2-arg form flags — the sentinel
+    changes the cost model (banded DP), never the match set."""
+    from c3dc_etl_spark.suite.registry import load
+
+    cust = load(spark, SF, "customer")
+    pairs = W.blocked_linkage_pairs(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_col="c_nationkey",
+        max_edit_distance=1,
+    )
+    ref = (
+        pairs.drop("edit_distance", "is_match")
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("id_a"),
+                F.col("c_name").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("id_b"),
+                F.col("c_name").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "ref_match",
+            (F.levenshtein("__na", "__nb") <= 1).cast("int"),
+        )
+    )
+    mism = (
+        pairs.select("id_a", "id_b", "is_match")
+        .join(ref.select("id_a", "id_b", "ref_match"), ["id_a", "id_b"])
+        .filter(F.col("is_match") != F.col("ref_match"))
+        .count()
+    )
+    assert mism == 0
+    # and at least one genuine match exists so the pin is not vacuous
+    assert pairs.filter(F.col("is_match") == 1).count() > 0
+
+
+def test_linkage_block_cap_drops_oversized_blocks(spark):
+    """block_cap wires drop_oversized_groups: a block above the cap is
+    dropped wholesale before pairing; blocks at or under it survive."""
+    from c3dc_etl_spark.suite.registry import load
+
+    cust = load(spark, SF, "customer")
+    sizes = {
+        r["c_nationkey"]: r["count"]
+        for r in cust.groupBy("c_nationkey").count().collect()
+    }
+    cap = sorted(sizes.values())[len(sizes) // 2]  # median size as cap
+    pairs = W.blocked_linkage_pairs(
+        cust,
+        id_col="c_custkey",
+        name_col="c_name",
+        block_col="c_nationkey",
+        max_edit_distance=1,
+        block_cap=cap,
+    ).collect()
+    surviving = {r["block_key"] for r in pairs}
+    # every oversized block is gone; every surviving block was in-cap
+    # (blocks of size <2 emit no pair, so check only what appears)
+    assert all(sizes[b] <= cap for b in surviving)
+    assert not any(
+        b in surviving for b, n in sizes.items() if n > cap
+    )
+    expect = sum(n * (n - 1) // 2 for n in sizes.values() if n <= cap)
+    assert len(pairs) == expect
 
 
 def test_dq_report_one_scan_and_failure_path(spark):
