@@ -261,8 +261,8 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     marker = os.path.join(out_dir, "_BUILT")
     stamp = (
         f"factor={factor} base={sf_dir} "
-        "tables=docs,events,orders,lineitem,customer,embeddings "
-        "custnames=v2\n"
+        "tables=docs,events,orders,lineitem,customer,embeddings,"
+        "supplier,part,nation,region custnames=v2\n"
     )
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -291,11 +291,22 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     # (cost is per-candidate ADC / brute-force scoring, never pairwise —
     # duplicated points change no cost shape, unlike the text tables)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # supplier/part ride the same +c*10M key offsets the scaled lineitem
+    # already applies to l_suppkey/l_partkey, so the x5 corpus is a
+    # complete FK-CONSISTENT star schema (any TPC-H join shape can join
+    # scale rotations without dangling keys). nation/region copy through
+    # VERBATIM: a 5x-larger business has more facts, not more nations —
+    # dimension constants must not grow or every per-nation block/group
+    # silently changes meaning at scale.
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
     ev_parts = []
     ord_parts = []
     li_parts = []
     cust_parts = []
     emb_parts = []
+    supp_parts = []
+    part_parts = []
     for c in range(factor):
         rot = _ALPHA[c:] + _ALPHA[:c]
         doc_parts.append(
@@ -333,6 +344,18 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         emb_parts.append(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * 10_000_000))
         )
+        supp_parts.append(
+            supp.withColumn(
+                "s_suppkey", F.col("s_suppkey") + F.lit(c * 10_000_000)
+            ).withColumn(
+                "s_name", F.format_string("Supplier#%09d", F.col("s_suppkey"))
+            )
+        )
+        part_parts.append(
+            part.withColumn(
+                "p_partkey", F.col("p_partkey") + F.lit(c * 10_000_000)
+            )
+        )
     union = lambda parts: functools.reduce(DataFrame.unionByName, parts)  # noqa: E731
     union(doc_parts).repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
@@ -352,6 +375,17 @@ def _ensure_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     union(emb_parts).repartition(8).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
+    union(supp_parts).repartition(4).write.mode("overwrite").parquet(
+        f"{out_dir}/supplier.parquet"
+    )
+    union(part_parts).repartition(4).write.mode("overwrite").parquet(
+        f"{out_dir}/part.parquet"
+    )
+    # dimension constants: verbatim copies, never scaled
+    for dim in ("nation", "region"):
+        spark.read.parquet(f"{sf_dir}/{dim}.parquet").repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{out_dir}/{dim}.parquet")
     with open(marker, "w") as fh:
         fh.write(stamp)
 

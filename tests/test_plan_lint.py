@@ -433,6 +433,26 @@ def test_fanout_lint_fires_on_prefix_bootstrap_shape(spark):
     )
     assert not ok3, f"lint flagged a small fan-out: {ok3}"
 
+    # the detector reads the folded literal's element count, so every
+    # constant-array spelling is covered, not just sequence():
+    # array_repeat and an explicit F.array both fold to array literals
+    rep = li.select(
+        "l_quantity",
+        F.explode(F.array_repeat(F.lit(1), 32)).alias("l"),
+    )
+    bad2 = underparallel_fanout_violations(
+        rep._jdf.queryExecution().sparkPlan()
+    )
+    assert bad2, "lint missed an array_repeat literal fan-out"
+    arr = li.select(
+        "l_quantity",
+        F.explode(F.array(*[F.lit(i) for i in range(20)])).alias("l"),
+    )
+    bad3 = underparallel_fanout_violations(
+        arr._jdf.queryExecution().sparkPlan()
+    )
+    assert bad3, "lint missed an explicit literal-array fan-out"
+
 
 def test_global_window_lint_catches_violation(spark):
     """Deliberate violation: a raw parquet scan straight into an
