@@ -59,9 +59,17 @@ def test_bench_cohorts_are_registry_queries():
                     rec = json.load(fh)
                 except ValueError:
                     continue
-            benched |= set(rec.get("queries") or {})
-            benched |= set(rec.get("rotation_queries") or {})
+            # driver records wrap the stdout JSON under "parsed"
+            for src in (rec, rec.get("parsed") or {}):
+                if isinstance(src, dict):
+                    benched |= set(src.get("queries") or {})
+                    benched |= set(src.get("rotation_queries") or {})
     benched.discard("_truncated")
+    # the derivation must actually see the prior rotation cohorts, not
+    # silently degrade to HEADLINE-only if the record shape drifts
+    assert len(benched) > len(set(bench.HEADLINE)), (
+        "BENCH ledger parse found no rotation rows — record shape drifted?"
+    )
     overlap = set(bench.ROTATION) & benched
     assert not overlap, (
         f"rotation cohort repeats already-benched queries: {sorted(overlap)}"
