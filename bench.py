@@ -525,6 +525,32 @@ def main() -> int:
             "queries": s_times,
             "linearity": linearity,
         }
+        # Cumulative committed record of every scale-linearity row ever
+        # measured: BENCH_DETAIL.json is overwritten per run, so without
+        # this the rotating SCALE_ROTATION cohort would FORGET prior
+        # rounds' rows the moment it rotates and re-propose old queries
+        # (scripts/rotate_cohorts.py reads this ledger; BENCH_r*'s
+        # stdout ledger plays the same role for the bench ROTATION).
+        ledger_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALE_LEDGER.json"
+        )
+        ledger = {}
+        if os.path.exists(ledger_path):
+            try:
+                with open(ledger_path) as fh:
+                    ledger = json.load(fh)
+            except ValueError:
+                ledger = {}
+        for name, lin in linearity.items():
+            ledger[name] = {
+                "linearity": lin,
+                "factor": factor,
+                "base_s": b_times[name],
+                "scaled_s": s_times[name],
+            }
+        with open(ledger_path, "w") as fh:
+            json.dump(ledger, fh, indent=1, sort_keys=True)
+            fh.write("\n")
 
     # Driver-parseability (VERDICT r6 #3): the driver captures only the
     # LAST ~2000 chars of stdout, so the r5/r6 full-detail line landed

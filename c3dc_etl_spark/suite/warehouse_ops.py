@@ -323,11 +323,15 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_oversized_groups as the skew guard for pathological keys. The
     r8 shape — blocking on nation alone — was O(n^2/25) and is the
     counterexample this query now documents."""
+    # F.concat (NOT concat_ws, which skips nulls) mirrors the oracle's
+    # null-propagating ||: a NULL name yields a NULL block key, which
+    # equi-joins nowhere on either engine — identical pair sets on any
+    # future corpus with null names
     cust = load(spark, sf_dir, "customer").withColumn(
         "__blk",
-        F.concat_ws(
-            "|",
+        F.concat(
             F.col("c_nationkey").cast("string"),
+            F.lit("|"),
             F.expr(
                 f"substring(c_name, 1, length(c_name) - {LINK_PREFIX_DROP})"
             ),

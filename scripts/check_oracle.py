@@ -167,10 +167,25 @@ def main() -> int:
     # consume the query name as a nonexistent sf_dir and audit against
     # missing views. The first positional is an sf_dir only if it IS a
     # directory; otherwise it is a query name and the default dir holds.
+    # Fail CLOSED on ambiguity: an arg that LOOKS like a path (has a
+    # separator) but is not a directory is a typo'd sf_dir, not a query
+    # name — reinterpreting it would green-light an audit of nothing.
     if argv and os.path.isdir(argv[0]):
         sf_dir, only = argv[0], set(argv[1:])
     else:
+        if argv and os.sep in argv[0]:
+            print(f"error: sf_dir {argv[0]!r} is not a directory")
+            return 2
         sf_dir, only = "/root/testdata/sf0.01", set(argv)
+
+    # unknown query names must fail loudly, not filter to an empty run
+    # that exits 0 having audited nothing
+    from c3dc_etl_spark.suite import REGISTRY
+
+    unknown = only - set(REGISTRY)
+    if unknown:
+        print(f"error: unknown query name(s): {sorted(unknown)}")
+        return 2
 
     if jitter:
         con = duckdb.connect()

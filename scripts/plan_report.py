@@ -86,10 +86,13 @@ def _agg_groups_on_primary_id(node) -> bool:
     id laundered through .alias() before the groupBy prints under the
     alias name and escapes this check — a known, documented limit.)
 
-    Truncation fails CLOSED (ADVICE r8 #1): the bound is generous
-    (100k chars), and a ``keys=[`` list that still runs past it —
-    depth never returns to 0 — is treated as grouping on a primary id
-    rather than silently losing tail entries."""
+    Truncation fails CLOSED (ADVICE r8 #1): ``simpleString``'s argument
+    is maxFIELDS (not characters) and Spark's truncatedString keeps the
+    brackets balanced, replacing the dropped tail with a
+    ``... N more fields`` marker — so the guard is (a) a generous 100k
+    field bound and (b) treating a truncation MARKER among the parsed
+    entries, or a list that still overruns the string, as grouping on a
+    primary id rather than silently losing tail keys."""
     s = node.simpleString(100000)
     lo = s.find("keys=[")
     if lo < 0:
@@ -114,6 +117,8 @@ def _agg_groups_on_primary_id(node) -> bool:
         return True
     entries.append("".join(buf).strip())
     for e in entries:
+        if e.endswith("more fields"):  # truncated tail: fail closed
+            return True
         m = _BARE_KEY_RE.match(e)
         if m and m.group(1) in _PRIMARY_ID_KEYS:
             return True
@@ -177,7 +182,10 @@ def global_window_violations(root) -> list[str]:
     return bad
 
 
-_SEQ_FANOUT_RE = re.compile(r"(?:pos)?explode\(sequence\((-?\d+),\s*(-?\d+)")
+_SEQ_FANOUT_RE = re.compile(
+    r"(?:pos)?explode\(sequence\((-?\d+),\s*(-?\d+)"
+    r"(?:,\s*(?:Some\()?(-?\d+))?"
+)
 
 
 def _generate_literal_fanout(node) -> int:
@@ -197,7 +205,9 @@ def _generate_literal_fanout(node) -> int:
         pass
     m = _SEQ_FANOUT_RE.search(node.simpleString(100000))
     if m:
-        return int(m.group(2)) - int(m.group(1)) + 1
+        step = abs(int(m.group(3))) if m.group(3) else 1
+        span = abs(int(m.group(2)) - int(m.group(1)))
+        return span // max(step, 1) + 1
     return 0
 
 

@@ -83,11 +83,17 @@ def benched_and_times() -> tuple[set[str], dict[str, float]]:
 
 
 def scale_covered() -> set[str]:
-    """Queries with a committed factor-5 linearity row (current
-    BENCH_DETAIL scale_check plus both bench.py scale cohorts)."""
+    """Queries with a committed factor-5 linearity row: the CUMULATIVE
+    SCALE_LEDGER.json (bench.py merges every run's rows into it, so
+    prior rounds' rotated-out coverage is never forgotten), plus the
+    current cohorts and BENCH_DETAIL as belt-and-braces."""
     import bench
 
     covered = set(bench.SCALE_CORE) | set(bench.SCALE_ROTATION)
+    ledger = os.path.join(REPO, "SCALE_LEDGER.json")
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            covered |= set(json.load(fh))
     detail = os.path.join(REPO, "BENCH_DETAIL.json")
     if os.path.exists(detail):
         with open(detail) as fh:

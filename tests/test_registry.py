@@ -46,31 +46,23 @@ def test_bench_cohorts_are_registry_queries():
     assert len(set(bench.HEADLINE) | set(bench.ROTATION)) >= 80
     # r8 verdict #5: each round's rotation cohort must be NEW wall-clock
     # coverage — disjoint from every already-committed BENCH ledger row
-    # (the cumulative ledger only grows if the cohort truly rotates)
-    import json
-    import os
+    # (the cumulative ledger only grows if the cohort truly rotates).
+    # One parser serves the CI pin AND the derivation tool — a record-
+    # shape change (like r8's queries -> rotation_queries rename) must
+    # be handled once, not kept in sync across two copies.
+    from scripts.rotate_cohorts import benched_and_times
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    benched = set(bench.HEADLINE)
-    for fname in sorted(os.listdir(repo)):
-        if fname.startswith("BENCH_r") and fname.endswith(".json"):
-            with open(os.path.join(repo, fname)) as fh:
-                try:
-                    rec = json.load(fh)
-                except ValueError:
-                    continue
-            # driver records wrap the stdout JSON under "parsed"
-            for src in (rec, rec.get("parsed") or {}):
-                if isinstance(src, dict):
-                    benched |= set(src.get("queries") or {})
-                    benched |= set(src.get("rotation_queries") or {})
-    benched.discard("_truncated")
+    benched, _ = benched_and_times()
+    # the ROTATION currently in bench.py is part of what the helper
+    # reports (via BENCH_DETAIL from a local run); the disjointness
+    # check is against rows committed by PRIOR rounds only
+    prior = benched - set(bench.ROTATION)
     # the derivation must actually see the prior rotation cohorts, not
     # silently degrade to HEADLINE-only if the record shape drifts
-    assert len(benched) > len(set(bench.HEADLINE)), (
+    assert len(prior) > len(set(bench.HEADLINE)), (
         "BENCH ledger parse found no rotation rows — record shape drifted?"
     )
-    overlap = set(bench.ROTATION) & benched
+    overlap = set(bench.ROTATION) & prior
     assert not overlap, (
         f"rotation cohort repeats already-benched queries: {sorted(overlap)}"
     )
@@ -118,26 +110,25 @@ def test_entry_contract():
     # rotation policy (round 9, per the r8 verdict item 6): the full
     # ledger is green (union of r1-r8, latest row per query), so
     # PRIORITY re-verifies the stalest driver dates first — the exact
-    # order is derived here from the committed CORRECTNESS_r* ledgers
-    # (latest round per query ascending, name as the tiebreak), never
-    # trusted from the hand-written list.
-    import json
-    import os
+    # order is derived from the committed CORRECTNESS_r* ledgers
+    # (latest round per query ascending, name as the tiebreak) via the
+    # SAME parser the derivation tool uses (globbed filenames, so
+    # round 10+ ledger names like CORRECTNESS_r10.json are not dropped
+    # by a hardcoded range), never trusted from the hand-written list.
+    from scripts.rotate_cohorts import ledger_latest
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest = {}
-    for r in range(1, 9):
-        with open(os.path.join(repo, f"CORRECTNESS_r0{r}.json")) as fh:
-            for k in json.load(fh):
-                latest[k] = r
+    latest = ledger_latest()
     assert set(latest) >= set(REGISTRY), sorted(set(REGISTRY) - set(latest))
     expected = sorted(REGISTRY, key=lambda n: (latest[n], n))
     assert e.PRIORITY == expected, (
         "PRIORITY must be the ledger-derived stalest-first order; "
         "first divergence: "
         + next(
-            f"pos {i}: {a} != {b}"
-            for i, (a, b) in enumerate(zip(e.PRIORITY, expected))
-            if a != b
+            (
+                f"pos {i}: {a} != {b}"
+                for i, (a, b) in enumerate(zip(e.PRIORITY, expected))
+                if a != b
+            ),
+            f"length {len(e.PRIORITY)} != {len(expected)}",
         )
     )
