@@ -518,6 +518,13 @@ def main() -> int:
                 f" -> {dt:.3f}s",
                 file=sys.stderr,
             )
+            # untimed heap hygiene between scale pairs: by this point
+            # the session has run ~3k stages and the x5 joins buffer
+            # large matched groups across 32 task threads — reclaiming
+            # broadcast/codegen residue eagerly keeps the marginal-heap
+            # OOM observed at 16g from recurring (GC runs OUTSIDE every
+            # timed window, so measurements are unaffected)
+            spark.sparkContext._jvm.System.gc()
         result["scale_check"] = {
             "factor": factor,
             "base_sf": sf,

@@ -46,7 +46,15 @@ def get_spark(app_name: str = "c3dc-etl-spark", **extra_conf: str) -> SparkSessi
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local-mode-only knob (a cluster sizes executors independently):
+        # in local[32] the driver heap IS the executor heap for all 32
+        # task threads. 16g was marginal for the round-9 scale cohort —
+        # a triangle-census x5 SortMergeJoin OOMed at ~3300 stages into
+        # a bench session (codegen output buffering of matched join
+        # groups x 32 concurrent tasks, on top of session-lifetime
+        # broadcast/codegen residue). 24g restores ~50% headroom on the
+        # 128 GiB box; measured timings are unchanged.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
