@@ -121,6 +121,16 @@ def main() -> int:
     print("]")
 
     seen, times = benched_and_times()
+    # builder-run sweep rows (scripts/bench_sweep.py) RANK the
+    # scale-rotation candidates below but never mark a query "benched":
+    # the driver-facing ROTATION keeps marching through all 300 so each
+    # eventually gets a driver-recorded row
+    sweep = os.path.join(REPO, "BENCH_LEDGER.json")
+    if os.path.exists(sweep):
+        with open(sweep) as fh:
+            for name, row in json.load(fh).items():
+                if "wall_s" in row:
+                    times.setdefault(name, float(row["wall_s"]))
     never = sorted(n for n in REGISTRY if n not in seen)
     print(f"\n# --- never-benched ({len(never)} left; pick the next"
           " ~45 for ROTATION) ---")
