@@ -125,10 +125,25 @@ def build_node(
         frames.append(source.select(*cols))
     df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
 
+    # Props provably non-blank in EVERY group (e.g. {uuid} ids) need no
+    # P6 filter: the check is a tautology, and predicate pushdown would
+    # inline the id's md5 expression into a Filter node where — unlike
+    # ProjectExec — codegen does no subexpression elimination, so the
+    # hash would evaluate ~6x per row for nothing. A group that lacks
+    # the prop contributes nothing to its set, so union-filled nulls
+    # (allowMissingColumns) can never be skipped past.
+    group_nonblank = [
+        {cf.prop for cf in compiled if cf.never_blank}
+        for compiled in groups.values()
+    ]
+    always_nonblank: set[str] = (
+        set.intersection(*group_nonblank) if group_nonblank else set()
+    )
+
     # P6: drop records missing any schema-required property
     # ('', null, [] and all-null arrays all count as missing)
     for req in ctx.registry.required_props(node):
-        if req not in df.columns:
+        if req not in df.columns or req in always_nonblank:
             continue
         c = F.col(req)
         if ctx.registry.prop(node, req).type == "array":
