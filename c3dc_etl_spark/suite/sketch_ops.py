@@ -268,16 +268,17 @@ FROM r WHERE rn = (n_rows + 1) // 2
 )
 def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global median (lower order statistic, k = ceil(n/2)) by
-    distributed selection — binary search on the VALUE domain: each
-    round one count-below-threshold aggregate narrows [lo, hi] until a
-    single integer remains. ~log2(range) rounds of a partial-agg count
-    over a pinned single-column frame — never a global sort, never a
-    single task holding the data, never materializing values on one
-    node (the scale failure of sort-based exact quantiles; the oracle's
-    ORDER BY/OFFSET is exactly the shape this query exists to avoid).
-    Values are exact integer cents, so termination and the result are
-    deterministic. Driver traffic: one scalar per round, ~35 rounds at
-    this domain width."""
+    distributed selection — iterated histogram refinement on the VALUE
+    domain (operators/selection.py): each round one <=1024-group
+    partial-agg histogram over a pinned single-column frame narrows
+    [lo, hi] by a factor of 1024 — never a global sort, never a single
+    task holding the data, never materializing values on one node (the
+    scale failure of sort-based exact quantiles; the oracle's ORDER
+    BY/OFFSET is exactly the shape this query exists to avoid). Values
+    are exact integer cents, so termination and the result are
+    deterministic. Driver traffic: <=16 KB of bucket counts per round,
+    ceil(log1024(range)) = 3 rounds at this domain width (the r1-r8
+    bisection form was ~25 sequential count jobs)."""
     from c3dc_etl_spark.pinning import pin
 
     li = load(spark, sf_dir, "lineitem")
@@ -303,16 +304,10 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint").alias("median_cents"),
         )
     k = (n + 1) // 2  # lower median, 1-indexed
-    while lo < hi:
-        mid = (lo + hi) // 2
-        below = cents.filter(F.col("cents") <= mid).count()
-        if below >= k:
-            hi = mid
-        else:
-            lo = mid + 1
+    med = _select_kth(cents, k, lo, hi)
     return spark.range(1).select(
         F.lit(n).cast("bigint").alias("n_rows"),
-        F.lit(lo).cast("bigint").alias("median_cents"),
+        F.lit(med).cast("bigint").alias("median_cents"),
     )
 
 
@@ -595,16 +590,12 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _select_kth(cents, k: int, lo: int, hi: int) -> int:
     """k-th (1-indexed) order statistic of a pinned integer column by
-    value-domain binary search — one count-below aggregate per round,
-    the same distributed-selection scheme as exact_median_selection."""
-    while lo < hi:
-        mid = (lo + hi) // 2
-        below = cents.filter(F.col("cents") <= mid).count()
-        if below >= k:
-            hi = mid
-        else:
-            lo = mid + 1
-    return lo
+    iterated histogram refinement (operators/selection.py) — one
+    <=1024-group partial-agg job per round, ceil(log1024(range))
+    rounds, vs ~log2(range) count-below jobs for the old bisection."""
+    from c3dc_etl_spark.operators.selection import select_kth
+
+    return select_kth(cents, "cents", k, lo, hi)
 
 
 _WINSOR_ORACLE = """
@@ -641,9 +632,10 @@ FROM cuts
 @query("feature_winsorize_clip", oracle=_WINSOR_ORACLE, tags=("sketch", "quality"))
 def feature_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust feature scaling by winsorization: EXACT p05/p95 cut
-    points via distributed selection (value-domain binary search — one
-    partial-agg count per round over the pinned cents column, never a
-    global sort), then one aggregate proving the clip (outlier counts
+    points via distributed selection (value-domain histogram
+    refinement — one <=1024-group partial-agg job per round over the
+    pinned cents column, ~3 rounds per cut point, never a global
+    sort), then one aggregate proving the clip (outlier counts
     on both sides + the exact clipped integer sum). The oracle's
     ROW_NUMBER order statistics are precisely the sort-based shape the
     selection scheme replaces at 100 TB. All integer cents — no
@@ -680,8 +672,12 @@ def feature_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     k05 = (n * 5 + 99) // 100
     k95 = (n * 95 + 99) // 100
+    # both searches take the FULL bracket: select_kth's ranks are
+    # global, so a narrowed lower bound (the old bisection's p05 reuse,
+    # whose count-below probe saw every row <= mid regardless of lo)
+    # would silently shift k95 by the weight below it
     p05 = _select_kth(cents, k05, lo, hi)
-    p95 = _select_kth(cents, k95, p05, hi)  # p95 >= p05: reuse the bound
+    p95 = _select_kth(cents, k95, lo, hi)
     clipped = F.when(F.col("cents") < p05, F.lit(p05)).when(
         F.col("cents") > p95, F.lit(p95)
     ).otherwise(F.col("cents"))
@@ -1436,12 +1432,12 @@ FROM tot
 @query("weighted_median_selection", oracle=_WMEDIAN_ORACLE, tags=("sketch",))
 def weighted_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT quantity-weighted median price by distributed selection —
-    exact_median_selection's weighted sibling: binary search on the
-    value domain where each round's probe is a WEIGHT-SUM-below
-    aggregate instead of a count, converging to the smallest value
-    whose cumulative weight reaches (W+1)/2. Same scale contract: no
-    global sort, one partial-agg scalar per round over a pinned
-    two-column frame, ~log2(range) rounds. Weights are integral
+    exact_median_selection's weighted sibling: histogram refinement on
+    the value domain where each round's buckets accumulate WEIGHT SUMS
+    instead of counts, converging to the smallest value whose
+    cumulative weight reaches (W+1)/2. Same scale contract: no global
+    sort, one partial-agg histogram job per round over a pinned
+    two-column frame, ceil(log1024(range)) rounds. Weights are integral
     (rule-2 floor on the 2-dp quantity) so W and the stopping rule are
     exact; the oracle states the same order statistic via a cumulative
     window (fine at test scale, the sort it embodies being exactly
@@ -1475,18 +1471,10 @@ def weighted_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     tw, lo, hi = int(tw), int(lo), int(hi)
     k = (tw + 1) // 2
-    while lo < hi:
-        mid = (lo + hi) // 2
-        below = int(
-            wf.filter(F.col("cents") <= mid)
-            .agg(F.coalesce(F.sum("wt"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
-        )
-        if below >= k:
-            hi = mid
-        else:
-            lo = mid + 1
+    from c3dc_etl_spark.operators.selection import select_kth
+
+    med = select_kth(wf, "cents", k, lo, hi, weight_col="wt")
     return spark.range(1).select(
         F.lit(tw).cast("bigint").alias("total_weight"),
-        F.lit(lo).cast("bigint").alias("weighted_median_cents"),
+        F.lit(med).cast("bigint").alias("weighted_median_cents"),
     )
