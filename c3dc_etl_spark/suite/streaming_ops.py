@@ -646,8 +646,21 @@ def streaming_outer_join_eviction(spark: SparkSession, sf_dir: str) -> DataFrame
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = tempfile.mkdtemp(prefix="outer_join_src_")
-    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "batch0.parquet"))
     events = read_events_parquet(spark, f"{sf_dir}/events.parquet")
+    # the real backlog must land as ONE micro-batch file: split across
+    # batches, the per-batch watermark advance would DROP late-ordered
+    # real rows mid-table and change the outer result. Test sf dirs
+    # hold single-file parquet (byte copy); the x5 scale corpus holds
+    # directory parquet (Spark write) — coalesce-rewrite to one file.
+    events_path = f"{sf_dir}/events.parquet"
+    if os.path.isfile(events_path):
+        shutil.copy(events_path, os.path.join(src, "batch0.parquet"))
+    else:
+        tmp0 = tempfile.mkdtemp(prefix="outer_join_batch0_")
+        events.coalesce(1).write.mode("overwrite").parquet(tmp0)
+        part0 = glob.glob(os.path.join(tmp0, "part-*.parquet"))[0]
+        shutil.move(part0, os.path.join(src, "batch0.parquet"))
+        shutil.rmtree(tmp0, ignore_errors=True)
     schema = events.schema
     ts_is_long = dict(events.dtypes)["ts"] == "bigint"
     far = events.select(F.max("ts").alias("m")).first()["m"]
