@@ -22,6 +22,7 @@ Determinism notes:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -57,11 +58,23 @@ def _table_stream(spark: SparkSession, sf_dir: str, table: str):
         read_events_parquet(spark, path) if table == "events"
         else spark.read.parquet(path)
     ).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{table}.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # directory parquet (the x5 scale corpus; test sf dirs are
+        # single files): the file source does NOT recurse into a
+        # directory matched by a glob — it would list zero files and
+        # silently stream an empty table — so stream the table
+        # directory itself and glob its part files.
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "part-*.parquet")
+            .parquet(path)
+        )
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{table}.parquet")
+            .parquet(sf_dir)
+        )
     return stream, schema
 
 

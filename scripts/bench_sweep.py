@@ -93,6 +93,13 @@ def main() -> int:
         ledger = _load(SCALE_LEDGER)
         for name in names:
             fn = bench.CUSTOM_SCALE.get(name, qs.get(name))
+            # untimed base warm-up: unlike bench.py's scale_check (which
+            # runs after the whole hot headline suite), a sweep probe
+            # may be the session's first execution of this plan — a
+            # JIT-cold base inflates the denominator and understates
+            # linearity
+            fn(spark, sf_dir).toArrow()
+            release_pinned()
             t0 = time.perf_counter()
             fn(spark, sf_dir).toArrow()
             release_pinned()
