@@ -132,3 +132,35 @@ def test_entry_contract():
             f"length {len(e.PRIORITY)} != {len(expected)}",
         )
     )
+
+
+def test_cumulative_ledgers_name_registry_queries():
+    """BENCH_LEDGER.json (builder sweep walls) and SCALE_LEDGER.json
+    (factor-5 linearity rows) are cumulative committed artifacts that
+    rotate_cohorts.py derives cohorts from — a renamed query must fail
+    here, not silently orphan its ledger rows. Scale rows must also
+    carry the full measurement record (factor, both walls)."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_ledger = os.path.join(repo, "BENCH_LEDGER.json")
+    if os.path.exists(bench_ledger):
+        with open(bench_ledger) as fh:
+            rows = json.load(fh)
+        orphans = sorted(n for n in rows if n not in REGISTRY)
+        assert not orphans, f"BENCH_LEDGER rows for unknown queries: {orphans}"
+        assert all(
+            ("wall_s" in r) ^ ("error" in r) for r in rows.values()
+        ), "each sweep row is a wall time or a recorded error, never both"
+    scale_ledger = os.path.join(repo, "SCALE_LEDGER.json")
+    if os.path.exists(scale_ledger):
+        with open(scale_ledger) as fh:
+            rows = json.load(fh)
+        import bench
+
+        known = set(REGISTRY) | set(bench.CUSTOM_SCALE)
+        orphans = sorted(n for n in rows if n not in known)
+        assert not orphans, f"SCALE_LEDGER rows for unknown queries: {orphans}"
+        for name, r in rows.items():
+            assert {"linearity", "factor", "base_s", "scaled_s"} <= set(r), name
