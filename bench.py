@@ -234,10 +234,39 @@ def _geo_scale_runner(spark, d: str):
     return grid_radius_join(pts, "id", "x", "y", RADIUS)
 
 
+def _geo_nn_scale_runner(spark, d: str):
+    """Density-constant scale runner for geo_nearest_neighbor — the
+    same fixed-grid trap as _geo_scale_runner: 5x points on the same
+    torus is 5x DENSITY, so within-horizon candidate volume grows
+    ~25x and the probe measures the densified world, not the operator
+    (first probe read 0.842). Each scaled copy lands in its own
+    x-region separated by > NN_RADIUS, so candidates — and the
+    replicated-cell shuffle — scale linearly."""
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.operators.geo import nearest_neighbor
+    from c3dc_etl_spark.suite.geo_ops import GRID, NN_RADIUS, _fold
+
+    cust = spark.read.parquet(f"{d}/customer.parquet").select("c_custkey")
+    region = F.expr("c_custkey div 10000000")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            (_fold("gx", "c_custkey") % GRID)
+            + region * F.lit(GRID + 2 * NN_RADIUS)
+        ).alias("x"),
+        (_fold("gy", "c_custkey") % GRID).alias("y"),
+    )
+    return nearest_neighbor(pts, "id", "x", "y", NN_RADIUS)
+
+
 # Scale-check entries that need a custom runner instead of the registry
 # callable (same callable on both sides of the ratio, so the comparison
 # stays apples-to-apples).
-CUSTOM_SCALE = {"geo_grid_radius_join": _geo_scale_runner}
+CUSTOM_SCALE = {
+    "geo_grid_radius_join": _geo_scale_runner,
+    "geo_nearest_neighbor": _geo_nn_scale_runner,
+}
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
