@@ -91,23 +91,31 @@ def main() -> int:
         os.makedirs(scale_dir, exist_ok=True)
         bench._ensure_scaled(spark, sf_dir, scale_dir, factor)
         ledger = _load(SCALE_LEDGER)
+        failed: list[str] = []
         for name in names:
             fn = bench.CUSTOM_SCALE.get(name, qs.get(name))
-            # untimed base warm-up: unlike bench.py's scale_check (which
-            # runs after the whole hot headline suite), a sweep probe
-            # may be the session's first execution of this plan — a
-            # JIT-cold base inflates the denominator and understates
-            # linearity
-            fn(spark, sf_dir).toArrow()
-            release_pinned()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).toArrow()
-            release_pinned()
-            base = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            fn(spark, scale_dir).toArrow()
-            release_pinned()
-            scaled = round(time.perf_counter() - t0, 3)
+            try:
+                # untimed base warm-up: unlike bench.py's scale_check
+                # (which runs after the whole hot headline suite), a
+                # sweep probe may be the session's first execution of
+                # this plan — a JIT-cold base inflates the denominator
+                # and understates linearity
+                fn(spark, sf_dir).toArrow()
+                release_pinned()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).toArrow()
+                release_pinned()
+                base = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                fn(spark, scale_dir).toArrow()
+                release_pinned()
+                scaled = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # report + continue; never a
+                # partial ledger row (test_registry pins row shape)
+                release_pinned()
+                failed.append(name)
+                print(f"# scale FAILED {name}: {exc}", file=sys.stderr)
+                continue
             lin = round(scaled / (factor * base), 3) if base else None
             print(f"# scale x{factor} {name}: base {base:.3f}s ->"
                   f" {scaled:.3f}s  linearity {lin}", file=sys.stderr)
@@ -120,6 +128,9 @@ def main() -> int:
             _dump(SCALE_LEDGER, ledger)
             # heap hygiene between x5 pairs, outside every timed window
             spark.sparkContext._jvm.System.gc()
+        if failed:
+            print(f"# scale probes failed: {failed}", file=sys.stderr)
+            return 1
         return 0
 
     ledger = _load(BENCH_LEDGER)
