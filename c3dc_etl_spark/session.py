@@ -41,6 +41,18 @@ def get_spark(app_name: str = "c3dc-etl-spark", **extra_conf: str) -> SparkSessi
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # bytes-aware reducer sizing: start shuffles at 2x the core
+        # count and let AQE coalesce small ones back — heavy shuffles
+        # (the triangle census at x5 spilled its wedge join at exactly
+        # 32 reducers: factor-5 wall 1.83x-per-unit, vs 0.92 here) get
+        # room without repartition hints, while the small-query path is
+        # unchanged (headline[:20] A/B: 21.5s @32 vs 22.3s @64; 128+
+        # doubles it in local mode, so this stays modest — a real
+        # cluster sets it to a large multiple of executor cores)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(2 * cpus),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
