@@ -517,6 +517,19 @@ def main() -> int:
         )
         os.makedirs(scale_dir, exist_ok=True)
         _ensure_scaled(spark, sf_dir, scale_dir, factor)
+        # probe-context reducer sizing (both sides of the ratio): the
+        # x-factor corpus gets the bytes-aware shuffle width a real
+        # cluster would give it — at fixed cores-count reducers the
+        # heavy single shuffles spill (triangle census x5: 1.83x-per-
+        # unit wall vs 0.98 with headroom), which measures the local
+        # session's memory ceiling, not the algorithm. Session-wide
+        # this knob costs +40-150% on iterative queries in local mode
+        # (r9 A/B), so it is scoped to the probes and restored after.
+        from c3dc_etl_spark.session import default_parallelism
+
+        _ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        _ipn_prev = spark.conf.get(_ipn_key, None)
+        spark.conf.set(_ipn_key, str(8 * default_parallelism()))
         s_times: dict[str, float] = {}
         b_times: dict[str, float] = {}
         linearity: dict[str, float] = {}
@@ -554,6 +567,10 @@ def main() -> int:
             # OOM observed at 16g from recurring (GC runs OUTSIDE every
             # timed window, so measurements are unaffected)
             spark.sparkContext._jvm.System.gc()
+        if _ipn_prev is None:
+            spark.conf.unset(_ipn_key)
+        else:
+            spark.conf.set(_ipn_key, _ipn_prev)
         result["scale_check"] = {
             "factor": factor,
             "base_sf": sf,

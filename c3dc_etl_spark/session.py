@@ -41,18 +41,17 @@ def get_spark(app_name: str = "c3dc-etl-spark", **extra_conf: str) -> SparkSessi
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # bytes-aware reducer sizing: start shuffles at 2x the core
-        # count and let AQE coalesce small ones back — heavy shuffles
-        # (the triangle census at x5 spilled its wedge join at exactly
-        # 32 reducers: factor-5 wall 1.83x-per-unit, vs 0.92 here) get
-        # room without repartition hints, while the small-query path is
-        # unchanged (headline[:20] A/B: 21.5s @32 vs 22.3s @64; 128+
-        # doubles it in local mode, so this stays modest — a real
-        # cluster sets it to a large multiple of executor cores)
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(2 * cpus),
-        )
+        # reducer count stays = cores here: raising AQE
+        # initialPartitionNum session-wide was measured (r9) to cost
+        # +40-150% on iterative queries (pagerank 4.8 -> 11.9s,
+        # k-core 4.9 -> 9.5s at 2x cores; headline wall 57 -> 80s) —
+        # local-mode per-task overhead dominates their many small
+        # per-iteration shuffles. The x5 scale probes, whose heavy
+        # single shuffles DO spill at fixed-cores reducers (triangle
+        # census: 1.83x-per-unit wall), set it temporarily in the
+        # probe context instead (bench.py scale_check, bench_sweep
+        # --scale) — the bytes-aware sizing a real cluster gives a 5x
+        # corpus, applied to BOTH sides of the ratio.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -90,6 +90,16 @@ def main() -> int:
         scale_dir = os.path.join(REPO, ".scale_bench", f"x{factor}")
         os.makedirs(scale_dir, exist_ok=True)
         bench._ensure_scaled(spark, sf_dir, scale_dir, factor)
+        # probe-context reducer sizing, same as bench.py scale_check:
+        # both sides of the ratio get the bytes-aware shuffle width a
+        # real cluster gives a scaled corpus; session-wide the knob
+        # costs +40-150% on iterative queries in local mode (r9 A/B)
+        from c3dc_etl_spark.session import default_parallelism
+
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * default_parallelism()),
+        )
         ledger = _load(SCALE_LEDGER)
         failed: list[str] = []
         for name in names:
