@@ -263,3 +263,59 @@ def test_build_node_required_filter_and_union(spark):
     rows = out.collect()
     # P6: blank/null participant_id records dropped
     assert [(r["participant_id"], r["sex_at_birth"]) for r in rows] == [("a", "Female")]
+
+
+def test_build_node_skips_tautological_uuid_filter(spark):
+    """A {uuid} id is provably non-blank (36-char md5 format), so the
+    P6 required filter must be SKIPPED: pushed below the projection it
+    would re-evaluate the md5 expression ~6x per row inside a Filter
+    node, where codegen does no subexpression elimination. Pins both
+    the semantics (no row ever drops) and the plan (no Filter carries
+    the hash)."""
+    maps = load_mappings(
+        [
+            {"output_field": "participant.participant_id",
+             "source_field": "[uuid]",
+             "replacement_values": [{"old_value": "*", "new_value": "{uuid}"}]},
+            {"output_field": "participant.sex_at_birth", "source_field": "sex"},
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "female"), (2, None), (3, "male")], "rid long, sex string"
+    )
+    out = build_node(df, "participant", maps, _ctx(), explode_subrecords=False)
+    rows = out.collect()
+    assert len(rows) == 3  # nothing can drop: the id never blanks
+    assert all(r["participant_id"] and len(r["participant_id"]) == 36 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "md5" not in line, "uuid hash pushed into a Filter node"
+
+
+def test_build_node_mixed_groups_keep_required_filter(spark):
+    """never_blank is an INTERSECTION across union groups: when one
+    type group lacks the required prop (unionByName null-fills it),
+    the P6 filter must still run — only props provably non-blank in
+    EVERY group may skip it."""
+    maps = load_mappings(
+        [
+            # group 1 emits a {uuid} id; group 2 does NOT map the id at
+            # all, so its records surface with a null participant_id
+            {"output_field": "participant.participant_id",
+             "source_field": "[uuid]", "type_group_index": "1",
+             "replacement_values": [{"old_value": "*", "new_value": "{uuid}"}]},
+            {"output_field": "participant.sex_at_birth",
+             "source_field": "sex", "type_group_index": "1"},
+            {"output_field": "participant.race",
+             "source_field": "race", "type_group_index": "2"},
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "female", "Asian")], "rid long, sex string, race string"
+    )
+    out = build_node(df, "participant", maps, _ctx(), explode_subrecords=False)
+    rows = out.collect()
+    # group 2's record has a null id and must be DROPPED by P6
+    assert len(rows) == 1
+    assert rows[0]["participant_id"] is not None
