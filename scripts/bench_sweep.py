@@ -144,7 +144,9 @@ def main() -> int:
         return 0
 
     ledger = _load(BENCH_LEDGER)
-    if not names:
+    if "--all" in argv:
+        names = sorted(qs)  # full refresh, e.g. after a conf change
+    elif not names:
         names = sorted(n for n in qs if n not in ledger)
     print(f"# sweeping {len(names)} queries at {sf_dir}", file=sys.stderr)
     for i, name in enumerate(names):
