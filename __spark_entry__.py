@@ -8,9 +8,15 @@ DuckDB-equivalent SQL for the value-hash correctness gate.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the derivations below import scripts.rotate_cohorts relative to this
+# file, wherever the driver's cwd happens to be
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from c3dc_etl_spark.suite import REGISTRY
 
@@ -23,317 +29,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate priority: the correctness gate verifies queries in dict
-# order (with a bounded ~50-query per-round window). Round-9 order, per
-# the r8 verdict item 6: the full ledger is green (union of r1-r8,
-# latest row per query = 300/300), so the rotation keeps the greens
-# honest by re-verifying the STALEST driver dates first — every entry
-# sorted by (latest driver round ascending, name) — putting the two
-# r2-dated and the r3-dated greens in this round's ~50-query window.
-# Every REGISTRY entry is included exactly once (asserted in
-# tests/test_registry.py, which derives the same order from the
-# committed CORRECTNESS_r* ledgers rather than trusting this list).
-PRIORITY = [
-    "text_repetition_stats",
-    "validate_column_checks",
-    "allowed_values_filter",
-    "amended_mapping_sink",
-    "anti_join_integrity",
-    "broadcast_lookup_join",
-    "config_merge_transformations",
-    "constant_injection",
-    "dedup_boilerplate_spans",
-    "default_coalesce",
-    "doc_chunk_windows",
-    "document_assembly",
-    "drop_duplicates_pairs",
-    "dupe_count_assertion",
-    "embedding_quantize_int8",
-    "engine_field_splice",
-    "engine_participant_node",
-    "enum_case_normalize",
-    "filter_project",
-    "fingerprint_dedup_first_wins",
-    "followup_primary_window",
-    "horizontal_sum_null",
-    "int_round_cast",
-    "mapping_static_validation",
-    "merged_document_assembly",
-    "multivalue_normalize",
-    "numeric_guard",
-    "range_join_events",
-    "reference_file_hashes",
-    "reference_file_plan",
-    "replace_chain",
-    "required_fields_filter",
-    "rollup_hypertable",
-    "row_numbering_lineage",
-    "rowmapped_rule_build",
-    "sample_domain_cap",
-    "schema_pv_checks",
-    "semi_join_exists",
-    "sink_duplicate_report",
-    "sketch_kmv_distinct",
-    "source_jsondir_fileorder",
-    "source_workbook_scan",
-    "streaming_session_windows",
-    "streaming_stateful_running_stats",
-    "streaming_windowed_counts",
-    "study_end_to_end",
-    "survival_latest_window",
-    "text_bpe_token_count",
-    "text_top_tokens",
-    "theta_rule_join",
-    "uuid_content_derived",
-    "workbook_sink_roundtrip",
-    "agg_grouping_cube",
-    "ann_ivf_kmeans_recall",
-    "ann_ivf_recall",
-    "bpe_tokenize_apply",
-    "bpe_train_merges",
-    "contamination_bloom_filter",
-    "corpus_drift_psi",
-    "corpus_snapshot_delta",
-    "distinct_count_per_node",
-    "doc_chunk_content_defined",
-    "engine_sum_macros",
-    "engine_typegroup_fanout",
-    "except_reconciliation",
-    "explode_subrecords",
-    "interval_overlap_events",
-    "join_bucketed_colocated",
-    "json_flatten",
-    "kmeans_cluster_purity",
-    "kmeans_embedding_clusters",
-    "link_wiring_collect",
-    "merge_first_wins_engine",
-    "minhash_estimation_error",
-    "multimodal_decode_real",
-    "multimodal_video_frames",
-    "ngram_lm_score",
-    "pivot_long_to_wide",
-    "profile_documents",
-    "q6_forecast_revenue_sql",
-    "rollup_merge_partials",
-    "sample_split_assign",
-    "sample_split_leakage_safe",
-    "sample_token_budget",
-    "sample_weighted_reservoir",
-    "semantic_dedup_clusters",
-    "sink_partitioned_pruning",
-    "source_corrupt_records",
-    "source_delimited_scan",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "storage_staged_scan",
-    "streaming_session_late_data",
-    "streaming_static_enrich",
-    "streaming_stream_stream_join",
-    "text_fingerprint",
-    "text_tfidf_keywords",
-    "text_token_counts",
-    "text_vocab_coverage",
-    "typegroup_fanout_union",
-    "unpivot_wide_to_long",
-    "window_functions_suite",
-    "ab_test_stats",
-    "agg_multi_distinct",
-    "ann_ivfpq_recall",
-    "ann_pq_adc_recall",
-    "cohort_retention",
-    "dedup_containment",
-    "dq_expectations_report",
-    "event_debounce",
-    "exact_median_selection",
-    "funnel_conversion",
-    "heavy_hitters_cms",
-    "label_propagation_vote",
-    "null_semantics_probe",
-    "pagerank_purchase_graph",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    "q2_best_balance_supplier",
-    "q4_priority_semijoin",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "quantile_sketch_error",
-    "record_linkage_blocked",
-    "rolling_time_stats",
-    "scd2_dimension_build",
-    "scd2_incremental_merge",
-    "scd2_point_in_time_join",
-    "sketch_hll_distinct",
-    "sketch_kmv_set_algebra",
-    "skew_salt_balance",
-    "source_json_column_extract",
-    "streaming_upsert_snapshot",
-    "table_log_merge_upsert",
-    "table_log_pruned_read",
-    "table_log_snapshot_read",
-    "table_log_time_travel",
-    "timeseries_gap_fill",
-    "triangle_count_coorder",
-    "zorder_block_skipping",
-    "agg_rollup_hierarchy",
-    "aggregate_filter_probe",
-    "ann_filtered_topk",
-    "argmax_aggregate_probe",
-    "asof_join_tolerance",
-    "classifier_train_stump",
-    "dp_noisy_release",
-    "embedding_pca_covariance",
-    "event_transition_matrix",
-    "ewma_daily_events",
-    "explode_outer_probe",
-    "feature_hashing_vectorize",
-    "feature_standardize_zscore",
-    "feature_winsorize_clip",
-    "fk_integrity_dashboard",
-    "geo_grid_radius_join",
-    "geo_morton_cells",
-    "geo_nearest_neighbor",
-    "graph_kcore_bounded",
-    "grouping_sets_probe",
-    "higher_order_functions_probe",
-    "langid_confusion_matrix",
-    "lateral_topk_per_group",
-    "link_prediction_common_neighbors",
-    "logreg_train_gd",
-    "markov_next_event_eval",
-    "mmr_diversified_topk",
-    "percentile_disc_cont_probe",
-    "recursive_cte_native",
-    "regressor_eval_r2",
-    "regressor_train_gd",
-    "sample_temperature_mixture",
-    "search_index_segment_merge",
-    "source_fixed_width_scan",
-    "streaming_outer_join_eviction",
-    "streaming_tablelog_upsert",
-    "string_functions_probe",
-    "table_log_change_feed",
-    "table_log_constraint_enforce",
-    "table_log_delete_where",
-    "table_log_history_audit",
-    "table_log_merge_cdc_deletes",
-    "table_log_optimize_zorder",
-    "table_log_schema_evolution",
-    "table_log_zorder_pruned_read",
-    "temporal_reachability",
-    "trending_items_decay",
-    "url_canonicalize_dedup",
-    "window_ignore_nulls_probe",
-    "acf_daily_events",
-    "anomaly_mad_daily",
-    "attribution_first_last_touch",
-    "benford_first_digit",
-    "bitwise_agg_probe",
-    "bootstrap_mean_ci",
-    "calendar_rollup_monthly",
-    "chi2_independence",
-    "classifier_train_tree2",
-    "column_gini_diversity",
-    "cusum_changepoint",
-    "dedup_edit_distance",
-    "dedup_prefix_filter",
-    "event_path_trigrams",
-    "feature_quantile_binning",
-    "graph_bfs_hops",
-    "graph_sssp_bounded",
-    "hierarchy_flatten_paths",
-    "interval_concurrency_sweep",
-    "k_anonymity_audit",
-    "ks_two_sample",
-    "mannwhitney_u_events",
-    "market_basket_rules",
-    "monthly_revenue_mom",
-    "nullsafe_join_probe",
-    "revenue_concentration_gini",
-    "rolling_distinct_users",
-    "rolling_hll_users",
-    "rolling_median_daily",
-    "search_bm25_topk",
-    "search_conjunctive",
-    "search_inverted_index",
-    "search_phrase_positions",
-    "search_proximity_window",
-    "seasonal_naive_backtest",
-    "set_ops_bag_semantics",
-    "share_of_parent_revenue",
-    "similarity_tfidf_pairs",
-    "skyline_pareto_parts",
-    "spearman_rank_corr",
-    "state_dwell_times",
-    "streak_gaps_islands",
-    "streaming_sliding_windows",
-    "table_checksum_reconcile",
-    "table_log_bloom_lookup",
-    "text_pmi_collocations",
-    "theilsen_trend",
-    "view_incremental_maintenance",
-    "window_frame_semantics_probe",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "asof_join_events",
-    "contamination_ngram_overlap",
-    "corpus_build_pipeline",
-    "dedup_cluster_best",
-    "dedup_cluster_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_lsh",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "domain_length_quantiles",
-    "domain_stats",
-    "embedding_norms",
-    "engine_latest_survival",
-    "engine_lookup_macros",
-    "engine_primary_follow_up",
-    "engine_subrecord_explode",
-    "join_fanout_audit",
-    "key_sequence_gaps",
-    "latency_percentiles_slo",
-    "merge_fingerprint_invariance",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "null_ordering_probe",
-    "pii_redaction",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_volume",
-    "sample_stratified_hash",
-    "sample_weighted_mixture",
-    "sequence_packing",
-    "sessionize_events",
-    "source_jsondir_dupkeys",
-    "source_jsondir_pivot",
-    "source_manifest_join",
-    "streaming_dedup_digests",
-    "streaming_dedup_ttl_state",
-    "survival_kaplan_meier",
-    "table_log_replace_where",
-    "text_language_id",
-    "text_quality_features",
-    "top_tokens_per_lang",
-    "weekly_rollup_iso",
-    "weighted_median_selection",
-]
+# order (with a bounded ~50-query per-round window). Round 10, per the
+# r9 verdict items 1-2: PRIORITY is DERIVED AT IMPORT from the same
+# committed artifacts the pinning test reads — never hand-pasted (the
+# r9 paste went stale the moment the driver landed CORRECTNESS_r09).
+# Order: queries whose code/oracle changed since their latest
+# driver-dated green row (effectively untested) first, then every
+# query stalest-driver-date-first. scripts/rotate_cohorts.py holds the
+# derivation; QUERY_HASHES.json carries the per-query content hashes
+# the change detection rides on.
+try:
+    from scripts.rotate_cohorts import priority_order
+
+    PRIORITY = priority_order()
+except Exception:  # pragma: no cover — ledgers unreadable on this
+    # machine; alphabetical keeps the gate deterministic and total
+    PRIORITY = sorted(REGISTRY)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -96,73 +96,68 @@ HEADLINE = [
     "graph_kcore_bounded",
 ]
 
-# Round-9 rotation cohort (#3, VERDICT r8 ask #5): the next 45
-# never-benched queries — streaming, the source/restructuring probes,
-# the engine/harmonization pipeline shapes, multimodal kernels, and the
-# remaining heavy temporal/relational/ANN families. Derived from
-# registry minus the union of BENCH_r* "queries" maps (r7+r8 covered
-# 86; this cohort takes the ledger to 131). Each entry runs one untimed
-# warm-up then a timed collect and rides the stdout line's
-# "rotation_queries" map; the 41-query HEADLINE wall stays the
-# round-comparable "value". tests/test_registry.py asserts the cohort
-# is disjoint from every committed BENCH ledger row, so reusing a
-# benched query here fails CI. Round 10+: swap for the next
-# never-benched slice (sampling, sketch/quality, text, validate/sink,
-# remaining joins/probes — same derivation).
+# Round-10 rotation cohort (#4, VERDICT r9 ask #4): the next 45
+# never-benched queries — the sampling, sketch/selection, quality,
+# text, and validate/sink families, exactly the families
+# scripts/rotate_cohorts.py groups as next. Derived from registry
+# minus the union of committed BENCH_r* "queries"/"rotation_queries"
+# maps (r7-r9 covered 131; this cohort takes the ledger to 176). Each
+# entry runs one untimed warm-up then a timed collect and rides the
+# stdout line's "rotation_queries" map; the 41-query HEADLINE wall
+# stays the round-comparable "value". tests/test_registry.py asserts
+# the cohort is disjoint from every committed BENCH ledger row, so
+# reusing a benched query here fails CI.
 ROTATION = [
-    # streaming family (plans execute in the stream engine; wall time
-    # here measures the full micro-batch drain at sf0.1)
-    "streaming_windowed_counts",
-    "streaming_sliding_windows",
-    "streaming_session_windows",
-    "streaming_session_late_data",
-    "streaming_dedup_digests",
-    "streaming_dedup_ttl_state",
-    "streaming_stateful_running_stats",
-    "streaming_static_enrich",
-    "streaming_stream_stream_join",
-    "streaming_outer_join_eviction",
-    "streaming_tablelog_upsert",
-    "streaming_upsert_snapshot",
-    # source / sink format probes
-    "source_delimited_scan",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "source_corrupt_records",
-    "source_fixed_width_scan",
-    "sink_partitioned_pruning",
-    # engine / harmonization pipeline shapes
-    "study_end_to_end",
-    "engine_typegroup_fanout",
-    "engine_subrecord_explode",
-    "engine_latest_survival",
-    "engine_primary_follow_up",
-    "rowmapped_rule_build",
-    # multimodal kernels (Arrow mapInPandas paths)
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_decode_real",
-    "multimodal_video_frames",
-    # heavy temporal shapes
-    "rolling_time_stats",
-    "interval_overlap_events",
-    "interval_concurrency_sweep",
-    "asof_join_tolerance",
-    "survival_kaplan_meier",
-    "event_transition_matrix",
-    "cohort_retention",
-    "latency_percentiles_slo",
-    # relational / window probes
-    "window_functions_suite",
-    "join_bucketed_colocated",
-    "lateral_topk_per_group",
-    "agg_grouping_cube",
-    "q6_forecast_revenue_sql",
-    # remaining heavy ANN / dedup shapes
-    "dedup_ngram_jaccard",
-    "ann_pq_adc_recall",
-    "semantic_dedup_clusters",
+    # sampling family
+    "sample_domain_cap",
+    "sample_split_assign",
+    "sample_split_leakage_safe",
+    "sample_stratified_hash",
+    "sample_token_budget",
+    "sample_weighted_mixture",
+    "sample_weighted_reservoir",
+    # sketch / exact-selection family
+    "exact_median_selection",
+    "feature_winsorize_clip",
+    "quantile_sketch_error",
+    "rolling_hll_users",
+    "sketch_hll_distinct",
+    "sketch_kmv_set_algebra",
+    "weighted_median_selection",
+    # quality / profiling family
+    "column_gini_diversity",
+    "domain_length_quantiles",
+    "domain_stats",
+    "dp_noisy_release",
+    "feature_quantile_binning",
+    "feature_standardize_zscore",
+    "join_fanout_audit",
+    "k_anonymity_audit",
+    "key_sequence_gaps",
+    "url_canonicalize_dedup",
+    # text family
+    "bpe_tokenize_apply",
+    "bpe_train_merges",
+    "corpus_build_pipeline",
+    "doc_chunk_content_defined",
+    "doc_chunk_windows",
+    "feature_hashing_vectorize",
+    "langid_confusion_matrix",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_language_id",
+    "text_pmi_collocations",
+    "text_repetition_stats",
+    "text_token_counts",
+    "text_top_tokens",
+    "text_vocab_coverage",
+    "top_tokens_per_lang",
+    # validate / sink probes
+    "fk_integrity_dashboard",
+    "mapping_static_validation",
+    "schema_pv_checks",
+    "validate_column_checks",
+    "workbook_sink_roundtrip",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is
@@ -187,19 +182,29 @@ SCALE_CORE = [
 
 # Rotating scale cohort (VERDICT r8 ask #2): three of round 8's four
 # real defects were caught only by AD-HOC factor-5 probes — this makes
-# that systematic. Each round swaps in ~6-10 adjudicated-heavy queries
+# that systematic. Each round swaps in ~6-12 adjudicated-heavy queries
 # (start from the most expensive rotation-bench entries that have no
 # committed linearity row yet); tests/test_registry.py pins the cohort
-# contract the way it pins PRIORITY. Round 9: the six the r8 verdict
-# named, including the re-keyed linkage whose "done" condition IS a
-# committed linearity row.
+# contract the way it pins PRIORITY. Round 10 (VERDICT r9 asks #3+#5):
+# the tablelog family — the largest data-plane component with zero
+# committed scale evidence (974 LoC sink/tablelog.py) — plus the
+# heaviest remaining rows the derivation prints (study_end_to_end,
+# fk_integrity_dashboard, document_assembly, json_flatten). The r9
+# cohort's rows live in SCALE_LEDGER.json; rotating them out loses
+# nothing (the ledger is cumulative).
 SCALE_ROTATION = [
-    "record_linkage_blocked",
-    "dedup_prefix_filter",
-    "dedup_edit_distance",
-    "ann_ivfpq_recall",
-    "bootstrap_mean_ci",
-    "triangle_count_coorder",
+    "table_log_snapshot_read",
+    "table_log_time_travel",
+    "table_log_optimize_zorder",
+    "table_log_constraint_enforce",
+    "table_log_change_feed",
+    "table_log_history_audit",
+    "table_log_zorder_pruned_read",
+    "table_log_delete_where",
+    "study_end_to_end",
+    "fk_integrity_dashboard",
+    "document_assembly",
+    "json_flatten",
 ]
 
 SCALE_QUERIES = SCALE_CORE + SCALE_ROTATION
@@ -529,10 +534,10 @@ def main() -> int:
 
         _ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
         _ipn_prev = spark.conf.get(_ipn_key, None)
-        spark.conf.set(_ipn_key, str(8 * default_parallelism()))
         s_times: dict[str, float] = {}
         b_times: dict[str, float] = {}
         linearity: dict[str, float] = {}
+        spark.conf.set(_ipn_key, str(8 * default_parallelism()))
         # Both sides of the ratio materialize via Arrow, not collect():
         # every value is still fetched to the driver, but as columnar
         # batches. Row-object collect() is itself linear (measured:
@@ -542,35 +547,40 @@ def main() -> int:
         # materialization proportional to data, so `linearity` reflects
         # the PLAN's scaling. The headline suite above keeps collect()
         # for round-to-round comparability.
-        for name in SCALE_QUERIES + list(CUSTOM_SCALE):
-            fn = CUSTOM_SCALE.get(name, qs.get(name))
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).toArrow()
-            release_pinned()
-            b_times[name] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            fn(spark, scale_dir).toArrow()
-            release_pinned()
-            dt = round(time.perf_counter() - t0, 3)
-            s_times[name] = dt
-            if b_times[name]:
-                linearity[name] = round(dt / (factor * b_times[name]), 3)
-            print(
-                f"# scale x{factor} {name}: base {b_times[name]:.3f}s"
-                f" -> {dt:.3f}s",
-                file=sys.stderr,
-            )
-            # untimed heap hygiene between scale pairs: by this point
-            # the session has run ~3k stages and the x5 joins buffer
-            # large matched groups across 32 task threads — reclaiming
-            # broadcast/codegen residue eagerly keeps the marginal-heap
-            # OOM observed at 16g from recurring (GC runs OUTSIDE every
-            # timed window, so measurements are unaffected)
-            spark.sparkContext._jvm.System.gc()
-        if _ipn_prev is None:
-            spark.conf.unset(_ipn_key)
-        else:
-            spark.conf.set(_ipn_key, _ipn_prev)
+        try:
+            for name in SCALE_QUERIES + list(CUSTOM_SCALE):
+                fn = CUSTOM_SCALE.get(name, qs.get(name))
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).toArrow()
+                release_pinned()
+                b_times[name] = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                fn(spark, scale_dir).toArrow()
+                release_pinned()
+                dt = round(time.perf_counter() - t0, 3)
+                s_times[name] = dt
+                if b_times[name]:
+                    linearity[name] = round(dt / (factor * b_times[name]), 3)
+                print(
+                    f"# scale x{factor} {name}: base {b_times[name]:.3f}s"
+                    f" -> {dt:.3f}s",
+                    file=sys.stderr,
+                )
+                # untimed heap hygiene between scale pairs: by this point
+                # the session has run ~3k stages and the x5 joins buffer
+                # large matched groups across 32 task threads — reclaiming
+                # broadcast/codegen residue eagerly keeps the marginal-heap
+                # OOM observed at 16g from recurring (GC runs OUTSIDE every
+                # timed window, so measurements are unaffected)
+                spark.sparkContext._jvm.System.gc()
+        finally:
+            # restore even when a probe raises (e.g. a scaled-
+            # corpus read failure) — a leaked 8x-cores reducer
+            # override would distort the rest of the session
+            if _ipn_prev is None:
+                spark.conf.unset(_ipn_key)
+            else:
+                spark.conf.set(_ipn_key, _ipn_prev)
         result["scale_check"] = {
             "factor": factor,
             "base_sf": sf,

@@ -159,13 +159,18 @@ def compile_field(mapping: FieldMapping, ctx: CompilerContext) -> CompiledField:
         value = F.lit(None)
 
     # a single always-matching {uuid} arm yields a value that can never
-    # be blank (md5-hex 8-4-4-4-12 over coalesced non-null parts), and
-    # schema_convert's string path preserves non-blankness
+    # be blank (md5-hex 8-4-4-4-12 over coalesced non-null parts) — but
+    # only schema_convert's PLAIN-string path preserves non-blankness.
+    # An enum-constrained prop nulls values outside its PV list, and an
+    # integer/number prop's cast nulls the hex string, so the proof (and
+    # the P6 filter skip it licenses) is gated to plain no-enum strings.
     never_blank = (
         len(mapping.replacement_values) == 1
         and mapping.replacement_values[0].macro() is not None
         and mapping.replacement_values[0].macro()[0] == "uuid"
         and mapping.replacement_values[0].old_value == WILDCARD_ALWAYS
+        and prop.type == "string"
+        and not prop.enum
     )
     if any_final:
         return CompiledField(

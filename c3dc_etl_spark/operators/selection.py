@@ -48,9 +48,12 @@ def select_kth(
     """Smallest integer v in [lo, hi] with cumulative weight of rows
     where ``value_col <= v`` at least ``k`` (1-indexed rank; weight 1
     per row unless ``weight_col`` names a non-negative integral
-    column). ``[lo, hi]`` must bracket every value of ``value_col`` and
-    ``1 <= k <= total weight`` — the standard order-statistic contract
-    the bisection form had.
+    column). ``[lo, hi]`` must bracket every value of ``value_col``,
+    ``1 <= k <= total weight``, and ``value_col`` / ``weight_col`` must
+    be non-null on every row — ranks are over a total order, which a
+    null has no place in; a null raises instead of silently landing in
+    a phantom bucket. The standard order-statistic contract the
+    bisection form had.
 
     ``df`` should be pinned by the caller: every round scans it once.
     """
@@ -86,6 +89,19 @@ def select_kth(
                 (c >= F.lit(lo)) & (c <= F.lit(hi))
             ).groupBy(bin_expr.alias("__bin"))
         rows = binned.agg(F.sum(wt).alias("__w")).collect()
+        # nulls fall through every when() to a null __bin (and an
+        # all-null weight group sums to null) — surface the contract
+        # violation, don't TypeError inside sorted()/int()
+        if any(r["__bin"] is None for r in rows):
+            raise ValueError(
+                f"{value_col!r} contains nulls — select_kth ranks "
+                "require non-null values"
+            )
+        if any(r["__w"] is None for r in rows):
+            raise ValueError(
+                f"{weight_col!r} is null across an entire bucket — "
+                "select_kth weights must be non-null"
+            )
         hist = sorted((r["__bin"], int(r["__w"])) for r in rows)
         if first:
             if any(b in (-1, bins) for b, _ in hist):
@@ -103,8 +119,10 @@ def select_kth(
                 break
             cum += w
         else:
+            # no break: k was never decremented on this path, so the
+            # rank relative to the current bracket is just k
             raise ValueError(
-                f"rank {k + cum} exceeds bracket weight {cum} — "
+                f"rank {k} exceeds bracket weight {cum} — "
                 f"[lo, hi] does not cover the data or k > total weight"
             )
     return lo

@@ -100,44 +100,52 @@ def main() -> int:
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(8 * default_parallelism()),
         )
-        ledger = _load(SCALE_LEDGER)
-        failed: list[str] = []
-        for name in names:
-            fn = bench.CUSTOM_SCALE.get(name, qs.get(name))
-            try:
-                # untimed base warm-up: unlike bench.py's scale_check
-                # (which runs after the whole hot headline suite), a
-                # sweep probe may be the session's first execution of
-                # this plan — a JIT-cold base inflates the denominator
-                # and understates linearity
-                fn(spark, sf_dir).toArrow()
-                release_pinned()
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).toArrow()
-                release_pinned()
-                base = round(time.perf_counter() - t0, 3)
-                t0 = time.perf_counter()
-                fn(spark, scale_dir).toArrow()
-                release_pinned()
-                scaled = round(time.perf_counter() - t0, 3)
-            except Exception as exc:  # report + continue; never a
-                # partial ledger row (test_registry pins row shape)
-                release_pinned()
-                failed.append(name)
-                print(f"# scale FAILED {name}: {exc}", file=sys.stderr)
-                continue
-            lin = round(scaled / (factor * base), 3) if base else None
-            print(f"# scale x{factor} {name}: base {base:.3f}s ->"
-                  f" {scaled:.3f}s  linearity {lin}", file=sys.stderr)
-            ledger[name] = {
-                "linearity": lin,
-                "factor": factor,
-                "base_s": base,
-                "scaled_s": scaled,
-            }
-            _dump(SCALE_LEDGER, ledger)
-            # heap hygiene between x5 pairs, outside every timed window
-            spark.sparkContext._jvm.System.gc()
+        try:
+            ledger = _load(SCALE_LEDGER)
+            failed: list[str] = []
+            for name in names:
+                fn = bench.CUSTOM_SCALE.get(name, qs.get(name))
+                try:
+                    # untimed base warm-up: unlike bench.py's scale_check
+                    # (which runs after the whole hot headline suite), a
+                    # sweep probe may be the session's first execution of
+                    # this plan — a JIT-cold base inflates the denominator
+                    # and understates linearity
+                    fn(spark, sf_dir).toArrow()
+                    release_pinned()
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).toArrow()
+                    release_pinned()
+                    base = round(time.perf_counter() - t0, 3)
+                    t0 = time.perf_counter()
+                    fn(spark, scale_dir).toArrow()
+                    release_pinned()
+                    scaled = round(time.perf_counter() - t0, 3)
+                except Exception as exc:  # report + continue; never a
+                    # partial ledger row (test_registry pins row shape)
+                    release_pinned()
+                    failed.append(name)
+                    print(f"# scale FAILED {name}: {exc}", file=sys.stderr)
+                    continue
+                lin = round(scaled / (factor * base), 3) if base else None
+                print(f"# scale x{factor} {name}: base {base:.3f}s ->"
+                      f" {scaled:.3f}s  linearity {lin}", file=sys.stderr)
+                ledger[name] = {
+                    "linearity": lin,
+                    "factor": factor,
+                    "base_s": base,
+                    "scaled_s": scaled,
+                }
+                _dump(SCALE_LEDGER, ledger)
+                # heap hygiene between x5 pairs, outside every timed window
+                spark.sparkContext._jvm.System.gc()
+        finally:
+            # the process exits right after, but restore anyway so a
+            # future caller embedding this loop cannot leak the probe
+            # override into its session
+            spark.conf.unset(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
         if failed:
             print(f"# scale probes failed: {failed}", file=sys.stderr)
             return 1

@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
-"""Per-round rotation derivations, mechanized (round 9).
+"""Per-round rotation derivations, mechanized (rounds 9-10).
 
 Three cohorts rotate every round; each is DERIVED from committed
 artifacts, never hand-curated, and each has a test pinning the result:
 
-1. PRIORITY (driver correctness window): every registry query sorted by
-   (latest driver-dated CORRECTNESS round ascending, name) — stalest
-   greens re-verify first. Pinned exactly by tests/test_registry.py.
+1. PRIORITY (driver correctness window): semantic-change-first, then
+   stalest-first — every registry query sorted by (changed-since-its-
+   latest-driver-date DESC, latest driver round ASC, name). A query
+   whose code or oracle changed after the driver last certified it is
+   effectively untested regardless of how "fresh" its ledger row looks
+   (r9 verdict "What's wrong #2"); ``priority_order()`` computes the
+   list and ``__spark_entry__.PRIORITY`` imports it directly — nothing
+   is hand-pasted (r9 verdict "What's wrong #1").
 2. bench ROTATION (~45/round): never-benched queries — registry minus
    HEADLINE minus every committed BENCH_r* "queries"/"rotation_queries"
    row. Pinned disjoint by tests/test_registry.py.
@@ -15,13 +20,21 @@ artifacts, never hand-curated, and each has a test pinning the result:
    committed wall time. Contract pinned by
    tests/test_registry.py::test_scale_check_cohort_contract.
 
-Run with no arguments from the repo root; paste the printed PRIORITY
-list into __spark_entry__.py and pick the next ROTATION/SCALE_ROTATION
-slices from the grouped candidates. Purely static — no SparkSession.
+Change detection rides QUERY_HASHES.json: ``--snapshot`` (run once per
+round, before the final commit) records a content hash per query —
+its defining suite module, that module's first-level package imports,
+and its oracle text. The driver tests exactly that commit, so when the
+next CORRECTNESS_r{N} lands, the snapshot's hashes are what round N
+certified; the derived ``certified_view()`` overlays those rows and
+``changed_queries()`` flags every query whose current hash differs
+from its certified one. Purely static — no SparkSession.
 """
 
 from __future__ import annotations
 
+import ast
+import functools
+import hashlib
 import json
 import os
 import sys
@@ -29,6 +42,38 @@ from collections import defaultdict
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+QUERY_HASHES_FILE = os.path.join(REPO, "QUERY_HASHES.json")
+
+# Bootstrap seed: queries whose SEMANTICS changed in the named round
+# after their then-latest driver-dated row — changes QUERY_HASHES.json
+# predates and therefore cannot see. A seed entry is inert once the
+# driver certifies the query at a round >= the named round (the round
+# comparison below), so entries retire themselves; delete them when
+# they do. Round 9 set per the r9 verdict: the linkage re-key, the
+# PQ/IVF-PQ broadcast rewrite, the never_blank fan-out change, and the
+# 12 streaming queries' shared _run_to_memory re-scope (three of the
+# twelve drew r9 driver rows under the new semantics and so fall out
+# via the comparison).
+CHANGED_SEED = {
+    "record_linkage_blocked": 9,
+    "ann_ivfpq_recall": 9,
+    "ann_pq_adc_recall": 9,
+    "typegroup_fanout_union": 9,
+    "engine_sum_macros": 9,
+    "streaming_windowed_counts": 9,
+    "streaming_sliding_windows": 9,
+    "streaming_session_windows": 9,
+    "streaming_session_late_data": 9,
+    "streaming_dedup_digests": 9,
+    "streaming_dedup_ttl_state": 9,
+    "streaming_stateful_running_stats": 9,
+    "streaming_static_enrich": 9,
+    "streaming_stream_stream_join": 9,
+    "streaming_outer_join_eviction": 9,
+    "streaming_tablelog_upsert": 9,
+    "streaming_upsert_snapshot": 9,
+}
 
 
 def ledger_latest() -> dict[str, int]:
@@ -43,6 +88,175 @@ def ledger_latest() -> dict[str, int]:
             for k in json.load(fh):
                 latest[k] = max(latest.get(k, 0), rnd)
     return latest
+
+
+def _module_file(modname: str) -> str | None:
+    parts = modname.split(".")
+    p = os.path.join(REPO, *parts) + ".py"
+    if os.path.exists(p):
+        return p
+    p = os.path.join(REPO, *parts, "__init__.py")
+    return p if os.path.exists(p) else None
+
+
+@functools.lru_cache(maxsize=None)
+def _file_digest(path: str) -> str:
+    with open(path, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
+@functools.lru_cache(maxsize=None)
+def _module_closure(modname: str) -> tuple[str, ...]:
+    """The module's file plus the files of its first-level
+    c3dc_etl_spark imports (suite modules import the operators they
+    exercise with absolute imports, so one level captures the code a
+    query's semantics actually ride on without dragging in the whole
+    package)."""
+    f = _module_file(modname)
+    if f is None:
+        return ()
+    files = {f}
+    tree = ast.parse(open(f, "rb").read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            mods = [a.name for a in node.names]
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            # `from pkg import sub` may name a module, not a symbol
+            mods = [node.module] + [
+                f"{node.module}.{a.name}" for a in node.names
+            ]
+        else:
+            continue
+        for m in mods:
+            if m.startswith("c3dc_etl_spark"):
+                mf = _module_file(m)
+                if mf:
+                    files.add(mf)
+    return tuple(sorted(files))
+
+
+def query_hashes() -> dict[str, str]:
+    """Per-query content hash: the query function's defining module,
+    that module's first-level package imports, and the oracle SQL. A
+    hash change means the driver's last green row no longer certifies
+    the code as it sits."""
+    from c3dc_etl_spark.suite import REGISTRY
+
+    out: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        fn = getattr(spec.fn, "__wrapped__", spec.fn)
+        h = hashlib.sha256()
+        for path in _module_closure(fn.__module__):
+            h.update(os.path.relpath(path, REPO).encode())
+            h.update(b"\0")
+            h.update(_file_digest(path).encode())
+            h.update(b"\0")
+        h.update((spec.oracle or "").encode())
+        out[name] = h.hexdigest()[:16]
+    return out
+
+
+def _green(row: dict) -> bool:
+    """A driver row certifies a query when it errored nowhere and every
+    recorded comparison matched (rows-only checks omit hash/schema)."""
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+    )
+
+
+def certified_view() -> dict[str, dict]:
+    """name -> {"round": N, "hash": h}: the content hash the driver's
+    latest green row actually tested. Derived (never trusted stale)
+    from the committed QUERY_HASHES.json plus any CORRECTNESS ledger
+    that landed for its snapshot round — so a round-start import sees
+    the new driver rows before --snapshot has been re-run."""
+    if not os.path.exists(QUERY_HASHES_FILE):
+        return {}
+    with open(QUERY_HASHES_FILE) as fh:
+        data = json.load(fh)
+    certified = dict(data.get("certified") or {})
+    snap_round = data.get("snapshot_round")
+    snap = data.get("snapshot") or {}
+    if snap_round is not None:
+        cfile = os.path.join(REPO, f"CORRECTNESS_r{snap_round:02d}.json")
+        if not os.path.exists(cfile):
+            cfile = os.path.join(REPO, f"CORRECTNESS_r{snap_round}.json")
+        if os.path.exists(cfile):
+            with open(cfile) as fh:
+                for name, row in json.load(fh).items():
+                    if _green(row) and name in snap:
+                        certified[name] = {
+                            "round": snap_round, "hash": snap[name]
+                        }
+    return certified
+
+
+def changed_queries(
+    latest: dict[str, int] | None = None,
+    current: dict[str, str] | None = None,
+) -> set[str]:
+    """Queries the driver has not certified under their CURRENT
+    semantics: hash differs from the certified one, never driver-
+    tested at all, or seeded as changed after their latest driver date
+    (pre-hash-ledger bootstrap)."""
+    latest = ledger_latest() if latest is None else latest
+    current = query_hashes() if current is None else current
+    certified = certified_view()
+    changed: set[str] = set()
+    for name, h in current.items():
+        lr = latest.get(name, 0)
+        if lr == 0:
+            changed.add(name)
+            continue
+        row = certified.get(name)
+        if row is not None and row.get("round", 0) >= lr:
+            if row.get("hash") != h:
+                changed.add(name)
+        elif CHANGED_SEED.get(name, 0) > lr:
+            changed.add(name)
+    return changed
+
+
+def priority_order() -> list[str]:
+    """The full PRIORITY list __spark_entry__ imports: semantically-
+    changed (or never-tested) queries first, then everything
+    stalest-driver-date-first, names as the tiebreak."""
+    from c3dc_etl_spark.suite import REGISTRY
+
+    latest = ledger_latest()
+    changed = changed_queries(latest)
+    return sorted(
+        REGISTRY,
+        key=lambda n: (0 if n in changed else 1, latest.get(n, 0), n),
+    )
+
+
+def snapshot_hashes() -> None:
+    """--snapshot: persist the derived certified view plus a fresh
+    per-query hash snapshot stamped with the round the NEXT driver run
+    will test (max committed CORRECTNESS round + 1). Run once per
+    round before the final commit; idempotent within a round."""
+    certified = certified_view()
+    rounds = [
+        int(f[len("CORRECTNESS_r"):-len(".json")])
+        for f in os.listdir(REPO)
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    ]
+    data = {
+        "snapshot_round": (max(rounds) if rounds else 0) + 1,
+        "snapshot": query_hashes(),
+        "certified": certified,
+    }
+    with open(QUERY_HASHES_FILE, "w") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(
+        f"# QUERY_HASHES.json: snapshot for driver round "
+        f"{data['snapshot_round']}, {len(certified)} certified rows"
+    )
 
 
 def benched_and_times() -> tuple[set[str], dict[str, float]]:
@@ -112,9 +326,13 @@ def main() -> int:
     if missing:
         print(f"# WARNING: {len(missing)} registry queries have no"
               f" driver-dated row: {missing}")
-    order = sorted(REGISTRY, key=lambda n: (latest.get(n, 0), n))
-    print("# --- PRIORITY (ledger stalest-first; paste into"
-          " __spark_entry__.py) ---")
+    changed = changed_queries(latest)
+    order = priority_order()
+    print("# --- PRIORITY (changed-first, then ledger stalest-first;"
+          " __spark_entry__.py imports priority_order() directly —"
+          " this print is informational) ---")
+    print(f"# changed-since-driver-date bucket ({len(changed)}):"
+          f" {' '.join(sorted(changed)) or '(empty)'}")
     print("PRIORITY = [")
     for n in order:
         print(f'    "{n}",')
@@ -158,4 +376,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--snapshot" in sys.argv[1:]:
+        snapshot_hashes()
+        raise SystemExit(0)
     raise SystemExit(main())

@@ -319,3 +319,27 @@ def test_build_node_mixed_groups_keep_required_filter(spark):
     # group 2's record has a null id and must be DROPPED by P6
     assert len(rows) == 1
     assert rows[0]["participant_id"] is not None
+
+
+def test_never_blank_gated_to_plain_string_props():
+    """The {uuid} non-blank proof only survives schema_convert's plain
+    no-enum string path: an enum prop nulls values outside its PV list
+    and an integer prop's cast nulls the hex string, so never_blank
+    (and the P6 filter skip it licenses) must stay False there —
+    otherwise an always-null required column silently passes P6
+    (ADVICE r9, mapping/compiler.py never_blank gate)."""
+    def uuid_map(target):
+        return load_mappings(
+            [{"output_field": target, "source_field": "[uuid]",
+              "replacement_values": [{"old_value": "*", "new_value": "{uuid}"}]}]
+        )[0]
+
+    # plain string, no enum: the proof holds
+    cf = compile_field(uuid_map("participant.participant_id"), _ctx())
+    assert cf.never_blank
+    # enum-constrained string: enum_case_normalize nulls the md5 hex
+    cf = compile_field(uuid_map("participant.sex_at_birth"), _ctx())
+    assert not cf.never_blank
+    # integer prop: int-round cast nulls the hex string
+    cf = compile_field(uuid_map("diagnosis.age_at_diagnosis"), _ctx())
+    assert not cf.never_blank

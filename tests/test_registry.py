@@ -83,15 +83,31 @@ def test_scale_check_cohort_contract():
     assert not set(bench.SCALE_CORE) & set(bench.SCALE_ROTATION)
     assert len(set(bench.SCALE_ROTATION)) == len(bench.SCALE_ROTATION) >= 6
     assert bench.SCALE_QUERIES == bench.SCALE_CORE + bench.SCALE_ROTATION
-    # round 9: the six queries the r8 verdict adjudicated as heavy
+    # round 10 (r9 verdict asks #3+#5): the tablelog family — the
+    # largest data-plane component with zero committed scale rows
     assert set(bench.SCALE_ROTATION) >= {
+        "table_log_snapshot_read",
+        "table_log_time_travel",
+        "table_log_optimize_zorder",
+        "table_log_constraint_enforce",
+        "table_log_change_feed",
+    }
+    # and the r9 cohort's rows must survive the rotation in the
+    # cumulative ledger — rotating out never forgets
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALE_LEDGER.json")) as fh:
+        ledger = json.load(fh)
+    assert {
         "record_linkage_blocked",
         "dedup_prefix_filter",
         "dedup_edit_distance",
         "ann_ivfpq_recall",
         "bootstrap_mean_ci",
         "triangle_count_coorder",
-    }
+    } <= set(ledger)
 
 
 def test_entry_contract():
@@ -107,31 +123,34 @@ def test_entry_contract():
     ]
     assert len(set(e.PRIORITY)) == len(e.PRIORITY)
     assert set(qs) == set(REGISTRY)
-    # rotation policy (round 9, per the r8 verdict item 6): the full
-    # ledger is green (union of r1-r8, latest row per query), so
-    # PRIORITY re-verifies the stalest driver dates first — the exact
-    # order is derived from the committed CORRECTNESS_r* ledgers
-    # (latest round per query ascending, name as the tiebreak) via the
-    # SAME parser the derivation tool uses (globbed filenames, so
-    # round 10+ ledger names like CORRECTNESS_r10.json are not dropped
-    # by a hardcoded range), never trusted from the hand-written list.
-    from scripts.rotate_cohorts import ledger_latest
-
-    latest = ledger_latest()
-    assert set(latest) >= set(REGISTRY), sorted(set(REGISTRY) - set(latest))
-    expected = sorted(REGISTRY, key=lambda n: (latest[n], n))
-    assert e.PRIORITY == expected, (
-        "PRIORITY must be the ledger-derived stalest-first order; "
-        "first divergence: "
-        + next(
-            (
-                f"pos {i}: {a} != {b}"
-                for i, (a, b) in enumerate(zip(e.PRIORITY, expected))
-                if a != b
-            ),
-            f"length {len(e.PRIORITY)} != {len(expected)}",
-        )
+    # rotation policy (round 10, per the r9 verdict items 1-2):
+    # PRIORITY is changed-since-driver-date first, then stalest-first.
+    # __spark_entry__ derives it at import from the SAME functions used
+    # here — this assert guards the fallback path from engaging
+    # silently; the structural asserts below verify the ORDER invariant
+    # independently of the shared derivation code.
+    from scripts.rotate_cohorts import (
+        changed_queries,
+        ledger_latest,
+        priority_order,
     )
+
+    assert e.PRIORITY == priority_order()
+    latest = ledger_latest()
+    changed = changed_queries(latest)
+    n_changed = len(changed)
+    # every changed (driver-uncertified) query precedes every certified
+    # one, regardless of how fresh its ledger row looks
+    assert set(e.PRIORITY[:n_changed]) == changed, (
+        sorted(changed - set(e.PRIORITY[:n_changed]))
+    )
+    # within each bucket: stalest driver date first, name as tiebreak
+    for bucket in (e.PRIORITY[:n_changed], e.PRIORITY[n_changed:]):
+        keys = [(latest.get(n, 0), n) for n in bucket]
+        assert keys == sorted(keys)
+    # a new (never driver-dated) registry query must land in the
+    # changed bucket, not be silently appended
+    assert all(n in changed for n in REGISTRY if n not in latest)
 
 
 def test_cumulative_ledgers_name_registry_queries():

@@ -86,3 +86,25 @@ def test_contract_violations_raise(spark):
         select_kth(df, "cents", 2, 2, 3)
     with pytest.raises(ValueError, match="bracket"):
         select_kth(df, "cents", 2, 1, 2)
+
+
+def test_null_values_raise_contract_error(spark):
+    """Nulls have no place in a total order: a null value (or an
+    all-null weight bucket) must raise a ValueError naming the column,
+    not TypeError deep inside the histogram sort (ADVICE r9)."""
+    df = spark.createDataFrame([(1,), (None,), (3,)], "cents bigint")
+    with pytest.raises(ValueError, match="cents.*nulls"):
+        select_kth(df, "cents", 1, 1, 3)
+    wdf = spark.createDataFrame(
+        [(1, 1), (2, None)], "cents bigint, wt bigint"
+    )
+    with pytest.raises(ValueError, match="wt"):
+        select_kth(wdf, "cents", 1, 1, 2, weight_col="wt")
+
+
+def test_over_rank_message_reports_relative_rank(spark):
+    """The no-break path never decremented k, so the message must
+    report rank k itself, not k + cum (ADVICE r9)."""
+    df = _df(spark, [1, 2, 3])
+    with pytest.raises(ValueError, match=r"rank 9 exceeds bracket weight 3"):
+        select_kth(df, "cents", 9, 1, 3)
