@@ -28,6 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from c3dc_etl_spark.streaming.sizing import DRAIN_STATE_BYTES, state_partitions
 from c3dc_etl_spark.streaming.stateful import running_key_stats
 from c3dc_etl_spark.streaming.arrivals import (
     session_window_stats,
@@ -93,16 +94,18 @@ def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion into an in-memory
     sink table (availableNow: drain the backlog, then stop).
 
-    State partitions are scoped DOWN for the drain (default 8,
-    SPARK_GRAFT_STREAM_STATE_PARTS to override): the partition count is
-    read from spark.sql.shuffle.partitions at stream start and baked
-    into the checkpoint, and each state partition pays per-batch
-    snapshot/delta FILE overhead on every micro-batch — at cores-count
-    (32) partitions that overhead dominated the ~100 MB states here
-    (outer-join eviction drain: 14.7s -> 5.5s at 8, identical results;
-    results are partition-count-independent by construction). At
-    cluster scale the same knob goes UP instead: size state partitions
-    to state-volume / per-task memory, not to a core count."""
+    State partitions are scoped for the drain (derived from state
+    volume via streaming.sizing.state_partitions — 8 for the measured
+    ~100 MB drain states; SPARK_GRAFT_STREAM_STATE_PARTS to override):
+    the partition count is read from spark.sql.shuffle.partitions at
+    stream start and baked into the checkpoint, and each state
+    partition pays per-batch snapshot/delta FILE overhead on every
+    micro-batch — at cores-count (32) partitions that overhead
+    dominated the states here (outer-join eviction drain: 14.7s ->
+    5.5s at 8, identical results; results are partition-count-
+    independent by construction). At cluster scale the same derivation
+    sizes UP: state-volume / per-partition budget, never a core
+    count."""
     spark = result.sparkSession
     for q in spark.streams.active:
         if q.name == name:
@@ -111,7 +114,11 @@ def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> DataFrame:
     parts_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(parts_key)
     spark.conf.set(
-        parts_key, os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
+        parts_key,
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_STATE_PARTS",
+            str(state_partitions(DRAIN_STATE_BYTES)),
+        ),
     )
     try:
         sq = (
