@@ -453,3 +453,158 @@ def covariance_pairs(
         .agg((F.round(cov, round_dp) + F.lit(0.0)).alias("cov"))
         .select("dim_i", "dim_j", "cov")
     )
+
+
+def multivector_maxsim_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT-style MaxSim):
+    each embedding is treated as ``n_sub`` token sub-vectors of
+    dim/n_sub; score(q, c) = sum over query sub-vectors of the MAX
+    cosine against any candidate sub-vector, each sub-cosine rounded
+    to 4dp and scaled to an e4 BIGINT so the max/sum/rank pipeline is
+    integer-exact (no FP summation-order seams in the value hash).
+
+    Plan shape: both sides precompute their sub-vector slices and
+    sub-norms per ROW (O(n·dim), not O(pairs·dim)); the query batch is
+    broadcast and the n_sub x n_sub interaction matrix is unrolled
+    STRUCTURALLY into one whole-stage-codegen projection — no explode,
+    no pre-topk shuffle. Cost per pair is the inherent n_sub x n_sub
+    sub-dots of late interaction; the only shuffle is the salted
+    top-k."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
+
+    def prep(df: DataFrame, out_id: str, p: str) -> DataFrame:
+        cols = [F.col(id_col).alias(out_id)]
+        for i in range(n_sub):
+            sv = F.slice(F.col(vec_col), i * sub_dim + 1, sub_dim)
+            cols.append(sv.alias(f"{p}v{i}"))
+            cols.append(l2_norm(sv).alias(f"{p}n{i}"))
+        return df.select(*cols)
+
+    q = prep(queries, "query_id", "q")
+    c = prep(candidates, "candidate_id", "c")
+    per_query_sub = []
+    for i in range(n_sub):
+        sub_sims = [
+            F.round(
+                dot(F.col(f"qv{i}"), F.col(f"cv{j}"))
+                / (F.col(f"qn{i}") * F.col(f"cn{j}"))
+                * F.lit(10000),
+                0,
+            ).cast("long")
+            for j in range(n_sub)
+        ]
+        per_query_sub.append(F.greatest(*sub_sims))
+    score = per_query_sub[0]
+    for s in per_query_sub[1:]:
+        score = score + s
+    scored = (
+        c.join(F.broadcast(q), F.col("candidate_id") != F.col("query_id"))
+        .withColumn("score_e4", score)
+        .select("query_id", "candidate_id", "score_e4")
+    )
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    ranked = salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("score_e4").desc(), F.col("candidate_id").asc()],
+        k,
+        salt=F.hash(F.col("candidate_id")),
+        n_salt=32,
+        rank_col="rank",
+    )
+    return ranked.select(
+        "query_id",
+        "candidate_id",
+        "score_e4",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _flip_bit(bucket: Column, pos: int, planes: int) -> Column:
+    """The bucket bit-string with 1-based position ``pos`` flipped."""
+    flipped = F.when(
+        F.substring(bucket, pos, 1) == F.lit("1"), F.lit("0")
+    ).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(bucket, 1, pos - 1),
+        flipped,
+        F.substring(bucket, pos + 1, planes - pos),
+    )
+
+
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+    seed: str = "srp",
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Multi-probe SRP-LSH top-k: each query probes its own sign-bit
+    bucket PLUS every Hamming-distance-1 neighbor (the planes buckets
+    with one bit flipped) — Lv et al.'s multi-probe trick: near
+    neighbors that land one hyperplane away are recovered WITHOUT
+    doubling the table count that classic banding needs. Candidates
+    keep exactly one bucket (one table in memory); the probe set is
+    planes+1 distinct keys per query, so the join stays an equi-join
+    on bucket with work proportional to probed-bucket sizes, never
+    n^2. Exact rounded cosine on the probed candidates, then salted
+    per-query top-k."""
+    matrix = srp_planes(planes, dim, seed)
+    c = candidates.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+        srp_bucket(F.col(vec_col), matrix).alias("bucket"),
+    )
+    base = srp_bucket(F.col(vec_col), matrix)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(
+            F.array(base, *[_flip_bit(base, p + 1, planes) for p in range(planes)])
+        ).alias("bucket"),
+    )
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .withColumn("sim", F.round(sim, round_dp) + F.lit(0.0))
+        .select("query_id", "candidate_id", "sim")
+    )
+    from c3dc_etl_spark.operators.skew import salted_topk
+
+    ranked = salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("sim").desc(), F.col("candidate_id").asc()],
+        k,
+        salt=F.hash(F.col("candidate_id")),
+        n_salt=32,
+        rank_col="rank",
+    )
+    return ranked.select(
+        "query_id",
+        "candidate_id",
+        "sim",
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -825,6 +825,40 @@ class TableLog:
             constraints_epoch=cepoch,
         )
 
+    def restore(self, target_version: int) -> int:
+        """RESTORE TABLE to ``target_version`` as a NEW commit (Delta
+        RESTORE semantics): the head moves FORWARD and history is
+        preserved — unlike time travel, later readers of the LATEST
+        snapshot see the restored state. No data is rewritten; the
+        target snapshot's immutable files are re-added to the live set
+        (with their original stats, so file skipping keeps working) and
+        the current extras are logically removed. The target's files
+        must still exist — a vacuum that dropped them makes the restore
+        impossible, and this raises instead of committing a snapshot
+        with dangling references. Conflict semantics match
+        ``overwrite``: commit() revalidates the removes against any
+        racing head."""
+        target = self.snapshot(target_version)
+        missing = [
+            n for n in target
+            if not os.path.exists(os.path.join(self.table_dir, n))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {target_version}: data files "
+                f"vacuumed: {missing}"
+            )
+        current = set(self.files())
+        add = [n for n in target if n not in current]
+        remove = [n for n in current if n not in target]
+        return self.commit(
+            add=add,
+            remove=remove,
+            op="restore",
+            stats={n: st for n, st in target.items() if n in add and st},
+            extra={"restore_of": int(target_version)},
+        )
+
     def compact(self, spark: SparkSession, *, target_partitions: int = 1) -> int:
         """Rewrite the current snapshot into ``target_partitions`` files
         (T93's small-file compaction as a TRANSACTION): readers holding

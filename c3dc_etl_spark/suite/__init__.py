@@ -18,6 +18,7 @@ from c3dc_etl_spark.suite import restructuring  # noqa: F401,E402
 from c3dc_etl_spark.suite import text_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import dedup_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import similarity_ops  # noqa: F401,E402
+from c3dc_etl_spark.suite import multivector_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import multimodal_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import engine_ops  # noqa: F401,E402
 from c3dc_etl_spark.suite import sources_ops  # noqa: F401,E402

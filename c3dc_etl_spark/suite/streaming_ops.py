@@ -818,3 +818,101 @@ def streaming_tablelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TableLog(table).read(spark).select(
         "user_id", "ts_us", "event_id", "event_type"
     )
+
+
+# Round-10 growth tier (r9 verdict item 7): stream-stream join under
+# REAL late data. Two file sources advance in lockstep (availableNow,
+# maxFilesPerTrigger=1 each, mtime-ordered):
+#
+#   batch 0  L x@10:00        R x@10:10   -> match emitted (10:10 in
+#            [10:00, 11:00]); wm -> min(09:30, 09:40) = 09:30
+#   batch 1  L adv@20:00      R adv2@20:05 (disjoint keys, no match)
+#            -> wm -> min(19:30, 19:35) = 19:30 after the batch
+#   batch 2  L spc@20:06      R spc2@20:07 (spacer): runs AT wm 19:30,
+#            evicting both sides' 10:xx join state
+#   batch 3  L x@10:05 (LATE) R x@10:15 (LATE): behind the watermark
+#            with the matching state GONE — each would join batch 0's
+#            other side if the engine failed to drop them (x@10:05
+#            matches R's x@10:10; x@10:15 matches L's x@10:00)
+#
+# Same engine contract as streaming_session_late_data: a late row in
+# the SAME batch that evicts its state still merges, so the spacer
+# batch guarantees the drop. Expected sink: exactly the batch-0 pair.
+_JOIN_LATE_ORACLE = """
+SELECT * FROM (VALUES
+    ('x', EPOCH_US(TIMESTAMP '2026-01-01 10:00:00'),
+          EPOCH_US(TIMESTAMP '2026-01-01 10:10:00'))
+) t(k, l_ts_us, r_ts_us)
+"""
+
+_JOIN_LATE_LEFT = [
+    [("x", "2026-01-01 10:00:00")],
+    [("adv", "2026-01-01 20:00:00")],
+    [("spc", "2026-01-01 20:06:00")],
+    [("x", "2026-01-01 10:05:00")],
+]
+_JOIN_LATE_RIGHT = [
+    [("x", "2026-01-01 10:10:00")],
+    [("adv2", "2026-01-01 20:05:00")],
+    [("spc2", "2026-01-01 20:07:00")],
+    [("x", "2026-01-01 10:15:00")],
+]
+
+
+def _batch_files(batches) -> str:
+    """One JSON-lines file per batch with pinned mtimes (the file
+    source orders by mtime then path, one file per trigger)."""
+    import json
+    import os
+
+    src = tempfile.mkdtemp(prefix="stream_batches_")
+    base_mtime = 1_700_000_000
+    for i, batch in enumerate(batches):
+        path = os.path.join(src, f"batch_{i}.json")
+        with open(path, "w") as fh:
+            for key, ts in batch:
+                fh.write(json.dumps({"k": key, "ts": ts}) + "\n")
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    return src
+
+
+@query("streaming_join_late_drop", oracle=_JOIN_LATE_ORACLE, tags=("streaming",))
+def streaming_join_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join under REAL late data:
+    rows arriving behind the watermark after the matching state was
+    evicted in a prior batch must be DROPPED — even though each late
+    row has a genuine partner in the other stream's history. This is
+    the state-bound guarantee that lets the join buffer stay finite at
+    100 TB/day: without the drop, correctness would require unbounded
+    state. Inner join, append mode; the sink must hold exactly the
+    on-time match."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    left = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(_batch_files(_JOIN_LATE_LEFT))
+        .select(
+            F.col("k"), F.col("ts").alias("l_ts")
+        )
+        .withWatermark("l_ts", "30 minutes")
+    )
+    right = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(_batch_files(_JOIN_LATE_RIGHT))
+        .select(
+            F.col("k").alias("r_k"), F.col("ts").alias("r_ts")
+        )
+        .withWatermark("r_ts", "30 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("k") == F.col("r_k"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "k",
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )
+    return _run_to_memory(joined, "stream_join_late", "append")

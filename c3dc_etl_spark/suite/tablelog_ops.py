@@ -496,3 +496,111 @@ def table_log_merge_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log.merge_apply_cdc(spark, ups.unionByName(dels), "o_orderkey")
     return log.read(spark)
+
+
+# ---- round-10 growth tier (r9 verdict item 7): maintenance ops ---------
+
+@query(
+    "table_log_optimize_compaction",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(4 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after,
+           CAST(5 AS BIGINT) AS commits
+    FROM orders
+    """,
+    tags=("sink", "tablelog", "maintenance"),
+)
+def table_log_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (bin-packing compaction) WITH ITS METRICS — Delta's
+    ``OPTIMIZE`` returns numFilesAdded/numFilesRemoved; this returns
+    the equivalent audit row sourced from the manifest history, joined
+    with the row count read back THROUGH the compacted snapshot. Four
+    single-file appends (the small-file problem a streaming ingest
+    creates) compact into one file in one transactional commit; row
+    count must be invariant and the file metrics exact. File counts
+    come from the manifest replay (driver-side, O(commits)), the row
+    count from the real compacted read."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_opt_"))
+    for bucket in range(4):
+        log.append(
+            orders.filter(F.col("o_orderkey") % 4 == bucket).coalesce(1)
+        )
+    files_before = len(log.files())
+    log.compact(spark, target_partitions=1)
+    files_after = len(log.files())
+    commits = len(log.versions())
+    return (
+        log.read(spark)
+        .agg(F.count("*").cast("bigint").alias("rows_total"))
+        .withColumn("files_before", F.lit(files_before).cast("bigint"))
+        .withColumn("files_after", F.lit(files_after).cast("bigint"))
+        .withColumn("commits", F.lit(commits).cast("bigint"))
+    )
+
+
+@query(
+    "table_log_restore_version",
+    oracle=f"""
+    SELECT {', '.join(_COLS)}, CAST(3 AS BIGINT) AS head_version
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    """,
+    tags=("sink", "tablelog", "maintenance"),
+)
+def table_log_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE to an earlier version as a NEW commit (Delta
+    RESTORE): v0 appends 'F' orders, v1 appends 'O', v2 copy-on-write
+    DELETEs a key range — then restore(1) moves the HEAD to v3 with
+    v1's exact file set re-added (no data rewritten; immutable files
+    are re-referenced with their original stats). The latest-snapshot
+    read must show the deleted rows back, and the head version column
+    pins that restore is a forward commit, not a time-travel read."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_restore_"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    log.append(orders.filter(F.col("o_orderstatus") == "O"))
+    log.delete_where(spark, (0, 1_000_000_000))  # empties the table
+    log.restore(1)
+    return log.read(spark).withColumn(
+        "head_version", F.lit(log.latest_version()).cast("bigint")
+    )
+
+
+@query(
+    "table_log_vacuum_reclaim",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(3 AS BIGINT) AS files_reclaimed,
+           CAST(1 AS BIGINT) AS live_files
+    FROM orders
+    """,
+    tags=("sink", "tablelog", "maintenance"),
+)
+def table_log_vacuum_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with its reclamation metrics: three single-file appends
+    compact into one; a retention-1 vacuum must physically reclaim
+    exactly the three compacted-away data files (returned by name),
+    leave the one live file, and the head snapshot must read back
+    complete through it — file-level GC cannot touch referenced data.
+    Grace 0 is safe here: single-process build, no concurrent
+    writer."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_vac_"))
+    for status in ("F", "O", "P"):
+        log.append(
+            orders.filter(F.col("o_orderstatus") == status).coalesce(1)
+        )
+    log.compact(spark, target_partitions=1)
+    reclaimed = [
+        n for n in log.vacuum(keep_versions=1, grace_seconds=0)
+        if n.endswith(".parquet")
+    ]
+    live = len(log.files())
+    return (
+        log.read(spark)
+        .agg(F.count("*").cast("bigint").alias("rows_total"))
+        .withColumn("files_reclaimed", F.lit(len(reclaimed)).cast("bigint"))
+        .withColumn("live_files", F.lit(live).cast("bigint"))
+    )

@@ -50,6 +50,7 @@ _DRIVER_SIDE_REASONS = {
         "streaming: plan runs in the stream engine"
     ),
     "streaming_tablelog_upsert": "streaming: plan runs in the stream engine",
+    "streaming_join_late_drop": "streaming: plan runs in the stream engine",
     "link_wiring_collect": "link audit: bounded driver wiring check",
     # the learned-merge list is a k-row driver artifact by design (each
     # iteration's argmax is a single-row TakeOrdered)
@@ -96,6 +97,11 @@ _BNLJ_ALLOWED = {
     # CI row (r8: the quantile picks moved in-plan so the fence sees
     # the real explode pipeline)
     "bootstrap_mean_ci",
+    # r10: MaxSim late interaction broadcasts the QUERY batch with the
+    # self-exclusion non-equi predicate — same bounded-broadcast shape
+    # as cosine_topk (the n_sub x n_sub interaction is unrolled in the
+    # projection, not the join condition)
+    "ann_multivector_maxsim",
 }
 
 

@@ -1133,3 +1133,43 @@ def test_commit_works_without_hardlinks(spark, tmp_path, monkeypatch):
         "a.parquet", "b.parquet", "c.parquet", "d.parquet", "e.parquet"
     ]
     monkeypatch.setattr("os.link", real_link)
+
+
+def test_restore_moves_head_forward_with_old_file_set(spark, tmp_path):
+    """RESTORE re-references the target version's immutable files as a
+    NEW commit: no data files are rewritten, stats ride along (file
+    skipping keeps working), and history shows the forward commit."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    log.append(orders.filter(F.col("o_orderstatus") == "O"))
+    v1_files = log.files()
+    v1_rows = _rows(log.read(spark))
+    log.delete_where(spark, (0, 1_000_000_000))
+    assert log.read(spark).count() == 0
+    v = log.restore(1)
+    assert v == log.latest_version() == 3
+    # exact file set re-referenced, nothing rewritten
+    assert log.files() == v1_files
+    assert _rows(log.read(spark)) == v1_rows
+    # stats restored -> range pruning still prunes
+    assert log.history()[-1]["op"] == "restore"
+    lo_key = min(r[0] for r in v1_rows)
+    lo_read = log.read(spark, key_between=(lo_key, lo_key))
+    assert lo_read.count() >= 1
+    # the deleted state stays time-travelable
+    assert log.read(spark, version=2).count() == 0
+
+
+def test_restore_after_vacuum_raises_not_dangles(spark, tmp_path):
+    """A vacuum that dropped the target's files makes restore
+    IMPOSSIBLE — it must raise, never commit dangling references."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"))
+    log.append(orders.filter(F.col("o_orderstatus") == "F").coalesce(1))
+    log.compact(spark, target_partitions=1)  # v1 rewrites v0's file
+    log.vacuum(keep_versions=1, grace_seconds=0)  # v0's file reclaimed
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        log.restore(0)
+    # the failed restore left no commit behind
+    assert log.history()[-1]["op"] == "compact"
