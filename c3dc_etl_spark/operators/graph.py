@@ -294,6 +294,7 @@ def pagerank(
     damping_pct: int = 85,
     iterations: int = 3,
     checkpoint_every: int = 4,
+    eager_final: bool = False,
 ) -> DataFrame:
     """Distributed PageRank by power iteration over an edge list
     (Page et al. 1999; the Pregel formulation without a vertex
@@ -379,6 +380,13 @@ def pagerank(
             .cast("bigint")
             .alias("rank_x1e12"),
         )
+    if eager_final:
+        # materialize INSIDE the caller's reducer scope (see
+        # operators/iterscope.py): with few iterations and a long
+        # checkpoint cadence the whole power iteration is otherwise
+        # lazy, and a scoped spark.sql.shuffle.partitions override
+        # would silently never govern it. State is O(nodes) longs.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

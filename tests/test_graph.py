@@ -56,3 +56,41 @@ def test_dedup_assignment_singletons_and_flag(spark):
         5: (5, True),
         6: (2, False),
     }
+
+
+def test_iteration_partitions_derivation():
+    """Iterative-loop reducer sizing is DERIVED from working-set
+    volume (operators/iterscope.py), never a core count: the measured
+    local tune falls out of the formula and a bigger corpus sizes up."""
+    from c3dc_etl_spark.operators.iterscope import iteration_partitions
+
+    # sf0.1 purchase graph: ~1.2M edges x 48B ~= 56MB -> 8 parts
+    assert iteration_partitions(1_200_000) == 8
+    # x5 corpus: 6M edges -> 64 parts (grows with data)
+    assert iteration_partitions(6_000_000) == 64
+    # floor keeps real compute parallel on tiny graphs
+    assert iteration_partitions(100) == 8
+    assert iteration_partitions(100, min_partitions=4) == 4
+    assert iteration_partitions(10**9, max_partitions=256) == 256
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        iteration_partitions(-1)
+
+
+def test_iteration_shuffle_scope_restores_conf(spark):
+    from c3dc_etl_spark.operators.iterscope import iteration_shuffle_scope
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    with iteration_shuffle_scope(spark, 1_200_000) as parts:
+        assert parts == 8
+        assert spark.conf.get(key) == "8"
+    assert spark.conf.get(key) == prev
+    # restored on exception too
+    try:
+        with iteration_shuffle_scope(spark, 1_200_000):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == prev
