@@ -825,6 +825,50 @@ class TableLog:
             constraints_epoch=cepoch,
         )
 
+    def clone_shallow(
+        self, target_dir: str, *, version: int | None = None
+    ) -> "TableLog":
+        """Zero-copy clone of the snapshot at ``version`` (latest by
+        default) — Delta's SHALLOW CLONE: a NEW independent table whose
+        v0 commit references the source's immutable data files without
+        copying a byte. Locally the reference is a hard link (same
+        inode), which is STRONGER isolation than Delta's absolute-path
+        reference: a later vacuum on the source unlinks its name but
+        the clone's link keeps the inode alive, so the clone can never
+        dangle. Stats ride along, so file skipping works on the clone
+        immediately; each side's subsequent commits (appends, deletes,
+        compactions, vacuums) are invisible to the other because data
+        files are immutable and the logs are separate."""
+        snap = self.snapshot(version)
+        clone = TableLog(
+            target_dir,
+            stats_col=self.stats_col,
+            extra_stats_cols=self.extra_stats_cols,
+            bloom_col=self.bloom_col,
+            bloom_bits=self.bloom_bits,
+            bloom_hashes=self.bloom_hashes,
+            checkpoint_interval=self.checkpoint_interval,
+        )
+        if clone.latest_version() is not None:
+            raise ValueError(f"clone target {target_dir} is not empty")
+        for name in snap:
+            src = os.path.join(self.table_dir, name)
+            dst = os.path.join(clone.table_dir, name)
+            if not os.path.exists(dst):
+                os.link(src, dst)
+        clone.commit(
+            add=list(snap),
+            op="clone",
+            stats={n: st for n, st in snap.items() if st},
+            extra={
+                "clone_of": self.table_dir,
+                "clone_version": (
+                    self.latest_version() if version is None else int(version)
+                ),
+            },
+        )
+        return clone
+
     def restore(self, target_version: int) -> int:
         """RESTORE TABLE to ``target_version`` as a NEW commit (Delta
         RESTORE semantics): the head moves FORWARD and history is

@@ -604,3 +604,35 @@ def table_log_vacuum_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("files_reclaimed", F.lit(len(reclaimed)).cast("bigint"))
         .withColumn("live_files", F.lit(live).cast("bigint"))
     )
+
+
+@query(
+    "table_log_clone_shallow",
+    oracle=f"""
+    SELECT {', '.join(_COLS)},
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus IN ('F', 'O')) AS BIGINT)
+               AS source_rows
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O', 'P')
+    """,
+    tags=("sink", "tablelog", "maintenance"),
+)
+def table_log_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE: a zero-copy fork of the source snapshot (hard
+    links to the immutable data files, no bytes copied), then an
+    append to the CLONE — the dev/test-against-production pattern every
+    table format ships. The clone read must show source + its own
+    append; the source_rows column pins that the source stayed
+    untouched by the clone's write (independent logs, immutable
+    files)."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_clsrc_"))
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    log.append(orders.filter(F.col("o_orderstatus") == "O"))
+    clone = log.clone_shallow(_scratch("tablelog_clone_"))
+    clone.append(orders.filter(F.col("o_orderstatus") == "P"))
+    source_rows = log.read(spark).count()  # bounded scalar, post-write
+    return clone.read(spark).withColumn(
+        "source_rows", F.lit(source_rows).cast("bigint")
+    )

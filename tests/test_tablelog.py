@@ -1173,3 +1173,38 @@ def test_restore_after_vacuum_raises_not_dangles(spark, tmp_path):
         log.restore(0)
     # the failed restore left no commit behind
     assert log.history()[-1]["op"] == "compact"
+
+
+def test_clone_shallow_zero_copy_and_isolated(spark, tmp_path):
+    """SHALLOW CLONE: no data copied (hard links — same inode), fully
+    independent logs (writes invisible cross-table), and a SOURCE
+    vacuum cannot dangle the clone (the link keeps the inode alive)."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "src"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F").coalesce(1))
+    src_rows = _rows(log.read(spark))
+    clone = log.clone_shallow(str(tmp_path / "clone"))
+    # zero-copy: the clone's file is the SAME inode as the source's
+    name = log.files()[0]
+    assert os.stat(os.path.join(log.table_dir, name)).st_ino == os.stat(
+        os.path.join(clone.table_dir, name)
+    ).st_ino
+    assert _rows(clone.read(spark)) == src_rows
+    # stats rode along: range pruning works on the clone immediately
+    lo = min(r[0] for r in src_rows)
+    assert clone.read(spark, key_between=(lo, lo)).count() >= 1
+    # clone write invisible to source, and vice versa
+    clone.append(orders.filter(F.col("o_orderstatus") == "P").coalesce(1))
+    assert _rows(log.read(spark)) == src_rows
+    log.append(orders.filter(F.col("o_orderstatus") == "O").coalesce(1))
+    assert clone.read(spark).count() == len(src_rows) + orders.filter(
+        F.col("o_orderstatus") == "P"
+    ).count()
+    # source compact + vacuum reclaims ITS name; the clone still reads
+    log.compact(spark, target_partitions=1)
+    log.vacuum(keep_versions=1, grace_seconds=0)
+    assert _rows(clone.read(spark))[0] is not None
+    assert clone.read(spark).count() > 0
+    # a second clone into a non-empty table is refused
+    with pytest.raises(ValueError, match="not empty"):
+        log.clone_shallow(str(tmp_path / "clone"))
