@@ -106,16 +106,13 @@ def _file_digest(path: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
-def _module_closure(modname: str) -> tuple[str, ...]:
-    """The module's file plus the files of its first-level
-    c3dc_etl_spark imports (suite modules import the operators they
-    exercise with absolute imports, so one level captures the code a
-    query's semantics actually ride on without dragging in the whole
-    package)."""
+def _module_imports(modname: str) -> tuple[str, ...]:
+    """Package-internal modules this module imports (absolute imports
+    only — the repo convention), resolved to module names with files."""
     f = _module_file(modname)
     if f is None:
         return ()
-    files = {f}
+    found: set[str] = set()
     tree = ast.parse(open(f, "rb").read())
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
@@ -128,10 +125,33 @@ def _module_closure(modname: str) -> tuple[str, ...]:
         else:
             continue
         for m in mods:
-            if m.startswith("c3dc_etl_spark"):
-                mf = _module_file(m)
-                if mf:
-                    files.add(mf)
+            if m.startswith("c3dc_etl_spark") and _module_file(m):
+                found.add(m)
+    return tuple(sorted(found))
+
+
+@functools.lru_cache(maxsize=None)
+def _module_closure(modname: str) -> tuple[str, ...]:
+    """The TRANSITIVE package-internal import closure of the module's
+    file: a query's semantics ride on every module reachable from its
+    suite module, and a second-level change (suite -> operator ->
+    helper) must flip the hash just as a first-level one does. The
+    package is ~80 modules, so the closure is bounded; a shared-core
+    edit flagging many queries as changed is honest — the driver has
+    not certified any of them under the new code."""
+    files: set[str] = set()
+    stack = [modname]
+    seen: set[str] = set()
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        f = _module_file(m)
+        if f is None:
+            continue
+        files.add(f)
+        stack.extend(_module_imports(m))
     return tuple(sorted(files))
 
 

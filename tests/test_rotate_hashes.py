@@ -100,3 +100,12 @@ def test_committed_hash_ledger_matches_current_code():
         "QUERY_HASHES.json is stale — rerun scripts/rotate_cohorts.py"
         " --snapshot before the final commit"
     )
+
+
+def test_module_closure_is_transitive():
+    """A second-level dependency (suite -> operators.similarity ->
+    operators.skew) must be in the closure: editing the deep helper
+    changes the query's semantics and must flip its hash."""
+    files = rc._module_closure("c3dc_etl_spark.suite.similarity_ops")
+    names = {f.rsplit("/", 1)[-1] for f in files}
+    assert {"similarity_ops.py", "similarity.py", "skew.py"} <= names
