@@ -194,3 +194,98 @@ def test_covariance_power_iteration_finds_principal_axis(spark):
     lam = sum(v[i] * sum(cov[i][j] * v[j] for j in range(2)) for i in range(2))
     assert abs(abs(v[0]) - abs(v[1])) < 0.01          # the diagonal axis
     assert lam > cov[0][0] and lam > cov[1][1]        # dominates axis variances
+
+
+def test_multivector_maxsim_hand_vectors(spark):
+    """MaxSim on constructed 4-dim vectors with 2 sub-vectors: the
+    score must be the SUM over query subs of the MAX sub-cosine, not a
+    full-vector cosine. Query [1,0 | 0,1]: candidate A matches sub-1
+    exactly and sub-2 exactly (score 2.0 -> 20000e4); candidate B
+    matches sub-1 exactly but anti-matches sub-2 via its best sub
+    (max(cos)=0 -> score 1.0)."""
+    q = _vecs(spark, [[1.0, 0.0, 0.0, 1.0]])
+    cands = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 1.0]),   # A: both subs perfect
+            (11, [0.0, 1.0, 0.0, -1.0]),  # B: sub1 max = max(cos([1,0],[0,1]), cos([1,0],[0,-1])) = 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["candidate_id"]: r["score_e4"]
+        for r in S.multivector_maxsim_topk(
+            q, cands, n_sub=2, dim=4, k=5
+        ).collect()
+    }
+    assert out[10] == 20000  # 2 subs x cos 1.0 x 1e4
+    # B: q-sub1 [1,0] best over {[0,1],[0,-1]} = 0; q-sub2 [0,1] best
+    # over the same = 1.0 -> total 1.0
+    assert out[11] == 10000
+
+
+def test_multivector_maxsim_rejects_bad_dims(spark):
+    q = _vecs(spark, [[1.0, 0.0, 0.0]])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        S.multivector_maxsim_topk(q, q, n_sub=2, dim=3)
+
+
+def test_multiprobe_buckets_are_base_plus_hamming1(spark):
+    """The probe set must be the query's own bucket plus exactly the
+    ``planes`` distinct one-bit flips — recovered neighbors one
+    hyperplane away join on EQUALITY, so a wrong flip silently loses
+    recall; pin the expansion itself."""
+    df = _vecs(spark, [[1.0] * 8])
+    matrix = S.srp_planes(4, 8, "t")
+    base = df.select(S.srp_bucket(F.col("embedding"), matrix).alias("b"))
+    base_bucket = base.collect()[0]["b"]
+    from c3dc_etl_spark.operators.similarity import _flip_bit
+
+    probes = df.select(
+        F.array(
+            S.srp_bucket(F.col("embedding"), matrix),
+            *[
+                _flip_bit(S.srp_bucket(F.col("embedding"), matrix), p + 1, 4)
+                for p in range(4)
+            ],
+        ).alias("ps")
+    ).collect()[0]["ps"]
+    assert len(probes) == 5 and len(set(probes)) == 5
+    assert probes[0] == base_bucket
+    for i, p in enumerate(probes[1:]):
+        diff = [a != b for a, b in zip(p, base_bucket)]
+        assert sum(diff) == 1 and diff[i]
+
+
+def test_multiprobe_recovers_one_plane_miss(spark):
+    """A candidate whose bucket differs from the query's in exactly one
+    bit is INVISIBLE to single-bucket LSH but must be found by the
+    multi-probe search."""
+    import random
+
+    rng = random.Random(7)
+    rows = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    df = _vecs(spark, rows)
+    matrix = S.srp_planes(4, 8, "t")
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", S.srp_bucket(F.col("embedding"), matrix).alias("b")
+        ).collect()
+    }
+    # pick a query and a candidate at Hamming distance exactly 1
+    pair = next(
+        (q, c)
+        for q in buckets
+        for c in buckets
+        if q != c
+        and sum(a != b for a, b in zip(buckets[q], buckets[c])) == 1
+    )
+    q_id, c_id = pair
+    queries = df.filter(F.col("vec_id") == q_id)
+    got = S.lsh_multiprobe_topk(
+        queries, df, planes=4, dim=8, seed="t", k=40
+    )
+    found = {r["candidate_id"] for r in got.collect()}
+    assert c_id in found
