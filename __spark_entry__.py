@@ -42,8 +42,20 @@ try:
     from scripts.rotate_cohorts import priority_order
 
     PRIORITY = priority_order()
-except Exception:  # pragma: no cover — ledgers unreadable on this
-    # machine; alphabetical keeps the gate deterministic and total
+except Exception as _exc:  # pragma: no cover — ledgers unreadable on
+    # this machine; alphabetical keeps the gate deterministic and
+    # total, but NEVER silently: a corrupt QUERY_HASHES.json or a
+    # derivation bug would otherwise erase the changed-first window
+    # with no signal anywhere
+    import traceback
+
+    print(
+        "WARNING: __spark_entry__ PRIORITY derivation failed "
+        f"({type(_exc).__name__}: {_exc}); falling back to "
+        "alphabetical order",
+        file=sys.stderr,
+    )
+    traceback.print_exc()
     PRIORITY = sorted(REGISTRY)
 
 

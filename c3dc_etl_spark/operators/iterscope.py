@@ -67,19 +67,20 @@ def iteration_partitions(
 ) -> int:
     """Reducer count for an iterative loop shuffling ``n_rows`` rows of
     ``bytes_per_row`` per round: ceil(volume / per-partition budget),
-    rounded up to a power of two, clamped."""
+    rounded up to a power of two, clamped (the shared
+    ``c3dc_etl_spark.sizing`` derivation)."""
+    from c3dc_etl_spark.sizing import sized_partitions
+
     if n_rows < 0:
         raise ValueError(f"n_rows must be >= 0, got {n_rows}")
-    if bytes_per_row <= 0 or per_partition_bytes <= 0:
-        raise ValueError("bytes_per_row and per_partition_bytes must be > 0")
-    need = max(1, -(-(n_rows * bytes_per_row) // per_partition_bytes))
-    parts = 1
-    while parts < need:
-        parts *= 2
-    parts = max(parts, min_partitions)
-    if max_partitions is not None:
-        parts = min(parts, max_partitions)
-    return parts
+    if bytes_per_row <= 0:
+        raise ValueError(f"bytes_per_row must be > 0, got {bytes_per_row}")
+    return sized_partitions(
+        n_rows * bytes_per_row,
+        per_partition_bytes,
+        min_partitions=min_partitions,
+        max_partitions=max_partitions,
+    )
 
 
 @contextmanager

@@ -88,14 +88,29 @@ def select_kth(
             binned = df.filter(
                 (c >= F.lit(lo)) & (c <= F.lit(hi))
             ).groupBy(bin_expr.alias("__bin"))
-        rows = binned.agg(F.sum(wt).alias("__w")).collect()
-        # nulls fall through every when() to a null __bin (and an
-        # all-null weight group sums to null) — surface the contract
-        # violation, don't TypeError inside sorted()/int()
+        # nulls fall through every when() to a null __bin, and F.sum
+        # silently DROPS null weights (a bucket mixing null and
+        # non-null weights would under-count, shifting every later
+        # rank) — count them explicitly and surface the contract
+        # violation instead of TypeError inside sorted() or a silently
+        # wrong answer. The count rides the same single job; later
+        # rounds scan a value-filtered subset, so the FIRST (full-scan)
+        # round's check covers every row.
+        aggs = [F.sum(wt).alias("__w")]
+        if weight_col and first:
+            aggs.append(
+                F.count(F.when(F.col(weight_col).isNull(), 1)).alias("__wn")
+            )
+        rows = binned.agg(*aggs).collect()
         if any(r["__bin"] is None for r in rows):
             raise ValueError(
                 f"{value_col!r} contains nulls — select_kth ranks "
                 "require non-null values"
+            )
+        if weight_col and first and any(r["__wn"] for r in rows):
+            raise ValueError(
+                f"{weight_col!r} contains nulls — select_kth weights "
+                "must be non-null"
             )
         if any(r["__w"] is None for r in rows):
             raise ValueError(

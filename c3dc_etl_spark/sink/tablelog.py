@@ -835,11 +835,17 @@ class TableLog:
         inode), which is STRONGER isolation than Delta's absolute-path
         reference: a later vacuum on the source unlinks its name but
         the clone's link keeps the inode alive, so the clone can never
-        dangle. Stats ride along, so file skipping works on the clone
-        immediately; each side's subsequent commits (appends, deletes,
-        compactions, vacuums) are invisible to the other because data
-        files are immutable and the logs are separate."""
-        snap = self.snapshot(version)
+        dangle (cross-device / no-hardlink filesystems degrade to a
+        byte copy with identical semantics). Stats ride along, so file
+        skipping works on the clone immediately; each side's subsequent
+        commits (appends, deletes, compactions, vacuums) are invisible
+        to the other because data files are immutable and the logs are
+        separate."""
+        # resolve the head ONCE and snapshot exactly that version: a
+        # racer committing between two reads would otherwise stamp the
+        # clone with a version its file set does not reflect
+        src_version = self.latest_version() if version is None else int(version)
+        snap = self.snapshot(src_version)
         clone = TableLog(
             target_dir,
             stats_col=self.stats_col,
@@ -855,16 +861,22 @@ class TableLog:
             src = os.path.join(self.table_dir, name)
             dst = os.path.join(clone.table_dir, name)
             if not os.path.exists(dst):
-                os.link(src, dst)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    # cross-device target or a no-hardlink filesystem
+                    # (the same environments the manifest CAS's
+                    # _try_link fallback exists for): fall back to a
+                    # real copy — "shallow" degrades to byte-copy but
+                    # the clone's semantics are unchanged
+                    shutil.copy2(src, dst)
         clone.commit(
             add=list(snap),
             op="clone",
             stats={n: st for n, st in snap.items() if st},
             extra={
                 "clone_of": self.table_dir,
-                "clone_version": (
-                    self.latest_version() if version is None else int(version)
-                ),
+                "clone_version": src_version,
             },
         )
         return clone

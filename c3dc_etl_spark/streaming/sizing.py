@@ -47,18 +47,13 @@ def state_partitions(
 ) -> int:
     """Partition count for ``state_bytes`` of streaming state: enough
     partitions that each carries at most ``per_partition_bytes``,
-    rounded up to a power of two, clamped to the given bounds."""
-    if state_bytes < 0:
-        raise ValueError(f"state_bytes must be >= 0, got {state_bytes}")
-    if per_partition_bytes <= 0:
-        raise ValueError(
-            f"per_partition_bytes must be > 0, got {per_partition_bytes}"
-        )
-    need = max(1, -(-state_bytes // per_partition_bytes))
-    parts = 1
-    while parts < need:
-        parts *= 2
-    parts = max(parts, min_partitions)
-    if max_partitions is not None:
-        parts = min(parts, max_partitions)
-    return parts
+    rounded up to a power of two, clamped to the given bounds (the
+    shared ``c3dc_etl_spark.sizing`` derivation)."""
+    from c3dc_etl_spark.sizing import sized_partitions
+
+    return sized_partitions(
+        state_bytes,
+        per_partition_bytes,
+        min_partitions=min_partitions,
+        max_partitions=max_partitions,
+    )

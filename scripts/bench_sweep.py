@@ -96,10 +96,9 @@ def main() -> int:
         # costs +40-150% on iterative queries in local mode (r9 A/B)
         from c3dc_etl_spark.session import default_parallelism
 
-        spark.conf.set(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * default_parallelism()),
-        )
+        _ipn_key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        _ipn_prev = spark.conf.get(_ipn_key, None)
+        spark.conf.set(_ipn_key, str(8 * default_parallelism()))
         try:
             ledger = _load(SCALE_LEDGER)
             failed: list[str] = []
@@ -141,11 +140,12 @@ def main() -> int:
                 spark.sparkContext._jvm.System.gc()
         finally:
             # the process exits right after, but restore anyway so a
-            # future caller embedding this loop cannot leak the probe
-            # override into its session
-            spark.conf.unset(
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-            )
+            # future caller embedding this loop cannot lose its own
+            # deliberate setting to a blind unset
+            if _ipn_prev is None:
+                spark.conf.unset(_ipn_key)
+            else:
+                spark.conf.set(_ipn_key, _ipn_prev)
         if failed:
             print(f"# scale probes failed: {failed}", file=sys.stderr)
             return 1

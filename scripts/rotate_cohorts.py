@@ -4,14 +4,17 @@
 Three cohorts rotate every round; each is DERIVED from committed
 artifacts, never hand-curated, and each has a test pinning the result:
 
-1. PRIORITY (driver correctness window): semantic-change-first, then
-   stalest-first — every registry query sorted by (changed-since-its-
-   latest-driver-date DESC, latest driver round ASC, name). A query
-   whose code or oracle changed after the driver last certified it is
-   effectively untested regardless of how "fresh" its ledger row looks
-   (r9 verdict "What's wrong #2"); ``priority_order()`` computes the
-   list and ``__spark_entry__.PRIORITY`` imports it directly — nothing
-   is hand-pasted (r9 verdict "What's wrong #1").
+1. PRIORITY (driver correctness window): urgency-tier-first, then
+   stalest-first within each tier (see ``priority_tiers``): tier 0 =
+   never-tested / latest-row-red / live hand-adjudicated seed, tier 1
+   = the query's own module (or certified hash) changed since the tree
+   its latest driver round tested, tier 2 = only deeper import-closure
+   files changed, tier 3 = unchanged. A query whose code or oracle
+   changed after the driver last certified it is effectively untested
+   regardless of how "fresh" its ledger row looks (r9 verdict "What's
+   wrong #2"); ``priority_order()`` computes the list and
+   ``__spark_entry__.PRIORITY`` imports it directly — nothing is
+   hand-pasted (r9 verdict "What's wrong #1").
 2. bench ROTATION (~45/round): never-benched queries — registry minus
    HEADLINE minus every committed BENCH_r* "queries"/"rotation_queries"
    row. Pinned disjoint by tests/test_registry.py.
@@ -21,13 +24,16 @@ artifacts, never hand-curated, and each has a test pinning the result:
    tests/test_registry.py::test_scale_check_cohort_contract.
 
 Change detection rides QUERY_HASHES.json: ``--snapshot`` (run once per
-round, before the final commit) records a content hash per query —
-its defining suite module, that module's first-level package imports,
-and its oracle text. The driver tests exactly that commit, so when the
+round, before the final commit) records a content hash per query — the
+TRANSITIVE package-import closure of its defining suite module plus
+its oracle text. The driver tests exactly that commit, so when the
 next CORRECTNESS_r{N} lands, the snapshot's hashes are what round N
 certified; the derived ``certified_view()`` overlays those rows and
 ``changed_queries()`` flags every query whose current hash differs
-from its certified one. Purely static — no SparkSession.
+from its certified one. Rows certified BEFORE the hash ledger existed
+bootstrap through git: the query's closure files are blob-compared
+against the tree of its latest driver round's commit. Static — no
+SparkSession; git is consulted read-only with a seed fallback.
 """
 
 from __future__ import annotations
@@ -156,8 +162,8 @@ def _module_closure(modname: str) -> tuple[str, ...]:
 
 
 def query_hashes() -> dict[str, str]:
-    """Per-query content hash: the query function's defining module,
-    that module's first-level package imports, and the oracle SQL. A
+    """Per-query content hash: the transitive package-import closure
+    of the query function's defining module, plus the oracle SQL. A
     hash change means the driver's last green row no longer certifies
     the code as it sits."""
     from c3dc_etl_spark.suite import REGISTRY
@@ -185,6 +191,96 @@ def _green(row: dict) -> bool:
         and row.get("schema_match") is not False
         and row.get("hash_match") is not False
     )
+
+
+def latest_rows() -> dict[str, dict]:
+    """Each query's LATEST driver row (round + the row itself): a red
+    latest row must count as needs-re-verification, which the
+    round-number-only ledger_latest cannot express."""
+    latest: dict[str, dict] = {}
+    for fname in sorted(os.listdir(REPO)):
+        if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
+            continue
+        rnd = int(fname[len("CORRECTNESS_r"):-len(".json")])
+        with open(os.path.join(REPO, fname)) as fh:
+            for k, row in json.load(fh).items():
+                if rnd >= latest.get(k, {}).get("round", -1):
+                    latest[k] = {"round": rnd, "row": row}
+    return latest
+
+
+@functools.lru_cache(maxsize=None)
+def _driver_commit(round_no: int) -> str | None:
+    """The commit whose tree the round-``round_no`` driver tested: the
+    newest commit with a 'round {N}:' subject (the driver writes both
+    the end-of-round snapshot and the verdict/ledger commit with that
+    prefix; either tree carries the identical source)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "log", "--format=%H",
+             f"--grep=^round {round_no}:", "-n", "1"],
+            capture_output=True, text=True, timeout=30,
+        )
+    except Exception:
+        return None
+    sha = out.stdout.strip()
+    return sha or None
+
+
+@functools.lru_cache(maxsize=None)
+def _blobs_at(ref: str) -> tuple[tuple[str, str], ...] | None:
+    """(relpath, git blob sha) for every tracked file at ``ref``."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "ls-tree", "-r", ref],
+            capture_output=True, text=True, timeout=60,
+        )
+    except Exception:
+        return None
+    if out.returncode != 0:
+        return None
+    rows = []
+    for line in out.stdout.splitlines():
+        meta, path = line.split("\t", 1)
+        rows.append((path, meta.split()[2]))
+    return tuple(rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _current_blob_sha(path: str) -> str:
+    """git's blob id for the file as it sits on disk."""
+    with open(path, "rb") as fh:
+        body = fh.read()
+    h = hashlib.sha1()
+    h.update(b"blob %d\0" % len(body))
+    h.update(body)
+    return h.hexdigest()
+
+
+def _closure_changed_since(modname: str, round_no: int) -> bool | None:
+    """Whether any file in the module's import closure differs from the
+    tree the round-``round_no`` driver tested — the BOOTSTRAP change
+    detector for queries certified before QUERY_HASHES.json existed.
+    Purely git-blob-sha comparisons (one ls-tree per round, cached), so
+    the derivation is identical on any clone of this history. None =
+    git unavailable; the caller falls back to the static seed."""
+    sha = _driver_commit(round_no)
+    if sha is None:
+        return None
+    blobs = _blobs_at(sha)
+    if blobs is None:
+        return None
+    at_ref = dict(blobs)
+    for path in _module_closure(modname):
+        rel = os.path.relpath(path, REPO)
+        old = at_ref.get(rel)
+        if old is None or old != _current_blob_sha(path):
+            return True
+    return False
 
 
 def certified_view() -> dict[str, dict]:
@@ -217,11 +313,26 @@ def certified_view() -> dict[str, dict]:
 def changed_queries(
     latest: dict[str, int] | None = None,
     current: dict[str, str] | None = None,
+    rows: dict[str, dict] | None = None,
 ) -> set[str]:
     """Queries the driver has not certified under their CURRENT
-    semantics: hash differs from the certified one, never driver-
-    tested at all, or seeded as changed after their latest driver date
-    (pre-hash-ledger bootstrap)."""
+    semantics, resolved in precedence order per query:
+
+    1. never driver-tested -> changed;
+    2. latest driver row is RED -> changed (a failing query must lead
+       the window, not trail it because its round number looks fresh);
+    3. a certified hash exists for the latest round -> changed iff the
+       current hash differs;
+    4. bootstrap (rows certified before QUERY_HASHES.json existed):
+       changed iff any file in the query's import closure differs from
+       the tree the latest driver round actually tested (git blob-sha
+       comparison — identical on every clone of this history);
+    5. git unavailable -> the static CHANGED_SEED.
+    """
+    derive_rows = latest is None and rows is None
+    if derive_rows:
+        rows = latest_rows()
+        latest = {k: v["round"] for k, v in rows.items()}
     latest = ledger_latest() if latest is None else latest
     current = query_hashes() if current is None else current
     certified = certified_view()
@@ -231,26 +342,117 @@ def changed_queries(
         if lr == 0:
             changed.add(name)
             continue
-        row = certified.get(name)
-        if row is not None and row.get("round", 0) >= lr:
-            if row.get("hash") != h:
+        latest_row = (rows or {}).get(name)
+        if (
+            latest_row is not None
+            and latest_row.get("round") == lr
+            and not _green(latest_row.get("row") or {})
+        ):
+            changed.add(name)
+            continue
+        cert = certified.get(name)
+        if cert is not None and cert.get("round", 0) >= lr:
+            if cert.get("hash") != h:
                 changed.add(name)
-        elif CHANGED_SEED.get(name, 0) > lr:
+            continue
+        boot = _bootstrap_changed(name, lr)
+        if boot is None:
+            if CHANGED_SEED.get(name, 0) > lr:
+                changed.add(name)
+        elif boot:
             changed.add(name)
     return changed
 
 
+def _bootstrap_changed(name: str, lr: int) -> bool | None:
+    """Git-blob bootstrap for queries without a certified hash row:
+    compare the query's CURRENT import-closure files against the tree
+    driver round ``lr`` tested. None when the query is unknown or git
+    cannot answer (caller falls back to the static seed)."""
+    try:
+        from c3dc_etl_spark.suite import REGISTRY
+    except Exception:  # pragma: no cover
+        return None
+    spec = REGISTRY.get(name)
+    if spec is None:
+        return None
+    fn = getattr(spec.fn, "__wrapped__", spec.fn)
+    return _closure_changed_since(fn.__module__, lr)
+
+
+def priority_tiers() -> dict[str, int]:
+    """Verification-urgency tier per query (lower = sooner):
+
+    0. never driver-tested, the latest driver row is RED, or a
+       hand-adjudicated CHANGED_SEED entry is still live — the named
+       set an earlier verdict requires green driver rows for MUST make
+       the next window, ahead of mechanically-inferred changes;
+    1. DIRECT semantic change: the query's own defining module (or a
+       certified-hash mismatch) changed since the tree its latest
+       driver round tested — the r9-verdict class;
+    2. INDIRECT change: only deeper import-closure files changed (a
+       shared operator/helper edit; honest but lower-signal, since
+       file-level hashing cannot see whether the edit touches this
+       query's path);
+    3. unchanged since its latest certification.
+    """
+    from c3dc_etl_spark.suite import REGISTRY
+
+    rows = latest_rows()
+    latest = {k: v["round"] for k, v in rows.items()}
+    current = query_hashes()
+    certified = certified_view()
+    changed = changed_queries(latest, current, rows)
+    tiers: dict[str, int] = {}
+    for name in REGISTRY:
+        lr = latest.get(name, 0)
+        latest_row = rows.get(name)
+        if (
+            lr == 0
+            or (latest_row is not None and not _green(latest_row["row"]))
+            or CHANGED_SEED.get(name, 0) > lr
+        ):
+            tiers[name] = 0
+            continue
+        if name not in changed:
+            tiers[name] = 3
+            continue
+        cert = certified.get(name)
+        hash_mismatch = (
+            cert is not None
+            and cert.get("round", 0) >= lr
+            and cert.get("hash") != current.get(name)
+        )
+        spec = REGISTRY[name]
+        fn = getattr(spec.fn, "__wrapped__", spec.fn)
+        own = _module_file(fn.__module__)
+        direct = False
+        if own is not None:
+            sha = _driver_commit(lr)
+            blobs = _blobs_at(sha) if sha else None
+            if blobs is not None:
+                rel = os.path.relpath(own, REPO)
+                old = dict(blobs).get(rel)
+                direct = old is None or old != _current_blob_sha(own)
+        if hash_mismatch or direct:
+            tiers[name] = 1
+        else:
+            tiers[name] = 2
+    return tiers
+
+
 def priority_order() -> list[str]:
-    """The full PRIORITY list __spark_entry__ imports: semantically-
-    changed (or never-tested) queries first, then everything
-    stalest-driver-date-first, names as the tiebreak."""
+    """The full PRIORITY list __spark_entry__ imports: urgency tier
+    (never-tested/red, direct change, indirect change, unchanged),
+    stalest driver round first within each tier, names as the
+    tiebreak."""
     from c3dc_etl_spark.suite import REGISTRY
 
     latest = ledger_latest()
-    changed = changed_queries(latest)
+    tiers = priority_tiers()
     return sorted(
         REGISTRY,
-        key=lambda n: (0 if n in changed else 1, latest.get(n, 0), n),
+        key=lambda n: (tiers.get(n, 0), latest.get(n, 0), n),
     )
 
 

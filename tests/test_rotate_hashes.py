@@ -34,8 +34,8 @@ def test_module_closure_includes_first_level_operator_imports():
 def test_changed_bucket_follows_certified_hashes(tmp_path, monkeypatch):
     """A query whose current hash differs from its driver-certified
     hash is changed; a matching hash is not; a never-tested query
-    always is; the bootstrap seed only fires while the latest driver
-    round predates the seeded round."""
+    always is; with git bootstrap unavailable, the seed only fires
+    while the latest driver round predates the seeded round."""
     latest = {"a": 5, "b": 5, "c": 0, "record_linkage_blocked": 8}
     current = {"a": "h-new", "b": "h-b", "c": "h-c",
                "record_linkage_blocked": "h-l"}
@@ -49,6 +49,8 @@ def test_changed_bucket_follows_certified_hashes(tmp_path, monkeypatch):
         },
     }))
     monkeypatch.setattr(rc, "QUERY_HASHES_FILE", str(ledger))
+    # isolate the seed-fallback path from the live git history
+    monkeypatch.setattr(rc, "_bootstrap_changed", lambda name, lr: None)
     changed = rc.changed_queries(latest, current)
     assert changed == {"a", "c", "record_linkage_blocked"}
     # once the driver certifies the seeded query at round >= seed
@@ -57,6 +59,37 @@ def test_changed_bucket_follows_certified_hashes(tmp_path, monkeypatch):
     assert "record_linkage_blocked" not in rc.changed_queries(
         latest2, current
     )
+
+
+def test_red_latest_row_is_always_changed(monkeypatch):
+    """A query whose LATEST driver row is red must be flagged for
+    re-verification, never treated as freshly certified (r10 review
+    finding #2)."""
+    latest = {"x": 9}
+    rows = {"x": {"round": 9, "row": {"rows_match": True,
+                                      "schema_match": True,
+                                      "hash_match": False, "err": None}}}
+    monkeypatch.setattr(rc, "_bootstrap_changed", lambda name, lr: None)
+    monkeypatch.setattr(rc, "certified_view", lambda: {})
+    assert rc.changed_queries(latest, {"x": "h"}, rows) == {"x"}
+    # green latest row with no other signal -> unchanged
+    rows_g = {"x": {"round": 9, "row": {"rows_match": True,
+                                        "schema_match": True,
+                                        "hash_match": True, "err": None}}}
+    assert rc.changed_queries(latest, {"x": "h"}, rows_g) == set()
+
+
+def test_git_bootstrap_sees_post_certification_edits():
+    """The git-blob bootstrap must answer for real history: a round-10
+    edited module (operators/selection.py feeds exact_median_selection)
+    differs from the round-8 tree, and the derivation reports it."""
+    from c3dc_etl_spark.suite import REGISTRY
+
+    if rc._driver_commit(8) is None:
+        pytest.skip("git history unavailable")
+    spec = REGISTRY["exact_median_selection"]
+    fn = getattr(spec.fn, "__wrapped__", spec.fn)
+    assert rc._closure_changed_since(fn.__module__, 8) is True
 
 
 def test_certified_view_absorbs_snapshot_round_ledger(tmp_path, monkeypatch):

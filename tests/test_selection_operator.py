@@ -100,6 +100,14 @@ def test_null_values_raise_contract_error(spark):
     )
     with pytest.raises(ValueError, match="wt"):
         select_kth(wdf, "cents", 1, 1, 2, weight_col="wt")
+    # a null weight MIXED with non-null weights in the same bucket must
+    # also raise — F.sum would silently drop it and shift every later
+    # rank (r10 review finding)
+    mixed = spark.createDataFrame(
+        [(5, 2), (5, None), (9, 1)], "cents bigint, wt bigint"
+    )
+    with pytest.raises(ValueError, match="wt.*nulls"):
+        select_kth(mixed, "cents", 3, 5, 9, weight_col="wt", bins=2)
 
 
 def test_over_rank_message_reports_relative_rank(spark):
