@@ -38,15 +38,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # query stalest-driver-date-first. scripts/rotate_cohorts.py holds the
 # derivation; QUERY_HASHES.json carries the per-query content hashes
 # the change detection rides on.
+_FALLBACK_MARKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "PRIORITY_FALLBACK.txt"
+)
 try:
     from scripts.rotate_cohorts import priority_order
 
     PRIORITY = priority_order()
+    # a stale marker from a prior failed derivation must not outlive
+    # the failure: success removes it so the committed ledger reflects
+    # the CURRENT round's derivation state
+    if os.path.exists(_FALLBACK_MARKER):  # pragma: no cover
+        try:
+            os.remove(_FALLBACK_MARKER)
+        except OSError:
+            pass
 except Exception as _exc:  # pragma: no cover — ledgers unreadable on
     # this machine; alphabetical keeps the gate deterministic and
     # total, but NEVER silently: a corrupt QUERY_HASHES.json or a
-    # derivation bug would otherwise erase the changed-first window
-    # with no signal anywhere
+    # derivation bug would otherwise erase the changed-first window.
+    # Besides stderr (transient), drop a sentinel FILE beside the
+    # ledgers (ADVICE r10): a fallback round becomes visible in the
+    # committed artifacts, not just in scrollback that nobody rereads.
     import traceback
 
     print(
@@ -56,6 +69,15 @@ except Exception as _exc:  # pragma: no cover — ledgers unreadable on
         file=sys.stderr,
     )
     traceback.print_exc()
+    try:
+        with open(_FALLBACK_MARKER, "w") as _fh:
+            _fh.write(
+                "PRIORITY derivation failed at import; the driver gate "
+                f"ran in ALPHABETICAL order this round.\n"
+                f"{type(_exc).__name__}: {_exc}\n"
+            )
+    except OSError:
+        pass
     PRIORITY = sorted(REGISTRY)
 
 

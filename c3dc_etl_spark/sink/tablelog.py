@@ -846,6 +846,20 @@ class TableLog:
         # clone with a version its file set does not reflect
         src_version = self.latest_version() if version is None else int(version)
         snap = self.snapshot(src_version)
+        # mirror restore()'s precheck: an explicitly requested version
+        # whose data files were vacuumed must raise BEFORE anything is
+        # created — otherwise os.link raises FileNotFoundError (an
+        # OSError), the except falls into shutil.copy2 which re-raises
+        # mid-loop and leaves a half-populated, uncommitted clone dir
+        missing = [
+            n for n in snap
+            if not os.path.exists(os.path.join(self.table_dir, n))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot clone version {src_version}: data files "
+                f"vacuumed: {missing}"
+            )
         clone = TableLog(
             target_dir,
             stats_col=self.stats_col,

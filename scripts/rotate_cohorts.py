@@ -56,30 +56,13 @@ QUERY_HASHES_FILE = os.path.join(REPO, "QUERY_HASHES.json")
 # predates and therefore cannot see. A seed entry is inert once the
 # driver certifies the query at a round >= the named round (the round
 # comparison below), so entries retire themselves; delete them when
-# they do. Round 9 set per the r9 verdict: the linkage re-key, the
-# PQ/IVF-PQ broadcast rewrite, the never_blank fan-out change, and the
-# 12 streaming queries' shared _run_to_memory re-scope (three of the
-# twelve drew r9 driver rows under the new semantics and so fall out
-# via the comparison).
-CHANGED_SEED = {
-    "record_linkage_blocked": 9,
-    "ann_ivfpq_recall": 9,
-    "ann_pq_adc_recall": 9,
-    "typegroup_fanout_union": 9,
-    "engine_sum_macros": 9,
-    "streaming_windowed_counts": 9,
-    "streaming_sliding_windows": 9,
-    "streaming_session_windows": 9,
-    "streaming_session_late_data": 9,
-    "streaming_dedup_digests": 9,
-    "streaming_dedup_ttl_state": 9,
-    "streaming_stateful_running_stats": 9,
-    "streaming_static_enrich": 9,
-    "streaming_stream_stream_join": 9,
-    "streaming_outer_join_eviction": 9,
-    "streaming_tablelog_upsert": 9,
-    "streaming_upsert_snapshot": 9,
-}
+# they do. The round-9 set (linkage re-key, PQ/IVF-PQ rewrite,
+# never_blank fan-out, the 12 streaming _run_to_memory re-scopes) all
+# drew r9/r10 driver-green rows and retired in round 11. Empty is the
+# steady state now that QUERY_HASHES.json certifies every round's
+# snapshot — future entries only for semantics changes the hash ledger
+# somehow cannot see.
+CHANGED_SEED: dict[str, int] = {}
 
 
 def ledger_latest() -> dict[str, int]:
@@ -548,7 +531,11 @@ def main() -> int:
     if missing:
         print(f"# WARNING: {len(missing)} registry queries have no"
               f" driver-dated row: {missing}")
-    changed = changed_queries(latest)
+    # no-args call derives latest_rows() itself, so the informational
+    # print applies the SAME red-latest-row rule the gate's
+    # priority_order() uses (ADVICE r10: passing only `latest` dropped
+    # that rule and the printed bucket could understate the gate)
+    changed = changed_queries()
     order = priority_order()
     print("# --- PRIORITY (changed-first, then ledger stalest-first;"
           " __spark_entry__.py imports priority_order() directly —"

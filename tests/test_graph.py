@@ -116,3 +116,29 @@ def test_pagerank_lazy_plan_shape_fence(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_pinned()
+
+
+def test_pagerank_registry_lazy_plan_shape_fence(spark):
+    """The REGISTRY query's real pipeline (orders x lineitem edge
+    derivation + 3 power iterations) built lazily, so the plan the
+    eager_final checkpoint hides from tests/plan_budget.json (its row
+    pins all zeros) stays fenced here (ADVICE r10): no cartesians, no
+    nested-loop joins, and the scan/exchange footprint of the full
+    lazy 3-iteration DAG stays inside the measured round-11 envelope
+    (107 "Scan " substrings / 99 "Exchange") with ~25% headroom — a
+    regression that re-derives the pinned edge frame per iteration
+    consumer would blow through it."""
+    from c3dc_etl_spark.pinning import release_pinned
+    from c3dc_etl_spark.suite.graph_ops import build_purchase_pagerank
+
+    ranks = build_purchase_pagerank(
+        spark, "/root/testdata/sf0.001", eager_final=False
+    )
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = plan.count("Scan ")
+    exchanges = plan.count("Exchange")
+    assert scans <= 135, f"lazy pagerank plan grew to {scans} scans"
+    assert exchanges <= 125, f"lazy pagerank plan grew to {exchanges} exchanges"
+    release_pinned()

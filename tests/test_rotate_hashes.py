@@ -49,8 +49,11 @@ def test_changed_bucket_follows_certified_hashes(tmp_path, monkeypatch):
         },
     }))
     monkeypatch.setattr(rc, "QUERY_HASHES_FILE", str(ledger))
-    # isolate the seed-fallback path from the live git history
+    # isolate the seed-fallback path from the live git history; the
+    # live CHANGED_SEED is empty now that every r9 entry self-retired
+    # (round 11), so pin a synthetic seed to keep the fallback tested
     monkeypatch.setattr(rc, "_bootstrap_changed", lambda name, lr: None)
+    monkeypatch.setattr(rc, "CHANGED_SEED", {"record_linkage_blocked": 9})
     changed = rc.changed_queries(latest, current)
     assert changed == {"a", "c", "record_linkage_blocked"}
     # once the driver certifies the seeded query at round >= seed

@@ -1208,3 +1208,29 @@ def test_clone_shallow_zero_copy_and_isolated(spark, tmp_path):
     # a second clone into a non-empty table is refused
     with pytest.raises(ValueError, match="not empty"):
         log.clone_shallow(str(tmp_path / "clone"))
+
+
+def test_clone_shallow_after_vacuum_raises_before_creating(spark, tmp_path):
+    """Cloning an explicit VERSION whose files were vacuumed must raise
+    up front (restore()'s precheck), never leave a half-populated,
+    uncommitted clone dir behind (ADVICE r10: os.link's
+    FileNotFoundError fell into the cross-device copy2 fallback and
+    re-raised mid-loop)."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"))
+    log.append(orders.filter(F.col("o_orderstatus") == "F").coalesce(1))
+    log.compact(spark, target_partitions=1)  # v1 rewrites v0's file
+    log.vacuum(keep_versions=1, grace_seconds=0)  # v0's file reclaimed
+    target = str(tmp_path / "clone")
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        log.clone_shallow(target, version=0)
+    # nothing was created: no dir, or at most an empty scaffold with no
+    # data files and no log
+    if os.path.exists(target):
+        assert TableLog(target).latest_version() is None
+        assert not [
+            n for n in os.listdir(target) if n.endswith(".parquet")
+        ]
+    # the LATEST version still clones fine (its files survive vacuum)
+    clone = log.clone_shallow(str(tmp_path / "clone2"))
+    assert clone.read(spark).count() == log.read(spark).count()
