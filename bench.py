@@ -96,68 +96,67 @@ HEADLINE = [
     "graph_kcore_bounded",
 ]
 
-# Round-10 rotation cohort (#4, VERDICT r9 ask #4): the next 45
-# never-benched queries — the sampling, sketch/selection, quality,
-# text, and validate/sink families, exactly the families
-# scripts/rotate_cohorts.py groups as next. Derived from registry
-# minus the union of committed BENCH_r* "queries"/"rotation_queries"
-# maps (r7-r9 covered 131; this cohort takes the ledger to 176). Each
-# entry runs one untimed warm-up then a timed collect and rides the
-# stdout line's "rotation_queries" map; the 41-query HEADLINE wall
-# stays the round-comparable "value". tests/test_registry.py asserts
-# the cohort is disjoint from every committed BENCH ledger row, so
-# reusing a benched query here fails CI.
+# Round-11 rotation cohort (#5, VERDICT r10 ask #2): the next 45
+# never-benched queries — the remaining TPC-H join suite, the
+# relational-probe family, the temporal family, and the three
+# round-11 growth-tier queries. Derived from registry minus the union
+# of committed BENCH_r* "queries"/"rotation_queries" maps (r7-r10
+# covered 176; this cohort takes the ledger to 221). Each entry runs
+# one untimed warm-up then a timed collect and rides the stdout
+# line's "rotation_queries" map; the 41-query HEADLINE wall stays the
+# round-comparable "value". tests/test_registry.py asserts the cohort
+# is disjoint from every committed BENCH ledger row, so reusing a
+# benched query here fails CI.
 ROTATION = [
-    # sampling family
-    "sample_domain_cap",
-    "sample_split_assign",
-    "sample_split_leakage_safe",
-    "sample_stratified_hash",
-    "sample_token_budget",
-    "sample_weighted_mixture",
-    "sample_weighted_reservoir",
-    # sketch / exact-selection family
-    "exact_median_selection",
-    "feature_winsorize_clip",
-    "quantile_sketch_error",
-    "rolling_hll_users",
-    "sketch_hll_distinct",
-    "sketch_kmv_set_algebra",
-    "weighted_median_selection",
-    # quality / profiling family
-    "column_gini_diversity",
-    "domain_length_quantiles",
-    "domain_stats",
-    "dp_noisy_release",
-    "feature_quantile_binning",
-    "feature_standardize_zscore",
-    "join_fanout_audit",
-    "k_anonymity_audit",
-    "key_sequence_gaps",
-    "url_canonicalize_dedup",
-    # text family
-    "bpe_tokenize_apply",
-    "bpe_train_merges",
-    "corpus_build_pipeline",
-    "doc_chunk_content_defined",
-    "doc_chunk_windows",
-    "feature_hashing_vectorize",
-    "langid_confusion_matrix",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_language_id",
-    "text_pmi_collocations",
-    "text_repetition_stats",
-    "text_token_counts",
-    "text_top_tokens",
-    "text_vocab_coverage",
-    "top_tokens_per_lang",
-    # validate / sink probes
-    "fk_integrity_dashboard",
-    "mapping_static_validation",
-    "schema_pv_checks",
-    "validate_column_checks",
-    "workbook_sink_roundtrip",
+    # TPC-H join suite remainder + join probes
+    "anti_join_integrity",
+    "broadcast_lookup_join",
+    "q2_best_balance_supplier",
+    "q4_priority_semijoin",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q22_dormant_customers",
+    "semi_join_exists",
+    "theta_rule_join",
+    # relational probes
+    "agg_rollup_hierarchy",
+    "aggregate_filter_probe",
+    "argmax_aggregate_probe",
+    "grouping_sets_probe",
+    "revenue_concentration_gini",
+    "set_ops_bag_semantics",
+    "share_of_parent_revenue",
+    "skyline_pareto_parts",
+    # temporal family
+    "attribution_first_last_touch",
+    "calendar_rollup_monthly",
+    "event_debounce",
+    "event_path_trigrams",
+    "ewma_daily_events",
+    "markov_next_event_eval",
+    "monthly_revenue_mom",
+    "rolling_median_daily",
+    "rollup_merge_partials",
+    "seasonal_naive_backtest",
+    "state_dwell_times",
+    "streak_gaps_islands",
+    "timeseries_gap_fill",
+    "trending_items_decay",
+    "weekly_rollup_iso",
+    # round-11 growth tier (first wall-clock rows)
+    "dedup_exact_substring",
+    "table_log_deletion_vectors",
+    "streaming_agg_tablelog_sink",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is
@@ -182,32 +181,49 @@ SCALE_CORE = [
 
 # Rotating scale cohort (VERDICT r8 ask #2): three of round 8's four
 # real defects were caught only by AD-HOC factor-5 probes — this makes
-# that systematic. Each round swaps in ~6-12 adjudicated-heavy queries
-# (start from the most expensive rotation-bench entries that have no
-# committed linearity row yet); tests/test_registry.py pins the cohort
-# contract the way it pins PRIORITY. Round 10 (VERDICT r9 asks #3+#5):
-# the tablelog family — the largest data-plane component with zero
-# committed scale evidence (974 LoC sink/tablelog.py) — plus the
-# heaviest remaining rows the derivation prints (study_end_to_end,
-# fk_integrity_dashboard, document_assembly, json_flatten). The r9
-# cohort's rows live in SCALE_LEDGER.json; rotating them out loses
-# nothing (the ledger is cumulative).
+# that systematic. Each round swaps in ~6-12 adjudicated-heavy queries;
+# tests/test_registry.py pins the cohort contract the way it pins
+# PRIORITY. Round 11 (VERDICT r10 asks #3+#5+#7): the one data-plane
+# query still without a scale row (streaming_join_late_drop — its 12
+# streaming siblings all have rows), the three new growth-tier queries
+# (an op must land with its x5 row in the same round), and two
+# watch-list re-probes — semantic_dedup_clusters (x5 0.839, the
+# heaviest honest linearity in the dedup family) and
+# triangle_count_coorder (the AQE-reducer poster child, re-read under
+# the current sizing). The r10 cohort's rows live in
+# SCALE_LEDGER.json; rotating them out loses nothing (cumulative).
 SCALE_ROTATION = [
-    "table_log_snapshot_read",
-    "table_log_time_travel",
-    "table_log_optimize_zorder",
-    "table_log_constraint_enforce",
-    "table_log_change_feed",
-    "table_log_history_audit",
-    "table_log_zorder_pruned_read",
-    "table_log_delete_where",
-    "study_end_to_end",
-    "fk_integrity_dashboard",
-    "document_assembly",
-    "json_flatten",
+    "streaming_join_late_drop",
+    "dedup_exact_substring",
+    "table_log_deletion_vectors",
+    "streaming_agg_tablelog_sink",
+    "semantic_dedup_clusters",
+    "triangle_count_coorder",
 ]
 
 SCALE_QUERIES = SCALE_CORE + SCALE_ROTATION
+
+# Noise-robust comparison protocol (VERDICT r10 ask #1): round 10's
+# only red-looking number (driver suite wall 66.3s vs r9's 57.4s) was
+# proven pure session noise — a uniform 1.21x median per-query
+# inflation on code-untouched queries vs the builder's same-code 54.1s
+# run. Two structural fixes:
+#   (a) a CALIBRATION query runs first (after the global warm-up):
+#       median-of-3 timed collects of q1_pricing_summary, a plan
+#       untouched since round 1. Its wall, divided by the pinned
+#       reference below, is the SESSION FACTOR every artifact carries;
+#       round-over-round comparisons divide by it (PLANS.md states the
+#       rule; raw walls stay in the artifact for audit).
+#   (b) every HEADLINE query reports the MEDIAN of 3 timed collects
+#       (raw runs kept in BENCH_DETAIL), so a single GC/scheduler tail
+#       cannot masquerade as a per-query regression.
+CALIBRATION_QUERY = "q1_pricing_summary"
+# Pinned on this machine, round 11, local[32] at sf0.1: the builder's
+# closing-session median-of-3 calibration wall. A session_factor of
+# ~1.0 means walls are directly comparable to the r11 committed runs;
+# 1.2 means the session runs 20% slow and normalized walls divide it
+# out.
+CALIBRATION_REFERENCE_S = 0.72
 
 
 def _geo_scale_runner(spark, d: str):
@@ -451,7 +467,28 @@ def main() -> int:
 
     from c3dc_etl_spark.pinning import release_pinned
 
+    def _timed_collect(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        # persist hygiene: drop the query's pinned intermediates now
+        # that the result is materialized — nothing lingers
+        release_pinned()
+        return round(time.perf_counter() - t0, 3)
+
+    # calibration (VERDICT r10 ask #1a): median-of-3 collects of the
+    # round-1 pinned-plan query, AFTER the global warm-up above — the
+    # per-session speed yardstick every artifact carries
+    cal_runs = sorted(_timed_collect(qs[CALIBRATION_QUERY]) for _ in range(3))
+    calibration_s = cal_runs[1]
+    session_factor = round(calibration_s / CALIBRATION_REFERENCE_S, 3)
+    print(
+        f"# calibration {CALIBRATION_QUERY}: {cal_runs} -> median "
+        f"{calibration_s:.3f}s, session_factor {session_factor:.3f}",
+        file=sys.stderr,
+    )
+
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     compute: dict[str, float] = {}
     total = 0.0
     c_total = 0.0
@@ -472,19 +509,18 @@ def main() -> int:
         release_pinned()
         compute[name] = round(time.perf_counter() - t0, 3)
         c_total += compute[name]
-        # pass 2 — warm collect: the driver-gate-equivalent full row
-        # materialization, measured with the plan/caches warm so
-        # round-over-round deltas reflect code, not session state
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        # persist hygiene: drop the query's pinned intermediates now that
-        # the result is materialized — nothing lingers across queries
-        release_pinned()
-        dt = round(time.perf_counter() - t0, 3)
+        # passes 2-4 — warm collects, MEDIAN reported (VERDICT r10 ask
+        # #1b): the driver-gate-equivalent row materialization, measured
+        # three times so a single GC/scheduler tail cannot read as a
+        # per-query regression; raw runs ride BENCH_DETAIL for audit
+        rs = [_timed_collect(fn) for _ in range(3)]
+        runs[name] = rs
+        dt = sorted(rs)[1]
         times[name] = dt
         total += dt
         print(
-            f"# {name}: compute {compute[name]:.3f}s, collect {dt:.3f}s",
+            f"# {name}: compute {compute[name]:.3f}s, collect "
+            f"median {dt:.3f}s of {rs}",
             file=sys.stderr,
         )
 
@@ -508,6 +544,11 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "collect_runs": runs,
+        "calibration_s": calibration_s,
+        "calibration_runs": cal_runs,
+        "session_factor": session_factor,
+        "value_normalized": round(total / session_factor, 3),
         "compute_wall": round(c_total, 3),
         "compute": compute,
         "rotation_wall": round(rot_total, 3),
@@ -630,13 +671,31 @@ def main() -> int:
     # meaning since r5, so suite_wall stays comparable
     # round-over-round. Both cohorts' full timings live in
     # BENCH_DETAIL.json ("queries" + "rotation").
+    # cohort label is MECHANICAL (VERDICT r10 ask #6): derived from the
+    # actual ROTATION list and the committed correctness-ledger state,
+    # never a hand-written string that can go stale
+    import hashlib
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(f[len("CORRECTNESS_r"):-len(".json")])
+        for f in os.listdir(repo_dir)
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    ]
+    rot_sha = hashlib.sha1(",".join(ROTATION).encode()).hexdigest()[:8]
+    cohort = (
+        f"r{(max(rounds) if rounds else 0) + 1} rotation n={len(ROTATION)} "
+        f"sha1={rot_sha}; value = {len(HEADLINE)}-query headline "
+        "median-of-3 collect wall"
+    )
     headline = {
         "metric": "suite_wall",
         "value": result["value"],
         "unit": "sec",
-        "rotation_queries": rot_times,
-        "cohort": "rotation-r9; value = 41-query headline wall "
-        "(see BENCH_DETAIL.json)",
+        "session_factor": session_factor,
+        "value_normalized": result["value_normalized"],
+        "rotation_queries": {k: round(v, 2) for k, v in rot_times.items()},
+        "cohort": cohort,
         "sf": sf,
     }
     line = json.dumps(headline)

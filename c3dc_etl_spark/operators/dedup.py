@@ -926,3 +926,109 @@ def edit_distance_join(
             F.col("dist").cast("bigint").alias("dist"),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_len: int = 40,
+) -> DataFrame:
+    """EXACT substring-level duplicate detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr semantics, round-11 growth tier): every maximal span of
+    length >= ``min_len`` whose text appears verbatim at least twice in
+    the corpus (another document OR another offset of the same one),
+    merged per document into (doc, span) islands.
+
+    Reference formulation: Lee et al. build a single suffix array over
+    the concatenated corpus. That is the right shape for one machine
+    and the wrong one for a shuffle-based engine — suffix-array
+    prefix-doubling needs O(log n) GLOBAL sorts of the full character
+    corpus. The distributed-equivalent identity this uses instead: a
+    position is inside a duplicated span of length >= L iff it is
+    covered by a duplicated L-gram (every duplicated substring of
+    length >= L contains one at each offset; every duplicated L-gram IS
+    one), so fixed-length gram fingerprints recover the exact same
+    covered-position set with ONE keyed shuffle.
+
+    Plan (3 shuffles, all key-narrow):
+    1. explode each doc into its length-L character grams, shuffle ONLY
+       the 8-byte xxhash64 per position (never the L-byte gram — at
+       L=40 that would shuffle 40x the corpus) -> hash occurrence
+       counts; keep hashes seen >= 2.
+    2. re-derive the grams for hash-duplicated positions only (a scan
+       is cheap, a shuffle is not) and CONFIRM on the full gram string
+       within that small subset — hash collisions die here, so the
+       output is exact, not probabilistic: a gram is kept iff its
+       TOTAL count >= 2 (all copies of a gram share its hash, so the
+       subset count equals the global count).
+    3. merge covered positions [p, p+L) into maximal islands per doc
+       with one per-doc window (positions sort inside each doc's
+       partition; equal-length intervals merge by a lag-gap test).
+
+    Returns (id_col, n_dup_spans, dup_chars, max_span_len) for
+    documents containing at least one duplicated span."""
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    docs = spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__t")).filter(
+            F.length("__t") >= L
+        )
+    )
+
+    def _grams(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.length("__t") - L)
+            ).alias("p"),
+            "__t",
+        ).select(
+            F.col(id_col),
+            F.col("p").cast("bigint").alias("p"),
+            F.expr(f"substring(__t, p + 1, {L})").alias("gram"),
+        )
+
+    # pass 1: duplicated HASHES — the shuffle carries 8 bytes/position
+    dup_h = (
+        _grams(docs)
+        .groupBy(F.xxhash64("gram").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    # pass 2: exact confirm within the hash-duplicated subset (no
+    # broadcast hint: dup_h grows with the corpus — AQE picks the
+    # strategy; at local test scale it broadcasts itself)
+    cand = _grams(docs).withColumn("h", F.xxhash64("gram")).join(
+        dup_h, "h"
+    )
+    dup_g = (
+        cand.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+    )
+    hits = cand.join(dup_g, "gram").select(id_col, "p")
+    # pass 3: island merge per doc (positions cover [p, p+L); equal
+    # lengths mean ends are monotone in p, so a lag-gap test merges)
+    w = Window.partitionBy(id_col).orderBy("p")
+    isl = hits.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("p") - F.lag("p").over(w) > L, 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy(id_col, "island").agg(
+        F.min("p").alias("s"), (F.max("p") + L).alias("e")
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_chars"),
+        F.max(F.col("e") - F.col("s")).cast("bigint").alias("max_span_len"),
+    )

@@ -215,6 +215,124 @@ class TableLog:
         """Highest batch id this app has committed, or None."""
         return self.txns().get(app)
 
+    def dv_map(self, version: int | None = None) -> dict[str, str]:
+        """Active deletion-vector sidecars at ``version`` (latest if
+        None): data-file name -> the dv sidecar parquet recording its
+        deleted row positions — Delta's merge-on-read deletion vectors.
+        Replay rules: a removed data file drops its entry, a (re)added
+        file starts DV-free unless the SAME commit's ``dv`` map says
+        otherwise (restore/clone carry history), and a ``dv`` entry
+        REPLACES the file's previous vector (each new vector is
+        cumulative: old positions union new ones), with ``None``
+        clearing it. Folded into checkpoints like txns(), so resolution
+        is O(tail)."""
+        head = self.latest_version() if version is None else version
+        if head is None:
+            return {}
+        dvs: dict[str, str] = {}
+        start = 0
+        cps = [c for c in self._checkpoint_versions() if c <= head]
+        if cps:
+            cp = cps[-1]
+            with open(
+                os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
+            ) as fh:
+                dvs = dict(json.load(fh).get("dvs", {}))
+            start = cp + 1
+        for v in self.versions():
+            if v < start:
+                continue
+            if v > head:
+                break
+            m = self._manifest(v)
+            for f in m.get("remove", ()):
+                dvs.pop(f, None)
+            for f in m.get("add", ()):
+                dvs.pop(f, None)
+            for f, d in (m.get("dv") or {}).items():
+                if d is None:
+                    dvs.pop(f, None)
+                else:
+                    dvs[f] = d
+        return dvs
+
+    def _scan_files(
+        self,
+        spark: SparkSession,
+        names: list[str],
+        *,
+        merge_schema: bool = False,
+        dvm: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Scan ``names`` with any active deletion vectors SUBTRACTED —
+        the merge-on-read path every internal reader (read, compact,
+        merge, zorder) routes through so a DV'd row can never resurrect
+        through a rewrite. Identity is (file basename, parquet row
+        index) via the ``_metadata`` hidden column — the same row-id
+        mechanism Delta DVs ride; positions are stable because data
+        files are immutable. The DV side is broadcast: vectors are
+        small by contract (CDC/GDPR-scale deletes — a delete touching a
+        large row fraction belongs on the copy-on-write ``delete_where``
+        or a ``purge_deletes`` rewrite, which this class also offers).
+        Filters on data columns still push below the anti-join (its
+        keys are the metadata columns only), so file skipping and
+        row-group pruning are unaffected."""
+        from pyspark.sql import functions as F
+
+        dvm = self.dv_map() if dvm is None else dvm
+        paths = [os.path.join(self.table_dir, n) for n in names]
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
+        active = {n: d for n, d in dvm.items() if n in set(names)}
+        if not active:
+            return df
+        cols = df.columns
+        tagged = df.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        dv = self._read_dv_rows(spark, active)
+        return tagged.join(
+            F.broadcast(
+                dv.select(
+                    F.col("file").alias("__file"), F.col("pos").alias("__pos")
+                )
+            ),
+            ["__file", "__pos"],
+            "left_anti",
+        ).select(*cols)
+
+    def _read_dv_rows(
+        self, spark: SparkSession, active: dict[str, str]
+    ) -> DataFrame:
+        """(file, pos) rows of the ACTIVE vectors in ``active`` (data
+        file -> sidecar). A sidecar may hold rows for several files and
+        may be superseded for SOME of them by a later vector, so rows
+        are kept only when (file, source sidecar) is an active pair."""
+        from pyspark.sql import functions as F
+
+        paths = sorted(set(active.values()))
+        dv = spark.read.parquet(
+            *[os.path.join(self.table_dir, p) for p in paths]
+        ).select(
+            "file",
+            "pos",
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("src"),
+        )
+        pairs = spark.createDataFrame(
+            [(f, d) for f, d in active.items()], "file string, src string"
+        )
+        return dv.join(F.broadcast(pairs), ["file", "src"], "left_semi").select(
+            "file", "pos"
+        )
+
     def checkpoint(self, version: int | None = None) -> None:
         """Land a full-state checkpoint manifest for ``version`` (latest
         if None). Idempotent; checkpoints are derived artifacts, so a
@@ -233,6 +351,9 @@ class TableLog:
                 # instead of replaying every manifest from version 0 on
                 # EVERY write-path enforcement
                 "constraints": self.constraints(head),
+                # active deletion-vector map folded in the same way, so
+                # dv_map() resolution is O(tail) too
+                "dvs": self.dv_map(head),
             },
             sort_keys=True,
         )
@@ -846,13 +967,14 @@ class TableLog:
         # clone with a version its file set does not reflect
         src_version = self.latest_version() if version is None else int(version)
         snap = self.snapshot(src_version)
+        dvm = self.dv_map(src_version)
         # mirror restore()'s precheck: an explicitly requested version
         # whose data files were vacuumed must raise BEFORE anything is
         # created — otherwise os.link raises FileNotFoundError (an
         # OSError), the except falls into shutil.copy2 which re-raises
         # mid-loop and leaves a half-populated, uncommitted clone dir
         missing = [
-            n for n in snap
+            n for n in list(snap) + sorted(set(dvm.values()))
             if not os.path.exists(os.path.join(self.table_dir, n))
         ]
         if missing:
@@ -871,7 +993,9 @@ class TableLog:
         )
         if clone.latest_version() is not None:
             raise ValueError(f"clone target {target_dir} is not empty")
-        for name in snap:
+        # active deletion-vector sidecars ride along: the clone's reads
+        # must subtract the same positions the source's did
+        for name in list(snap) + sorted(set(dvm.values())):
             src = os.path.join(self.table_dir, name)
             dst = os.path.join(clone.table_dir, name)
             if not os.path.exists(dst):
@@ -884,14 +1008,17 @@ class TableLog:
                     # real copy — "shallow" degrades to byte-copy but
                     # the clone's semantics are unchanged
                     shutil.copy2(src, dst)
+        extra = {
+            "clone_of": self.table_dir,
+            "clone_version": src_version,
+        }
+        if dvm:
+            extra["dv"] = dvm
         clone.commit(
             add=list(snap),
             op="clone",
             stats={n: st for n, st in snap.items() if st},
-            extra={
-                "clone_of": self.table_dir,
-                "clone_version": src_version,
-            },
+            extra=extra,
         )
         return clone
 
@@ -909,8 +1036,9 @@ class TableLog:
         ``overwrite``: commit() revalidates the removes against any
         racing head."""
         target = self.snapshot(target_version)
+        target_dvm = self.dv_map(target_version)
         missing = [
-            n for n in target
+            n for n in list(target) + sorted(set(target_dvm.values()))
             if not os.path.exists(os.path.join(self.table_dir, n))
         ]
         if missing:
@@ -918,15 +1046,31 @@ class TableLog:
                 f"cannot restore to version {target_version}: data files "
                 f"vacuumed: {missing}"
             )
-        current = set(self.files())
+        head = self.latest_version()
+        current = set(self.files(head))
+        current_dvm = self.dv_map(head)
         add = [n for n in target if n not in current]
         remove = [n for n in current if n not in target]
+        # the restored state's deletion vectors must match the target
+        # version too: re-added files re-attach theirs, surviving files
+        # whose vector changed since get the target's (None clears)
+        dv: dict[str, str | None] = {}
+        for n in target:
+            tdv = target_dvm.get(n)
+            if n in current and current_dvm.get(n) == tdv:
+                continue
+            if n not in current and tdv is None:
+                continue
+            dv[n] = tdv
+        extra: dict = {"restore_of": int(target_version)}
+        if dv:
+            extra["dv"] = dv
         return self.commit(
             add=add,
             remove=remove,
             op="restore",
             stats={n: st for n, st in target.items() if n in add and st},
-            extra={"restore_of": int(target_version)},
+            extra=extra,
         )
 
     def compact(self, spark: SparkSession, *, target_partitions: int = 1) -> int:
@@ -938,18 +1082,33 @@ class TableLog:
         # both the rewrite read and the remove list — re-resolving at
         # read time would silently duplicate the rows of any file a
         # racer commits between the two resolutions
-        current = self.files()
+        base = self.latest_version()
+        current = self.files(base)
         if not current:
             raise ValueError(f"table {self.table_dir} has no committed data")
-        df = spark.read.parquet(
-            *[os.path.join(self.table_dir, n) for n in current]
-        )
+        # DV-aware rewrite: deleted rows must not resurrect through the
+        # compaction, and since the DV'd files are in the remove list,
+        # their vectors retire with them (a compact doubles as a purge)
+        df = self._scan_files(spark, current, dvm=self.dv_map(base))
+
+        def _validate(head):
+            # a racer's deletion vector changes the content this rewrite
+            # already read without touching the file set the liveness
+            # check guards — refuse rather than resurrect its deletes
+            dvc = self._dv_commits_since(base, head)
+            if dvc:
+                raise CommitConflict(
+                    f"concurrent deletion-vector commits {dvc} landed "
+                    "during the compaction read; re-run the compact"
+                )
+
         compacted = self._land_files(df.repartition(target_partitions))
         return self.commit(
             add=compacted,
             remove=current,
             op="compact",
             stats=self._file_stats(spark, compacted),
+            validate=_validate,
         )
 
     def optimize_zorder(
@@ -983,12 +1142,13 @@ class TableLog:
 
         from c3dc_etl_spark.operators.warehouse import morton_key
 
-        current = self.files()
+        base = self.latest_version()
+        current = self.files(base)
         if not current:
             raise ValueError(f"table {self.table_dir} has no committed data")
-        df = spark.read.parquet(
-            *[os.path.join(self.table_dir, n) for n in current]
-        )
+        # DV-aware like compact: the layout rewrite must not resurrect
+        # merge-on-read deletes, and retires the rewritten files' vectors
+        df = self._scan_files(spark, current, dvm=self.dv_map(base))
         width = 1 << bits
         bounds = df.agg(
             F.min(F.col(x_col)).alias("nx"),
@@ -1015,12 +1175,22 @@ class TableLog:
             .sortWithinPartitions("__z")
             .drop("__z")
         )
+
+        def _validate(head):
+            dvc = self._dv_commits_since(base, head)
+            if dvc:
+                raise CommitConflict(
+                    f"concurrent deletion-vector commits {dvc} landed "
+                    "during the zorder rewrite; re-run the optimize"
+                )
+
         rewritten = self._land_files(clustered, preserve_layout=True)
         return self.commit(
             add=rewritten,
             remove=current,
             op="optimize_zorder",
             stats=self._file_stats(spark, rewritten),
+            validate=_validate,
         )
 
     def _key_env(self, st: dict):
@@ -1141,6 +1311,15 @@ class TableLog:
                         f"concurrent commit {v} added files overlapping the "
                         f"merged key set: {hit}; re-read and re-derive the merge"
                     )
+                # a racer's deletion vector on a file this merge READ
+                # changes its content without changing the file set —
+                # the rewrite would resurrect the racer's deletes
+                dv_hit = sorted(set(m.get("dv") or ()) & set(touched))
+                if dv_hit:
+                    raise CommitConflict(
+                        f"concurrent commit {v} added deletion vectors on "
+                        f"files this merge rewrites: {dv_hit}; re-derive"
+                    )
 
         touched = self._touched_files(keys)
         if not touched:
@@ -1153,9 +1332,7 @@ class TableLog:
                 validate=_validate,
                 constraints_epoch=cepoch,
             )
-        existing = spark.read.parquet(
-            *[os.path.join(self.table_dir, n) for n in touched]
-        )
+        existing = self._scan_files(spark, touched)
         keep = existing.join(
             F.broadcast(updates.select(key_col).distinct()), key_col, "left_anti"
         )
@@ -1254,6 +1431,12 @@ class TableLog:
                         f"concurrent commit {v} added files overlapping the "
                         f"CDC key set: {hit}; re-read and re-derive the merge"
                     )
+                dv_hit = sorted(set(m.get("dv") or ()) & set(touched))
+                if dv_hit:
+                    raise CommitConflict(
+                        f"concurrent commit {v} added deletion vectors on "
+                        f"files this CDC merge rewrites: {dv_hit}; re-derive"
+                    )
 
         touched = self._touched_files(keys)
         if not touched:
@@ -1266,9 +1449,7 @@ class TableLog:
                 validate=_validate,
                 constraints_epoch=cepoch,
             )
-        existing = spark.read.parquet(
-            *[os.path.join(self.table_dir, n) for n in touched]
-        )
+        existing = self._scan_files(spark, touched)
         keep = existing.join(
             F.broadcast(batch.select(key_col).distinct()), key_col, "left_anti"
         )
@@ -1332,13 +1513,17 @@ class TableLog:
                         f"concurrent commit {v} added files overlapping the "
                         f"deleted range: {hit}; re-read and re-apply the delete"
                     )
+                dv_hit = sorted(set(m.get("dv") or ()) & set(touched))
+                if dv_hit:
+                    raise CommitConflict(
+                        f"concurrent commit {v} added deletion vectors on "
+                        f"files this delete rewrites: {dv_hit}; re-apply"
+                    )
 
         touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
         if not touched:
             return self.commit(op="delete", txn=txn, validate=_validate)
-        existing = spark.read.parquet(
-            *[os.path.join(self.table_dir, n) for n in touched]
-        )
+        existing = self._scan_files(spark, touched)
         # NULL-key rows never satisfy [lo, hi] (three-valued BETWEEN is
         # NULL, not true), so a range DELETE must KEEP them — a bare
         # ~between() would evaluate to NULL and silently drop them
@@ -1353,6 +1538,184 @@ class TableLog:
             op="delete",
             stats=self._file_stats(spark, adds),
             txn=txn,
+            validate=_validate,
+        )
+
+    def _dv_commits_since(self, base: int | None, head: int | None) -> list[int]:
+        """Versions in (base, head] that carry a ``dv`` action — the
+        conflict signal for copy-on-write rewrites: a racer's deletion
+        vector changes file CONTENT without changing the file set, so
+        the remove-liveness check alone would let a rewrite resurrect
+        the racer's deleted rows."""
+        if head is None:
+            return []
+        out = []
+        for v in self.versions():
+            if (base is not None and v <= base) or v > head:
+                continue
+            if self._manifest(v).get("dv"):
+                out.append(v)
+        return out
+
+    def delete_where_dv(
+        self,
+        spark: SparkSession,
+        predicate_sql: str,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Merge-on-read DELETE (Delta's deletion vectors): mark the
+        matching rows' positions in per-file sidecar bitmaps and commit
+        ONLY the manifest change — no data file is rewritten, so a
+        delete touching a handful of rows spread across thousands of
+        100 TB-table files costs one sidecar write instead of rewriting
+        every touched file (the copy-on-write ``delete_where`` cost).
+        Readers subtract the vectors at scan time (``_scan_files``);
+        ``purge_deletes`` later materializes them into a rewrite.
+
+        Mechanics: the predicate is evaluated over the UNDELETED view
+        of the current snapshot (already-deleted rows cannot re-match),
+        each matching row is identified by (file, parquet row index),
+        and each affected file's NEW vector is the union of its old
+        positions and the new matches — vectors are cumulative and a
+        manifest ``dv`` entry REPLACES the file's previous one, exactly
+        Delta's DV protocol. The sidecar is a parquet file of (file,
+        pos) rows landed beside the data files; vacuum treats active
+        sidecars as referenced.
+
+        Concurrency is strict-serializable: the predicate was evaluated
+        against this delete's base snapshot, so ANY data-carrying racer
+        (add/remove/dv) in (base, head] raises CommitConflict — there
+        is no stats envelope to prove non-overlap for an arbitrary
+        predicate."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        snap = self.snapshot(base)
+        if not snap:
+            raise ValueError(f"table {self.table_dir} has no committed data")
+        dvm = self.dv_map(base)
+
+        def _validate(head):
+            if head is None:
+                return
+            for v in self.versions():
+                if (base is not None and v <= base) or v > head:
+                    continue
+                m = self._manifest(v)
+                if m.get("add") or m.get("remove") or m.get("dv"):
+                    raise CommitConflict(
+                        f"concurrent data commit {v} landed after this "
+                        "delete's predicate was evaluated; re-read and "
+                        "re-apply the delete"
+                    )
+
+        names = list(snap)
+        tagged = spark.read.parquet(
+            *[os.path.join(self.table_dir, n) for n in names]
+        ).select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        active = {n: d for n, d in dvm.items() if n in set(names)}
+        if active:
+            old = self._read_dv_rows(spark, active)
+            tagged = tagged.join(
+                F.broadcast(
+                    old.select(
+                        F.col("file").alias("__file"),
+                        F.col("pos").alias("__pos"),
+                    )
+                ),
+                ["__file", "__pos"],
+                "left_anti",
+            )
+        matches = tagged.filter(F.expr(predicate_sql)).select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        )
+        # bounded: one row per AFFECTED FILE (never per row)
+        per_file = (
+            matches.groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        if not per_file:
+            # ledger entry for txn idempotence, content unchanged
+            return self.commit(op="delete_dv", txn=txn, validate=_validate)
+        affected = sorted(r["file"] for r in per_file)
+        rows_deleted = sum(r["n"] for r in per_file)
+        new_dv = matches
+        carry = {n: d for n, d in active.items() if n in set(affected)}
+        if carry:
+            new_dv = new_dv.unionByName(
+                self._read_dv_rows(spark, carry)
+            ).distinct()
+        dv_name = self._land_dv_file(new_dv)
+        return self.commit(
+            op="delete_dv",
+            txn=txn,
+            validate=_validate,
+            extra={
+                "dv": {f: dv_name for f in affected},
+                "rows_deleted": int(rows_deleted),
+            },
+        )
+
+    def _land_dv_file(self, dv_rows: DataFrame) -> str:
+        """Land a (file, pos) frame as ONE immutable dv sidecar parquet
+        (vectors are small by contract — see _scan_files); uncommitted
+        sidecars are vacuum-swept orphans like any staged data file."""
+        staging = os.path.join(self.table_dir, f".staging-{uuid.uuid4().hex}")
+        dv_rows.select("file", "pos").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = next(
+            p for p in sorted(os.listdir(staging)) if p.endswith(".parquet")
+        )
+        name = f"dv-{uuid.uuid4().hex}.parquet"
+        os.rename(
+            os.path.join(staging, part), os.path.join(self.table_dir, name)
+        )
+        shutil.rmtree(staging)
+        return name
+
+    def purge_deletes(self, spark: SparkSession) -> int | None:
+        """Materialize every active deletion vector: rewrite ONLY the
+        DV'd files without their deleted rows (copy-on-write, the
+        OPTIMIZE-side of the merge-on-read bargain — readers stop
+        paying the anti-join and the sidecars become vacuumable).
+        Returns the commit version, or None when no vectors are active.
+        Conflict rules are delete_where_dv's strict check: the rewrite
+        re-reads content, so any concurrent data commit invalidates
+        it."""
+        base = self.latest_version()
+        dvm = self.dv_map(base)
+        live = set(self.files(base))
+        affected = sorted(n for n in dvm if n in live)
+        if not affected:
+            return None
+
+        def _validate(head):
+            if head is None:
+                return
+            for v in self.versions():
+                if (base is not None and v <= base) or v > head:
+                    continue
+                m = self._manifest(v)
+                if m.get("add") or m.get("remove") or m.get("dv"):
+                    raise CommitConflict(
+                        f"concurrent data commit {v} landed during the "
+                        "purge rewrite; re-read and re-apply"
+                    )
+
+        clean = self._scan_files(spark, affected, dvm=dvm)
+        adds = self._land_files(clean)
+        return self.commit(
+            add=adds,
+            remove=affected,
+            op="purge",
+            stats=self._file_stats(spark, adds),
             validate=_validate,
         )
 
@@ -1420,13 +1783,17 @@ class TableLog:
                         f"concurrent commit {v} added files overlapping the "
                         f"replaced range: {hit}; re-read and re-apply"
                     )
+                dv_hit = sorted(set(m.get("dv") or ()) & set(touched))
+                if dv_hit:
+                    raise CommitConflict(
+                        f"concurrent commit {v} added deletion vectors on "
+                        f"files this replace rewrites: {dv_hit}; re-apply"
+                    )
 
         touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
         new_part = df
         if touched:
-            existing = spark.read.parquet(
-                *[os.path.join(self.table_dir, n) for n in touched]
-            )
+            existing = self._scan_files(spark, touched)
             carried = existing.filter(
                 F.col(self.stats_col).isNull()
                 | ~F.col(self.stats_col).between(lo, hi)
@@ -1526,11 +1893,11 @@ class TableLog:
                 # merge_schema honored) so shard unions don't diverge
                 names = list(snap)
                 all_pruned = True
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(
-            *[os.path.join(self.table_dir, n) for n in names]
+        # deletion vectors active at THIS snapshot are subtracted at scan
+        # time (merge-on-read); time travel to a pre-delete version sees
+        # the rows because that version's dv map lacks the vector
+        df = self._scan_files(
+            spark, names, merge_schema=merge_schema, dvm=self.dv_map(version)
         )
         if key_between is not None or col_between or key_eq is not None:
             from pyspark.sql import functions as F
@@ -1577,9 +1944,13 @@ class TableLog:
                 continue
             m = self._manifest(v)
             # any data-carrying non-append invalidates the feed: adds
-            # from a rewrite re-add old rows, and a remove-only commit
-            # (e.g. an overwrite to empty) changes content invisibly
-            if (m.get("add") or m.get("remove")) and m["op"] != "append":
+            # from a rewrite re-add old rows, a remove-only commit
+            # (e.g. an overwrite to empty) changes content invisibly,
+            # and a deletion-vector commit deletes rows with NO
+            # add/remove at all — all three would corrupt the feed
+            if (m.get("add") or m.get("remove") or m.get("dv")) and m[
+                "op"
+            ] != "append":
                 raise ValueError(
                     f"read_changes: commit {v} is op={m['op']!r}; only "
                     "append commits can be read as a change feed "
@@ -1655,6 +2026,10 @@ class TableLog:
         referenced: set[str] = set()
         for v in retained:
             referenced.update(self.files(v))
+            # active deletion-vector sidecars are part of the retained
+            # snapshots' read state; a replaced/retired vector becomes
+            # unreferenced and is reclaimed like any rewritten data file
+            referenced.update(self.dv_map(v).values())
         deleted = []
         for name in os.listdir(self.table_dir):
             full = os.path.join(self.table_dir, name)

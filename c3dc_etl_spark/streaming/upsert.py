@@ -102,6 +102,63 @@ def run_upsert_stream(
     q.awaitTermination()
 
 
+def run_windowed_agg_stream_tablelog(
+    agg_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    app_id: str | None = None,
+) -> None:
+    """Streaming WINDOWED AGGREGATE into the transactional table log
+    with exactly-once epochs (round-11 growth tier: T200's CDC-commit
+    machinery composed with watermarked windowed aggregation).
+
+    ``agg_stream`` is a watermarked streaming aggregate (one row per
+    group key, with ``key_col`` a non-NULL surrogate for the full group
+    key). Run in UPDATE output mode, each micro-batch delivers exactly
+    the windows the batch CHANGED — late-but-in-watermark rows re-emit
+    their window with the corrected total — and each batch lands as ONE
+    copy-on-write MERGE commit (changed windows replace their prior
+    rows; only the files whose stats envelope holds a changed key
+    rewrite) carrying the ``(app, batch_id)`` txn action. A re-delivered
+    epoch (foreachBatch's at-least-once contract after a crash between
+    sink write and checkpoint advance) is rejected by the log's own
+    high-water mark IN the same atomic commit as the data — that is
+    exactly-once by construction, not by idempotence. At scale the
+    per-epoch merge cost is proportional to the CHANGED window set, not
+    the table: exactly the incremental-materialized-view shape a 100 TB
+    event stream needs."""
+    from c3dc_etl_spark.sink.tablelog import CommitConflict, TableLog
+
+    app = app_id or f"aggsink:{checkpoint_dir}"
+    log = TableLog(table_dir, stats_col=key_col)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        done = log.last_txn(app)
+        if done is not None and done >= batch_id:
+            return  # re-delivered epoch: already committed
+        try:
+            log.merge_upsert(batch.sparkSession, batch, key_col, txn=(app, batch_id))
+        except CommitConflict:
+            # swallow ONLY when the high-water mark proves this epoch
+            # is already in (a concurrent retry of the same batch won);
+            # a foreign-writer conflict or retry exhaustion must fail
+            # the batch so the checkpoint does not advance past it
+            done = log.last_txn(app)
+            if done is None or done < batch_id:
+                raise
+
+    q = (
+        agg_stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Read the current snapshot, healing an interrupted swap first."""
     recover(snapshot_dir)

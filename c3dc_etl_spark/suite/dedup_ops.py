@@ -860,3 +860,65 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.edit_distance_join(
         docs, "text", "doc_id", max_dist=ED_MAX_DIST, q=ED_Q
     )
+
+
+# Round-11 growth tier (r10 verdict item 5a): exact SUBSTRING-level
+# dedup — the Lee et al. 2022 ExactSubstr modality the T-family lacked
+# (T40's span dedup is hash-shingle approximate; this is verbatim-exact
+# at min_len granularity). The oracle replays the covered-position
+# identity naively: duplicated L-grams -> covered positions -> per-doc
+# island merge — the Spark side must produce the identical span set
+# through its hash-prefiltered 3-shuffle plan.
+_SUBSTR_L = 40
+
+_SUBSTR_ORACLE = f"""
+WITH pos AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, length(text) - {_SUBSTR_L})) AS p
+    FROM documents WHERE length(text) >= {_SUBSTR_L}
+), grams AS (
+    SELECT doc_id, CAST(p AS BIGINT) AS p,
+           substring(text, CAST(p AS INT) + 1, {_SUBSTR_L}) AS gram
+    FROM pos
+), dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+), hits AS (
+    SELECT doc_id, p FROM grams JOIN dup USING (gram)
+), lagged AS (
+    SELECT doc_id, p,
+           LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS lp
+    FROM hits
+), isl AS (
+    SELECT doc_id, p,
+           SUM(CASE WHEN p - lp > {_SUBSTR_L} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p) AS island
+    FROM lagged
+), spans AS (
+    SELECT doc_id, island, MIN(p) AS s, MAX(p) + {_SUBSTR_L} AS e
+    FROM isl GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_chars,
+       CAST(MAX(e - s) AS BIGINT) AS max_span_len
+FROM spans GROUP BY doc_id
+"""
+
+
+@query("dedup_exact_substring", oracle=_SUBSTR_ORACLE, tags=("dedup",))
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplicate spans (Lee et al. 2022's
+    ExactSubstr, distributed): every maximal verbatim-repeated span of
+    length >= 40 chars, merged per document — the dedup modality that
+    catches boilerplate/templated passages INSIDE otherwise-unique
+    documents, which document-hash and shingle methods miss or only
+    approximate. Suffix-array construction is replaced by the
+    covered-position identity over length-40 gram fingerprints: one
+    8-byte-key shuffle for hash counts, exact gram confirmation inside
+    the duplicated-hash subset (collisions die there — output is
+    exact), one per-doc window for the island merge
+    (operators/dedup.py: exact_substring_spans)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_substring_spans(
+        docs, "text", "doc_id", min_len=_SUBSTR_L
+    )

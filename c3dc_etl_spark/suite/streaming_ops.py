@@ -916,3 +916,77 @@ def streaming_join_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("r_ts").alias("r_ts_us"),
     )
     return _run_to_memory(joined, "stream_join_late", "append")
+
+
+# Round-11 growth tier (r10 verdict item 5c): windowed aggregation
+# streamed INTO the transactional table log with exactly-once epochs —
+# T200's CDC-commit machinery (txn high-water mark in the same atomic
+# commit as the data) composed with the watermarked windowed aggregate,
+# i.e. the incrementally-maintained aggregate table a 100 TB event
+# stream feeds. Update output mode means each epoch merges exactly the
+# CHANGED windows; the final table must equal the batch GROUP BY.
+_AGG_SINK_ORACLE = f"""
+SELECT (EPOCH_US(ts) // {_DAY_US}) * {_DAY_US} AS win_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "streaming_agg_tablelog_sink",
+    oracle=_AGG_SINK_ORACLE,
+    tags=("streaming", "tablelog"),
+)
+def streaming_agg_tablelog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregate -> transactional MERGE sink: 1-day
+    tumbling windows per event_type (30 min watermark) run in UPDATE
+    mode through foreachBatch, each epoch landing as ONE copy-on-write
+    merge commit keyed by the window surrogate and carrying the (app,
+    batch_id) txn action — a re-delivered epoch is rejected by the
+    log's own high-water mark in the same atomic commit as the data
+    (exactly-once by construction). The read-back through the log must
+    equal the batch GROUP BY; multi-epoch window updates, crash/replay
+    no-ops, and manual re-delivery rejection are unit-pinned in
+    tests/test_streaming_upsert.py (streaming/upsert.py:
+    run_windowed_agg_stream_tablelog)."""
+    import os
+
+    from c3dc_etl_spark.sink.tablelog import TableLog
+    from c3dc_etl_spark.streaming.upsert import run_windowed_agg_stream_tablelog
+
+    stream, schema = _table_stream(spark, sf_dir, "events")
+    withts = _with_event_ts(stream, schema)
+    # count + integer sum: both incrementally maintainable in update
+    # mode AND cross-engine exact (streaming aggs cannot do DISTINCT)
+    agg = (
+        withts.withWatermark("event_ts", "30 minutes")
+        .groupBy(F.window("event_ts", "1 day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_users",
+        )
+        .withColumn(
+            "k",
+            F.concat(
+                F.col("win_start_us").cast("string"),
+                F.lit(":"),
+                F.col("event_type"),
+            ),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="agg_sink_")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    run_windowed_agg_stream_tablelog(agg, table, ckpt, key_col="k")
+    return TableLog(table).read(spark).select(
+        "win_start_us", "event_type", "n_events", "sum_users"
+    )

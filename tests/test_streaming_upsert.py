@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from c3dc_etl_spark.streaming.upsert import (
     read_snapshot,
     run_upsert_stream,
@@ -194,5 +196,97 @@ def test_tablelog_cdc_stream_exactly_once_and_txn_dedup(spark):
         pass
     got2 = {
         r["k"]: (r["ver"], r["payload"]) for r in log.read(spark).collect()
+    }
+    assert got2 == got
+
+
+def test_windowed_agg_tablelog_sink_epochs_updates_exactly_once(spark):
+    """Round-11 growth tier: windowed aggregate -> tablelog MERGE sink.
+    Three epochs (maxFilesPerTrigger=1): epoch 0 opens window W/a=2,
+    epoch 1 opens W2/b, epoch 2 delivers a LATE-but-in-watermark row
+    that must UPDATE W/a to 3 through a new merge commit. Then the
+    exactly-once battery: checkpointed resume reprocesses nothing, and
+    a manually re-delivered epoch id is rejected by the log's txn
+    high-water mark."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from c3dc_etl_spark.sink.tablelog import CommitConflict, TableLog
+    from c3dc_etl_spark.streaming.upsert import run_windowed_agg_stream_tablelog
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = tempfile.mkdtemp(prefix="aggsink_unit_")
+    backlog = os.path.join(base, "backlog")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(backlog)
+    batches = [
+        [("2026-01-01 10:00:00", "a"), ("2026-01-01 11:00:00", "a")],
+        [("2026-01-02 01:00:00", "b")],
+        # late for window 2026-01-01 but inside the 1-day watermark
+        # (wm = 2026-01-02 01:00 - 1 day = 01-01 01:00 <= 23:00)
+        [("2026-01-01 23:00:00", "a")],
+    ]
+    for i, rs in enumerate(batches):
+        path = os.path.join(backlog, f"f{i}.json")
+        with open(path, "w") as fh:
+            for ts, et in rs:
+                fh.write(json.dumps({"ts": ts, "event_type": et}) + "\n")
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def _agg():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .json(backlog)
+        )
+        return (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(
+                F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "event_type",
+                "n_events",
+            )
+            .withColumn(
+                "k",
+                F.concat(
+                    F.col("win_start_us").cast("string"),
+                    F.lit(":"),
+                    F.col("event_type"),
+                ),
+            )
+        )
+
+    run_windowed_agg_stream_tablelog(_agg(), table, ckpt, key_col="k")
+    log = TableLog(table, stats_col="k")
+    day1 = 1_767_225_600_000_000  # 2026-01-01 UTC epoch micros
+    day2 = day1 + 86_400_000_000
+    got = {
+        (r["win_start_us"], r["event_type"]): r["n_events"]
+        for r in log.read(spark).collect()
+    }
+    # the late row UPDATED the already-committed window: 2 -> 3
+    assert got == {(day1, "a"): 3, (day2, "b"): 1}
+    # one merge commit per epoch that changed something
+    app = f"aggsink:{ckpt}"
+    assert log.last_txn(app) == 2
+    assert [log._manifest(v)["op"] for v in log.versions()].count("merge") >= 2
+    # resume from the same checkpoint: no new epochs, table untouched
+    v = log.latest_version()
+    run_windowed_agg_stream_tablelog(_agg(), table, ckpt, key_col="k")
+    assert log.latest_version() == v
+    # manual re-delivery of an old epoch id: the LOG rejects it
+    stale = spark.createDataFrame(
+        [(day1, "a", 99, f"{day1}:a")],
+        "win_start_us bigint, event_type string, n_events bigint, k string",
+    )
+    with pytest.raises(CommitConflict):
+        log.merge_upsert(spark, stale, "k", txn=(app, 1))
+    got2 = {
+        (r["win_start_us"], r["event_type"]): r["n_events"]
+        for r in log.read(spark).collect()
     }
     assert got2 == got

@@ -1234,3 +1234,215 @@ def test_clone_shallow_after_vacuum_raises_before_creating(spark, tmp_path):
     # the LATEST version still clones fine (its files survive vacuum)
     clone = log.clone_shallow(str(tmp_path / "clone2"))
     assert clone.read(spark).count() == log.read(spark).count()
+
+
+# -- merge-on-read deletion vectors (round 11 growth tier) ----------------
+
+
+def _dv_table(spark, tmp_path, name="dvt"):
+    """Two range-partitioned appends so stats envelopes are tight and
+    multiple files exist — the DV protocol must target files, not the
+    whole table."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / name), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    log.append(orders.filter(F.col("o_orderstatus") != "F"))
+    return log, orders
+
+
+def test_delete_dv_merge_on_read_no_rewrite(spark, tmp_path):
+    """A deletion-vector DELETE rewrites NO data file: the live file
+    set is unchanged, reads subtract the marked rows, time travel to
+    the pre-delete version still sees them, and the deleted state is
+    exactly the predicate complement."""
+    log, orders = _dv_table(spark, tmp_path)
+    files_before = log.files()
+    v = log.delete_where_dv(spark, "o_orderkey % 7 = 0")
+    assert log.files() == files_before  # merge-on-read: no rewrite
+    expect = _rows(orders.filter(~(F.col("o_orderkey") % 7 == 0)))
+    assert _rows(log.read(spark)) == expect
+    # time travel: the pre-delete snapshot is intact
+    assert _rows(log.read(spark, version=v - 1)) == _rows(orders)
+    assert log.history()[-1]["op"] == "delete_dv"
+    # the vector map names a sidecar for every affected file
+    dvm = log.dv_map()
+    assert dvm and all(d.startswith("dv-") for d in dvm.values())
+
+
+def test_delete_dv_cumulative_and_no_rematch(spark, tmp_path):
+    """A second DV delete unions with the first (cumulative vectors)
+    and already-deleted rows cannot re-match its predicate."""
+    log, orders = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 7 = 0")
+    # predicate overlaps the first: % 14 rows are already gone
+    log.delete_where_dv(spark, "o_orderkey % 2 = 0")
+    expect = _rows(
+        orders.filter(
+            ~((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 2 == 0))
+        )
+    )
+    assert _rows(log.read(spark)) == expect
+    # rows_deleted of the second commit counts only NEWLY deleted rows
+    m2 = log._manifest(log.latest_version())
+    n_second = orders.filter(
+        (F.col("o_orderkey") % 2 == 0) & ~(F.col("o_orderkey") % 7 == 0)
+    ).count()
+    assert m2["rows_deleted"] == n_second
+
+
+def test_delete_dv_pruned_read_and_point_lookup(spark, tmp_path):
+    """File-skipped range reads subtract vectors too (the anti-join
+    composes with manifest pruning)."""
+    log, orders = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 3 = 0")
+    lo, hi = 10, 500
+    got = _rows(log.read(spark, key_between=(lo, hi)))
+    expect = _rows(
+        orders.filter(
+            F.col("o_orderkey").between(lo, hi)
+            & ~(F.col("o_orderkey") % 3 == 0)
+        )
+    )
+    assert got == expect
+
+
+def test_purge_deletes_materializes_then_vacuum_reclaims(spark, tmp_path):
+    """purge_deletes rewrites ONLY the DV'd files, content is
+    unchanged, the vector map empties, and vacuum reclaims both the
+    replaced data files and the retired sidecars."""
+    log, orders = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 5 = 0")
+    pre = _rows(log.read(spark))
+    sidecars = set(log.dv_map().values())
+    assert log.purge_deletes(spark) is not None
+    assert _rows(log.read(spark)) == pre
+    assert log.dv_map() == {}
+    # idempotent: nothing left to purge
+    assert log.purge_deletes(spark) is None
+    deleted = log.vacuum(keep_versions=1, grace_seconds=0)
+    assert sidecars <= set(deleted)  # retired sidecars reclaimed
+    assert _rows(log.read(spark)) == pre
+
+
+def test_vacuum_keeps_active_sidecars(spark, tmp_path):
+    """An ACTIVE sidecar is referenced state: vacuum must not reclaim
+    it even when every retained version carries it."""
+    log, _ = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 5 = 0")
+    pre = _rows(log.read(spark))
+    sidecars = set(log.dv_map().values())
+    deleted = log.vacuum(keep_versions=1, grace_seconds=0)
+    assert not sidecars & set(deleted)
+    assert _rows(log.read(spark)) == pre
+
+
+def test_compact_applies_dvs_no_resurrection(spark, tmp_path):
+    """A compaction (and any copy-on-write rewrite) reads the
+    DV-subtracted view — deleted rows must not resurrect — and retires
+    the rewritten files' vectors."""
+    log, orders = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 5 = 0")
+    pre = _rows(log.read(spark))
+    log.compact(spark, target_partitions=1)
+    assert _rows(log.read(spark)) == pre
+    assert log.dv_map() == {}
+
+
+def test_merge_upsert_applies_dvs(spark, tmp_path):
+    """A MERGE rewriting a DV'd file must carry only its undeleted
+    rows; the update itself lands regardless."""
+    log, orders = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 5 = 0")
+    some_key = orders.filter(
+        ~(F.col("o_orderkey") % 5 == 0)
+    ).agg(F.min("o_orderkey")).first()[0]
+    upd = orders.filter(F.col("o_orderkey") == some_key).withColumn(
+        "o_totalprice", F.lit(42.0)
+    )
+    log.merge_upsert(spark, upd, "o_orderkey")
+    got = {r[0]: (r[1], r[2]) for r in log.read(spark).collect()}
+    assert got[some_key][0] == 42.0
+    assert not any(k % 5 == 0 for k in got)  # no resurrection
+
+
+def test_restore_restores_dv_state(spark, tmp_path):
+    """RESTORE moves the head back to a version's file set AND its
+    deletion-vector state — both directions (undoing a delete, and
+    restoring INTO a deleted state)."""
+    log, orders = _dv_table(spark, tmp_path)
+    v1 = log.delete_where_dv(spark, "o_orderkey % 7 = 0")
+    at_v1 = _rows(log.read(spark))
+    log.delete_where_dv(spark, "o_orderkey % 2 = 0")
+    log.restore(v1)
+    assert _rows(log.read(spark)) == at_v1
+    log.restore(v1 - 1)  # pre-delete: vectors cleared
+    assert _rows(log.read(spark)) == _rows(orders)
+    log.restore(v1)  # back INTO the deleted state: vector re-attached
+    assert _rows(log.read(spark)) == at_v1
+
+
+def test_clone_carries_dvs_and_isolates(spark, tmp_path):
+    """A shallow clone reads the same DV-subtracted view; a later purge
+    on the source is invisible to the clone and vice versa."""
+    log, _ = _dv_table(spark, tmp_path, "src")
+    log.delete_where_dv(spark, "o_orderkey % 7 = 0")
+    pre = _rows(log.read(spark))
+    clone = log.clone_shallow(str(tmp_path / "clone"))
+    assert _rows(clone.read(spark)) == pre
+    log.purge_deletes(spark)
+    log.vacuum(keep_versions=1, grace_seconds=0)
+    assert _rows(clone.read(spark)) == pre
+
+
+def test_read_changes_refuses_dv_commits(spark, tmp_path):
+    """A deletion-vector commit changes content with NO add/remove —
+    the append-only change feed must refuse it loudly."""
+    log, orders = _dv_table(spark, tmp_path)
+    since = log.latest_version()
+    log.delete_where_dv(spark, "o_orderkey % 7 = 0")
+    with pytest.raises(ValueError, match="append"):
+        log.read_changes(spark, since_version=since)
+
+
+def test_delete_dv_no_match_is_ledger_commit(spark, tmp_path):
+    """A no-op DV delete still lands a versioned ledger commit (txn
+    idempotence needs the entry) without touching content."""
+    log, orders = _dv_table(spark, tmp_path)
+    head = log.latest_version()
+    v = log.delete_where_dv(spark, "o_orderkey < 0", txn=("del", 1))
+    assert v == head + 1
+    assert _rows(log.read(spark)) == _rows(orders)
+    assert log.dv_map() == {}
+    # exactly-once: replaying the same txn is refused by the ledger
+    with pytest.raises(CommitConflict, match="already committed"):
+        log.delete_where_dv(spark, "o_orderkey < 0", txn=("del", 1))
+
+
+def test_delete_dv_strict_conflict_on_concurrent_writer(spark, tmp_path):
+    """The DV delete's predicate was evaluated against its base
+    snapshot: ANY data-carrying racer invalidates it."""
+    log, orders = _dv_table(spark, tmp_path)
+
+    class Racer(TableLog):
+        pass
+
+    racer = TableLog(log.table_dir, stats_col="o_orderkey")
+    # simulate the race: evaluate the delete's inputs, then a racer
+    # commits before our commit runs — validate() must catch it. We
+    # approximate by committing through a second handle first and
+    # checking delete_where_dv on a STALE base raises via monkeypatched
+    # latest_version... simpler: subclass commit to inject the racer.
+    base = log.latest_version()
+    orig_commit = TableLog.commit
+
+    def racing_commit(self, **kw):
+        if self is log and self.latest_version() == base:
+            racer.append(orders.limit(1))
+        return orig_commit(self, **kw)
+
+    TableLog.commit = racing_commit
+    try:
+        with pytest.raises(CommitConflict, match="re-read"):
+            log.delete_where_dv(spark, "o_orderkey % 7 = 0")
+    finally:
+        TableLog.commit = orig_commit
