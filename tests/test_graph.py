@@ -142,3 +142,19 @@ def test_pagerank_registry_lazy_plan_shape_fence(spark):
     assert scans <= 135, f"lazy pagerank plan grew to {scans} scans"
     assert exchanges <= 125, f"lazy pagerank plan grew to {exchanges} exchanges"
     release_pinned()
+
+
+def test_parquet_row_count_file_dir_and_cache(spark, tmp_path):
+    """Footer-based row counts (ADVICE r10): exact on single-file AND
+    directory parquet, and cached per path (second call hits no I/O
+    worth measuring — assert via the cache dict)."""
+    from c3dc_etl_spark import sizing
+
+    single = "/root/testdata/sf0.001/lineitem.parquet"
+    expected = spark.read.parquet(single).count()
+    assert sizing.parquet_row_count(single) == expected
+    d = str(tmp_path / "multi.parquet")
+    spark.range(1000).repartition(4).write.parquet(d)
+    assert sizing.parquet_row_count(d) == 1000
+    assert sizing._ROW_COUNT_CACHE[d] == 1000
+    assert sizing._ROW_COUNT_CACHE[single] == expected
