@@ -218,12 +218,15 @@ SCALE_QUERIES = SCALE_CORE + SCALE_ROTATION
 #       (raw runs kept in BENCH_DETAIL), so a single GC/scheduler tail
 #       cannot masquerade as a per-query regression.
 CALIBRATION_QUERY = "q1_pricing_summary"
-# Pinned on this machine, round 11, local[32] at sf0.1: the builder's
-# closing-session median-of-3 calibration wall. A session_factor of
-# ~1.0 means walls are directly comparable to the r11 committed runs;
-# 1.2 means the session runs 20% slow and normalized walls divide it
-# out.
-CALIBRATION_REFERENCE_S = 0.72
+# Pinned on this machine, round 11, local[32] at sf0.1: the in-bench
+# median-of-3 calibration wall of the builder's r11 closing run. The
+# calibration's POSITION in the session is fixed (right after the one
+# global warm-up, i.e. q1's 2nd-4th executions — early C2-ramp band by
+# design), so cross-session readings are apples-to-apples even though
+# a fully-hot session would run q1 faster. A session_factor of ~1.0
+# means walls are directly comparable to the r11 committed runs; 1.2
+# means the session runs 20% slow and normalized walls divide it out.
+CALIBRATION_REFERENCE_S = 1.368
 
 
 def _geo_scale_runner(spark, d: str):
