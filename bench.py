@@ -649,11 +649,22 @@ def main() -> int:
             except ValueError:
                 ledger = {}
         for name, lin in linearity.items():
+            # refresh the factor-5 measurement but PRESERVE any nested
+            # extrapolation sub-rows (x25 probes) and adjudication text
+            # already attached — a routine scale_check must never eat
+            # committed extrapolation evidence (it did once, round 11)
+            extras = {
+                k: v
+                for k, v in ledger.get(name, {}).items()
+                if k == "adjudication"
+                or (k.startswith("x") and k[1:].isdigit())
+            }
             ledger[name] = {
                 "linearity": lin,
                 "factor": factor,
                 "base_s": b_times[name],
                 "scaled_s": s_times[name],
+                **extras,
             }
         with open(ledger_path, "w") as fh:
             json.dump(ledger, fh, indent=1, sort_keys=True)
