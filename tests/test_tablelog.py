@@ -1446,3 +1446,53 @@ def test_delete_dv_strict_conflict_on_concurrent_writer(spark, tmp_path):
             log.delete_where_dv(spark, "o_orderkey % 7 = 0")
     finally:
         TableLog.commit = orig_commit
+
+
+def test_dv_read_keeps_filter_pushdown_and_broadcasts_vectors(spark, tmp_path):
+    """The 100 TB contract of merge-on-read: subtracting deletion
+    vectors must not cost the scan its filter pushdown (the anti-join
+    keys are metadata columns only, so data filters push below it) and
+    the vector side must broadcast, never shuffle the table."""
+    log, _ = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 5 = 0")
+    df = log.read(spark, key_between=(100, 5000))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the BETWEEN residual reaches the parquet scan as pushed filters
+    assert "PushedFilters: [" in plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "o_orderkey" in ln
+    ]
+    assert pushed, "key filter did not reach the parquet scan"
+    # no sort-merge join / exchange on the data plane for the DV merge
+    assert "SortMergeJoin" not in plan
+
+
+def test_dv_read_composes_with_schema_evolution(spark, tmp_path):
+    """Additive schema evolution (mergeSchema read) with vectors
+    active: old files' missing column reads NULL AND their deleted
+    rows stay subtracted — the _metadata row identity is per file, so
+    the anti-join composes with the union of per-file schemas."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    log.delete_where_dv(spark, "o_orderkey % 3 = 0")
+    widened = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_flag", F.lit("new")
+    )
+    log.append(widened)
+    got = log.read(spark, merge_schema=True)
+    rows = got.collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["o_orderstatus"], []).append(r)
+    # old-file rows: column NULL, %3 keys deleted
+    assert all(r["o_flag"] is None for r in by_status["F"])
+    assert not any(r["o_orderkey"] % 3 == 0 for r in by_status["F"])
+    # new-file rows: column present, untouched by the earlier vector
+    assert all(r["o_flag"] == "new" for r in by_status["O"])
+    n_f = orders.filter(
+        (F.col("o_orderstatus") == "F") & ~(F.col("o_orderkey") % 3 == 0)
+    ).count()
+    assert len(by_status["F"]) == n_f
