@@ -691,10 +691,16 @@ def main() -> int:
     import hashlib
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # Round = max committed BENCH_r* + 1 (ADVICE r11 #3: deriving it
+    # from CORRECTNESS_r* assumed bench runs before the round's
+    # correctness ledger lands, which the driver does not guarantee —
+    # BENCH_r11 shipped labeled "r12" because CORRECTNESS_r11 was
+    # already on disk. The BENCH ledger is the one file this run is
+    # ABOUT to become, so its max is round-1 by construction.)
     rounds = [
-        int(f[len("CORRECTNESS_r"):-len(".json")])
+        int(f[len("BENCH_r"):-len(".json")])
         for f in os.listdir(repo_dir)
-        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+        if f.startswith("BENCH_r") and f.endswith(".json")
     ]
     rot_sha = hashlib.sha1(",".join(ROTATION).encode()).hexdigest()[:8]
     cohort = (

