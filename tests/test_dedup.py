@@ -313,3 +313,63 @@ def test_exact_substring_spans_threshold_and_validation(spark):
     )
     with pytest.raises(ValueError, match="min_len"):
         D.exact_substring_spans(docs, "text", "doc_id", min_len=1)
+
+
+def test_exact_substring_gram_never_crosses_exchange(spark):
+    """VERDICT r11 #2: exact_substring_spans' scale contract is that
+    the full-corpus L-byte gram column lives only in scan-side
+    projections. Force EVERY join to a shuffle strategy (broadcast
+    off, AQE off — the exact regime where the old shape would shuffle
+    grams L x corpus) and assert (a) results are identical to the
+    default-strategy run, and (b) no exchange in the physical plan
+    carries an attribute named ``gram``. The confirm pass's
+    candidate-subset column is deliberately named ``gram_c``, so a
+    regression reintroducing a full-corpus gram shuffle fails here BY
+    NAME."""
+    shared = "the quick brown fox jumps over the lazy dog near the riverbank"
+    rows = [
+        (1, f"XX1{shared}1YY unique tail one"),
+        (2, f"other head2{shared}2closing words two"),
+        (3, "entirely unique text with no repeats of sufficient length"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    expect = {
+        tuple(r)
+        for r in D.exact_substring_spans(
+            docs, "text", "doc_id", min_len=20
+        ).collect()
+    }
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out = D.exact_substring_spans(docs, "text", "doc_id", min_len=20)
+        got = {tuple(r) for r in out.collect()}
+        assert got == expect and got
+        exchanges, bad = [], []
+
+        def walk(n):
+            if "Exchange" in n.nodeName():
+                names = [
+                    n.output().apply(i).name()
+                    for i in range(n.output().size())
+                ]
+                exchanges.append(names)
+                if "gram" in names:
+                    bad.append((n.nodeName(), names))
+            ch = n.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(out._jdf.queryExecution().executedPlan())
+        assert not bad, f"full-corpus gram crossed an exchange: {bad}"
+        # the fence is exercised: the forced-shuffle plan really does
+        # contain shuffle exchanges (else the assertion proves nothing)
+        assert len(exchanges) >= 3, exchanges
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
