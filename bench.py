@@ -193,12 +193,15 @@ SCALE_CORE = [
 # the current sizing). The r10 cohort's rows live in
 # SCALE_LEDGER.json; rotating them out loses nothing (cumulative).
 SCALE_ROTATION = [
-    "streaming_join_late_drop",
-    "dedup_exact_substring",
-    "table_log_deletion_vectors",
-    "streaming_agg_tablelog_sink",
-    "semantic_dedup_clusters",
-    "triangle_count_coorder",
+    # round 12 (VERDICT r11 asks #1/#6): the new at-scale SemDeDup form
+    # must land with its x5 row in the same round; the r11 watch-list
+    # prefix-filter x5 gets a re-read (its x25 wall 1.335 was
+    # volume-adjudicated work-linear — re-read only triggers if x5
+    # moves). semantic_dedup_clusters rotates OUT with its guard now
+    # defaulting ON (bound 2000): its ledger row points at
+    # semantic_dedup_capped as the at-scale form.
+    "semantic_dedup_capped",
+    "dedup_prefix_filter",
 ]
 
 SCALE_QUERIES = SCALE_CORE + SCALE_ROTATION

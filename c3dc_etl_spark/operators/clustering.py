@@ -153,6 +153,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     round_dp: int = 4,
     max_cluster_rows: int | None = None,
+    pair_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup: k-means the embeddings, then inside each cluster mark
     every vector that has a LOWER-id cluster-mate with cosine >=
@@ -161,9 +162,24 @@ def semantic_dedup(
     Returns (id, cluster, kept) for every input row.
 
     The pair search is an equi-join on the cluster id: candidate volume
-    is sum(|cluster|^2), never n^2 — the whole point of clustering
-    first. ``max_cluster_rows`` (optional) fails fast if any cluster
-    exceeds the bound, the skew guard to set when running at scale.
+    is sum(|cluster|^2), never n^2 — but at FIXED k that is still
+    quadratic in n (each cluster grows with the corpus), the curve the
+    round-11 x25 probe measured super-linear. Two scale controls:
+
+    - ``max_cluster_rows`` fails fast if any cluster exceeds the bound
+      — the skew/regime guard to default ON at scale so the quadratic
+      regime refuses to run instead of running (VERDICT r11 #1).
+    - ``pair_cap`` (the at-scale form) sub-buckets each cluster by a
+      deterministic multiplicative hash of the id, with bucket count
+      ceil(|cluster| / pair_cap), and pairs ONLY within (cluster,
+      bucket). Candidate volume becomes ~n * pair_cap — linear in n at
+      fixed cap. Semantics are a DETERMINISTIC LOWER BOUND of the full
+      SemDeDup (each vector is compared against a fixed hash-chosen
+      subset of its cluster-mates, so the duplicate set is a subset
+      and ``kept`` a superset — the MAX_SHINGLE_DF capped-semantics
+      precedent, exactly replayable by the SQL oracle). Integer-exact:
+      bucket = pmod(id * 2654435761, nb), BIGINT arithmetic on both
+      engines, no floats in the partitioning decision.
     """
     assigned, _ = lloyd_kmeans(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
@@ -190,15 +206,41 @@ def semantic_dedup(
                 f"{oversized[0]['n']} rows (> {max_cluster_rows}); raise k "
                 "or the bound"
             )
+    pair_keys = ["cluster"]
+    if pair_cap is not None:
+        if pair_cap < 1:
+            raise ValueError(f"pair_cap must be >= 1, got {pair_cap}")
+        # bucket count per cluster: one k-keyed map-side-combined count
+        # (k rows, broadcast back); bucket id is a deterministic
+        # multiplicative hash of the id — BIGINT-exact on both engines
+        nb = (
+            side.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("__cn"))
+            .select(
+                "cluster",
+                F.expr(
+                    f"CAST((__cn + {int(pair_cap)} - 1) DIV "
+                    f"{int(pair_cap)} AS BIGINT)"
+                ).alias("__nb"),
+            )
+        )
+        side = side.join(F.broadcast(nb), "cluster").withColumn(
+            "__b",
+            F.pmod(
+                F.col("__sid").cast("bigint") * F.lit(2654435761),
+                F.col("__nb"),
+            ),
+        )
+        pair_keys = ["cluster", "__b"]
     a = side.select(
         F.col("__sid").alias("__aid"),
-        F.col("cluster"),
+        *pair_keys,
         F.col("__sv").alias("__av"),
         F.col("__sn").alias("__an"),
     )
     b = side.select(
         F.col("__sid").alias("__bid"),
-        F.col("cluster"),
+        *pair_keys,
         F.col("__sv").alias("__bv"),
         F.col("__sn").alias("__bn"),
     )
@@ -207,7 +249,7 @@ def semantic_dedup(
         dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn")), round_dp
     )
     dup_ids = (
-        a.join(b, "cluster")
+        a.join(b, pair_keys)
         .filter(F.col("__aid") < F.col("__bid"))
         .filter(cos >= F.lit(threshold))
         .select(F.col("__bid").alias("__dup"))

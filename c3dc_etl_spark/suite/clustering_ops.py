@@ -123,10 +123,75 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
     inside each cluster drop every vector with a lower-id cluster-mate
     at cosine >= 0.4 (greedy keep-first). Pairing is an equi-join on the
-    cluster id — candidate volume is sum(|cluster|^2), never n^2."""
+    cluster id — candidate volume is sum(|cluster|^2): quadratic in n
+    at FIXED k, so the regime guard now defaults ON (VERDICT r11 #1):
+    any cluster above 2000 rows fails fast with a pointer to raising k
+    or switching to the linear at-scale form, ``semantic_dedup_capped``
+    (measured max cluster: 262 at sf0.1, ~1300 at x5 — the bound
+    admits every sanctioned probe and refuses the x25 quadratic
+    regime instead of running it)."""
     emb = load(spark, sf_dir, "embeddings")
     return C.semantic_dedup(
-        emb, k=K, iters=ITERS, threshold=SEM_THRESHOLD, round_dp=SEM_DP
+        emb,
+        k=K,
+        iters=ITERS,
+        threshold=SEM_THRESHOLD,
+        round_dp=SEM_DP,
+        max_cluster_rows=2000,
+    )
+
+
+PAIR_CAP = 32
+
+_SEMDEDUP_CAPPED_ORACLE = f"""
+WITH {_kmeans_ctes()},
+n AS MATERIALIZED (
+    SELECT vec_id, cluster, v,
+           SQRT({_fold_dot('v', 'v')}) AS nm
+    FROM a{ITERS}
+),
+nb AS (
+    SELECT cluster,
+           CAST((COUNT(*) + {PAIR_CAP} - 1) // {PAIR_CAP} AS BIGINT) AS nb
+    FROM n GROUP BY cluster
+),
+bkt AS MATERIALIZED (
+    SELECT n.vec_id, n.cluster, n.v, n.nm,
+           (n.vec_id::BIGINT * 2654435761) % nb.nb AS b
+    FROM n JOIN nb USING (cluster)
+),
+dup AS (
+    SELECT DISTINCT b2.vec_id AS vid
+    FROM bkt a JOIN bkt b2
+      ON a.cluster = b2.cluster AND a.b = b2.b AND a.vec_id < b2.vec_id
+    WHERE ROUND({_fold_dot('a.v', 'b2.v')} / (a.nm * b2.nm), {SEM_DP})
+          >= {SEM_THRESHOLD}
+)
+SELECT vec_id, cluster, vec_id NOT IN (SELECT vid FROM dup) AS kept FROM n
+"""
+
+
+@query(
+    "semantic_dedup_capped", oracle=_SEMDEDUP_CAPPED_ORACLE, tags=("clustering",)
+)
+def semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-pairing SemDeDup — the at-scale form (VERDICT r11 #1,
+    round-12 growth tier): each cluster is sub-bucketed by a
+    deterministic multiplicative id-hash into ceil(|cluster|/32)
+    buckets and pairs form only within (cluster, bucket), so candidate
+    volume is ~n*32 — LINEAR in n where the uncapped operator's fixed-k
+    sum(|cluster|^2) curve is quadratic. The duplicate set is a
+    deterministic lower bound of full SemDeDup's (subset of its pairs;
+    the MAX_SHINGLE_DF capped-semantics precedent), replayed exactly by
+    the oracle's BIGINT bucket arithmetic."""
+    emb = load(spark, sf_dir, "embeddings")
+    return C.semantic_dedup(
+        emb,
+        k=K,
+        iters=ITERS,
+        threshold=SEM_THRESHOLD,
+        round_dp=SEM_DP,
+        pair_cap=PAIR_CAP,
     )
 
 

@@ -156,3 +156,37 @@ def test_pq_train_rejects_indivisible_dim(spark):
     emb = load(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         C.pq_train(emb, dim=64, m_subspaces=5, k=4, iters=1)
+
+
+def test_semantic_dedup_capped_is_lower_bound(spark):
+    """pair_cap semantics (VERDICT r11 #1): the capped duplicate set is
+    a DETERMINISTIC subset of the full SemDeDup's — every vector the
+    capped form drops, the full form also drops (kept_capped is a
+    superset of kept_full) — and with pair_cap >= max cluster size the
+    two are identical (one bucket per cluster)."""
+    from c3dc_etl_spark.suite.registry import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    kw = dict(k=8, iters=3, threshold=0.4, round_dp=4)
+    full = {r["vec_id"]: r["kept"]
+            for r in C.semantic_dedup(emb, **kw).collect()}
+    capped = {r["vec_id"]: r["kept"]
+              for r in C.semantic_dedup(emb, pair_cap=8, **kw).collect()}
+    assert set(full) == set(capped)
+    dropped_capped = {v for v, kept in capped.items() if not kept}
+    dropped_full = {v for v, kept in full.items() if not kept}
+    assert dropped_capped <= dropped_full
+    # the cap actually engaged: some cluster split into >= 2 buckets
+    # (500 rows / 8 clusters >> 8), so the bound is non-trivially loose
+    assert dropped_capped < dropped_full or dropped_full == set()
+    # cap >= every cluster -> single bucket -> identical to full
+    wide = {r["vec_id"]: r["kept"]
+            for r in C.semantic_dedup(emb, pair_cap=10**6, **kw).collect()}
+    assert wide == full
+
+
+def test_semantic_dedup_pair_cap_validation(spark):
+    df = _vecs(spark, [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="pair_cap"):
+        C.semantic_dedup(df, k=1, iters=1, pair_cap=0)
+
