@@ -202,6 +202,15 @@ SCALE_ROTATION = [
     # semantic_dedup_capped as the at-scale form.
     "semantic_dedup_capped",
     "dedup_prefix_filter",
+    # round-12 growth tier: an op lands with its x5 row in the round
+    "table_log_update_dv",
+    "table_log_dv_change_feed",
+    # watch-list / volume-probe companions (VERDICT r11 #7/#8):
+    # dedup_containment's x5 re-reads every round via SCALE_CORE; the
+    # iterative duo getting x25 VOLUME probes this round re-read their
+    # x5 walls here
+    "triangle_count_coorder",
+    "graph_sssp_bounded",
 ]
 
 SCALE_QUERIES = SCALE_CORE + SCALE_ROTATION

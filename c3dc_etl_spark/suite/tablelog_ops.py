@@ -679,3 +679,86 @@ def table_log_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("files_stable", F.lit(files_stable).cast("bigint"))
         .withColumn("rows_pre_delete", F.lit(rows_pre).cast("bigint"))
     )
+
+
+# ---- round-12 growth tier (VERDICT r11 ask #6): DV UPDATE + row CDF ----
+
+@query(
+    "table_log_update_dv",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus,
+           CAST(1 AS BIGINT) AS originals_stable
+    FROM orders
+    """,
+    tags=("sink", "tablelog", "maintenance"),
+)
+def table_log_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors (the other half of
+    Delta's DV protocol): one atomic commit marks the matching rows'
+    positions in sidecar vectors AND appends their updated versions —
+    no touched data file is rewritten (``originals_stable`` pins that
+    every pre-update data file survives by name), readers see the
+    update atomically, and the +500.0 is one IEEE double addition,
+    bit-identical cross-engine (sink/tablelog.py: update_where_dv;
+    OCC, constraint enforcement and the dv smallness guard are
+    unit-pinned in tests/test_tablelog.py)."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_udv_"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))
+    log.append(orders.filter(F.col("o_orderstatus") != "F"))
+    files_before = set(log.files())
+    log.update_where_dv(
+        spark,
+        "o_orderkey % 13 = 0",
+        {"o_totalprice": "o_totalprice + 500.0"},
+    )
+    stable = int(files_before <= set(log.files()))
+    return log.read(spark).withColumn(
+        "originals_stable", F.lit(stable).cast("bigint")
+    )
+
+
+@query(
+    "table_log_dv_change_feed",
+    oracle=f"""
+    SELECT {', '.join(_COLS)},
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT {', '.join(_COLS)}, 'delete', CAST(2 AS BIGINT)
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus,
+           'update_preimage', CAST(3 AS BIGINT)
+    FROM orders WHERE o_orderkey % 17 = 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 100.0, o_orderstatus,
+           'update_postimage', CAST(3 AS BIGINT)
+    FROM orders WHERE o_orderkey % 17 = 0 AND o_orderkey % 11 <> 0
+    """,
+    tags=("sink", "tablelog", "maintenance"),
+)
+def table_log_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data feed over deletion-vector commits (lifts
+    T119's documented refusal for the DV case): an append, a DV
+    delete and a DV update replay as 'insert' / 'delete' /
+    'update_preimage'+'update_postimage' rows with their commit
+    versions — the deleted/updated rows' CONTENT is recovered from
+    the immutable data files at the positions each commit's vector
+    ADDED over the file's previous vector (sink/tablelog.py:
+    read_changes_cdf). since_version=0 also pins the range boundary:
+    the v0 append (the 'F' rows) is excluded from the feed."""
+    orders = load(spark, sf_dir, "orders").select(*_COLS)
+    log = TableLog(_scratch("tablelog_cdf_"), stats_col="o_orderkey")
+    log.append(orders.filter(F.col("o_orderstatus") == "F"))   # v0
+    log.append(orders.filter(F.col("o_orderstatus") != "F"))   # v1
+    log.delete_where_dv(spark, "o_orderkey % 11 = 0")          # v2
+    log.update_where_dv(                                       # v3
+        spark,
+        "o_orderkey % 17 = 0",
+        {"o_totalprice": "o_totalprice + 100.0"},
+    )
+    return log.read_changes_cdf(spark, since_version=0)

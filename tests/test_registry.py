@@ -83,13 +83,15 @@ def test_scale_check_cohort_contract():
     assert not set(bench.SCALE_CORE) & set(bench.SCALE_ROTATION)
     assert len(set(bench.SCALE_ROTATION)) == len(bench.SCALE_ROTATION) >= 6
     assert bench.SCALE_QUERIES == bench.SCALE_CORE + bench.SCALE_ROTATION
-    # round 11 (r10 verdict asks #3+#5): the last uncovered data-plane
-    # query, and the growth tier lands WITH its x5 rows
+    # round 12 (r11 verdict asks #1/#6/#8): the growth tier lands WITH
+    # its x5 rows, the at-scale SemDeDup form replaces the uncapped
+    # query's seat, and the two environment-bound watch-list walls get
+    # x5 re-reads
     assert set(bench.SCALE_ROTATION) >= {
-        "streaming_join_late_drop",
-        "dedup_exact_substring",
-        "table_log_deletion_vectors",
-        "streaming_agg_tablelog_sink",
+        "semantic_dedup_capped",
+        "table_log_update_dv",
+        "table_log_dv_change_feed",
+        "dedup_prefix_filter",
     }
     # and prior cohorts' rows must survive the rotation in the
     # cumulative ledger — rotating out never forgets

@@ -1545,7 +1545,7 @@ def test_delete_dv_rejects_oversized_vector(spark, tmp_path):
     log, orders = _dv_table(spark, tmp_path)
     files_before = sorted(os.listdir(log.table_dir))
     v_before = log.latest_version()
-    with pytest.raises(ValueError, match="delete_where, or\n?\\s*purge_deletes"):
+    with pytest.raises(ValueError, match="copy-on-write path"):
         log.delete_where_dv(spark, "o_orderkey % 2 = 0", max_dv_rows=10)
     assert log.latest_version() == v_before
     assert sorted(os.listdir(log.table_dir)) == files_before
@@ -1575,3 +1575,149 @@ def test_delete_dv_merge_schema_predicate(spark, tmp_path):
     assert got.filter("o_orderstatus = 'O'").count() == 0
     n_f = orders.filter(F.col("o_orderstatus") == "F").count()
     assert got.count() == n_f
+
+
+def test_update_dv_merge_on_read_no_rewrite(spark, tmp_path):
+    """One atomic commit: vectors mark the old positions, the append
+    carries the new rows; every pre-update data file survives by name,
+    time travel sees pre-update values, and a second update composes
+    cumulatively with the first vector."""
+    log, orders = _dv_table(spark, tmp_path)
+    pre = log.latest_version()
+    files_before = set(log.files())
+    v = log.update_where_dv(
+        spark, "o_orderkey % 13 = 0", {"o_totalprice": "o_totalprice + 500.0"}
+    )
+    assert v == pre + 1  # ONE commit for mark + append
+    assert files_before <= set(log.files())
+    got = log.read(spark)
+    assert got.count() == orders.count()
+    bumped = got.filter("o_orderkey % 13 = 0")
+    base = orders.filter("o_orderkey % 13 = 0")
+    assert bumped.count() == base.count()
+    joined = bumped.alias("g").join(base.alias("b"), "o_orderkey")
+    assert (
+        joined.filter(
+            "abs(g.o_totalprice - (b.o_totalprice + 500.0)) > 1e-9"
+        ).count()
+        == 0
+    )
+    # time travel: pre-update snapshot bit-identical
+    old = log.read(spark, version=pre).filter("o_orderkey % 13 = 0")
+    assert (
+        old.alias("g").join(base.alias("b"), "o_orderkey")
+        .filter("g.o_totalprice <> b.o_totalprice").count() == 0
+    )
+    # second update over the first: cumulative vectors, composed values
+    log.update_where_dv(
+        spark, "o_orderkey % 13 = 0", {"o_totalprice": "o_totalprice + 1.0"}
+    )
+    twice = log.read(spark).filter("o_orderkey % 13 = 0")
+    assert (
+        twice.alias("g").join(base.alias("b"), "o_orderkey")
+        .filter("abs(g.o_totalprice - (b.o_totalprice + 501.0)) > 1e-9")
+        .count()
+        == 0
+    )
+    assert log.read(spark).count() == orders.count()
+
+
+def test_update_dv_enforces_constraints_and_set_targets(spark, tmp_path):
+    """Updated rows pass CHECK enforcement BEFORE anything lands, and a
+    SET target that is not a column fails fast."""
+    log, orders = _dv_table(spark, tmp_path)
+    log.set_check_constraint("price_nonneg", "o_totalprice >= 0")
+    v_before = log.latest_version()
+    with pytest.raises(ConstraintViolation):
+        log.update_where_dv(
+            spark, "o_orderkey % 13 = 0", {"o_totalprice": "-1.0"}
+        )
+    assert log.latest_version() == v_before
+    with pytest.raises(ValueError, match="not columns"):
+        log.update_where_dv(spark, "1 = 1", {"nope": "1"})
+
+
+def test_update_dv_strict_conflict_and_size_guard(spark, tmp_path):
+    log, orders = _dv_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        log.update_where_dv(
+            spark,
+            "o_orderkey % 2 = 0",
+            {"o_totalprice": "o_totalprice"},
+            max_dv_rows=10,
+        )
+    racer = TableLog(log.table_dir, stats_col="o_orderkey")
+    base = log.latest_version()
+    orig_commit = TableLog.commit
+
+    def racing_commit(self, **kw):
+        if self is log and self.latest_version() == base:
+            racer.append(orders.limit(1))
+        return orig_commit(self, **kw)
+
+    TableLog.commit = racing_commit
+    try:
+        with pytest.raises(CommitConflict, match="re-read"):
+            log.update_where_dv(
+                spark, "o_orderkey % 13 = 0", {"o_totalprice": "0.0"}
+            )
+    finally:
+        TableLog.commit = orig_commit
+
+
+def test_read_changes_cdf_refusals_and_empty_feed(spark, tmp_path):
+    """Rewriting commits in range refuse; a cleaned manifest in range
+    refuses; a range holding only data-free commits yields an EMPTY
+    feed with the CDF schema."""
+    import os
+
+    log, orders = _dv_table(spark, tmp_path)
+    log.compact(spark)  # v2: rewrite
+    with pytest.raises(ValueError, match="row-level trackable"):
+        log.read_changes_cdf(spark, since_version=0).collect()
+    # range past the rewrite: a no-match dv delete is a ledger commit
+    log.delete_where_dv(spark, "o_orderkey < 0")  # v3, data-free
+    feed = log.read_changes_cdf(spark, since_version=2)
+    assert feed.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(feed.columns)
+    # cleaned manifest inside the range: reconstruction refuses
+    log.append(orders.limit(1))  # v4
+    log.checkpoint()
+    os.remove(os.path.join(log.log_dir, f"{3:020d}.json"))
+    with pytest.raises(ValueError, match="cleaned up"):
+        log.read_changes_cdf(spark, since_version=2)
+    with pytest.raises(ValueError, match="cleaned up"):
+        log.read_changes(spark, since_version=2)
+
+
+def test_read_changes_cdf_delete_content_recovery(spark, tmp_path):
+    """The feed recovers the DELETED rows' full content from the
+    immutable files — including rows a SECOND cumulative vector
+    deleted (new-minus-old position delta per commit)."""
+    log, orders = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 7 = 0")   # v2
+    log.delete_where_dv(spark, "o_orderkey % 5 = 0")   # v3 cumulative
+    feed = log.read_changes_cdf(spark, since_version=1)
+    d2 = feed.filter("_commit_version = 2")
+    d3 = feed.filter("_commit_version = 3")
+    assert d2.count() == orders.filter("o_orderkey % 7 = 0").count()
+    # v3 deletes the %5 rows NOT already deleted at v2
+    assert (
+        d3.count()
+        == orders.filter(
+            "o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0"
+        ).count()
+    )
+    assert set(
+        r["_change_type"] for r in feed.select("_change_type").distinct().collect()
+    ) == {"delete"}
+    # content matches the original rows exactly
+    got = {
+        (r["o_orderkey"], r["o_totalprice"], r["o_orderstatus"])
+        for r in d2.collect()
+    }
+    exp = {
+        (r["o_orderkey"], r["o_totalprice"], r["o_orderstatus"])
+        for r in orders.filter("o_orderkey % 7 = 0").collect()
+    }
+    assert got == exp
