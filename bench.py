@@ -741,6 +741,30 @@ def main() -> int:
     )
     with open(detail_path, "w") as fh:
         json.dump(result, fh, indent=1)
+    # normalized-wall regression fence (VERDICT r11 ask #4): the
+    # PLANS.md >1.25x-after-normalization rule as code. Non-fatal here
+    # (stderr only — the driver's stdout JSON line stays intact);
+    # scripts/bench_fence.py is the standalone gate and
+    # tests/test_bench_fence.py pins red/green behavior.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        import bench_fence
+
+        if os.path.exists(bench_fence.FENCE):
+            with open(bench_fence.FENCE) as fh:
+                offenders = bench_fence.check(result, json.load(fh))
+            if offenders:
+                print(
+                    "# FENCE REGRESSIONS (normalized >1.25x committed): "
+                    + json.dumps(offenders),
+                    file=sys.stderr,
+                )
+            else:
+                print("# fence OK: no normalized-wall regression",
+                      file=sys.stderr)
+    except Exception as exc:  # never let the fence kill the artifact
+        print(f"# fence check skipped: {exc}", file=sys.stderr)
     print(f"# full detail -> {detail_path}", file=sys.stderr)
     print(json.dumps(result), file=sys.stderr)
     print(line)
