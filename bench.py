@@ -96,67 +96,72 @@ HEADLINE = [
     "graph_kcore_bounded",
 ]
 
-# Round-11 rotation cohort (#5, VERDICT r10 ask #2): the next 45
-# never-benched queries — the remaining TPC-H join suite, the
-# relational-probe family, the temporal family, and the three
-# round-11 growth-tier queries. Derived from registry minus the union
-# of committed BENCH_r* "queries"/"rotation_queries" maps (r7-r10
-# covered 176; this cohort takes the ledger to 221). Each entry runs
+# Round-12 rotation cohort (#6, VERDICT r11 ask #5): 46 of the 92
+# queries never driver-benched after cohort #5 — the whole remaining
+# dedup/similarity/sink/graph/warehouse families plus the round-12
+# growth tier (its first wall-clock rows land with its oracle rows).
+# Derived from scripts/rotate_cohorts.py's never-benched grouping
+# (registry minus the union of committed BENCH_r* maps; r7-r11
+# covered 221; this cohort takes the ledger to 267). Each entry runs
 # one untimed warm-up then a timed collect and rides the stdout
 # line's "rotation_queries" map; the 41-query HEADLINE wall stays the
 # round-comparable "value". tests/test_registry.py asserts the cohort
 # is disjoint from every committed BENCH ledger row, so reusing a
 # benched query here fails CI.
 ROTATION = [
-    # TPC-H join suite remainder + join probes
-    "anti_join_integrity",
-    "broadcast_lookup_join",
-    "q2_best_balance_supplier",
-    "q4_priority_semijoin",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q22_dormant_customers",
-    "semi_join_exists",
-    "theta_rule_join",
-    # relational probes
-    "agg_rollup_hierarchy",
-    "aggregate_filter_probe",
-    "argmax_aggregate_probe",
-    "grouping_sets_probe",
-    "revenue_concentration_gini",
-    "set_ops_bag_semantics",
-    "share_of_parent_revenue",
-    "skyline_pareto_parts",
-    # temporal family
-    "attribution_first_last_touch",
-    "calendar_rollup_monthly",
-    "event_debounce",
-    "event_path_trigrams",
-    "ewma_daily_events",
-    "markov_next_event_eval",
-    "monthly_revenue_mom",
-    "rolling_median_daily",
-    "rollup_merge_partials",
-    "seasonal_naive_backtest",
-    "state_dwell_times",
-    "streak_gaps_islands",
-    "timeseries_gap_fill",
-    "trending_items_decay",
-    "weekly_rollup_iso",
-    # round-11 growth tier (first wall-clock rows)
-    "dedup_exact_substring",
-    "table_log_deletion_vectors",
-    "streaming_agg_tablelog_sink",
+    # the round-12 growth tier gets its first wall-clock rows
+    "semantic_dedup_capped",
+    "table_log_update_dv",
+    "table_log_dv_change_feed",
+    # clustering / similarity remainder
+    "ann_ivf_kmeans_recall",
+    "ann_filtered_topk",
+    "ann_ivf_recall",
+    "ann_lsh_bucketed",
+    "ann_multiprobe_lsh",
+    "ann_multivector_maxsim",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "label_propagation_vote",
+    "mmr_diversified_topk",
+    # dedup / decontamination remainder
+    "contamination_bloom_filter",
+    "contamination_ngram_overlap",
+    "corpus_snapshot_delta",
+    "dedup_boilerplate_spans",
+    "dedup_cluster_best",
+    "dedup_embedding_cosine",
+    "dedup_incremental_lsh",
+    "dedup_simhash_pairs",
+    "drop_duplicates_pairs",
+    "except_reconciliation",
+    "minhash_estimation_error",
+    # sink / tablelog remainder
+    "amended_mapping_sink",
+    "document_assembly",
+    "merged_document_assembly",
+    "sink_duplicate_report",
+    "table_log_clone_shallow",
+    "table_log_optimize_compaction",
+    "table_log_restore_version",
+    "table_log_vacuum_reclaim",
+    # graph remainder
+    "graph_bfs_hops",
+    "hierarchy_flatten_paths",
+    "link_prediction_common_neighbors",
+    "recursive_cte_native",
+    "temporal_reachability",
+    # warehouse remainder
+    "ab_test_stats",
+    "dq_expectations_report",
+    "scd2_incremental_merge",
+    "scd2_point_in_time_join",
+    "skew_salt_balance",
+    "view_incremental_maintenance",
+    # stragglers: last unbenched streaming + geo rows
+    "streaming_join_late_drop",
+    "geo_morton_cells",
+    "geo_nearest_neighbor",
 ]
 
 # Above-sf0.1 linearity check: the families whose scale behavior is
@@ -183,13 +188,11 @@ SCALE_CORE = [
 # real defects were caught only by AD-HOC factor-5 probes — this makes
 # that systematic. Each round swaps in ~6-12 adjudicated-heavy queries;
 # tests/test_registry.py pins the cohort contract the way it pins
-# PRIORITY. Round 11 (VERDICT r10 asks #3+#5+#7): the one data-plane
-# query still without a scale row (streaming_join_late_drop — its 12
-# streaming siblings all have rows), the three new growth-tier queries
-# (an op must land with its x5 row in the same round), and two
-# watch-list re-probes — semantic_dedup_clusters (x5 0.839, the
-# heaviest honest linearity in the dedup family) and
-# triangle_count_coorder (the AQE-reducer poster child, re-read under
+# PRIORITY. Round 12 (VERDICT r11 asks #1/#6/#7/#8): the growth tier
+# (capped SemDeDup + the two DV-protocol queries) lands with its x5
+# rows, the prefix-filter watch item gets an x5 re-read, and the
+# iterative duo receiving x25 VOLUME probes this round
+# (scripts/graph_volume_probe.py) re-read their x5 walls under
 # the current sizing). The r10 cohort's rows live in
 # SCALE_LEDGER.json; rotating them out loses nothing (cumulative).
 SCALE_ROTATION = [
