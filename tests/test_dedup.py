@@ -318,14 +318,17 @@ def test_exact_substring_spans_threshold_and_validation(spark):
 def test_exact_substring_gram_never_crosses_exchange(spark):
     """VERDICT r11 #2: exact_substring_spans' scale contract is that
     the full-corpus L-byte gram column lives only in scan-side
-    projections. Force EVERY join to a shuffle strategy (broadcast
-    off, AQE off — the exact regime where the old shape would shuffle
-    grams L x corpus) and assert (a) results are identical to the
-    default-strategy run, and (b) no exchange in the physical plan
-    carries an attribute named ``gram``. The confirm pass's
-    candidate-subset column is deliberately named ``gram_c``, so a
-    regression reintroducing a full-corpus gram shuffle fails here BY
-    NAME."""
+    projections. Force the NARROW path (broadcast_hash_rows=0) with
+    every join forced to a shuffle strategy (broadcast off, AQE off —
+    the exact regime where the old shape would shuffle grams L x
+    corpus) and assert (a) results are identical to the default
+    fast-path run, and (b) no exchange in the physical plan carries an
+    attribute named ``gram``. The confirm pass's candidate-subset
+    column is deliberately named ``gram_c``, so a regression
+    reintroducing a full-corpus gram shuffle fails here BY NAME. The
+    FAST path gets the same walk: its hash-set broadcast is an
+    explicit hint, honored even at threshold -1, so grams stay
+    pipeline-side there too."""
     shared = "the quick brown fox jumps over the lazy dog near the riverbank"
     rows = [
         (1, f"XX1{shared}1YY unique tail one"),
@@ -339,17 +342,8 @@ def test_exact_substring_gram_never_crosses_exchange(spark):
             docs, "text", "doc_id", min_len=20
         ).collect()
     }
-    confs = {
-        "spark.sql.adaptive.enabled": "false",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    old = {k: spark.conf.get(k) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        out = D.exact_substring_spans(docs, "text", "doc_id", min_len=20)
-        got = {tuple(r) for r in out.collect()}
-        assert got == expect and got
+
+    def gram_exchanges(frame):
         exchanges, bad = [], []
 
         def walk(n):
@@ -365,11 +359,33 @@ def test_exact_substring_gram_never_crosses_exchange(spark):
             for i in range(ch.size()):
                 walk(ch.apply(i))
 
-        walk(out._jdf.queryExecution().executedPlan())
+        walk(frame._jdf.queryExecution().executedPlan())
+        return exchanges, bad
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # NARROW path under forced shuffles: the adversarial regime
+        out = D.exact_substring_spans(
+            docs, "text", "doc_id", min_len=20, broadcast_hash_rows=0
+        )
+        got = {tuple(r) for r in out.collect()}
+        assert got == expect and got
+        exchanges, bad = gram_exchanges(out)
         assert not bad, f"full-corpus gram crossed an exchange: {bad}"
         # the fence is exercised: the forced-shuffle plan really does
         # contain shuffle exchanges (else the assertion proves nothing)
         assert len(exchanges) >= 3, exchanges
+        # FAST path under the same confs: the explicit hint must hold
+        fast = D.exact_substring_spans(docs, "text", "doc_id", min_len=20)
+        assert {tuple(r) for r in fast.collect()} == expect
+        _, bad_fast = gram_exchanges(fast)
+        assert not bad_fast, bad_fast
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
