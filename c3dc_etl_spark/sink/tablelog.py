@@ -1352,7 +1352,9 @@ class TableLog:
                 validate=_validate,
                 constraints_epoch=cepoch,
             )
-        existing = self._scan_files(spark, touched)
+        # scan with the SAME base dv view the validator diffs against —
+        # a racer's vector landing mid-read must conflict, not leak in
+        existing = self._scan_files(spark, touched, dvm=base_dvm)
         keep = existing.join(
             F.broadcast(updates.select(key_col).distinct()), key_col, "left_anti"
         )
@@ -1470,7 +1472,9 @@ class TableLog:
                 validate=_validate,
                 constraints_epoch=cepoch,
             )
-        existing = self._scan_files(spark, touched)
+        # scan with the SAME base dv view the validator diffs against —
+        # a racer's vector landing mid-read must conflict, not leak in
+        existing = self._scan_files(spark, touched, dvm=base_dvm)
         keep = existing.join(
             F.broadcast(batch.select(key_col).distinct()), key_col, "left_anti"
         )
@@ -1545,7 +1549,9 @@ class TableLog:
         touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
         if not touched:
             return self.commit(op="delete", txn=txn, validate=_validate)
-        existing = self._scan_files(spark, touched)
+        # scan with the SAME base dv view the validator diffs against —
+        # a racer's vector landing mid-read must conflict, not leak in
+        existing = self._scan_files(spark, touched, dvm=base_dvm)
         # NULL-key rows never satisfy [lo, hi] (three-valued BETWEEN is
         # NULL, not true), so a range DELETE must KEEP them — a bare
         # ~between() would evaluate to NULL and silently drop them
@@ -2035,7 +2041,9 @@ class TableLog:
         touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
         new_part = df
         if touched:
-            existing = self._scan_files(spark, touched)
+            # scan with the SAME base dv view the validator diffs
+            # against — a racer's vector must conflict, not leak in
+            existing = self._scan_files(spark, touched, dvm=base_dvm)
             carried = existing.filter(
                 F.col(self.stats_col).isNull()
                 | ~F.col(self.stats_col).between(lo, hi)
