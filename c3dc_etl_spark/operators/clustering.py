@@ -177,9 +177,12 @@ def semantic_dedup(
       SemDeDup (each vector is compared against a fixed hash-chosen
       subset of its cluster-mates, so the duplicate set is a subset
       and ``kept`` a superset — the MAX_SHINGLE_DF capped-semantics
-      precedent, exactly replayable by the SQL oracle). Integer-exact:
-      bucket = pmod(id * 2654435761, nb), BIGINT arithmetic on both
-      engines, no floats in the partitioning decision.
+      precedent, exactly replayable by the SQL oracle). Integer-exact
+      and overflow-safe for ANY bigint id: bucket =
+      pmod(pmod(id, 2^31) * 2654435761, nb) — the fold before the
+      multiply keeps the product under 2^63, so Spark ANSI mode,
+      non-ANSI wraparound and DuckDB all compute the identical value;
+      no floats in the partitioning decision.
     """
     assigned, _ = lloyd_kmeans(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
@@ -191,47 +194,54 @@ def semantic_dedup(
         vd.alias("__sv"),
         l2_norm(vd).alias("__sn"),
     )
-    if max_cluster_rows is not None:
-        # Map-side-combined aggregate, not a hot-key window (the r2 skew
-        # lesson): k-keyed count, assertion-bounded head(1) on the driver.
-        oversized = (
-            side.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_cluster_rows)
-            .head(1)
-        )
-        if oversized:
-            raise ValueError(
-                f"semantic_dedup: cluster {oversized[0]['cluster']} has "
-                f"{oversized[0]['n']} rows (> {max_cluster_rows}); raise k "
-                "or the bound"
-            )
+    if pair_cap is not None and pair_cap < 1:
+        raise ValueError(f"pair_cap must be >= 1, got {pair_cap}")
     pair_keys = ["cluster"]
-    if pair_cap is not None:
-        if pair_cap < 1:
-            raise ValueError(f"pair_cap must be >= 1, got {pair_cap}")
-        # bucket count per cluster: one k-keyed map-side-combined count
-        # (k rows, broadcast back); bucket id is a deterministic
-        # multiplicative hash of the id — BIGINT-exact on both engines
-        nb = (
-            side.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("__cn"))
-            .select(
-                "cluster",
-                F.expr(
-                    f"CAST((__cn + {int(pair_cap)} - 1) DIV "
-                    f"{int(pair_cap)} AS BIGINT)"
-                ).alias("__nb"),
+    if max_cluster_rows is not None or pair_cap is not None:
+        # ONE map-side-combined k-keyed count serves BOTH scale guards
+        # (not a hot-key window — the r2 skew lesson, and not two
+        # identical corpus passes — the r12 review): k rows collect to
+        # the driver; the bucket counts go back as a broadcast literal.
+        cnts = {
+            int(r["cluster"]): int(r["n"])
+            for r in side.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if max_cluster_rows is not None:
+            over = sorted(
+                (c, n) for c, n in cnts.items() if n > max_cluster_rows
             )
-        )
-        side = side.join(F.broadcast(nb), "cluster").withColumn(
-            "__b",
-            F.pmod(
-                F.col("__sid").cast("bigint") * F.lit(2654435761),
-                F.col("__nb"),
-            ),
-        )
-        pair_keys = ["cluster", "__b"]
+            if over:
+                c, n = over[0]
+                raise ValueError(
+                    f"semantic_dedup: cluster {c} has {n} rows "
+                    f"(> {max_cluster_rows}); raise k or the bound"
+                )
+        if pair_cap is not None:
+            cap = int(pair_cap)
+            spark = df.sparkSession
+            nb = spark.createDataFrame(
+                sorted((c, (n + cap - 1) // cap) for c, n in cnts.items()),
+                "cluster bigint, __nb bigint",
+            )
+            # bucket id: deterministic multiplicative hash, overflow-
+            # safe — the id folds to [0, 2^31) BEFORE the multiply, so
+            # (2^31-1) * 2654435761 < 2^63 holds for ANY bigint id
+            # (an unfolded id * constant overflows past id ~3.5e9,
+            # which is exactly the corpus scale this form targets);
+            # the oracle replays the same fold with plain % arithmetic
+            side = side.join(F.broadcast(nb), "cluster").withColumn(
+                "__b",
+                F.pmod(
+                    F.pmod(
+                        F.col("__sid").cast("bigint"), F.lit(2147483648)
+                    )
+                    * F.lit(2654435761),
+                    F.col("__nb"),
+                ),
+            )
+            pair_keys = ["cluster", "__b"]
     a = side.select(
         F.col("__sid").alias("__aid"),
         *pair_keys,

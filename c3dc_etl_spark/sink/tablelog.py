@@ -262,6 +262,58 @@ class TableLog:
                     dvs[f] = d
         return dvs
 
+    def dv_row_counts(self, version: int | None = None) -> dict[str, int]:
+        """data-file name -> TOTAL rows in its active deletion vector,
+        for files whose vector-setting commit recorded a ``dv_rows``
+        map (every DV write path does since round 12; restore/clone
+        propagate what they know). Replay rules mirror :meth:`dv_map`
+        exactly and the map folds into checkpoints the same way — so
+        the smallness bound every DV commit enforces is DRIVER
+        arithmetic over this map, not a re-read of every sidecar per
+        commit. A file with an active vector but no recorded count
+        (legacy commit, partial restore) is simply absent; callers
+        fall back to counting that sidecar once."""
+        head = self.latest_version() if version is None else version
+        if head is None:
+            return {}
+        counts: dict[str, int] = {}
+        start = 0
+        for cp in reversed(
+            [c for c in self._checkpoint_versions() if c <= head]
+        ):
+            with open(
+                os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
+            ) as fh:
+                ck = json.load(fh)
+            if "dv_row_counts" in ck:
+                counts = {k: int(v) for k, v in ck["dv_row_counts"].items()}
+                start = cp + 1
+                break
+        for v in self.versions():
+            if v < start:
+                continue
+            if v > head:
+                break
+            m = self._manifest(v)
+            for f in m.get("remove", ()):
+                counts.pop(f, None)
+            for f in m.get("add", ()):
+                counts.pop(f, None)
+            dv = m.get("dv") or {}
+            for f, d in dv.items():
+                if d is None:
+                    counts.pop(f, None)
+            rows = m.get("dv_rows") or {}
+            for f, n in rows.items():
+                if f in dv and dv[f] is not None:
+                    counts[f] = int(n)
+            # a dv entry without a recorded count invalidates any stale
+            # count carried for that file
+            for f, d in dv.items():
+                if d is not None and f not in rows:
+                    counts.pop(f, None)
+        return counts
+
     def _scan_files(
         self,
         spark: SparkSession,
@@ -361,6 +413,9 @@ class TableLog:
                 # active deletion-vector map folded in the same way, so
                 # dv_map() resolution is O(tail) too
                 "dvs": self.dv_map(head),
+                # per-file dv row totals fold alongside, so the
+                # smallness bound stays driver arithmetic after cleanup
+                "dv_row_counts": self.dv_row_counts(head),
             },
             sort_keys=True,
         )
@@ -1029,6 +1084,12 @@ class TableLog:
         }
         if dvm:
             extra["dv"] = dvm
+            # best-effort row-count propagation: entries the source
+            # never recorded stay absent (consumers count those once)
+            src_counts = self.dv_row_counts(src_version)
+            rows = {n: src_counts[n] for n in dvm if n in src_counts}
+            if rows:
+                extra["dv_rows"] = rows
         clone.commit(
             add=list(snap),
             op="clone",
@@ -1080,6 +1141,14 @@ class TableLog:
         extra: dict = {"restore_of": int(target_version)}
         if dv:
             extra["dv"] = dv
+            tcounts = self.dv_row_counts(target_version)
+            rows = {
+                n: tcounts[n]
+                for n, d in dv.items()
+                if d is not None and n in tcounts
+            }
+            if rows:
+                extra["dv_rows"] = rows
         return self.commit(
             add=add,
             remove=remove,
@@ -1224,7 +1293,33 @@ class TableLog:
             return None
         return st["min"], st["max"]
 
-    def _touched_files(self, keys: list) -> list[str]:
+    def _added_since(self, base_snap: dict, head: int, action: str) -> dict:
+        """name -> stats of files live at ``head`` but not in
+        ``base_snap`` — the NET adds since this operation's base, the
+        conflict surface for predicate-level checks (merge key overlap,
+        delete/replace range overlap). Resolved from the
+        checkpoint-aware ``snapshot(head)`` instead of a raw manifest
+        scan of (base, head] (the same blindness class ADVICE r11 #1
+        named for the dv arms: a checkpoint+cleanup landing during a
+        long read window removes manifests a range scan would have
+        visited, silently hiding a racer's overlapping append).
+        Net-state is also the right OCC question: a racer whose adds
+        were themselves removed again by ``head`` leaves no rows for
+        this commit to conflict with. Refuses when head's file view
+        cannot be resolved without gaps."""
+        if not self._view_complete(head, "files"):
+            raise CommitConflict(
+                f"cannot prove no concurrent overlapping append: "
+                f"manifests needed to resolve version {head} were "
+                f"cleaned up; re-read and re-apply the {action}"
+            )
+        return {
+            n: st
+            for n, st in self.snapshot(head).items()
+            if n not in base_snap
+        }
+
+    def _touched_files(self, keys: list, snap: dict | None = None) -> list[str]:
         """Files whose stats envelope contains ANY of ``keys``; files
         without stats are conservatively touched. Driver arithmetic on
         the manifest (|files| entries) with sorted keys + bisect."""
@@ -1232,7 +1327,7 @@ class TableLog:
 
         skeys = sorted(keys)
         touched = []
-        for name, st in self.snapshot().items():
+        for name, st in (self.snapshot() if snap is None else snap).items():
             env = self._key_env(st)
             if env is None:
                 touched.append(name)
@@ -1306,6 +1401,7 @@ class TableLog:
             )
         skeys = sorted(keys)
         base = self.latest_version()
+        base_snap = self.snapshot(base)
         base_dvm = self.dv_map(base)
 
         def _overlaps(st: dict) -> bool:
@@ -1316,24 +1412,22 @@ class TableLog:
             return i < len(skeys) and skeys[i] <= env[1]
 
         def _validate(head):
-            if head is None:
+            if head is None or head == base:
                 return
-            for v in self.versions():
-                if (base is not None and v <= base) or v > head:
-                    continue
-                m = self._manifest(v)
-                st = m.get("stats", {})
-                hit = [n for n in m.get("add", ()) if _overlaps(st.get(n, {}))]
-                if hit:
-                    raise CommitConflict(
-                        f"concurrent commit {v} added files overlapping the "
-                        f"merged key set: {hit}; re-read and re-derive the merge"
-                    )
+            # NET adds since base, checkpoint-aware (a raw manifest
+            # scan of (base, head] could be blinded by a concurrent
+            # checkpoint + cleanup — the ADVICE r11 #1 class)
+            added = self._added_since(base_snap, head, "merge")
+            hit = sorted(n for n, st in added.items() if _overlaps(st))
+            if hit:
+                raise CommitConflict(
+                    "concurrent commits added files overlapping the "
+                    f"merged key set: {hit}; re-read and re-derive the merge"
+                )
             # a racer's deletion vector on a file this merge READ
             # changes its content without changing the file set — the
             # rewrite would resurrect the racer's deletes (detected by
-            # the checkpoint-aware endpoint diff, not a manifest range
-            # scan a concurrent checkpoint+cleanup could blind)
+            # the checkpoint-aware endpoint diff)
             dv_hit = self._dv_changes_since(base_dvm, head, touched=touched)
             if dv_hit:
                 raise CommitConflict(
@@ -1341,7 +1435,7 @@ class TableLog:
                     f"merge rewrites: {dv_hit}; re-derive"
                 )
 
-        touched = self._touched_files(keys)
+        touched = self._touched_files(keys, base_snap)
         if not touched:
             adds = self._land_files(updates)
             return self.commit(
@@ -1431,6 +1525,7 @@ class TableLog:
             )
         skeys = sorted(keys)
         base = self.latest_version()
+        base_snap = self.snapshot(base)
         base_dvm = self.dv_map(base)
 
         def _overlaps(st: dict) -> bool:
@@ -1441,19 +1536,15 @@ class TableLog:
             return i < len(skeys) and skeys[i] <= env[1]
 
         def _validate(head):
-            if head is None:
+            if head is None or head == base:
                 return
-            for v in self.versions():
-                if (base is not None and v <= base) or v > head:
-                    continue
-                m = self._manifest(v)
-                st = m.get("stats", {})
-                hit = [n for n in m.get("add", ()) if _overlaps(st.get(n, {}))]
-                if hit:
-                    raise CommitConflict(
-                        f"concurrent commit {v} added files overlapping the "
-                        f"CDC key set: {hit}; re-read and re-derive the merge"
-                    )
+            added = self._added_since(base_snap, head, "CDC merge")
+            hit = sorted(n for n, st in added.items() if _overlaps(st))
+            if hit:
+                raise CommitConflict(
+                    "concurrent commits added files overlapping the "
+                    f"CDC key set: {hit}; re-read and re-derive the merge"
+                )
             dv_hit = self._dv_changes_since(base_dvm, head, touched=touched)
             if dv_hit:
                 raise CommitConflict(
@@ -1461,7 +1552,7 @@ class TableLog:
                     f"CDC merge rewrites: {dv_hit}; re-derive"
                 )
 
-        touched = self._touched_files(keys)
+        touched = self._touched_files(keys, base_snap)
         if not touched:
             adds = self._land_files(upserts)
             return self.commit(
@@ -1517,6 +1608,7 @@ class TableLog:
             raise ValueError("delete_where requires a stats_col-configured table")
         lo, hi = key_between
         base = self.latest_version()
+        base_snap = self.snapshot(base)
         base_dvm = self.dv_map(base)
 
         def _overlaps(st: dict) -> bool:
@@ -1526,19 +1618,15 @@ class TableLog:
             return env[1] >= lo and env[0] <= hi
 
         def _validate(head):
-            if head is None:
+            if head is None or head == base:
                 return
-            for v in self.versions():
-                if (base is not None and v <= base) or v > head:
-                    continue
-                m = self._manifest(v)
-                st = m.get("stats", {})
-                hit = [n for n in m.get("add", ()) if _overlaps(st.get(n, {}))]
-                if hit:
-                    raise CommitConflict(
-                        f"concurrent commit {v} added files overlapping the "
-                        f"deleted range: {hit}; re-read and re-apply the delete"
-                    )
+            added = self._added_since(base_snap, head, "delete")
+            bad = sorted(n for n, st in added.items() if _overlaps(st))
+            if bad:
+                raise CommitConflict(
+                    "concurrent commits added files overlapping the "
+                    f"deleted range: {bad}; re-read and re-apply the delete"
+                )
             dv_hit = self._dv_changes_since(base_dvm, head, touched=touched)
             if dv_hit:
                 raise CommitConflict(
@@ -1546,7 +1634,7 @@ class TableLog:
                     f"delete rewrites: {dv_hit}; re-apply"
                 )
 
-        touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
+        touched = [n for n, st in base_snap.items() if _overlaps(st)]
         if not touched:
             return self.commit(op="delete", txn=txn, validate=_validate)
         # scan with the SAME base dv view the validator diffs against —
@@ -1623,8 +1711,14 @@ class TableLog:
             )
         ).strip().lower().rstrip("b")
         mult = 1
-        if raw and raw[-1] in "kmg":
-            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[raw[-1]]
+        if raw and raw[-1] in "kmgtp":
+            mult = {
+                "k": 1 << 10,
+                "m": 1 << 20,
+                "g": 1 << 30,
+                "t": 1 << 40,
+                "p": 1 << 50,
+            }[raw[-1]]
             raw = raw[:-1]
         nbytes = int(raw) * mult
         if nbytes <= 0:  # broadcast disabled: fall back to the default 10MB
@@ -1688,11 +1782,24 @@ class TableLog:
         tagged, active = self._tagged_undeleted(
             spark, snap, dvm, merge_schema=merge_schema
         )
-        matches = tagged.filter(F.expr(predicate_sql)).select(
-            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        # pin: the match set feeds the per-file count AND the sidecar
+        # write — one materialization, not one predicate scan per
+        # consumer (and a non-deterministic predicate cannot mark one
+        # position set while recording another)
+        from c3dc_etl_spark.pinning import pin
+
+        matches = pin(
+            tagged.filter(F.expr(predicate_sql)).select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
         )
-        affected, rows_deleted, new_dv = self._cumulative_dv(
-            spark, matches, active, "delete_where_dv", max_dv_rows
+        affected, rows_deleted, new_dv, dv_rows = self._cumulative_dv(
+            spark,
+            matches,
+            active,
+            "delete_where_dv",
+            max_dv_rows,
+            self.dv_row_counts(base),
         )
         if not affected:
             # ledger entry for txn idempotence, content unchanged
@@ -1704,6 +1811,7 @@ class TableLog:
             validate=_validate,
             extra={
                 "dv": {f: dv_name for f in affected},
+                "dv_rows": dv_rows,
                 "rows_deleted": int(rows_deleted),
             },
         )
@@ -1789,16 +1897,26 @@ class TableLog:
         active: dict[str, str],
         caller: str,
         max_dv_rows: int | None,
+        base_counts: dict[str, int],
     ):
-        """(affected files, match count, cumulative sidecar frame) for
-        a (file, pos) match set: unions the affected files' previous
-        vectors in (entries REPLACE per file, so each new vector must
-        be cumulative) and ENFORCES the smallness contract
-        ``_scan_files`` broadcasts on (VERDICT r11 #3): total active
-        dv rows AFTER this commit — the new sidecar plus the untouched
-        files' vectors — must fit the broadcast budget, or every
-        future read's anti-join degrades. Rejected BEFORE anything
-        lands. Returns (None, 0, None) when nothing matched."""
+        """(affected files, match count, cumulative sidecar frame,
+        per-file row totals) for a (file, pos) match set: unions the
+        affected files' previous vectors in (entries REPLACE per file,
+        so each new vector must be cumulative) and ENFORCES the
+        smallness contract ``_scan_files`` broadcasts on (VERDICT r11
+        #3): total active dv rows AFTER this commit — the new sidecar
+        plus the untouched files' vectors — must fit the broadcast
+        budget, or every future read's anti-join degrades. Rejected
+        BEFORE anything lands.
+
+        The totals are EXACT driver arithmetic: new matches cannot
+        overlap a file's previous vector (the predicate evaluates over
+        the undeleted view), so per-file total = recorded old total +
+        new matches. ``base_counts`` is :meth:`dv_row_counts` at the
+        operation's base; only files with an active vector but NO
+        recorded count (legacy/partial-restore commits) cost a
+        one-time sidecar count here. Returns (None, 0, None, None)
+        when nothing matched."""
         from pyspark.sql import functions as F
 
         # bounded: one row per AFFECTED FILE (never per row)
@@ -1806,10 +1924,11 @@ class TableLog:
             matches.groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
         )
         if not per_file:
-            return None, 0, None
-        affected = sorted(r["file"] for r in per_file)
+            return None, 0, None, None
+        new_n = {r["file"]: int(r["n"]) for r in per_file}
+        affected = sorted(new_n)
         affected_set = set(affected)
-        n_rows = sum(r["n"] for r in per_file)
+        n_rows = sum(new_n.values())
         new_dv = matches
         carry = {n: d for n, d in active.items() if n in affected_set}
         if carry:
@@ -1820,9 +1939,21 @@ class TableLog:
             self._dv_row_limit(spark) if max_dv_rows is None
             else int(max_dv_rows)
         )
-        others = {n: d for n, d in active.items() if n not in affected_set}
-        total_dv_rows = new_dv.count() + (
-            self._read_dv_rows(spark, others).count() if others else 0
+        old_counts = dict(base_counts)
+        unknown = {n: d for n, d in active.items() if n not in old_counts}
+        if unknown:
+            for r in (
+                self._read_dv_rows(spark, unknown)
+                .groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                old_counts[r["file"]] = int(r["n"])
+        new_totals = {
+            f: old_counts.get(f, 0) + n for f, n in new_n.items()
+        }
+        total_dv_rows = sum(new_totals.values()) + sum(
+            old_counts.get(f, 0) for f in active if f not in affected_set
         )
         if total_dv_rows > limit:
             raise ValueError(
@@ -1833,7 +1964,7 @@ class TableLog:
                 "merge_upsert, or purge_deletes to materialize the "
                 "existing vectors first"
             )
-        return affected, int(n_rows), new_dv
+        return affected, int(n_rows), new_dv, new_totals
 
     def update_where_dv(
         self,
@@ -1882,7 +2013,15 @@ class TableLog:
                 f"update_where_dv: SET targets {unknown} are not columns "
                 f"of the table (have {data_cols})"
             )
-        matched = tagged.filter(F.expr(predicate_sql))
+        # pin: the matched rows feed the constraints aggregate, the
+        # position marking AND the postimage append — ONE
+        # materialization guarantees the deleted positions and the
+        # appended rows describe the same row set even for a
+        # non-bit-deterministic predicate, and the full-table
+        # predicate scan runs once, not once per consumer
+        from c3dc_etl_spark.pinning import pin
+
+        matched = pin(tagged.filter(F.expr(predicate_sql)))
         updated = matched.select(
             *[
                 F.expr(set_exprs[c]).cast(tagged.schema[c].dataType).alias(c)
@@ -1895,8 +2034,13 @@ class TableLog:
         positions = matched.select(
             F.col("__file").alias("file"), F.col("__pos").alias("pos")
         )
-        affected, rows_updated, new_dv = self._cumulative_dv(
-            spark, positions, active, "update_where_dv", max_dv_rows
+        affected, rows_updated, new_dv, dv_rows = self._cumulative_dv(
+            spark,
+            positions,
+            active,
+            "update_where_dv",
+            max_dv_rows,
+            self.dv_row_counts(base),
         )
         if not affected:
             return self.commit(
@@ -1916,6 +2060,7 @@ class TableLog:
             constraints_epoch=cepoch,
             extra={
                 "dv": {f: dv_name for f in affected},
+                "dv_rows": dv_rows,
                 "rows_updated": int(rows_updated),
             },
         )
@@ -2009,6 +2154,7 @@ class TableLog:
                     f"[{lo}, {hi}] on {self.stats_col!r}"
                 )
         base = self.latest_version()
+        base_snap = self.snapshot(base)
         base_dvm = self.dv_map(base)
 
         def _overlaps(st: dict) -> bool:
@@ -2018,19 +2164,15 @@ class TableLog:
             return env[1] >= lo and env[0] <= hi
 
         def _validate(head):
-            if head is None:
+            if head is None or head == base:
                 return
-            for v in self.versions():
-                if (base is not None and v <= base) or v > head:
-                    continue
-                m = self._manifest(v)
-                st = m.get("stats", {})
-                hit = [n for n in m.get("add", ()) if _overlaps(st.get(n, {}))]
-                if hit:
-                    raise CommitConflict(
-                        f"concurrent commit {v} added files overlapping the "
-                        f"replaced range: {hit}; re-read and re-apply"
-                    )
+            added = self._added_since(base_snap, head, "replace")
+            bad = sorted(n for n, st in added.items() if _overlaps(st))
+            if bad:
+                raise CommitConflict(
+                    "concurrent commits added files overlapping the "
+                    f"replaced range: {bad}; re-read and re-apply"
+                )
             dv_hit = self._dv_changes_since(base_dvm, head, touched=touched)
             if dv_hit:
                 raise CommitConflict(
@@ -2038,7 +2180,7 @@ class TableLog:
                     f"replace rewrites: {dv_hit}; re-apply"
                 )
 
-        touched = [n for n, st in self.snapshot().items() if _overlaps(st)]
+        touched = [n for n, st in base_snap.items() if _overlaps(st)]
         new_part = df
         if touched:
             # scan with the SAME base dv view the validator diffs
@@ -2209,20 +2351,43 @@ class TableLog:
                 )
             adds.extend(m.get("add", ()))
         if not adds:
-            # empty feed with the CURRENT snapshot's schema
-            return self.read(spark, hi).filter("1 = 0")
+            # empty feed with the newest available schema
+            return self._empty_snapshot_frame(spark, hi)
         return spark.read.parquet(
             *[os.path.join(self.table_dir, n) for n in adds]
         )
 
-    def _require_range_manifests(self, lo: int, hi: int, caller: str) -> None:
+    def _empty_snapshot_frame(self, spark: SparkSession, hi: int | None):
+        """An EMPTY frame carrying the table's schema, for change-feed
+        bases: the snapshot at ``hi`` when non-empty, else the newest
+        non-empty snapshot at-or-below it (an overwritten-to-empty
+        table still has the schema its consumers compiled against),
+        else a zero-column empty frame — a legal empty feed must not
+        raise just because the snapshot happens to hold no files."""
+        for v in reversed(
+            [v for v in self.versions() if hi is None or v <= hi]
+        ):
+            if self.snapshot(v):
+                return self.read(spark, v).filter("1 = 0")
+        return spark.range(0).select()
+
+    def _require_range_manifests(
+        self, lo: int, hi: int | None, caller: str
+    ) -> None:
         """Change feeds replay the EXACT commit sequence in (lo, hi]:
         a manifest missing from the range (cleanup below a checkpoint)
         means the feed cannot be reconstructed — iterating only the
         surviving manifests would silently drop that commit's changes,
-        so refuse loudly instead."""
+        so refuse loudly instead. ``hi`` None (empty log) or a range
+        entirely above the head checks nothing: versions that never
+        existed are an empty feed, not a cleanup."""
+        head = self.latest_version()
+        if hi is None or head is None:
+            return
         have = set(self.versions())
-        missing = [v for v in range(lo + 1, hi + 1) if v not in have]
+        missing = [
+            v for v in range(lo + 1, min(hi, head) + 1) if v not in have
+        ]
         if missing:
             raise ValueError(
                 f"{caller}: manifests {missing} in the requested range "
@@ -2403,7 +2568,7 @@ class TableLog:
             parts.append(rows)
         if not parts:
             return (
-                self.read(spark, hi)
+                self._empty_snapshot_frame(spark, hi)
                 .withColumn("_change_type", F.lit("").cast("string"))
                 .withColumn("_commit_version", F.lit(0).cast("bigint"))
                 .filter("1 = 0")

@@ -157,7 +157,8 @@ nb AS (
 ),
 bkt AS MATERIALIZED (
     SELECT n.vec_id, n.cluster, n.v, n.nm,
-           (n.vec_id::BIGINT * 2654435761) % nb.nb AS b
+           ((((n.vec_id::BIGINT % 2147483648) + 2147483648) % 2147483648)
+            * 2654435761) % nb.nb AS b
     FROM n JOIN nb USING (cluster)
 ),
 dup AS (

@@ -190,3 +190,19 @@ def test_semantic_dedup_pair_cap_validation(spark):
     with pytest.raises(ValueError, match="pair_cap"):
         C.semantic_dedup(df, k=1, iters=1, pair_cap=0)
 
+
+
+def test_semantic_dedup_capped_huge_ids_no_overflow(spark):
+    """Round-12 review: the bucket hash folds the id to [0, 2^31)
+    BEFORE the multiplicative constant, so ids beyond ~3.5e9 (where
+    id * 2654435761 would overflow int64 — ANSI mode throws, DuckDB
+    errors, non-ANSI silently wraps) compute the identical bucket on
+    every engine. 6 near-identical vectors with 5e9-range ids must
+    dedup without arithmetic errors."""
+    big = 5_000_000_000
+    rows = [(big + i, [1.0, 0.001 * i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = C.semantic_dedup(df, k=1, iters=1, threshold=0.5, pair_cap=3)
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(got) == 6 and got[big] is True
+    assert sum(1 for k in got.values() if not k) >= 1  # cap engaged, pairs found

@@ -1721,3 +1721,125 @@ def test_read_changes_cdf_delete_content_recovery(spark, tmp_path):
         for r in orders.filter("o_orderkey % 7 = 0").collect()
     }
     assert got == exp
+
+
+def test_merge_add_conflict_survives_manifest_cleanup(spark, tmp_path):
+    """Round-12 review: the add-overlap conflict arm diffs the
+    checkpoint-aware snapshots, so a racer's overlapping append
+    followed by a checkpoint + manifest cleanup DURING the merge's
+    read window still conflicts (a raw manifest range scan would have
+    been blinded — the same class the dv arms fixed)."""
+    import os
+
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(
+        orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") < 1000)
+        )
+    )
+    racer = TableLog(log.table_dir, stats_col="o_orderkey")
+    orig_commit = TableLog.commit
+    fired = []
+
+    def racing_commit(self, **kw):
+        if self is log and not fired:
+            fired.append(True)
+            # v1: OVERLAPS the merged key range -> must conflict
+            racer.append(
+                orders.filter(
+                    (F.col("o_orderstatus") == "O")
+                    & (F.col("o_orderkey") < 1000)
+                )
+            )
+            # v2: disjoint key band (so a raw manifest scan over the
+            # SURVIVING manifests sees nothing overlapping)
+            racer.append(orders.filter(F.col("o_orderkey") > 50000))
+            racer.checkpoint()
+            # surgical cleanup: ONLY the overlapping append's manifest
+            # goes away (sanctioned: it is below the checkpoint) — the
+            # old per-manifest conflict scan is now blind to it
+            os.remove(os.path.join(racer.log_dir, f"{1:020d}.json"))
+        return orig_commit(self, **kw)
+
+    updates = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") < 1000)
+    ).limit(5)
+    TableLog.commit = racing_commit
+    try:
+        with pytest.raises(CommitConflict, match="overlapping the merged"):
+            log.merge_upsert(spark, updates, "o_orderkey")
+    finally:
+        TableLog.commit = orig_commit
+
+
+def test_change_feed_edge_ranges(spark, tmp_path):
+    """Round-12 review: (a) feeds on an EMPTY log return empty frames
+    instead of TypeError; (b) until_version beyond head is an empty
+    feed, not a 'cleaned up' refusal; (c) an overwritten-to-empty
+    table still serves an empty feed with its last known schema."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    assert log.read_changes(spark, since_version=-1).count() == 0
+    assert log.read_changes_cdf(spark, since_version=-1).count() == 0
+    log.append(orders.limit(10))                       # v0
+    feed = log.read_changes(spark, since_version=0, until_version=50)
+    assert feed.count() == 0  # (0, 50] holds nothing yet; not an error
+    log.overwrite(orders.limit(0))                     # v1: empty table
+    empty = log.read_changes_cdf(spark, since_version=1)
+    assert empty.count() == 0
+    assert "o_orderkey" in empty.columns  # schema from last snapshot
+    assert {"_change_type", "_commit_version"} <= set(empty.columns)
+
+
+def test_dv_row_counts_fold_and_driver_side_bound(spark, tmp_path):
+    """Per-file dv row totals ride the manifests and fold into
+    checkpoints, so the smallness bound is driver arithmetic: the map
+    must match the actual sidecar contents, survive checkpoint +
+    manifest cleanup, and carry through restore."""
+    import os
+
+    log, orders = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 7 = 0")   # v2
+    log.delete_where_dv(spark, "o_orderkey % 5 = 0")   # v3
+    counts = log.dv_row_counts()
+    actual = {
+        r["file"]: r["cnt"]
+        for r in log._read_dv_rows(spark, log.dv_map())
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert counts == actual and sum(counts.values()) == orders.filter(
+        "o_orderkey % 7 = 0 OR o_orderkey % 5 = 0"
+    ).count()
+    # checkpoint + cleanup below it: counts still resolve exactly
+    log.checkpoint()
+    for v in range(log.latest_version()):
+        os.remove(os.path.join(log.log_dir, f"{v:020d}.json"))
+    assert log.dv_row_counts() == actual
+    # restore to the single-vector version propagates that version's map
+    log2, _ = _dv_table(spark, tmp_path, name="dvt2")
+    log2.delete_where_dv(spark, "o_orderkey % 7 = 0")  # v2
+    v2_counts = log2.dv_row_counts()
+    log2.delete_where_dv(spark, "o_orderkey % 5 = 0")  # v3
+    log2.restore(2)                                    # v4
+    assert log2.dv_row_counts() == v2_counts
+
+
+def test_dv_row_limit_parses_all_size_suffixes(spark, tmp_path):
+    log = TableLog(str(tmp_path / "t"))
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        for raw, expect in (
+            ("1048576", (1 << 20) // 64),
+            ("10m", (10 << 20) // 64),
+            ("2g", (2 << 30) // 64),
+            ("1t", (1 << 40) // 64),
+            ("-1", (10 << 20) // 64),  # disabled -> 10MB default
+        ):
+            spark.conf.set(key, raw)
+            assert log._dv_row_limit(spark) == expect, raw
+    finally:
+        spark.conf.set(key, old)
