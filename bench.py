@@ -757,15 +757,19 @@ def main() -> int:
         if os.path.exists(bench_fence.FENCE):
             with open(bench_fence.FENCE) as fh:
                 offenders = bench_fence.check(result, json.load(fh))
-            if offenders:
+            fresh = [o for o in offenders if "adjudicated" not in o]
+            if fresh:
                 print(
                     "# FENCE REGRESSIONS (normalized >1.25x committed): "
-                    + json.dumps(offenders),
+                    + json.dumps(fresh),
                     file=sys.stderr,
                 )
             else:
-                print("# fence OK: no normalized-wall regression",
-                      file=sys.stderr)
+                print(
+                    "# fence OK: no unadjudicated normalized-wall "
+                    f"regression ({len(offenders)} adjudicated)",
+                    file=sys.stderr,
+                )
     except Exception as exc:  # never let the fence kill the artifact
         print(f"# fence check skipped: {exc}", file=sys.stderr)
     print(f"# full detail -> {detail_path}", file=sys.stderr)

@@ -65,22 +65,28 @@ def check(
     """Offender rows for every query present on BOTH sides whose
     normalized wall exceeds the committed one by > ratio AND by more
     than slack_s seconds absolute. Queries on one side only (cohort
-    growth/rotation) are not comparable and are skipped."""
+    growth/rotation) are not comparable and are skipped. An offender
+    whose query appears in the fence's ``_adjudicated`` map (a
+    committed, reviewed same-code adjudication — e.g. proven
+    environment drift) carries its reason under ``adjudicated``;
+    offenders WITHOUT one are the actionable regressions."""
     now = normalized_walls(detail)
+    adjudicated = fence.get("_adjudicated") or {}
     offenders = []
     for q, wall in sorted(now.items()):
         base = fence.get(q)
-        if base is None or base <= 0:
+        if base is None or not isinstance(base, (int, float)) or base <= 0:
             continue
         if wall > ratio * base and wall - base > slack_s:
-            offenders.append(
-                {
-                    "query": q,
-                    "committed_normalized_s": base,
-                    "normalized_s": wall,
-                    "ratio": round(wall / base, 3),
-                }
-            )
+            row = {
+                "query": q,
+                "committed_normalized_s": base,
+                "normalized_s": wall,
+                "ratio": round(wall / base, 3),
+            }
+            if q in adjudicated:
+                row["adjudicated"] = adjudicated[q]
+            offenders.append(row)
     return offenders
 
 
@@ -102,11 +108,18 @@ def main() -> int:
     with open(FENCE) as fh:
         fence = json.load(fh)
     offenders = check(detail, fence)
-    if offenders:
-        print(json.dumps({"regressions": offenders}, indent=1))
+    new = [o for o in offenders if "adjudicated" not in o]
+    known = [o for o in offenders if "adjudicated" in o]
+    if known:
+        print(json.dumps({"adjudicated": known}, indent=1))
+    if new:
+        print(json.dumps({"regressions": new}, indent=1))
         return 1
     n = len(set(normalized_walls(detail)) & set(fence))
-    print(f"fence OK: {n} comparable queries, none > {RATIO}x committed")
+    print(
+        f"fence OK: {n} comparable queries, no UNADJUDICATED mover "
+        f"> {RATIO}x committed ({len(known)} adjudicated)"
+    )
     return 0
 
 
