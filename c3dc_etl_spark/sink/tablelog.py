@@ -2083,6 +2083,52 @@ class TableLog:
         shutil.rmtree(staging)
         return name
 
+    def compact_dv(self, spark: SparkSession) -> int | None:
+        """Pack every active deletion vector into ONE sidecar — the
+        DV-side OPTIMIZE: a long run of small merge-on-read deletes
+        leaves one tiny sidecar per commit, and every subsequent read
+        opens all of them to build the anti-join side. This rewrites
+        NO data file and changes NO row content (each file's new
+        vector is byte-for-byte the position set it replaces, just
+        co-located), so the change feeds skip it and time travel is
+        unaffected; the superseded sidecars become vacuumable once no
+        retained version references them. Returns the commit version,
+        or None when fewer than two sidecars are active (nothing to
+        pack). OCC is the strict net-state check: the packed rows
+        were read at base, so any data/dv racer invalidates them."""
+        base = self.latest_version()
+        snap = self.snapshot(base)
+        dvm = self.dv_map(base)
+        active = {n: d for n, d in dvm.items() if n in snap}
+        if len(set(active.values())) < 2:
+            return None
+        _validate = self._strict_dv_validator(base, snap, dvm, "dv compaction")
+        name = self._land_dv_file(self._read_dv_rows(spark, active))
+        counts = {
+            f: n
+            for f, n in self.dv_row_counts(base).items()
+            if f in active
+        }
+        missing = {n: d for n, d in active.items() if n not in counts}
+        if missing:
+            from pyspark.sql import functions as F
+
+            for r in (
+                self._read_dv_rows(spark, missing)
+                .groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                counts[r["file"]] = int(r["n"])
+        return self.commit(
+            op="dv_compact",
+            validate=_validate,
+            extra={
+                "dv": {f: name for f in active},
+                "dv_rows": counts,
+            },
+        )
+
     def purge_deletes(self, spark: SparkSession) -> int | None:
         """Materialize every active deletion vector: rewrite ONLY the
         DV'd files without their deleted rows (copy-on-write, the
@@ -2341,9 +2387,12 @@ class TableLog:
             # (e.g. an overwrite to empty) changes content invisibly,
             # and a deletion-vector commit deletes rows with NO
             # add/remove at all — all three would corrupt the feed
+            # dv_compact is content-neutral by construction (every new
+            # vector equals the position set it replaces) — safe to
+            # skip, like a data-free ledger commit
             if (m.get("add") or m.get("remove") or m.get("dv")) and m[
                 "op"
-            ] != "append":
+            ] not in ("append", "dv_compact"):
                 raise ValueError(
                     f"read_changes: commit {v} is op={m['op']!r}; only "
                     "append commits can be read as a change feed "
@@ -2467,6 +2516,12 @@ class TableLog:
                 if op == "update_dv":
                     for f in m.get("add", ()):
                         add_map.append((f, v, "update_postimage"))
+            elif op == "dv_compact":
+                # content-neutral repack: every new vector equals the
+                # position set it replaces, so the per-commit delta is
+                # empty by construction — skip, but the replay below
+                # still advances the running dv state
+                pass
             elif m.get("add") or m.get("remove") or dv:
                 raise ValueError(
                     f"read_changes_cdf: commit {v} is op={op!r}; only "

@@ -1843,3 +1843,108 @@ def test_dv_row_limit_parses_all_size_suffixes(spark, tmp_path):
             assert log._dv_row_limit(spark) == expect, raw
     finally:
         spark.conf.set(key, old)
+
+
+def test_compact_dv_packs_sidecars_content_neutral(spark, tmp_path):
+    """The DV-side OPTIMIZE: many small merge-on-read deletes leave one
+    sidecar per commit; compact_dv packs them into ONE without touching
+    any data file or row — reads identical, change feeds skip the
+    repack commit, dv_row_counts survive, and vacuum reclaims the
+    superseded sidecars."""
+    import os
+
+    log, orders = _dv_table(spark, tmp_path)
+    # deletes in DISJOINT files: each commit's sidecar replaces vectors
+    # only for ITS affected files, so per-file point deletes leave one
+    # sidecar per commit — the fragmentation compact_dv exists for
+    keys = sorted(r[0] for r in orders.select("o_orderkey").collect())
+    for k in (keys[0], keys[len(keys) // 2], keys[-1]):
+        log.delete_where_dv(spark, f"o_orderkey = {k}")
+    before_rows = {tuple(r) for r in log.read(spark).collect()}
+    counts_before = log.dv_row_counts()
+    files_before = set(log.files())
+    sidecars = lambda: {f for f in os.listdir(log.table_dir) if f.startswith("dv-")}
+    assert len(set(log.dv_map().values())) >= 2
+    v = log.compact_dv(spark)
+    assert v == 5
+    assert set(log.dv_map().values()) and len(set(log.dv_map().values())) == 1
+    assert set(log.files()) == files_before  # no data file touched
+    assert {tuple(r) for r in log.read(spark).collect()} == before_rows
+    assert log.dv_row_counts() == counts_before
+    # the feed range spanning the repack skips it (content-neutral)
+    feed = log.read_changes_cdf(spark, since_version=4)
+    assert feed.count() == 0
+    log.append(orders.limit(3))  # v6 rides the same feed after the repack
+    assert log.read_changes(spark, since_version=4).count() == 3
+    # idempotence: a second pack is a no-op (single sidecar already)
+    assert log.compact_dv(spark) is None
+    # superseded sidecars reclaim once retention drops the old versions
+    n_before = len(sidecars())
+    log.vacuum(keep_versions=2, grace_seconds=0)
+    assert len(sidecars()) < n_before
+    assert {tuple(r) for r in log.read(spark).limit(10**9).collect()} >= set()
+
+
+def test_dv_protocol_randomized_against_model(spark, tmp_path):
+    """Model-based protocol check: a random interleaving of appends,
+    merge-on-read deletes/updates, copy-on-write ops, repacks, purges
+    and compactions must keep log.read() equal to a plain dict model
+    at EVERY step — the whole-protocol invariant no single-op unit
+    test states."""
+    import random
+
+    orders = _orders(spark).limit(200).collect()
+    pool = [(r["o_orderkey"], r["o_totalprice"], r["o_orderstatus"]) for r in orders]
+    for seed in (7, 19):
+        rng = random.Random(seed)
+        log = TableLog(str(tmp_path / f"m{seed}"), stats_col="o_orderkey")
+        model: dict[int, tuple] = {}
+        next_row = 0
+        ops_run = []
+        for step in range(12):
+            op = rng.choice(
+                ["append", "delete_dv", "update_dv", "compact_dv",
+                 "purge", "compact", "append", "delete_dv"]
+            )
+            if not model and op != "append":
+                op = "append"
+            if op == "append":
+                take = pool[next_row : next_row + rng.randint(5, 30)]
+                next_row += len(take)
+                if not take:
+                    continue
+                df = spark.createDataFrame(
+                    take, "o_orderkey bigint, o_totalprice double, o_orderstatus string"
+                )
+                log.append(df)
+                for k, p, s in take:
+                    model[k] = (k, p, s)
+            elif op == "delete_dv":
+                m = rng.choice([3, 7, 11, 13])
+                log.delete_where_dv(spark, f"o_orderkey % {m} = 0")
+                model = {k: v for k, v in model.items() if k % m != 0}
+            elif op == "update_dv":
+                m = rng.choice([2, 5, 9])
+                log.update_where_dv(
+                    spark,
+                    f"o_orderkey % {m} = 0",
+                    {"o_totalprice": "o_totalprice + 10.0"},
+                )
+                model = {
+                    k: ((k, p + 10.0, s) if k % m == 0 else (k, p, s))
+                    for k, (_, p, s) in model.items()
+                }
+            elif op == "compact_dv":
+                log.compact_dv(spark)
+            elif op == "purge":
+                log.purge_deletes(spark)
+            elif op == "compact":
+                log.compact(spark, target_partitions=2)
+            ops_run.append(op)
+            got = {
+                r["o_orderkey"]: (
+                    r["o_orderkey"], r["o_totalprice"], r["o_orderstatus"]
+                )
+                for r in log.read(spark).collect()
+            }
+            assert got == model, (seed, step, ops_run)
