@@ -226,14 +226,30 @@ class TableLog:
         cumulative: old positions union new ones), with ``None``
         clearing it. Folded into checkpoints like txns(), so resolution
         is O(tail)."""
+        def _apply(state: dict, m: dict) -> None:
+            for f, d in (m.get("dv") or {}).items():
+                if d is None:
+                    state.pop(f, None)
+                else:
+                    state[f] = d
+
+        return self._dv_replay(version, "dvs", dict, _apply)
+
+    def _dv_replay(self, version, ck_key: str, from_ck, apply_entry) -> dict:
+        """Shared checkpoint-tail replay for the dv-layer maps
+        (:meth:`dv_map`, :meth:`dv_row_counts`) — ONE skeleton owns
+        the backwards search for a ``ck_key``-bearing checkpoint (an
+        older checkpoint predating the folding must not truncate the
+        replay — the constraints() precedent) and the add/remove pop
+        rules, so the maps that must mirror each other mirror each
+        other STRUCTURALLY (round-12 review #6). ``from_ck`` builds
+        the initial state from the checkpoint payload; ``apply_entry``
+        applies one manifest's dv-layer actions after the pops."""
         head = self.latest_version() if version is None else version
         if head is None:
             return {}
-        dvs: dict[str, str] = {}
+        state: dict = {}
         start = 0
-        # newest checkpoint at-or-below head that CARRIES a dv map (a
-        # checkpoint predating the dv folding must not truncate the
-        # replay — same backwards search as constraints())
         for cp in reversed(
             [c for c in self._checkpoint_versions() if c <= head]
         ):
@@ -241,8 +257,8 @@ class TableLog:
                 os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
             ) as fh:
                 ck = json.load(fh)
-            if "dvs" in ck:
-                dvs = dict(ck["dvs"])
+            if ck_key in ck:
+                state = from_ck(ck[ck_key])
                 start = cp + 1
                 break
         for v in self.versions():
@@ -252,15 +268,30 @@ class TableLog:
                 break
             m = self._manifest(v)
             for f in m.get("remove", ()):
-                dvs.pop(f, None)
+                state.pop(f, None)
             for f in m.get("add", ()):
-                dvs.pop(f, None)
-            for f, d in (m.get("dv") or {}).items():
-                if d is None:
-                    dvs.pop(f, None)
-                else:
-                    dvs[f] = d
-        return dvs
+                state.pop(f, None)
+            apply_entry(state, m)
+        return state
+
+    def _dv_map_checked(self, base: int | None) -> dict[str, str]:
+        """:meth:`dv_map` with the resolution-gap case REFUSED: a base
+        view that cannot be resolved without gaps (manifests cleaned
+        below a checkpoint that does not carry the dv fold) must not
+        silently under-resolve — a rewrite or merge-on-read predicate
+        built on it would resurrect deleted rows (round-12 review #1:
+        the commit-time check only covered the RACING case; the
+        base-capture case needs the same guard, and failing at capture
+        is cheaper than after the read)."""
+        if base is None:
+            base = self.latest_version()
+        if base is not None and not self._view_complete(base, "dvs"):
+            raise CommitConflict(
+                "cannot resolve the deletion-vector state at version "
+                f"{base}: manifests needed for the replay were cleaned "
+                "up without a dvs-bearing checkpoint"
+            )
+        return self.dv_map(base)
 
     def dv_row_counts(self, version: int | None = None) -> dict[str, int]:
         """data-file name -> TOTAL rows in its active deletion vector,
@@ -273,46 +304,25 @@ class TableLog:
         commit. A file with an active vector but no recorded count
         (legacy commit, partial restore) is simply absent; callers
         fall back to counting that sidecar once."""
-        head = self.latest_version() if version is None else version
-        if head is None:
-            return {}
-        counts: dict[str, int] = {}
-        start = 0
-        for cp in reversed(
-            [c for c in self._checkpoint_versions() if c <= head]
-        ):
-            with open(
-                os.path.join(self.log_dir, f"{cp:020d}.checkpoint.json")
-            ) as fh:
-                ck = json.load(fh)
-            if "dv_row_counts" in ck:
-                counts = {k: int(v) for k, v in ck["dv_row_counts"].items()}
-                start = cp + 1
-                break
-        for v in self.versions():
-            if v < start:
-                continue
-            if v > head:
-                break
-            m = self._manifest(v)
-            for f in m.get("remove", ()):
-                counts.pop(f, None)
-            for f in m.get("add", ()):
-                counts.pop(f, None)
+        def _apply(state: dict, m: dict) -> None:
             dv = m.get("dv") or {}
+            rows = m.get("dv_rows") or {}
             for f, d in dv.items():
                 if d is None:
-                    counts.pop(f, None)
-            rows = m.get("dv_rows") or {}
-            for f, n in rows.items():
-                if f in dv and dv[f] is not None:
-                    counts[f] = int(n)
-            # a dv entry without a recorded count invalidates any stale
-            # count carried for that file
-            for f, d in dv.items():
-                if d is not None and f not in rows:
-                    counts.pop(f, None)
-        return counts
+                    state.pop(f, None)
+                elif f in rows:
+                    state[f] = int(rows[f])
+                else:
+                    # a dv entry without a recorded count invalidates
+                    # any stale count carried for that file
+                    state.pop(f, None)
+
+        return self._dv_replay(
+            version,
+            "dv_row_counts",
+            lambda ck: {k: int(v) for k, v in ck.items()},
+            _apply,
+        )
 
     def _scan_files(
         self,
@@ -337,7 +347,7 @@ class TableLog:
         row-group pruning are unaffected."""
         from pyspark.sql import functions as F
 
-        dvm = self.dv_map() if dvm is None else dvm
+        dvm = self._dv_map_checked(None) if dvm is None else dvm
         paths = [os.path.join(self.table_dir, n) for n in names]
         reader = spark.read
         if merge_schema:
@@ -412,7 +422,7 @@ class TableLog:
                 "constraints": self.constraints(head),
                 # active deletion-vector map folded in the same way, so
                 # dv_map() resolution is O(tail) too
-                "dvs": self.dv_map(head),
+                "dvs": self._dv_map_checked(head),
                 # per-file dv row totals fold alongside, so the
                 # smallness bound stays driver arithmetic after cleanup
                 "dv_row_counts": self.dv_row_counts(head),
@@ -1037,7 +1047,7 @@ class TableLog:
         # clone with a version its file set does not reflect
         src_version = self.latest_version() if version is None else int(version)
         snap = self.snapshot(src_version)
-        dvm = self.dv_map(src_version)
+        dvm = self._dv_map_checked(src_version)
         # mirror restore()'s precheck: an explicitly requested version
         # whose data files were vacuumed must raise BEFORE anything is
         # created — otherwise os.link raises FileNotFoundError (an
@@ -1112,7 +1122,7 @@ class TableLog:
         ``overwrite``: commit() revalidates the removes against any
         racing head."""
         target = self.snapshot(target_version)
-        target_dvm = self.dv_map(target_version)
+        target_dvm = self._dv_map_checked(target_version)
         missing = [
             n for n in list(target) + sorted(set(target_dvm.values()))
             if not os.path.exists(os.path.join(self.table_dir, n))
@@ -1124,7 +1134,7 @@ class TableLog:
             )
         head = self.latest_version()
         current = set(self.files(head))
-        current_dvm = self.dv_map(head)
+        current_dvm = self._dv_map_checked(head)
         add = [n for n in target if n not in current]
         remove = [n for n in current if n not in target]
         # the restored state's deletion vectors must match the target
@@ -1173,7 +1183,7 @@ class TableLog:
         # DV-aware rewrite: deleted rows must not resurrect through the
         # compaction, and since the DV'd files are in the remove list,
         # their vectors retire with them (a compact doubles as a purge)
-        base_dvm = self.dv_map(base)
+        base_dvm = self._dv_map_checked(base)
         df = self._scan_files(spark, current, dvm=base_dvm)
 
         def _validate(head):
@@ -1233,7 +1243,7 @@ class TableLog:
             raise ValueError(f"table {self.table_dir} has no committed data")
         # DV-aware like compact: the layout rewrite must not resurrect
         # merge-on-read deletes, and retires the rewritten files' vectors
-        base_dvm = self.dv_map(base)
+        base_dvm = self._dv_map_checked(base)
         df = self._scan_files(spark, current, dvm=base_dvm)
         width = 1 << bits
         bounds = df.agg(
@@ -1402,7 +1412,7 @@ class TableLog:
         skeys = sorted(keys)
         base = self.latest_version()
         base_snap = self.snapshot(base)
-        base_dvm = self.dv_map(base)
+        base_dvm = self._dv_map_checked(base)
 
         def _overlaps(st: dict) -> bool:
             env = self._key_env(st)
@@ -1526,7 +1536,7 @@ class TableLog:
         skeys = sorted(keys)
         base = self.latest_version()
         base_snap = self.snapshot(base)
-        base_dvm = self.dv_map(base)
+        base_dvm = self._dv_map_checked(base)
 
         def _overlaps(st: dict) -> bool:
             env = self._key_env(st)
@@ -1609,7 +1619,7 @@ class TableLog:
         lo, hi = key_between
         base = self.latest_version()
         base_snap = self.snapshot(base)
-        base_dvm = self.dv_map(base)
+        base_dvm = self._dv_map_checked(base)
 
         def _overlaps(st: dict) -> bool:
             env = self._key_env(st)
@@ -1777,44 +1787,48 @@ class TableLog:
         snap = self.snapshot(base)
         if not snap:
             raise ValueError(f"table {self.table_dir} has no committed data")
-        dvm = self.dv_map(base)
+        dvm = self._dv_map_checked(base)
         _validate = self._strict_dv_validator(base, snap, dvm, "delete")
         tagged, active = self._tagged_undeleted(
             spark, snap, dvm, merge_schema=merge_schema
         )
-        # pin: the match set feeds the per-file count AND the sidecar
-        # write — one materialization, not one predicate scan per
-        # consumer (and a non-deterministic predicate cannot mark one
-        # position set while recording another)
-        from c3dc_etl_spark.pinning import pin
-
-        matches = pin(
-            tagged.filter(F.expr(predicate_sql)).select(
-                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        # LOCAL persist: the match set feeds the per-file count AND the
+        # sidecar write — one materialization, not one predicate scan
+        # per consumer (and a non-deterministic predicate cannot mark
+        # one position set while recording another). Every consumer
+        # materializes inside this method, so the cache is released
+        # before returning — never registered in the global pin list a
+        # library caller has no way to drain (round-12 review #5).
+        matches = tagged.filter(F.expr(predicate_sql)).select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        ).persist()
+        try:
+            affected, rows_deleted, new_dv, dv_rows = self._cumulative_dv(
+                spark,
+                matches,
+                active,
+                "delete_where_dv",
+                max_dv_rows,
+                self.dv_row_counts(base),
             )
-        )
-        affected, rows_deleted, new_dv, dv_rows = self._cumulative_dv(
-            spark,
-            matches,
-            active,
-            "delete_where_dv",
-            max_dv_rows,
-            self.dv_row_counts(base),
-        )
-        if not affected:
-            # ledger entry for txn idempotence, content unchanged
-            return self.commit(op="delete_dv", txn=txn, validate=_validate)
-        dv_name = self._land_dv_file(new_dv)
-        return self.commit(
-            op="delete_dv",
-            txn=txn,
-            validate=_validate,
-            extra={
-                "dv": {f: dv_name for f in affected},
-                "dv_rows": dv_rows,
-                "rows_deleted": int(rows_deleted),
-            },
-        )
+            if not affected:
+                # ledger entry for txn idempotence, content unchanged
+                return self.commit(
+                    op="delete_dv", txn=txn, validate=_validate
+                )
+            dv_name = self._land_dv_file(new_dv)
+            return self.commit(
+                op="delete_dv",
+                txn=txn,
+                validate=_validate,
+                extra={
+                    "dv": {f: dv_name for f in affected},
+                    "dv_rows": dv_rows,
+                    "rows_deleted": int(rows_deleted),
+                },
+            )
+        finally:
+            matches.unpersist()
 
     def _strict_dv_validator(self, base, snap, dvm, action: str):
         """Strict-serializable commit validator for the merge-on-read
@@ -2001,7 +2015,7 @@ class TableLog:
         snap = self.snapshot(base)
         if not snap:
             raise ValueError(f"table {self.table_dir} has no committed data")
-        dvm = self.dv_map(base)
+        dvm = self._dv_map_checked(base)
         _validate = self._strict_dv_validator(base, snap, dvm, "update")
         tagged, active = self._tagged_undeleted(
             spark, snap, dvm, merge_schema=merge_schema
@@ -2013,57 +2027,62 @@ class TableLog:
                 f"update_where_dv: SET targets {unknown} are not columns "
                 f"of the table (have {data_cols})"
             )
-        # pin: the matched rows feed the constraints aggregate, the
-        # position marking AND the postimage append — ONE
-        # materialization guarantees the deleted positions and the
+        # LOCAL persist: the matched rows feed the constraints
+        # aggregate, the position marking AND the postimage append —
+        # ONE materialization guarantees the deleted positions and the
         # appended rows describe the same row set even for a
         # non-bit-deterministic predicate, and the full-table
-        # predicate scan runs once, not once per consumer
-        from c3dc_etl_spark.pinning import pin
-
-        matched = pin(tagged.filter(F.expr(predicate_sql)))
-        updated = matched.select(
-            *[
-                F.expr(set_exprs[c]).cast(tagged.schema[c].dataType).alias(c)
-                if c in set_exprs
-                else F.col(c)
-                for c in data_cols
-            ]
-        )
-        cepoch = self._enforce_constraints(updated)
-        positions = matched.select(
-            F.col("__file").alias("file"), F.col("__pos").alias("pos")
-        )
-        affected, rows_updated, new_dv, dv_rows = self._cumulative_dv(
-            spark,
-            positions,
-            active,
-            "update_where_dv",
-            max_dv_rows,
-            self.dv_row_counts(base),
-        )
-        if not affected:
+        # predicate scan runs once, not once per consumer. Every
+        # consumer materializes inside this method, so the cache is
+        # released before returning (round-12 review #5).
+        matched = tagged.filter(F.expr(predicate_sql)).persist()
+        try:
+            updated = matched.select(
+                *[
+                    F.expr(set_exprs[c])
+                    .cast(tagged.schema[c].dataType)
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in data_cols
+                ]
+            )
+            cepoch = self._enforce_constraints(updated)
+            positions = matched.select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
+            affected, rows_updated, new_dv, dv_rows = self._cumulative_dv(
+                spark,
+                positions,
+                active,
+                "update_where_dv",
+                max_dv_rows,
+                self.dv_row_counts(base),
+            )
+            if not affected:
+                return self.commit(
+                    op="update_dv",
+                    txn=txn,
+                    validate=_validate,
+                    constraints_epoch=cepoch,
+                )
+            dv_name = self._land_dv_file(new_dv)
+            adds = self._land_files(updated)
             return self.commit(
+                add=adds,
                 op="update_dv",
+                stats=self._file_stats(spark, adds),
                 txn=txn,
                 validate=_validate,
                 constraints_epoch=cepoch,
+                extra={
+                    "dv": {f: dv_name for f in affected},
+                    "dv_rows": dv_rows,
+                    "rows_updated": int(rows_updated),
+                },
             )
-        dv_name = self._land_dv_file(new_dv)
-        adds = self._land_files(updated)
-        return self.commit(
-            add=adds,
-            op="update_dv",
-            stats=self._file_stats(spark, adds),
-            txn=txn,
-            validate=_validate,
-            constraints_epoch=cepoch,
-            extra={
-                "dv": {f: dv_name for f in affected},
-                "dv_rows": dv_rows,
-                "rows_updated": int(rows_updated),
-            },
-        )
+        finally:
+            matched.unpersist()
 
     def _land_dv_file(self, dv_rows: DataFrame) -> str:
         """Land a (file, pos) frame as ONE immutable dv sidecar parquet
@@ -2098,7 +2117,7 @@ class TableLog:
         were read at base, so any data/dv racer invalidates them."""
         base = self.latest_version()
         snap = self.snapshot(base)
-        dvm = self.dv_map(base)
+        dvm = self._dv_map_checked(base)
         active = {n: d for n, d in dvm.items() if n in snap}
         if len(set(active.values())) < 2:
             return None
@@ -2139,7 +2158,7 @@ class TableLog:
         re-reads content, so any concurrent data commit invalidates
         it."""
         base = self.latest_version()
-        dvm = self.dv_map(base)
+        dvm = self._dv_map_checked(base)
         snap = self.snapshot(base)
         affected = sorted(n for n in dvm if n in snap)
         if not affected:
@@ -2201,7 +2220,7 @@ class TableLog:
                 )
         base = self.latest_version()
         base_snap = self.snapshot(base)
-        base_dvm = self.dv_map(base)
+        base_dvm = self._dv_map_checked(base)
 
         def _overlaps(st: dict) -> bool:
             env = self._key_env(st)
@@ -2335,7 +2354,7 @@ class TableLog:
         # time (merge-on-read); time travel to a pre-delete version sees
         # the rows because that version's dv map lacks the vector
         df = self._scan_files(
-            spark, names, merge_schema=merge_schema, dvm=self.dv_map(version)
+            spark, names, merge_schema=merge_schema, dvm=self._dv_map_checked(version)
         )
         if key_between is not None or col_between or key_eq is not None:
             from pyspark.sql import functions as F
@@ -2373,7 +2392,13 @@ class TableLog:
         a merge/delete/overwrite/compact INSIDE the range means added
         files are not new rows (rewrites re-add old rows) — full CDF
         needs row-level tracking this log does not do, so the read
-        REFUSES loudly instead of double-counting."""
+        REFUSES loudly instead of double-counting.
+
+        Range contract: versions beyond the current head are an EMPTY
+        feed, not an error (a poller may run ahead of the writer) — so
+        a cursor-advancing consumer must advance to the versions it
+        actually RECEIVED (the head at read time), never to the
+        ``until_version`` it merely requested."""
         head = self.latest_version()
         hi = head if until_version is None else until_version
         self._require_range_manifests(since_version, hi, "read_changes")
@@ -2409,14 +2434,20 @@ class TableLog:
     def _empty_snapshot_frame(self, spark: SparkSession, hi: int | None):
         """An EMPTY frame carrying the table's schema, for change-feed
         bases: the snapshot at ``hi`` when non-empty, else the newest
-        non-empty snapshot at-or-below it (an overwritten-to-empty
-        table still has the schema its consumers compiled against),
-        else a zero-column empty frame — a legal empty feed must not
-        raise just because the snapshot happens to hold no files."""
+        non-empty snapshot at-or-below it whose files are still on
+        disk (an overwritten-to-empty table still has the schema its
+        consumers compiled against, but vacuum may have reclaimed an
+        older snapshot's files — planning a read over those would
+        raise on a LEGAL empty feed), else a zero-column empty
+        frame."""
         for v in reversed(
             [v for v in self.versions() if hi is None or v <= hi]
         ):
-            if self.snapshot(v):
+            snap = self.snapshot(v)
+            if snap and all(
+                os.path.exists(os.path.join(self.table_dir, n))
+                for n in snap
+            ):
                 return self.read(spark, v).filter("1 = 0")
         return spark.range(0).select()
 
@@ -2479,22 +2510,31 @@ class TableLog:
         union loop), with the position-delta resolved as ONE
         (version, file, pos) group-by over sidecar rows. The dv side
         is broadcast under the same smallness contract
-        ``delete_where_dv`` enforces."""
+        ``delete_where_dv`` enforces.
+
+        Range contract (same as read_changes): versions beyond the
+        current head are an EMPTY feed, not an error — consumers
+        advance their cursor to the max ``_commit_version`` actually
+        delivered, never to the requested ``until_version``."""
         from pyspark.sql import functions as F
 
         head = self.latest_version()
         hi = head if until_version is None else until_version
         self._require_range_manifests(since_version, hi, "read_changes_cdf")
-        if since_version >= 0 and not self._view_complete(
-            since_version, "dvs"
-        ):
+        # a base at-or-beyond the head means an empty range: versions
+        # that never existed have no dv state to resolve (round-12
+        # review #3 — mirror read_changes' empty-feed semantics)
+        resolvable = (
+            head is not None and 0 <= since_version <= head
+        )
+        if resolvable and not self._view_complete(since_version, "dvs"):
             raise ValueError(
                 "read_changes_cdf: dv state at the range base "
                 f"{since_version} cannot be resolved (manifests cleaned "
                 "up without a dvs-bearing checkpoint)"
             )
         # running dv state BEFORE each commit (dv_map replay rules)
-        run_dvm = dict(self.dv_map(since_version)) if since_version >= 0 else {}
+        run_dvm = dict(self.dv_map(since_version)) if resolvable else {}
         add_map: list[tuple[str, int, str]] = []
         dv_events: list[tuple[int, str, str, str | None]] = []
         vmap: dict[int, str] = {}
@@ -2698,7 +2738,7 @@ class TableLog:
             # active deletion-vector sidecars are part of the retained
             # snapshots' read state; a replaced/retired vector becomes
             # unreferenced and is reclaimed like any rewritten data file
-            referenced.update(self.dv_map(v).values())
+            referenced.update(self._dv_map_checked(v).values())
         deleted = []
         for name in os.listdir(self.table_dir):
             full = os.path.join(self.table_dir, name)

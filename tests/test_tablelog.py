@@ -1948,3 +1948,70 @@ def test_dv_protocol_randomized_against_model(spark, tmp_path):
                 for r in log.read(spark).collect()
             }
             assert got == model, (seed, step, ops_run)
+
+
+def test_dv_base_view_gap_refuses_at_capture(spark, tmp_path):
+    """Round-12 review: an unresolvable BASE dv view (manifests cleaned
+    below a checkpoint that does not carry the dv fold) must refuse at
+    capture — a rewrite or read built on a silently under-resolved map
+    would resurrect deleted rows."""
+    import json
+    import os
+
+    log, orders = _dv_table(spark, tmp_path)
+    log.delete_where_dv(spark, "o_orderkey % 7 = 0")  # v2
+    log.checkpoint()
+    cp = os.path.join(log.log_dir, f"{2:020d}.checkpoint.json")
+    with open(cp) as fh:
+        ck = json.load(fh)
+    ck.pop("dvs")  # simulate a pre-fold-era checkpoint
+    ck.pop("dv_row_counts", None)
+    with open(cp, "w") as fh:
+        json.dump(ck, fh)
+    for v in range(2):  # sanctioned cleanup below the checkpoint
+        os.remove(os.path.join(log.log_dir, f"{v:020d}.json"))
+    with pytest.raises(CommitConflict, match="cannot resolve the deletion"):
+        log.compact(spark)
+    with pytest.raises(CommitConflict, match="cannot resolve the deletion"):
+        log.read(spark)
+
+
+def test_empty_feed_after_vacuum_of_old_snapshot(spark, tmp_path):
+    """Round-12 review: the empty-feed schema walk must skip snapshots
+    whose files vacuum already reclaimed instead of planning a read
+    over missing paths."""
+    orders = _orders(spark)
+    log = TableLog(str(tmp_path / "t"), stats_col="o_orderkey")
+    log.append(orders.limit(10))          # v0
+    log.overwrite(orders.limit(0))        # v1: empty snapshot
+    log.vacuum(keep_versions=1, grace_seconds=0)
+    feed = log.read_changes(spark, since_version=1)
+    assert feed.count() == 0  # zero-column fallback, not a crash
+    cdf = log.read_changes_cdf(spark, since_version=1)
+    assert cdf.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(cdf.columns)
+
+
+def test_cdf_since_beyond_head_is_empty(spark, tmp_path):
+    """Round-12 review: a CDF cursor ahead of the writer gets an empty
+    feed (mirroring read_changes), not a misleading 'manifests cleaned
+    up' error."""
+    log, orders = _dv_table(spark, tmp_path)
+    assert log.read_changes_cdf(spark, since_version=50).count() == 0
+    empty = TableLog(str(tmp_path / "e"))
+    assert empty.read_changes_cdf(spark, since_version=0).count() == 0
+
+
+def test_dv_ops_do_not_leak_global_pins(spark, tmp_path):
+    """Round-12 review: the DV write paths persist their match set
+    LOCALLY and release it before returning — a library caller with no
+    release_pinned() hook must not accumulate registered pins."""
+    from c3dc_etl_spark import pinning
+
+    log, orders = _dv_table(spark, tmp_path)
+    before = len(pinning._PINNED)
+    log.delete_where_dv(spark, "o_orderkey % 7 = 0")
+    log.update_where_dv(
+        spark, "o_orderkey % 13 = 0", {"o_totalprice": "o_totalprice + 1.0"}
+    )
+    assert len(pinning._PINNED) == before
