@@ -425,14 +425,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         max_bucket_size=MAX_BUCKET,
     )
-    # same eager-loop reducer sizing as dedup_cluster_best (see there)
-    from c3dc_etl_spark.operators.iterscope import iteration_shuffle_scope
-    from c3dc_etl_spark.sizing import parquet_row_count
-
-    with iteration_shuffle_scope(
-        spark, parquet_row_count(f"{sf_dir}/documents.parquet")
-    ):
-        return dedup_assignment(docs, pairs, node_col="doc_id")
+    return dedup_assignment(docs, pairs, node_col="doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -545,18 +538,7 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=BANDS,
         max_bucket_size=MAX_BUCKET,
     )
-    # the component loop's per-round shuffles carry at most the pair
-    # graph (a small fraction of the corpus): size its reducers to the
-    # doc count, not the core count (optimization r12, the
-    # kcore/pagerank iterscope precedent; the loop is eager inside —
-    # localCheckpoint per round — so the scope governs all of it)
-    from c3dc_etl_spark.operators.iterscope import iteration_shuffle_scope
-    from c3dc_etl_spark.sizing import parquet_row_count
-
-    with iteration_shuffle_scope(
-        spark, parquet_row_count(f"{sf_dir}/documents.parquet")
-    ):
-        assigned = dedup_assignment(docs, pairs, node_col="doc_id")
+    assigned = dedup_assignment(docs, pairs, node_col="doc_id")
     sized = assigned.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("component").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
@@ -676,17 +658,15 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c3dc_etl_spark.pinning import pin
 
     docs = load(spark, sf_dir, "documents")
-    pairs = pin(
-        D.minhash_lsh_candidates(
-            docs,
-            "text",
-            "doc_id",
-            shingle_k=SHINGLE_K,
-            num_hashes=NUM_HASHES,
-            bands=BANDS,
-            max_bucket_size=MAX_BUCKET,
-        ).select("id_a", "id_b", "est_jaccard")
-    )
+    pairs = D.minhash_lsh_candidates(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=SHINGLE_K,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        max_bucket_size=MAX_BUCKET,
+    ).select("id_a", "id_b", "est_jaccard")
     hashed = pin(
         D.spread(docs).select(
             F.col("doc_id").alias("doc"),
@@ -698,23 +678,7 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dv"),
         )
     )
-    # Exact intersections are only ever consumed through the LEFT join
-    # from `pairs` below, so the co-occurrence self-join needs only the
-    # docs that appear in some candidate pair — semi-join the exploded
-    # shingle rows down to that (usually small) doc set BEFORE the h
-    # self-join instead of intersecting the full corpus with itself
-    # (optimization r12, guide-§3.2 shape: pre-filter the big side of
-    # an expensive join with a cheap selective one). `pairs` is pinned:
-    # two consumers (this semi-join and the final est/true join) must
-    # not re-run the LSH candidate plan.
-    cand_docs = (
-        pairs.select(F.col("id_a").alias("doc"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc")))
-        .distinct()
-    )
-    ex = hashed.join(cand_docs, "doc", "left_semi").select(
-        "doc", F.explode("dv").alias("h")
-    )
+    ex = hashed.select("doc", F.explode("dv").alias("h"))
     a = ex.select(F.col("doc").alias("id_a"), "h")
     b = ex.select(F.col("doc").alias("id_b"), "h")
     co = (

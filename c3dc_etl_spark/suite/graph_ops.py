@@ -351,26 +351,18 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # reducers sized to the edge working set (optimization r12): the
-    # same iterscope discipline kcore/pagerank measured 32 -> 8 parts
-    # at ~0.6x wall; every round here is eager (localCheckpoint), so
-    # the scope governs the whole frontier walk. Sizing input mirrors
-    # kcore: 2x lineitem rows upper-bounds the mirrored edge list.
-    with iteration_shuffle_scope(
-        spark, 2 * parquet_row_count(f"{sf_dir}/lineitem.parquet")
-    ):
-        pairs = pin(
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .select(
-                F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-                F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
-            )
-            .distinct()
+    pairs = pin(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        edges = pairs.select(
-            F.col("c").alias("src"), F.col("s").alias("dst")
-        ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        return bfs_hops(edges, BFS_SOURCE, max_hops=BFS_MAX_HOPS)
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return bfs_hops(edges, BFS_SOURCE, max_hops=BFS_MAX_HOPS)
 
 
 SSSP_ROUNDS = 3
@@ -423,29 +415,22 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # reducers sized to the edge working set (optimization r12, the
-    # kcore/pagerank iterscope precedent — 32 -> 8 parts measured ~0.6x
-    # on those loops); every relaxation round is eager
-    # (localCheckpoint), so the scope governs the whole loop.
-    with iteration_shuffle_scope(
-        spark, 2 * parquet_row_count(f"{sf_dir}/lineitem.parquet")
-    ):
-        pairs = pin(
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy("o_custkey", "l_suppkey")
-            .agg(F.countDistinct("o_orderkey").cast("bigint").alias("cnt"))
-            .select(
-                F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-                F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
-                (F.lit(1) + (F.col("cnt") % 5)).cast("bigint").alias("w"),
-            )
+    pairs = pin(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.countDistinct("o_orderkey").cast("bigint").alias("cnt"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.lit(1) + (F.col("cnt") % 5)).cast("bigint").alias("w"),
         )
-        edges = pairs.select(
-            F.col("c").alias("src"), F.col("s").alias("dst"), "w"
-        ).unionByName(
-            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
-        )
-        return sssp_bounded(edges, BFS_SOURCE, rounds=SSSP_ROUNDS)
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    return sssp_bounded(edges, BFS_SOURCE, rounds=SSSP_ROUNDS)
 
 
 _HIERARCHY_ORACLE = """
@@ -487,15 +472,7 @@ def hierarchy_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (c_custkey - 1) div 2 END"
         ).alias("parent"),
     )
-    # ~log2(n) eager levels, each shuffling at most the node set: the
-    # iterscope reducer sizing (optimization r12, kcore precedent).
-    # 64 B/row budgets the id+depth+path string rows.
-    with iteration_shuffle_scope(
-        spark,
-        parquet_row_count(f"{sf_dir}/customer.parquet"),
-        bytes_per_row=64,
-    ):
-        return hierarchy_paths(cust, id_col="id", parent_col="parent")
+    return hierarchy_paths(cust, id_col="id", parent_col="parent")
 
 
 KCORE_K = 4

@@ -101,69 +101,13 @@ def read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
 
 
-_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
-
-
-def _parquet_layout(path: str) -> tuple[int, int]:
-    """(total_row_groups, total_rows) of a parquet file/dir from footer
-    metadata — a driver-side read of a few KB, no Spark job, cached per
-    path (testdata is immutable; same discipline as
-    sizing.parquet_row_count)."""
-    cached = _LAYOUT_CACHE.get(path)
-    if cached is not None:
-        return cached
-    import os
-
-    import pyarrow.parquet as pq
-
-    rgs = rows = 0
-    if os.path.isdir(path):
-        for root, _dirs, names in os.walk(path):
-            for name in names:
-                if name.endswith((".parquet", ".snappy.parquet")):
-                    md = pq.ParquetFile(os.path.join(root, name)).metadata
-                    rgs += md.num_row_groups
-                    rows += md.num_rows
-    else:
-        md = pq.ParquetFile(path).metadata
-        rgs = md.num_row_groups
-        rows = md.num_rows
-    _LAYOUT_CACHE[path] = (rgs, rows)
-    return rgs, rows
-
-
-def _spread_scan(df: DataFrame, path: str) -> DataFrame:
-    """Layout-adaptive scan spread (optimization round 12): a parquet
-    ROW GROUP is the smallest unit of scan work Spark can parallelize —
-    a table stored as one file with one row group (all local testdata)
-    executes its whole scan-side stage (project, filter, explode,
-    hashing, partial aggregation) on ONE core no matter how many cores
-    the session has. That is the "one huge unsplittable file" input-skew
-    case: redistribute once, right after the read, so downstream
-    per-row work uses the whole session.
-
-    Scale posture: the trigger is derived from the INPUT LAYOUT (footer
-    metadata only, no job) — a production table with >= cores row
-    groups passes through untouched (no exchange in the plan), so this
-    never fires at 100 TB; tiny dimension tables (< 2000 rows) are
-    never worth a shuffle and also pass through. The added exchange
-    moves at most the table's bytes once (the same bytes a healthy
-    layout's scan would have split across tasks for free)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    rgs, rows = _parquet_layout(path)
-    if rgs >= target or rows < 2000:
-        return df
-    return df.repartition(target)
-
-
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one test table. ``events.ts`` may be TIMESTAMP(NANOS) parquet,
     which Spark cannot read natively (PARQUET_TYPE_ILLEGAL): read it as
     long nanos (legacy conf, set only when needed — see
     read_events_parquet) and expose ``ts_us`` (epoch microseconds,
     bigint) instead — arithmetic, engine- and timezone-independent
-    (DuckDB: EPOCH_US(ts)). Every path returns through ``_spread_scan``
-    (layout-adaptive under-partitioned-scan fix, see there)."""
+    (DuckDB: EPOCH_US(ts))."""
     if table == "events":
         # Self-contained determinism: ts_us (and every events oracle
         # compare) assumes epoch math on the naive wall-clock value, so
@@ -181,9 +125,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             df = df.withColumn(
                 "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
             ).drop("ts")
-        return _spread_scan(df, f"{sf_dir}/{table}.parquet")
-    path = f"{sf_dir}/{table}.parquet"
-    return _spread_scan(spark.read.parquet(path), path)
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,206 @@
+#!/usr/bin/env python3
+"""Quiet-box A/B harness for link_prediction_common_neighbors variants.
+
+Each variant must produce IDENTICAL results (verified by comparing
+collected rows against the registry implementation). Times the noop-sink
+compute per the guide §1.4.
+
+Usage: python scripts/exp_linkpred.py [--sf /root/testdata/sf0.1] [--runs 2]
+       [--variants base,pin_mid,no_partial,array_pairs ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _edges_mid(spark: SparkSession, sf_dir: str):
+    from c3dc_etl_spark.operators.dedup import drop_oversized_groups
+    from c3dc_etl_spark.pinning import pin
+    from c3dc_etl_spark.suite.graph_ops import LP_HUB_CAP
+    from c3dc_etl_spark.suite.registry import load
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("u"))
+    b = li.select("ok", F.col("pk").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = pin(edges)
+    adj = edges.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    mid = drop_oversized_groups(adj, ["m"], LP_HUB_CAP)
+    return edges, mid
+
+
+def _finish(wedges: DataFrame, edges: DataFrame) -> DataFrame:
+    from c3dc_etl_spark.suite.graph_ops import LP_TOP_K
+
+    cand = wedges.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("x").cast("bigint").alias("part_a"),
+            F.col("y").cast("bigint").alias("part_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(LP_TOP_K)
+    )
+
+
+def v_base(spark, sf_dir):
+    from c3dc_etl_spark.suite import REGISTRY
+
+    return REGISTRY["link_prediction_common_neighbors"].fn(spark, sf_dir)
+
+
+def v_pin_mid(spark, sf_dir):
+    """pin(mid) so the adj/cap chain is computed once, not twice."""
+    from c3dc_etl_spark.pinning import pin
+
+    edges, mid = _edges_mid(spark, sf_dir)
+    mid = pin(mid)
+    wa = mid.select("m", F.col("n").alias("x"))
+    wb = mid.select("m", F.col("n").alias("y"))
+    wedges = (
+        wa.join(wb, "m")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return _finish(wedges, edges)
+
+
+def v_no_partial(spark, sf_dir):
+    """repartition(x, y) before groupBy: one complete HashAggregate,
+    no giant low-ratio map-side hash tables (exchange carries the raw
+    wedge rows instead)."""
+    from c3dc_etl_spark.pinning import pin
+
+    edges, mid = _edges_mid(spark, sf_dir)
+    mid = pin(mid)
+    wa = mid.select("m", F.col("n").alias("x"))
+    wb = mid.select("m", F.col("n").alias("y"))
+    n = spark.sparkContext.defaultParallelism
+    wedges = (
+        wa.join(wb, "m")
+        .filter(F.col("x") < F.col("y"))
+        .repartition(n, "x", "y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return _finish(wedges, edges)
+
+
+def v_array_pairs(spark, sf_dir):
+    """Neighbor arrays per middle + nested-transform pair generation —
+    no self-join, pairs generated after one groupBy(m) shuffle."""
+    edges, mid = _edges_mid(spark, sf_dir)
+    nbrs = mid.groupBy("m").agg(F.array_sort(F.collect_list("n")).alias("ns"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    wedges = (
+        nbrs.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return _finish(wedges, edges)
+
+
+def v_array_pairs_nopartial(spark, sf_dir):
+    edges, mid = _edges_mid(spark, sf_dir)
+    nbrs = mid.groupBy("m").agg(F.array_sort(F.collect_list("n")).alias("ns"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    n = spark.sparkContext.defaultParallelism
+    wedges = (
+        nbrs.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .repartition(n, "x", "y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return _finish(wedges, edges)
+
+
+VARIANTS = {
+    "base": v_base,
+    "pin_mid": v_pin_mid,
+    "no_partial": v_no_partial,
+    "array_pairs": v_array_pairs,
+    "array_pairs_nopartial": v_array_pairs_nopartial,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    args = ap.parse_args()
+
+    from c3dc_etl_spark.pinning import release_pinned
+    from c3dc_etl_spark.session import get_spark
+
+    spark = get_spark("exp-linkpred")
+    expected = None
+    for name in args.variants.split(","):
+        fn = VARIANTS[name]
+        spark.sparkContext.setJobDescription(f"lp:{name}:warm")
+        rows = [tuple(r) for r in fn(spark, args.sf).collect()]
+        release_pinned()
+        if expected is None:
+            expected = rows
+        else:
+            assert rows == expected, f"{name} DIVERGES from base!"
+        ts = []
+        for i in range(args.runs):
+            spark.sparkContext.setJobDescription(f"lp:{name}:{i}")
+            t0 = time.perf_counter()
+            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+            release_pinned()
+            ts.append(round(time.perf_counter() - t0, 2))
+        print(f"{name}: {ts}  (rows match: {rows == expected})", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

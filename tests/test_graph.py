@@ -124,14 +124,10 @@ def test_pagerank_registry_lazy_plan_shape_fence(spark):
     eager_final checkpoint hides from tests/plan_budget.json (its row
     pins all zeros) stays fenced here (ADVICE r10): no cartesians, no
     nested-loop joins, and the scan/exchange footprint of the full
-    lazy 3-iteration DAG stays inside the measured envelope with ~25%
-    headroom — a regression that re-derives the pinned edge frame per
-    iteration consumer would blow through it. Envelope re-measured in
-    the r12 optimization round after registry.load grew the
-    layout-adaptive _spread_scan repartition (one extra round-robin
-    Exchange per under-partitioned lineitem scan, the intended fix for
-    the 1-row-group serial-scan problem): 107 scans unchanged, 99 ->
-    139 exchanges at sf0.001."""
+    lazy 3-iteration DAG stays inside the measured round-11 envelope
+    (107 "Scan " substrings / 99 "Exchange") with ~25% headroom — a
+    regression that re-derives the pinned edge frame per iteration
+    consumer would blow through it."""
     from c3dc_etl_spark.pinning import release_pinned
     from c3dc_etl_spark.suite.graph_ops import build_purchase_pagerank
 
@@ -144,7 +140,7 @@ def test_pagerank_registry_lazy_plan_shape_fence(spark):
     scans = plan.count("Scan ")
     exchanges = plan.count("Exchange")
     assert scans <= 135, f"lazy pagerank plan grew to {scans} scans"
-    assert exchanges <= 174, f"lazy pagerank plan grew to {exchanges} exchanges"
+    assert exchanges <= 125, f"lazy pagerank plan grew to {exchanges} exchanges"
     release_pinned()
 
 
