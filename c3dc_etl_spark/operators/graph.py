@@ -137,8 +137,14 @@ def bfs_hops(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.localCheckpoint(eager=True)
     spark = edges.sparkSession
+    # seed type follows the caller's node representation: long-encoded
+    # node ids keep every per-round join/agg on 8-byte keys (round-12
+    # optimization — string ids paid hash/compare/shuffle-byte costs on
+    # every round; results are identical because callers decode at the
+    # end of the pipeline)
+    node_type = "LONG" if isinstance(source, int) else "STRING"
     visited = spark.createDataFrame(
-        [(source, 0)], "node STRING, hops BIGINT"
+        [(source, 0)], f"node {node_type}, hops BIGINT"
     ).localCheckpoint(eager=True)
     frontier = visited
     for hop in range(1, max_hops + 1):
@@ -184,8 +190,10 @@ def sssp_bounded(
         F.col(dst).alias("v"),
         F.col(weight).cast("bigint").alias("w"),
     ).localCheckpoint(eager=True)
+    # long-encoded seed support, same contract as bfs_hops
+    node_type = "LONG" if isinstance(source, int) else "STRING"
     dist = edges.sparkSession.createDataFrame(
-        [(source, 0)], "node STRING, dist BIGINT"
+        [(source, 0)], f"node {node_type}, dist BIGINT"
     ).localCheckpoint(eager=True)
     for _ in range(rounds):
         relaxed = dist.join(e, dist["node"] == e["u"]).select(

@@ -411,6 +411,17 @@ def covariance_pairs(
     Downstream eigensolve is driver-side on the d x d result (bounded:
     d^2 scalars), mirroring the k-means/GD "tiny state on the driver"
     discipline."""
+    # Round-12 optimization (guide §2.5 input skew): the O(n d^2) cell
+    # generation below is the query's entire cost, and a single-file
+    # local embeddings table would run it on ONE core — spread()
+    # round-robins an under-partitioned input to the session
+    # parallelism (no-op on a healthily partitioned cluster scan; the
+    # _shingle_cooccurrence precedent). Measured at sf0.1: 3.9 -> 1.4s
+    # noop wall, identical rows (the per-cell sums are integer-exact,
+    # partitioning-independent).
+    from c3dc_etl_spark.operators.dedup import spread
+
+    df = spread(df)
     s = F.lit(float(scale))
     v = F.col("__v")
 

@@ -61,11 +61,16 @@ def get_spark(app_name: str = "c3dc-etl-spark", **extra_conf: str) -> SparkSessi
         # in local[32] the driver heap IS the executor heap for all 32
         # task threads. 16g was marginal for the round-9 scale cohort —
         # a triangle-census x5 SortMergeJoin OOMed at ~3300 stages into
-        # a bench session (codegen output buffering of matched join
-        # groups x 32 concurrent tasks, on top of session-lifetime
-        # broadcast/codegen residue). 24g restores ~50% headroom on the
-        # 128 GiB box; measured timings are unchanged.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # a bench session. Round 12 re-measured: a full bench session's
+        # G1 heap peaks at ~28.7 GB USED (-Xlog:gc, headline+rotation at
+        # sf0.1) — ABOVE the former 24g cap, and 24g sessions showed the
+        # matching symptom: persistent mid-session 5-10x walls on
+        # allocation-heavy queries (dedup_containment 36s vs 4s,
+        # collect spikes to 47s) while a 48g session ran the same code
+        # with 216 young pauses totalling 5.2s, max 397ms, zero Full
+        # GCs, and no persistent degradation. 48g keeps ~60% of the
+        # 128 GiB box free; override via SPARK_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

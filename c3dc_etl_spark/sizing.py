@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["parquet_row_count", "sized_partitions"]
+__all__ = ["parquet_column_range", "parquet_row_count", "sized_partitions"]
 
 
 def sized_partitions(
@@ -67,3 +67,60 @@ def parquet_row_count(path: str) -> int:
         total = pq.ParquetFile(path).metadata.num_rows
     _ROW_COUNT_CACHE[path] = total
     return total
+
+
+_COLUMN_RANGE_CACHE: dict[tuple[str, str], tuple | None] = {}
+
+
+def parquet_column_range(path: str, column: str) -> tuple | None:
+    """(min, max) of ``column`` across every row group of a parquet
+    file or directory, from FOOTER statistics only (driver-side, no
+    Spark job — the parquet_row_count discipline). Returns ``None``
+    when any row group lacks stats for the column, so callers can only
+    ever use the range as a PROVEN bound: the degraded path must be
+    correct without it. Used to pick between result-identical plan
+    shapes (e.g. link prediction's packed-key pair aggregate needs the
+    key provably in [0, 2^32)); testdata is immutable, so caching per
+    (path, column) is safe for the session."""
+    key = (path, column)
+    if key in _COLUMN_RANGE_CACHE:
+        return _COLUMN_RANGE_CACHE[key]
+    import pyarrow.parquet as pq
+
+    def file_range(fp: str) -> tuple | None:
+        md = pq.ParquetFile(fp).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(column)
+        if idx < 0:
+            return None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+
+    result: tuple | None
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, name)
+            for root, _dirs, names in os.walk(path)
+            for name in names
+            if name.endswith((".parquet", ".snappy.parquet"))
+        ]
+        result = None
+        for fp in files:
+            r = file_range(fp)
+            if r is None:
+                result = None
+                break
+            result = (
+                r
+                if result is None
+                else (min(result[0], r[0]), max(result[1], r[1]))
+            )
+    else:
+        result = file_range(path)
+    _COLUMN_RANGE_CACHE[key] = result
+    return result

@@ -9,7 +9,7 @@ arithmetic end-to-end, so cross-engine parity is exact by construction
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c3dc_etl_spark.operators.graph import pagerank
@@ -20,6 +20,42 @@ from c3dc_etl_spark.suite.registry import load, query
 PR_ITERATIONS = 3
 PR_DAMPING_PCT = 85
 _ONE = 10**12
+
+
+# The purchase-graph queries' public node ids are strings ('c:<custkey>'
+# / 's:<suppkey>'). Round-12 optimization: every join/aggregate INSIDE
+# the iterative loops now runs on a LONG encoding of those ids —
+# customer k -> 2k, supplier k -> 2k+1 (bijective for the nonnegative
+# keys TPC-H guarantees) — and the final projection decodes back to the
+# public strings. String ids paid hash/compare cost and ~2x the shuffle
+# bytes on every one of the loops' per-round exchanges; measured at
+# sf0.1 (quiet box, noop sink, 3-4 runs): pagerank 4.1 -> 2.9s, sssp
+# 4.4 -> 3.5s, kcore 4.4 -> 3.3s, bfs 5.3 -> 3.6s, identical rows.
+
+def _enc_c(col: str) -> Column:
+    return (F.col(col).cast("long") * 2)
+
+
+def _enc_s(col: str) -> Column:
+    return (F.col(col).cast("long") * 2 + 1)
+
+
+def _encode_source(source: str) -> int:
+    kind, _, num = source.partition(":")
+    return int(num) * 2 if kind == "c" else int(num) * 2 + 1
+
+
+def _decode_node(col: str = "node") -> Column:
+    return (
+        F.when(
+            F.col(col) % 2 == 0,
+            F.concat(F.lit("c:"), F.expr(f"{col} div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s:"), F.expr(f"({col} - 1) div 2").cast("string"))
+        )
+        .alias(col)
+    )
 
 
 def _pagerank_oracle(iterations: int = PR_ITERATIONS) -> str:
@@ -119,13 +155,12 @@ def build_purchase_pagerank(
     with iteration_shuffle_scope(spark, n_edges):
         # pin: the fact-table join + distinct feeds the edge mirror,
         # the node count, and (inside pagerank) the degree/edge
-        # frames — one derivation instead of one per consumer
+        # frames — one derivation instead of one per consumer.
+        # Long-encoded node ids (module note above): the whole power
+        # iteration joins/aggregates on 8-byte longs.
         pairs = pin(
             li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .select(
-                F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-                F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
-            )
+            .select(_enc_c("o_custkey").alias("c"), _enc_s("l_suppkey").alias("s"))
             .distinct()
         )
         edges = pairs.select(
@@ -134,13 +169,14 @@ def build_purchase_pagerank(
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
         n_nodes = edges.select("src").distinct().count()  # bounded scalar
-        return pagerank(
+        ranks = pagerank(
             edges,
             n_nodes,
             damping_pct=PR_DAMPING_PCT,
             iterations=PR_ITERATIONS,
             eager_final=eager_final,
         )
+    return ranks.select(_decode_node("node"), "rank_x1e12")
 
 
 _TRIANGLE_ORACLE = """
@@ -272,22 +308,75 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     )
     from c3dc_etl_spark.operators.dedup import drop_oversized_groups
     from c3dc_etl_spark.pinning import pin
+    from c3dc_etl_spark.sizing import parquet_column_range, parquet_row_count
 
     edges = pin(edges)
     adj = edges.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
         edges.select(F.col("v").alias("m"), F.col("u").alias("n"))
     )
     # degree cap on the middle role == group-size cap on m (map-side
-    # combined count + anti-join, never a partitionBy(m) window)
-    mid = drop_oversized_groups(adj, ["m"], LP_HUB_CAP)
+    # combined count + anti-join, never a partitionBy(m) window).
+    # pin: mid feeds BOTH sides of the wedge self-join — without the
+    # pin the adjacency + cap chain is derived twice (round-12 A/B:
+    # pin alone took the query 66 -> 38s at sf0.1).
+    mid = pin(drop_oversized_groups(adj, ["m"], LP_HUB_CAP))
     wa = mid.select("m", F.col("n").alias("x"))
     wb = mid.select("m", F.col("n").alias("y"))
-    wedges = (
-        wa.join(wb, "m")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
+    wedge_pairs = wa.join(wb, "m").filter(F.col("x") < F.col("y"))
+    # Round-12 optimization (guide §2.3 "narrower types" / §2.4): the
+    # wedge aggregate is the whole query — sum(C(deg_m, 2)) rows (147M
+    # at sf0.1) hash-aggregated into ~100M (x, y) groups. When the
+    # parquet footer PROVES part keys fit in [0, 2^32) (driver-side
+    # stats read, no job), the pair key packs into ONE bigint
+    # (x * 2^32 + y, bijective): half the shuffle bytes per wedge row
+    # and a single-long group key for the hash aggregate. The existing
+    # edges are subtracted BEFORE the aggregate (identical result —
+    # an (x, y) group is either wholly an edge or wholly not), as a
+    # broadcast anti-join when the footer row count bounds the edge
+    # set small enough to ship, else after the aggregate where the
+    # anti-join reuses the aggregate's k-partitioning. Footer stats
+    # missing or keys out of range -> the original struct-keyed shape.
+    # A/B at sf0.1 (identical rows, noop sink): base 64-68s, packed
+    # 20-25s, packed+pre-aggregate broadcast anti 13-14s.
+    pk_range = parquet_column_range(f"{sf_dir}/lineitem.parquet", "l_partkey")
+    if pk_range is not None and 0 <= pk_range[0] and pk_range[1] < 2**32:
+        packed_edges = edges.select(
+            (F.shiftleft(F.col("u").cast("long"), 32) + F.col("v")).alias("k")
+        )
+        wedge_keys = wedge_pairs.select(
+            (F.shiftleft(F.col("x").cast("long"), 32) + F.col("y")).alias("k")
+        )
+        # edge rows <= distinct (ok, pk) rows <= lineitem rows: ~8B/key
+        # broadcast; beyond ~4M keys (32MB) subtract after the
+        # aggregate instead, where the big side is already k-partitioned
+        if parquet_row_count(f"{sf_dir}/lineitem.parquet") <= 4_000_000:
+            cand = (
+                wedge_keys.join(F.broadcast(packed_edges), "k", "left_anti")
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("cn"))
+            )
+        else:
+            cand = (
+                wedge_keys.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("cn"))
+                .join(packed_edges, "k", "left_anti")
+            )
+        return (
+            cand.select(
+                F.shiftrightunsigned(F.col("k"), 32).cast("bigint").alias("part_a"),
+                F.col("k").bitwiseAND(F.lit(0xFFFFFFFF)).cast("bigint").alias(
+                    "part_b"
+                ),
+                F.col("cn").cast("bigint").alias("common_neighbors"),
+            )
+            .orderBy(
+                F.col("common_neighbors").desc(),
+                F.col("part_a").asc(),
+                F.col("part_b").asc(),
+            )
+            .limit(LP_TOP_K)
+        )
+    wedges = wedge_pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cn"))
     cand = wedges.join(
         edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
         ["x", "y"],
@@ -353,16 +442,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = pin(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
+        .select(_enc_c("o_custkey").alias("c"), _enc_s("l_suppkey").alias("s"))
         .distinct()
     )
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    return bfs_hops(edges, BFS_SOURCE, max_hops=BFS_MAX_HOPS)
+    visited = bfs_hops(edges, _encode_source(BFS_SOURCE), max_hops=BFS_MAX_HOPS)
+    return visited.select(_decode_node("node"), "hops")
 
 
 SSSP_ROUNDS = 3
@@ -420,8 +507,8 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.countDistinct("o_orderkey").cast("bigint").alias("cnt"))
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+            _enc_c("o_custkey").alias("c"),
+            _enc_s("l_suppkey").alias("s"),
             (F.lit(1) + (F.col("cnt") % 5)).cast("bigint").alias("w"),
         )
     )
@@ -430,7 +517,8 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
     )
-    return sssp_bounded(edges, BFS_SOURCE, rounds=SSSP_ROUNDS)
+    dist = sssp_bounded(edges, _encode_source(BFS_SOURCE), rounds=SSSP_ROUNDS)
+    return dist.select(_decode_node("node"), "dist")
 
 
 _HIERARCHY_ORACLE = """
@@ -542,10 +630,7 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         pairs = pin(
             li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .select(
-                F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-                F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
-            )
+            .select(_enc_c("o_custkey").alias("c"), _enc_s("l_suppkey").alias("s"))
             .distinct()
         )
         edges = pairs.select(
@@ -553,7 +638,8 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).unionByName(
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
-        return kcore_bounded(edges, KCORE_K, rounds=KCORE_ROUNDS)
+        survivors = kcore_bounded(edges, KCORE_K, rounds=KCORE_ROUNDS)
+    return survivors.select(_decode_node("node"), "degree")
 
 
 _RECURSIVE_NATIVE_SQL = """

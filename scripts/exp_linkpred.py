@@ -161,12 +161,115 @@ def v_array_pairs_nopartial(spark, sf_dir):
     return _finish(wedges, edges)
 
 
+def _packed_edges_mid(spark, sf_dir):
+    """edges packed into one bigint key (x*2^32 + y; partkeys are
+    32-bit at every tested sf), mid pinned."""
+    from c3dc_etl_spark.pinning import pin
+
+    edges, mid = _edges_mid(spark, sf_dir)
+    mid = pin(mid)
+    epk = edges.select(
+        (F.shiftleft(F.col("u").cast("long"), 32) + F.col("v")).alias("k")
+    )
+    return epk, mid
+
+
+def _finish_packed(wedges_k, spark):
+    from c3dc_etl_spark.suite.graph_ops import LP_TOP_K
+
+    return (
+        wedges_k.orderBy(F.col("cn").desc(), F.col("k").asc())
+        .limit(LP_TOP_K)
+        .select(
+            F.shiftright(F.col("k"), 32).cast("bigint").alias("part_a"),
+            (F.col("k") % F.lit(1 << 32)).cast("bigint").alias("part_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+        )
+    )
+
+
+def v_packed(spark, sf_dir):
+    """Single-bigint wedge key: half the shuffle bytes per wedge row,
+    single-long group key (vectorized fast hash map), anti after agg."""
+    epk, mid = _packed_edges_mid(spark, sf_dir)
+    wa = mid.select("m", F.col("n").alias("x"))
+    wb = mid.select("m", F.col("n").alias("y"))
+    wedges = (
+        wa.join(wb, "m")
+        .filter(F.col("x") < F.col("y"))
+        .select((F.shiftleft(F.col("x").cast("long"), 32) + F.col("y")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(F.broadcast(epk), "k", "left_anti")
+    )
+    return _finish_packed(wedges, spark)
+
+
+def v_packed_preanti(spark, sf_dir):
+    """Packed key + broadcast anti-join BEFORE the aggregate: triangle
+    wedges (pairs that are already edges) never enter the hash agg, and
+    the anti probe pipelines inside the wedge-join stage."""
+    epk, mid = _packed_edges_mid(spark, sf_dir)
+    wa = mid.select("m", F.col("n").alias("x"))
+    wb = mid.select("m", F.col("n").alias("y"))
+    wedges = (
+        wa.join(wb, "m")
+        .filter(F.col("x") < F.col("y"))
+        .select((F.shiftleft(F.col("x").cast("long"), 32) + F.col("y")).alias("k"))
+        .join(F.broadcast(epk), "k", "left_anti")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return _finish_packed(wedges, spark)
+
+
+def v_packed_preanti_nopartial(spark, sf_dir):
+    """v_packed_preanti + repartition(k) before groupBy: skip the giant
+    low-reduction map-side hash maps; exchange carries raw 8-byte keys."""
+    epk, mid = _packed_edges_mid(spark, sf_dir)
+    wa = mid.select("m", F.col("n").alias("x"))
+    wb = mid.select("m", F.col("n").alias("y"))
+    n = spark.sparkContext.defaultParallelism
+    wedges = (
+        wa.join(wb, "m")
+        .filter(F.col("x") < F.col("y"))
+        .select((F.shiftleft(F.col("x").cast("long"), 32) + F.col("y")).alias("k"))
+        .join(F.broadcast(epk), "k", "left_anti")
+        .repartition(n, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return _finish_packed(wedges, spark)
+
+
+def v_packed_preanti_shj(spark, sf_dir):
+    """packed_preanti with a SHUFFLE_HASH hint on the wedge self-join
+    (build the per-partition hash table on one mid copy instead of
+    sorting both sides; guide §3.1)."""
+    epk, mid = _packed_edges_mid(spark, sf_dir)
+    wa = mid.select("m", F.col("n").alias("x"))
+    wb = mid.select("m", F.col("n").alias("y"))
+    wedges = (
+        wa.join(wb.hint("SHUFFLE_HASH"), "m")
+        .filter(F.col("x") < F.col("y"))
+        .select((F.shiftleft(F.col("x").cast("long"), 32) + F.col("y")).alias("k"))
+        .join(F.broadcast(epk), "k", "left_anti")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return _finish_packed(wedges, spark)
+
+
 VARIANTS = {
     "base": v_base,
     "pin_mid": v_pin_mid,
     "no_partial": v_no_partial,
     "array_pairs": v_array_pairs,
     "array_pairs_nopartial": v_array_pairs_nopartial,
+    "packed": v_packed,
+    "packed_preanti": v_packed_preanti,
+    "packed_preanti_nopartial": v_packed_preanti_nopartial,
+    "packed_preanti_shj": v_packed_preanti_shj,
 }
 
 
