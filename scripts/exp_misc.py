@@ -311,6 +311,109 @@ def sssp_long(spark, sf):
     )
 
 
+# ---- containment: packed co-occurrence pair keys ---------------------------
+
+def containment_base(spark, sf):
+    from c3dc_etl_spark.suite import REGISTRY
+
+    return REGISTRY["dedup_containment"].fn(spark, sf)
+
+
+def containment_packed(spark, sf):
+    """_shingle_cooccurrence with the candidate/intersection pair keys
+    packed into one bigint (id_a * 2^32 + id_b)."""
+    from c3dc_etl_spark.operators import dedup as D
+    from c3dc_etl_spark.operators.dedup import (
+        _affine,
+        drop_oversized_groups,
+        hash32,
+        normalize_text,
+        perm_constants,
+        shingles_of_norm,
+        spread,
+    )
+    from c3dc_etl_spark.pinning import pin
+    from c3dc_etl_spark.suite.dedup_ops import (
+        CONTAINMENT_BUCKET_HASHES,
+        MAX_BUCKET,
+        MAX_SHINGLE_DF,
+        MIN_CONTAINMENT,
+        SHINGLE_K,
+    )
+    from c3dc_etl_spark.suite.registry import load
+
+    docs = load(spark, sf, "documents")
+    normed = spread(docs).select(
+        F.col("doc_id").alias("doc"), normalize_text("text").alias("__norm")
+    )
+    hashed = pin(
+        normed.select(
+            "doc",
+            F.array_distinct(
+                F.transform(shingles_of_norm(F.col("__norm"), SHINGLE_K), hash32)
+            ).alias("hv"),
+        )
+    )
+    buckets = hashed.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("hv"), _affine(a, b))).cast("string")
+                    for (a, b) in perm_constants(CONTAINMENT_BUCKET_HASHES, "jb")
+                ]
+            )
+        ).alias("bucket"),
+    )
+    buckets = drop_oversized_groups(buckets, ["bucket"], MAX_BUCKET)
+    left = buckets.select(F.col("doc").alias("id_a"), "bucket")
+    right = buckets.select(F.col("doc").alias("id_b"), "bucket")
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (F.shiftleft(F.col("id_a").cast("long"), 32) + F.col("id_b")).alias("k")
+        )
+        .dropDuplicates(["k"])
+    )
+    exploded = hashed.select("doc", F.explode("hv").alias("h"))
+    exploded = drop_oversized_groups(
+        exploded, ["h"], MAX_SHINGLE_DF, broadcast_hot=False
+    )
+    ea = exploded.select(F.col("doc").alias("id_a"), "h")
+    eb = exploded.select(F.col("doc").alias("id_b"), "h")
+    co = (
+        ea.join(eb, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            (F.shiftleft(F.col("id_a").cast("long"), 32) + F.col("id_b")).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = hashed.select(F.col("doc").alias("id"), F.size("hv").alias("n"))
+    unpacked = (
+        pairs.join(co, ["k"], "left")
+        .select(
+            F.shiftrightunsigned(F.col("k"), 32).alias("id_a"),
+            F.col("k").bitwiseAND(F.lit(0xFFFFFFFF)).alias("id_b"),
+            "inter",
+        )
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+    )
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+    denom = F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    cont = F.round(inter / denom, 4)
+    return unpacked.select(
+        "id_a",
+        "id_b",
+        F.col("n_a").alias("size_a"),
+        F.col("n_b").alias("size_b"),
+        cont.alias("containment"),
+    ).filter(F.col("containment") >= MIN_CONTAINMENT)
+
+
 # ---- kcore: long-encoded node ids ------------------------------------------
 
 def kcore_base(spark, sf):
@@ -436,6 +539,7 @@ PAIRS = {
     "pagerank": (pr_base, pr_long),
     "sssp": (sssp_base, sssp_long),
     "kcore": (kcore_base, kcore_long),
+    "containment": (containment_base, containment_packed),
     "bfs": (bfs_base, bfs_long),
 }
 
