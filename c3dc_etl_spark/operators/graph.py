@@ -112,9 +112,47 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def _seed_node_type(edges: DataFrame, src: str, source) -> str:
+    """Schema for a frontier seed: LONG for int seeds, STRING for str —
+    validated against the edge list's ``src`` dtype so a mismatched
+    seed FAILS FAST instead of compiling into an implicit-cast join
+    that silently returns an empty frontier (ADVICE r12 #2). bool is
+    rejected explicitly (isinstance(True, int) is True, and a boolean
+    seed building a LONG schema is always a caller bug)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    if isinstance(source, bool) or not isinstance(source, (int, str)):
+        raise TypeError(
+            f"seed must be int (long-encoded node) or str, got "
+            f"{type(source).__name__}: {source!r}"
+        )
+    edge_t = edges.schema[src].dataType
+    if isinstance(source, int):
+        if not isinstance(edge_t, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"int seed {source!r} over non-integral edge column "
+                f"{src}: {edge_t.simpleString()} — encode the seed to "
+                "match the edge node representation"
+            )
+        return "LONG"
+    if not isinstance(edge_t, StringType):
+        raise TypeError(
+            f"str seed {source!r} over non-string edge column "
+            f"{src}: {edge_t.simpleString()} — encode the seed to "
+            "match the edge node representation"
+        )
+    return "STRING"
+
+
 def bfs_hops(
     edges: DataFrame,
-    source: str,
+    source: str | int,
     *,
     max_hops: int,
     src: str = "src",
@@ -142,7 +180,7 @@ def bfs_hops(
     # optimization — string ids paid hash/compare/shuffle-byte costs on
     # every round; results are identical because callers decode at the
     # end of the pipeline)
-    node_type = "LONG" if isinstance(source, int) else "STRING"
+    node_type = _seed_node_type(edges, src, source)
     visited = spark.createDataFrame(
         [(source, 0)], f"node {node_type}, hops BIGINT"
     ).localCheckpoint(eager=True)
@@ -165,7 +203,7 @@ def bfs_hops(
 
 def sssp_bounded(
     edges: DataFrame,
-    source: str,
+    source: str | int,
     *,
     rounds: int,
     src: str = "src",
@@ -190,8 +228,9 @@ def sssp_bounded(
         F.col(dst).alias("v"),
         F.col(weight).cast("bigint").alias("w"),
     ).localCheckpoint(eager=True)
-    # long-encoded seed support, same contract as bfs_hops
-    node_type = "LONG" if isinstance(source, int) else "STRING"
+    # long-encoded seed support, same contract (and fail-fast seed
+    # validation) as bfs_hops
+    node_type = _seed_node_type(edges, src, source)
     dist = edges.sparkSession.createDataFrame(
         [(source, 0)], f"node {node_type}, dist BIGINT"
     ).localCheckpoint(eager=True)

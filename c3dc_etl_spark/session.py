@@ -31,6 +31,27 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver heap default: ~45% of physical RAM, capped at
+    48g, floored at 4g (ADVICE r12 #3: a hard 48g default sized to the
+    128 GiB bench box would fail JVM startup or swap on smaller hosts).
+    On the 128 GiB box this still derives 48g — the bench-comparable
+    value round 12 measured (zero Full GCs, ~28.7 GB peak used).
+    Override with SPARK_DRIVER_MEM."""
+    total_kb = 0
+    try:
+        with open("/proc/meminfo") as fh:
+            for ln in fh:
+                if ln.startswith("MemTotal:"):
+                    total_kb = int(ln.split()[1])
+                    break
+    except OSError:  # pragma: no cover — non-Linux host
+        pass
+    if total_kb <= 0:
+        return "4g"
+    return f"{max(4, min(48, (total_kb * 45) // (100 * 1024 * 1024)))}g"
+
+
 def get_spark(app_name: str = "c3dc-etl-spark", **extra_conf: str) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults."""
     cpus = default_parallelism()
@@ -69,8 +90,13 @@ def get_spark(app_name: str = "c3dc-etl-spark", **extra_conf: str) -> SparkSessi
         # collect spikes to 47s) while a 48g session ran the same code
         # with 216 young pauses totalling 5.2s, max 397ms, zero Full
         # GCs, and no persistent degradation. 48g keeps ~60% of the
-        # 128 GiB box free; override via SPARK_DRIVER_MEM.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 128 GiB box free; on smaller hosts the default derives from
+        # physical RAM instead (_default_driver_mem — ADVICE r12 #3);
+        # override via SPARK_DRIVER_MEM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

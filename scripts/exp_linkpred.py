@@ -260,6 +260,132 @@ def v_packed_preanti_shj(spark, sf_dir):
     return _finish_packed(wedges, spark)
 
 
+def _edges_adj(spark, sf_dir):
+    """edges (pinned) + the mirrored adjacency, WITHOUT the
+    drop_oversized_groups cap join — callers cap via array size."""
+    from c3dc_etl_spark.pinning import pin
+    from c3dc_etl_spark.suite.registry import load
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("u"))
+    b = li.select("ok", F.col("pk").alias("v"))
+    edges = pin(
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    adj = edges.select(F.col("u").alias("m"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    )
+    return edges, adj
+
+
+def _v_xpart_local(spark, sf_dir, n_parts: int):
+    """r13 candidate: co-locate every pair's wedge contributions by the
+    SMALLER endpoint x. Capped sorted neighbor-arrays per middle
+    (groupBy m + size filter replaces the cap-count anti-join), then
+    the (m, x) generation rows are hash-repartitioned by x and joined
+    with the BROADCAST arrays; pairs (x, y>x) are exploded from the
+    array in codegen. Every contribution to (x, y) carries the same x,
+    so HashPartitioning(x) satisfies the groupBy(x, y) distribution —
+    the 147M wedge rows and ~100M groups NEVER cross an exchange, the
+    per-partition aggregate is globally exact, and the top-k is
+    per-partition TakeOrdered. Edges anti-join rides broadcast before
+    the aggregate (triangle wedges never enter the hash map)."""
+    from c3dc_etl_spark.pinning import pin
+    from c3dc_etl_spark.suite.graph_ops import LP_HUB_CAP, LP_TOP_K
+
+    edges, adj = _edges_adj(spark, sf_dir)
+    nbrs = pin(
+        adj.groupBy("m")
+        .agg(F.array_sort(F.collect_list("n")).alias("ns"))
+        .filter(F.size("ns") <= LP_HUB_CAP)
+    )
+    side = nbrs.select("m", F.explode("ns").alias("x")).repartition(
+        n_parts, "x"
+    )
+    pairs = (
+        side.join(F.broadcast(nbrs), "m")
+        .select("x", F.explode(F.expr("filter(ns, t -> t > x)")).alias("y"))
+        .join(
+            F.broadcast(
+                edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+            ),
+            ["x", "y"],
+            "left_anti",
+        )
+    )
+    return (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .select(
+            F.col("x").cast("bigint").alias("part_a"),
+            F.col("y").cast("bigint").alias("part_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(LP_TOP_K)
+    )
+
+
+def v_xpart32(spark, sf_dir):
+    return _v_xpart_local(spark, sf_dir, 32)
+
+
+def v_xpart64(spark, sf_dir):
+    return _v_xpart_local(spark, sf_dir, 64)
+
+
+def v_xpart128(spark, sf_dir):
+    return _v_xpart_local(spark, sf_dir, 128)
+
+
+def v_xpart256(spark, sf_dir):
+    return _v_xpart_local(spark, sf_dir, 256)
+
+
+def v_array_packed(spark, sf_dir):
+    """Large-L candidate (no broadcast of arrays): pair generation from
+    the capped sorted arrays via nested transform (kills the wedge
+    SortMergeJoin), packed single-long agg key, post-agg anti — the
+    shape for when the arrays are too big to broadcast."""
+    from c3dc_etl_spark.pinning import pin
+    from c3dc_etl_spark.suite.graph_ops import LP_HUB_CAP
+
+    edges, adj = _edges_adj(spark, sf_dir)
+    epk = edges.select(
+        (F.shiftleft(F.col("u").cast("long"), 32) + F.col("v")).alias("k")
+    )
+    nbrs = adj.groupBy("m").agg(
+        F.array_sort(F.collect_list("n")).alias("ns")
+    ).filter(F.size("ns") <= LP_HUB_CAP)
+    pair_keys = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                lambda y: F.shiftleft(x.cast("long"), 32) + y,
+            ),
+        )
+    )
+    wedges = (
+        nbrs.select(F.explode(pair_keys).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(epk, "k", "left_anti")
+    )
+    return _finish_packed(wedges, spark)
+
+
 VARIANTS = {
     "base": v_base,
     "pin_mid": v_pin_mid,
@@ -270,6 +396,11 @@ VARIANTS = {
     "packed_preanti": v_packed_preanti,
     "packed_preanti_nopartial": v_packed_preanti_nopartial,
     "packed_preanti_shj": v_packed_preanti_shj,
+    "xpart32": v_xpart32,
+    "xpart64": v_xpart64,
+    "xpart128": v_xpart128,
+    "xpart256": v_xpart256,
+    "array_packed": v_array_packed,
 }
 
 
@@ -278,14 +409,24 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument(
+        "--interleave",
+        action="store_true",
+        help="alternate variants within one session round-robin (the "
+        "r12 SHUFFLE_HASH A/B was voided by the C2-ramp order effect: "
+        "whichever variant ran later won by 3x; interleaving defeats "
+        "run-order as a confound)",
+    )
     args = ap.parse_args()
 
     from c3dc_etl_spark.pinning import release_pinned
     from c3dc_etl_spark.session import get_spark
 
     spark = get_spark("exp-linkpred")
+    names = args.variants.split(",")
     expected = None
-    for name in args.variants.split(","):
+    # warm-up + row-identity check for every variant first
+    for name in names:
         fn = VARIANTS[name]
         spark.sparkContext.setJobDescription(f"lp:{name}:warm")
         rows = [tuple(r) for r in fn(spark, args.sf).collect()]
@@ -294,14 +435,34 @@ def main() -> int:
             expected = rows
         else:
             assert rows == expected, f"{name} DIVERGES from base!"
-        ts = []
+    ts: dict[str, list[float]] = {n: [] for n in names}
+    if args.interleave:
         for i in range(args.runs):
-            spark.sparkContext.setJobDescription(f"lp:{name}:{i}")
-            t0 = time.perf_counter()
-            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
-            release_pinned()
-            ts.append(round(time.perf_counter() - t0, 2))
-        print(f"{name}: {ts}  (rows match: {rows == expected})", flush=True)
+            for name in names:
+                spark.sparkContext.setJobDescription(f"lp:{name}:{i}")
+                t0 = time.perf_counter()
+                VARIANTS[name](spark, args.sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                release_pinned()
+                ts[name].append(round(time.perf_counter() - t0, 2))
+            print(
+                f"round {i}: "
+                + "  ".join(f"{n}={ts[n][-1]}" for n in names),
+                flush=True,
+            )
+    else:
+        for name in names:
+            for i in range(args.runs):
+                spark.sparkContext.setJobDescription(f"lp:{name}:{i}")
+                t0 = time.perf_counter()
+                VARIANTS[name](spark, args.sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                release_pinned()
+                ts[name].append(round(time.perf_counter() - t0, 2))
+    for name in names:
+        print(f"{name}: {ts[name]}", flush=True)
     return 0
 
 

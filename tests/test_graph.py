@@ -158,3 +158,58 @@ def test_parquet_row_count_file_dir_and_cache(spark, tmp_path):
     assert sizing.parquet_row_count(d) == 1000
     assert sizing._ROW_COUNT_CACHE[d] == 1000
     assert sizing._ROW_COUNT_CACHE[single] == expected
+
+
+def test_seed_type_validated_against_edges(spark):
+    """ADVICE r12 #2: a seed whose type mismatches the edge node
+    representation must FAIL FAST, not compile into an implicit-cast
+    join that silently returns an empty frontier; bool is rejected
+    (isinstance(True, int) is True but a bool seed is always a bug)."""
+    import pytest
+
+    from c3dc_etl_spark.operators.graph import bfs_hops, sssp_bounded
+
+    long_edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src LONG, dst LONG"
+    )
+    str_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src STRING, dst STRING"
+    )
+    wts = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1)], "src LONG, dst LONG, w LONG"
+    )
+    # matched seeds work
+    got = {tuple(r) for r in bfs_hops(long_edges, 1, max_hops=2).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2)}
+    got = {tuple(r) for r in bfs_hops(str_edges, "a", max_hops=2).collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 2)}
+    # mismatches fail fast on BOTH operators
+    with pytest.raises(TypeError, match="int seed"):
+        bfs_hops(str_edges, 1, max_hops=2)
+    with pytest.raises(TypeError, match="str seed"):
+        bfs_hops(long_edges, "1", max_hops=2)
+    with pytest.raises(TypeError, match="seed must be"):
+        bfs_hops(long_edges, True, max_hops=2)
+    with pytest.raises(TypeError, match="str seed"):
+        sssp_bounded(wts, "1", rounds=2)
+    with pytest.raises(TypeError, match="seed must be"):
+        sssp_bounded(wts, True, rounds=2)
+
+
+def test_default_driver_mem_derivation():
+    """ADVICE r12 #3: the driver-heap default derives from physical
+    RAM (45%, capped 48g, floored 4g) instead of assuming the 128 GiB
+    bench box; on this box it must still derive the bench-comparable
+    48g."""
+    from c3dc_etl_spark.session import _default_driver_mem
+
+    val = _default_driver_mem()
+    assert val.endswith("g")
+    n = int(val[:-1])
+    assert 4 <= n <= 48
+    with open("/proc/meminfo") as fh:
+        total_kb = int(
+            next(ln for ln in fh if ln.startswith("MemTotal:")).split()[1]
+        )
+    if total_kb >= 110 * 1024 * 1024:  # the 128 GiB class box
+        assert n == 48
