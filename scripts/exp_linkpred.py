@@ -309,14 +309,24 @@ def _v_xpart_local(spark, sf_dir, n_parts: int):
     side = nbrs.select("m", F.explode("ns").alias("x")).repartition(
         n_parts, "x"
     )
+    # generation: full explode + post-filter (codegen'd Generate+Filter;
+    # the higher-order filter(ns, t -> t > x) lambda runs interpreted
+    # per ELEMENT and measured 3x slower). Anti-join on the PACKED long
+    # key: a single-long broadcast key builds a LongHashedRelation —
+    # measured 10x faster probes than the two-column UnsafeHashedRelation
+    # (2.2s vs 20s over the 147M wedge rows).
+    epk = F.broadcast(
+        edges.select(
+            (F.shiftleft(F.col("u").cast("long"), 32) + F.col("v")).alias("k")
+        )
+    )
     pairs = (
         side.join(F.broadcast(nbrs), "m")
-        .select("x", F.explode(F.expr("filter(ns, t -> t > x)")).alias("y"))
+        .select("x", F.explode("ns").alias("y"))
+        .filter(F.col("y") > F.col("x"))
         .join(
-            F.broadcast(
-                edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-            ),
-            ["x", "y"],
+            epk,
+            F.expr("shiftleft(cast(x as bigint), 32) + y") == F.col("k"),
             "left_anti",
         )
     )
