@@ -530,6 +530,145 @@ def bfs_hops_long(edges, source, *, max_hops):
     return visited
 
 
+def containment_intbucket(spark, sf):
+    """_shingle_cooccurrence with the min-hash bucket key kept as the
+    INT the affine map produces (the production operator casts it to
+    string purely for uniformity — a bijective re-encoding, so the
+    bucket join/cap groups are identical; guide §2.3 narrower types:
+    8-byte long join/shuffle key instead of a ~10-char string)."""
+    from c3dc_etl_spark.operators.dedup import (
+        _affine,
+        drop_oversized_groups,
+        hash32,
+        normalize_text,
+        perm_constants,
+        shingles_of_norm,
+        spread,
+    )
+    from c3dc_etl_spark.pinning import pin
+    from c3dc_etl_spark.suite.dedup_ops import (
+        CONTAINMENT_BUCKET_HASHES,
+        MAX_BUCKET,
+        MAX_SHINGLE_DF,
+        MIN_CONTAINMENT,
+        SHINGLE_K,
+    )
+    from c3dc_etl_spark.suite.registry import load
+
+    docs = load(spark, sf, "documents")
+    normed = spread(docs).select(
+        F.col("doc_id").alias("doc"), normalize_text("text").alias("__norm")
+    )
+    hashed = pin(
+        normed.select(
+            "doc",
+            F.array_distinct(
+                F.transform(shingles_of_norm(F.col("__norm"), SHINGLE_K), hash32)
+            ).alias("hv"),
+        )
+    )
+    buckets = hashed.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("hv"), _affine(a, b)))
+                    for (a, b) in perm_constants(CONTAINMENT_BUCKET_HASHES, "jb")
+                ]
+            )
+        ).alias("bucket"),
+    )
+    buckets = drop_oversized_groups(buckets, ["bucket"], MAX_BUCKET)
+    left = buckets.select(F.col("doc").alias("id_a"), "bucket")
+    right = buckets.select(F.col("doc").alias("id_b"), "bucket")
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    exploded = hashed.select("doc", F.explode("hv").alias("h"))
+    exploded = drop_oversized_groups(
+        exploded, ["h"], MAX_SHINGLE_DF, broadcast_hot=False
+    )
+    ea = exploded.select(F.col("doc").alias("id_a"), "h")
+    eb = exploded.select(F.col("doc").alias("id_b"), "h")
+    co = (
+        ea.join(eb, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = hashed.select(F.col("doc").alias("id"), F.size("hv").alias("n"))
+    joined = (
+        pairs.join(co, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+    )
+    inter = F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+    denom = F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    cont = F.round(inter / denom, 4)
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.col("n_a").alias("size_a"),
+        F.col("n_b").alias("size_b"),
+        cont.alias("containment"),
+    ).filter(F.col("containment") >= MIN_CONTAINMENT)
+
+
+def simpairs_base2(spark, sf):
+    from c3dc_etl_spark.suite import REGISTRY
+
+    return REGISTRY["dedup_simhash_pairs"].fn(spark, sf)
+
+
+def simpairs_intband(spark, sf):
+    """simhash_hamming_pairs with the band key packed into one INT
+    (band_index * 2^band_bits + band_value — bijective with the
+    'b:val' string, so buckets/caps/pairs are identical; §2.3)."""
+    from c3dc_etl_spark.operators.dedup import (
+        drop_oversized_groups,
+        simhash,
+    )
+    from c3dc_etl_spark.suite.dedup_ops import SIMHASH_MAX_BUCKET
+    from c3dc_etl_spark.suite.registry import load
+
+    bits, band_bits, max_hamming = 32, 8, 3
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    docs = load(spark, sf, "documents")
+    fp = simhash(docs, "text", "doc_id", bits=bits)
+    banded = fp.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.lit(b * (mask + 1))
+                        + F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    banded = drop_oversized_groups(banded, ["band"], SIMHASH_MAX_BUCKET)
+    a = banded.select(F.col("doc").alias("id_a"), F.col("simhash").alias("fp_a"), "band")
+    b = banded.select(F.col("doc").alias("id_b"), F.col("simhash").alias("fp_b"), "band")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 PAIRS = {
     "cov": (cov_base, cov_spread),
     "tfidf": (tfidf_base, tfidf_spread),
@@ -541,6 +680,9 @@ PAIRS = {
     "kcore": (kcore_base, kcore_long),
     "containment": (containment_base, containment_packed),
     "bfs": (bfs_base, bfs_long),
+    # round 13
+    "cont_intbucket": (containment_base, containment_intbucket),
+    "simpairs_intband": (simpairs_base2, simpairs_intband),
 }
 
 
@@ -564,15 +706,18 @@ def main() -> int:
         release_pinned()
         match = base_rows == var_rows
         out = [f"{name}: rows match={match}"]
-        for tag, fn in (("base", base_fn), ("var", var_fn)):
-            ts = []
-            for i in range(args.runs):
+        # INTERLEAVED timing (r12 lesson: sequential A/Bs are C2-ramp
+        # order-dominated): alternate base/var within each round.
+        ts: dict[str, list[float]] = {"base": [], "var": []}
+        for i in range(args.runs):
+            for tag, fn in (("base", base_fn), ("var", var_fn)):
                 spark.sparkContext.setJobDescription(f"{name}:{tag}:{i}")
                 t0 = time.perf_counter()
                 fn(spark, args.sf).write.format("noop").mode("overwrite").save()
                 release_pinned()
-                ts.append(round(time.perf_counter() - t0, 2))
-            out.append(f"{tag}={ts}")
+                ts[tag].append(round(time.perf_counter() - t0, 2))
+        out.append(f"base={ts['base']}")
+        out.append(f"var={ts['var']}")
         print("  ".join(out), flush=True)
         if not match:
             print(f"!! {name}: VARIANT DIVERGES ({len(base_rows)} vs {len(var_rows)} rows)")
